@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's category-digest
+pipeline re-hosted on testdata — SURVEY.md §7 Phase 0), ``queries()``
+exposes every implemented operator from SURVEY.md §2 via the engine's
+plan registry, and ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver hash-compares against at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +13,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from news_categorization_big_data_spark.plans import REGISTRY
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's batch digest dataflow
+    (news_summarization_batch.py:100-112) — filter non-empty text,
+    bulletize, per-category sorted digest — on the sf0.001 documents
+    table. Exercises scan → filter → project → shuffle agg → string ops.
+    """
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    bulleted = docs.where(F.col("text") != "").select(
+        "lang", F.concat(F.lit("- "), F.substring("text", 1, 40)).alias("bullet")
+    )
+    return bulleted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list("bullet")), "\n").alias("digest"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.builder for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible
+    operators (MLlib models, sketch-based estimates) → rows-only check."""
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,35 @@
+"""Deterministic, engine-portable hashing expressions.
+
+Spark's native ``hash()``/``xxhash64()`` are murmur3/xxhash with Spark-
+specific seeds — fast, but not reproducible in other engines. For
+operators whose results must be oracle-checkable (fingerprints, MinHash
+signatures, SimHash), we derive integers from ``md5`` hex digests, which
+every engine renders identically. Cost: md5 is ~3-5x slower than
+xxhash64 but still JVM-side and vectorizable; for non-oracle internal
+shuffling (LSH banding at scale) prefer ``F.xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column | str, seed: str | None = None) -> Column:
+    """Unsigned 60-bit integer from the first 15 hex chars of md5.
+
+    DuckDB mirror: ``('0x' || substr(md5(expr), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash_bits16(col: Column | str) -> Column:
+    """16-bit integer from the first 4 hex chars of md5 (SimHash lanes).
+
+    DuckDB mirror: ``('0x' || substr(md5(expr), 1, 4))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long")

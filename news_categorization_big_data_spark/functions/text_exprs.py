@@ -1,0 +1,56 @@
+"""Text normalization / tokenization Column expressions.
+
+The engine-native replacement for the reference's Python-side string
+handling (content.strip() / split() / [:5000] — news_summarization_batch
+.py:61-66): everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal language-agnostic stopword set used by quality scoring and
+#: token filtering (the testdata "word soup" vocabulary includes these).
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → strip non-alphanumerics → collapse whitespace → trim.
+
+    DuckDB mirror (note the 'g' flag — DuckDB replaces first-match only
+    by default, Spark replaces all):
+    ``trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a non-empty text column.
+
+    DuckDB mirror: ``regexp_split_to_array(x, '\\s+')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard input unit).
+
+    Built from native array ops: transform over a 1..n-k+1 index range,
+    each shingle a space-joined slice. DuckDB mirror:
+    ``list_distinct(list_transform(range(1, len(toks) - {k-2}), i -> array_to_string(toks[i:i+{k-1}], ' ')))``.
+    """
+    toks = tokens(col)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    # sequence(1, n) is DESCENDING for n < 1 — guard short docs explicitly.
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, shingled).otherwise(F.array().cast("array<string>"))
+    )

@@ -1,0 +1,80 @@
+"""Engine-native text classification (MLlib pipeline).
+
+Replaces the reference's zero-shot HuggingFace classifier
+(news_categorization_streaming.py:59-112: bart-large-mnli inside
+mapInPandas, per-row calls, batch_size=1, CPU) with an MLlib
+``Pipeline(RegexTokenizer → HashingTF → IDF → LogisticRegression)``:
+train once, broadcast the model, score as vectorized DataFrame
+transforms — no per-row Python, linear scale-out.
+
+Contract preserved from the reference (SURVEY.md §2.10):
+- output schema ``(id, category, confidence)``;
+- typed fallback for blank/invalid input → ``('unknown', 0.0)``
+  (≙ news_categorization_streaming.py:74-81), implemented as a native
+  pre-filter + union instead of per-row try/except.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, IDF, IndexToString, RegexTokenizer, StringIndexer
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNKNOWN_CATEGORY = "unknown"
+
+
+def build_pipeline(text_col: str = "text", label_col: str = "label", num_features: int = 1 << 16) -> Pipeline:
+    """Tokenize → hash-TF → IDF → logistic regression, labels round-tripped
+    through StringIndexer/IndexToString so predictions come back as strings."""
+    tokenizer = RegexTokenizer(inputCol=text_col, outputCol="_tokens", pattern=r"\s+")
+    tf = HashingTF(inputCol="_tokens", outputCol="_tf", numFeatures=num_features)
+    idf = IDF(inputCol="_tf", outputCol="features")
+    indexer = StringIndexer(inputCol=label_col, outputCol="_label_idx", handleInvalid="skip")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="_label_idx", maxIter=50, regParam=0.01
+    )
+    decoder = IndexToString(
+        inputCol="prediction", outputCol="_pred_label", labels=[]
+    )  # labels filled from the fitted indexer below
+    return Pipeline(stages=[tokenizer, tf, idf, indexer, lr, decoder])
+
+
+def fit(train: DataFrame, text_col: str = "text", label_col: str = "label") -> PipelineModel:
+    """Fit the classification pipeline, wiring the decoder to the fitted
+    label vocabulary."""
+    pipeline = build_pipeline(text_col=text_col, label_col=label_col)
+    stages = pipeline.getStages()
+    model = Pipeline(stages=stages[:-1]).fit(train.where(F.length(F.trim(text_col)) > 0))
+    indexer_model = model.stages[3]
+    decoder = IndexToString(
+        inputCol="prediction", outputCol="_pred_label", labels=indexer_model.labels
+    )
+    return PipelineModel(stages=model.stages + [decoder])
+
+
+def classify(
+    model: PipelineModel, df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Score a corpus, with the reference's typed fallback on blank input.
+
+    Blank rows never reach the model (native pre-filter — the lesson from
+    SURVEY.md §4.1: cheap predicates go BEFORE expensive stages) and are
+    unioned back with ('unknown', 0.0).
+    """
+    is_valid = F.length(F.trim(F.col(text_col))) > 0
+    valid = df.where(is_valid)
+    invalid = df.where(~is_valid | F.col(text_col).isNull())
+    scored = model.transform(valid).select(
+        F.col(id_col),
+        F.col("_pred_label").alias("category"),
+        F.round(F.array_max(vector_to_array("probability")), 6).alias("confidence"),
+    )
+    fallback = invalid.select(
+        F.col(id_col),
+        F.lit(UNKNOWN_CATEGORY).alias("category"),
+        F.lit(0.0).alias("confidence"),
+    )
+    return scored.unionByName(fallback)

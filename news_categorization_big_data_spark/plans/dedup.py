@@ -1,0 +1,188 @@
+"""Tier-C dedup queries over `documents` (SURVEY.md §2.12): exact dedup
+lives in plans/relational.py (q_dedup_exact); here are the near-dup
+family — n-gram Jaccard, MinHash signatures, banded-LSH candidates,
+SimHash, and the MLlib MinHashLSH variant.
+
+Oracle SQL for the hash-based ops is generated from the same (k, bands,
+bit-width) constants as the Spark operators, so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+# Shared CTE: distinct 3-word shingles per non-empty document (DuckDB).
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+             FROM documents WHERE text <> ''),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+           FROM toks)
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = doc_a
+    JOIN sizes s2 ON s2.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+    """,
+    tier="C",
+    doc="Exact n-gram Jaccard near-duplicate pairs (3-word shingles, "
+    "threshold 0.8 — the testdata's planted near-dups sit at ~0.98, clean "
+    "separation). Shuffle key = shingle; operators/dedup.py supports a "
+    "max-df skew cap for corpus scale.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_minhash_oracle(),
+    tier="C",
+    doc=f"MinHash signatures ({MINHASH_K} md5-seeded min-hashes per doc): the "
+    "fixed-size sketch that replaces pairwise comparison at scale. One "
+    "explode + one groupBy; all hashes computed as parallel aggregates "
+    "over the same shuffled rows.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return minhash_signatures(docs)
+
+
+def _lsh_oracle() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mins = ",\n           ".join(
+        f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    band_keys = []
+    for b in range(MINHASH_BANDS):
+        cols = " || '-' || ".join(f"CAST(mh{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows))
+        band_keys.append(f"({cols})")
+    band_join = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
+    band_sel = ",\n           ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS (SELECT doc_id,
+           {band_sel}
+           FROM mh)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_join})
+    """
+
+
+@register(
+    "q_dedup_near",
+    oracle=_lsh_oracle(),
+    tier="C",
+    doc=f"Banded-LSH near-duplicate candidate pairs: {MINHASH_BANDS} bands of "
+    f"{MINHASH_K // MINHASH_BANDS} minhashes; a pair is a candidate iff some band's hashes all "
+    "agree. Spark side is a union of per-band equi-joins on a compact band "
+    "key — linear shuffle, no cross-join anywhere (the 100-TB dedup path).",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    lanes = ",\n             ".join(
+        f"SUM(CASE WHEN (('0x' || substr(md5(token), 1, 4))::BIGINT & {1 << b}) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sketch = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS token
+                 FROM documents WHERE text <> ''),
+    lanes AS (SELECT doc_id,
+             {lanes}
+              FROM tok WHERE token <> '' GROUP BY doc_id)
+    SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM lanes
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=_simhash_oracle(),
+    tier="C",
+    doc="SimHash 16-bit sketches: each distinct token votes ±1 per bit lane "
+    "by its md5 bit pattern; positive lanes set the sketch bit. Hamming-"
+    "close sketches ≈ near-duplicate token multisets.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return simhash(docs)
+
+
+@register(
+    "q_dedup_mllib_lsh",
+    oracle=None,  # MLlib hash families are Spark-internal → rows-only check
+    tier="C",
+    doc="MLlib MinHashLSH variant: HashingTF shingle vectors → MinHashLSH → "
+    "approxSimilarityJoin at Jaccard distance ≤ 0.3. Same answer set as "
+    "q_dedup_ngram_jaccard on the planted dups (asserted in "
+    "tests/test_dedup.py); kept alongside the hand-rolled LSH to exercise "
+    "the MLlib estimator surface.",
+)
+def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    from news_categorization_big_data_spark.functions.text_exprs import word_shingles
+
+    with_shingles = docs.select("doc_id", word_shingles("text").alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(with_shingles)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,703 @@
+"""Relational core: scans, filters, projections, joins, aggs, windows,
+sorts, set operations (SURVEY.md §2.1-2.7).
+
+The reference only ever executes the Tier-A subset (scan / cast-project /
+filter / groupBy-collect_list: news_summarization_batch.py:100-112,
+news_categorization_streaming.py:57); everything else here is the Tier-B
+relational surface a general engine needs, built entirely from Catalyst
+primitives so pushdown, pruning, join selection, AQE and whole-stage
+codegen apply with zero custom code.
+
+Scale notes inline per query; the global rules:
+
+- dimension tables (region/nation/part/supplier at TPC-H shape) are
+  explicitly ``broadcast()`` — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE skew-split;
+- aggregations are expressed so Catalyst plans partial (map-side)
+  aggregation before the exchange;
+- top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Exactly-reproducible sum of a double column.
+
+    Quantizes each row to DECIMAL(30, scale) (the per-row double value is
+    identical in any engine — IEEE754 — and the true values here carry at
+    most ~4 meaningful decimals, so quantizing at 6 is error-free),
+    sums exactly in decimal, and casts the total back to double. The
+    result is independent of reduction order, hence identical between
+    Spark (partial+final agg over an arbitrary shuffle) and the DuckDB
+    oracle. Oracle-side mirror: ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def o_dsum(expr: str, scale: int = 6) -> str:
+    """DuckDB-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+    tier="B",
+    doc="Parquet scan with pushed-down predicate + column pruning. "
+    "`.explain` shows PushedFilters: [GreaterThan(l_quantity,45.0)] and a "
+    "4-column ReadSchema — at 100 TB only matching row groups are read.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") > 45.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+
+
+@register(
+    "q_scan_range_pred",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events WHERE ts > TIMESTAMP '2024-01-02 00:00:00'
+    """,
+    tier="A",
+    doc="Timestamp range scan ≙ Mongo find({'created_at': {'$gt': ts}}) "
+    "(database_storage.py:30-32) re-expressed as a pushdown predicate; at "
+    "scale the table is partitioned by date so this prunes partitions.",
+)
+def q_scan_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("ts") > F.lit("2024-01-02 00:00:00").cast("timestamp")).select(
+        "event_id", "ts", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS message,
+           CAST(event_id AS VARCHAR) AS id_str
+    FROM events
+    """,
+    tier="A",
+    doc="Projection+cast+alias ≙ selectExpr(\"CAST(value AS STRING) as message\") "
+    "(news_categorization_streaming.py:57). Doubles go through DECIMAL(18,2) "
+    "so the string rendering is engine-independent.",
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("decimal(18,2)").cast("string").alias("message"),
+        F.col("event_id").cast("string").alias("id_str"),
+    )
+
+
+@register(
+    "q_filter_neq",
+    oracle="SELECT doc_id, lang, source FROM documents WHERE text <> '' AND lang <> 'zh'",
+    tier="A",
+    doc="Inequality filter ≙ filter(col('summary') != '') "
+    "(news_summarization_batch.py:102), placed BEFORE any UDF stage so "
+    "Catalyst pushes it into the scan (fixes the reference's post-UDF filter).",
+)
+def q_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where((F.col("text") != "") & (F.col("lang") != "zh")).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_filter_null_guard",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN props IS NULL OR length(trim(props)) = 0 THEN 'unknown'
+                ELSE coalesce(json_extract_string(props, '$.k'), 'unknown') END AS k_str,
+           coalesce(value, 0.0) AS value_safe
+    FROM events
+    """,
+    tier="A",
+    doc="Null/type guard with typed fallback ≙ the classifier's "
+    "('unknown', 0.0) fallback rows (news_categorization_streaming.py:69-81) "
+    "as native when/otherwise — no Python in the hot path.",
+)
+def q_filter_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(
+            F.col("props").isNull() | (F.length(F.trim(F.col("props"))) == 0), F.lit("unknown")
+        )
+        .otherwise(F.coalesce(F.get_json_object("props", "$.k"), F.lit("unknown")))
+        .alias("k_str"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_safe"),
+    )
+
+
+@register(
+    "q_project_compute",
+    oracle="SELECT doc_id, '- ' || left(text, 40) AS bullet FROM documents WHERE text <> ''",
+    tier="A",
+    doc="Computed column ≙ withColumn('summary', concat(lit('- '), col)) "
+    "(news_summarization_batch.py:102-104).",
+)
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text") != "").select(
+        "doc_id", F.concat(F.lit("- "), F.substring("text", 1, 40)).alias("bullet")
+    )
+
+
+@register(
+    "q_offset_skip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey OFFSET 10 LIMIT 20
+    """,
+    tier="A",
+    doc="Offset skip ≙ the dataset reader's `if i < index: continue` "
+    "(raw_news_to_telegram.py:55-57) — ordered offset+limit; deterministic "
+    "because the sort key is unique.",
+)
+def q_offset_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(10).limit(20)
+
+
+@register(
+    "q_field_defaults",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, ''), 'Unknown') AS segment,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS acctbal_floor
+    FROM customer
+    """,
+    tier="A",
+    doc="Field extraction with defaults ≙ .get('headline','') / authors or "
+    "'Unknown' (raw_news_to_telegram.py:58-64) via coalesce/nullif/CASE.",
+)
+def q_field_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("Unknown")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit(0.0)).otherwise(F.col("c_acctbal")).alias("acctbal_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (absent in reference — engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner_equi",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS order_cnt, {o_dsum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tier="B",
+    doc="Equi inner join + agg. customer is small relative to orders at any "
+    "SF → broadcast hint; at 100 TB AQE would pick broadcast from runtime "
+    "stats anyway. No shuffle of the orders side.",
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS li_cnt, {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 15
+    GROUP BY p_brand
+    """,
+    tier="B",
+    doc="Broadcast hash join: part is a dimension → broadcast() ships it to "
+    "every executor; the 100 TB lineitem side is never shuffled. The p_size "
+    "filter applies before the broadcast (prune then ship).",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("li_cnt"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tier="B",
+    doc="Left outer join preserving customers with zero orders "
+    "(count(o_orderkey) ignores the null-extended rows).",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+    """,
+    tier="B",
+    doc="Left semi join (EXISTS): customers having a big order. Semi join "
+    "only needs the key set of the right side — Spark broadcasts the "
+    "deduplicated keys, no row multiplication.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 50000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tier="B",
+    doc="Left anti join (NOT EXISTS): customers with no orders at all.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS parts_in_band
+    FROM supplier JOIN part
+      ON p_retailprice >= s_acctbal AND p_retailprice < s_acctbal + 500.0
+    GROUP BY s_suppkey
+    """,
+    tier="B",
+    doc="Non-equi theta/range join → broadcast-nested-loop with the small "
+    "side broadcast. At scale a range join should be bucketed into bands "
+    "first (see operators/asof.py for the banded pattern).",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    cond = (part.p_retailprice >= supp.s_acctbal) & (part.p_retailprice < supp.s_acctbal + 500.0)
+    return (
+        part.join(F.broadcast(supp), cond)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("parts_in_band"))
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS order_cnt, {o_dsum('o_totalprice')} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+    tier="B",
+    doc="3+-table join chain region⋈nation⋈customer⋈orders. Join order and "
+    "broadcast choice left to Catalyst/AQE; region+nation are tiny and "
+    "collapse into broadcast stages.",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_collect",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           string_agg(left(text, 25), chr(10) ORDER BY left(text, 25)) AS digest
+    FROM documents WHERE text <> ''
+    GROUP BY lang
+    """,
+    tier="A",
+    doc="THE reference flagship aggregate: per-category digest "
+    "groupBy('category').agg(concat_ws('\\n', collect_list('summary'))) "
+    "(news_summarization_batch.py:105-107) — made deterministic by sorting "
+    "the list before joining (collect_list order is shuffle-dependent).",
+)
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text") != "")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list(F.substring("text", 1, 25))), "\n").alias(
+                "digest"
+            ),
+        )
+    )
+
+
+@register(
+    "q_group_counts",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt, COUNT(DISTINCT o_custkey) AS uniq_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tier="B",
+    doc="count / count-distinct. count(*) is partial-aggregated map-side; "
+    "count(distinct) expands to a two-phase agg on (status, custkey).",
+)
+def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.countDistinct("o_custkey").alias("uniq_cust")
+    )
+
+
+@register(
+    "q_group_stats",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="B",
+    doc="TPC-H Q1-shaped pricing summary: hash agg with map-side partials. "
+    "Double sums are decimal-quantized per row (see dsum) so the reduction "
+    "is exact and order-independent — required for oracle hash parity and "
+    "a good idea at 100 TB anyway (no accumulated float drift).",
+)
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_group_approx",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    tier="B",
+    doc="approx_count_distinct (HyperLogLog++): the 100-TB-scale cardinality "
+    "operator — fixed-size sketch, map-side mergeable, no shuffle of raw "
+    "values. Sketch estimates are engine-specific → no value oracle; "
+    "tests/test_relational.py asserts relative error < 5% vs exact.",
+)
+def q_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tier="B",
+    doc="ROLLUP hierarchy (status, priority) → (status) → (); Spark expands "
+    "grouping sets into a single shuffle with a grouping-id column.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle=f"""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           count_if(value > 100.0) AS n_big,
+           {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    tier="A",
+    doc="Conditional aggregation ≙ the reference's implicit unknown-category "
+    "counting (news_categorization_streaming.py:77-81) as sum(CASE)/count_if.",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
+        F.count_if(F.col("value") > 100.0).alias("n_big"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
+            "purchase_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    tier="B",
+    doc="Ranking window: latest 3 orders per customer. Tie-broken on the "
+    "unique key so row_number is deterministic. One shuffle on o_custkey.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+    tier="B",
+    doc="Analytic lag over a per-user event timeline (ordered by ts with "
+    "unique tiebreak).",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value"))
+
+
+@register(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events
+    """,
+    tier="B",
+    doc="Sliding frame aggregate: 3-event moving average per user. Frame of "
+    "≤3 doubles → summation order fixed by the frame, round(6) absorbs ulp.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("moving_avg")
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 2
+    """,
+    tier="B",
+    doc="Top-k per group (2 priciest lineitems per order) via ranked window "
+    "+ filter; Spark prunes with WindowGroupLimit (rank pushdown) so the "
+    "sort per group stops at k.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tier="B",
+    doc="Global top-k: Spark plans TakeOrderedAndProject — per-partition "
+    "k-heap then driver merge of k rows; no global sort even at 100 TB.",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tier="B",
+    doc="UNION DISTINCT of customer and supplier nation keys.",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tier="B",
+    doc="INTERSECT (distinct) — nations having both customers and suppliers.",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_returnflag FROM lineitem WHERE l_quantity > 40
+    """,
+    tier="B",
+    doc="EXCEPT ALL (multiset difference) — bag semantics preserved.",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 25).select(F.col("l_returnflag").alias("flag"))
+    b = li.where(F.col("l_quantity") > 40).select(F.col("l_returnflag").alias("flag"))
+    return a.exceptAll(b)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_cnt, md5(text) AS text_hash
+    FROM documents GROUP BY text
+    """,
+    tier="C",
+    doc="Exact dedup: canonical-representative pick (min doc_id per text) + "
+    "duplicate count. At 100 TB group on sha2/md5 of the text, not the text "
+    "itself, so the shuffle carries 16-byte keys instead of documents.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_cnt"))
+        .select("doc_id", "dup_cnt", "text_hash")
+    )

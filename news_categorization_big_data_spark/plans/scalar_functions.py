@@ -1,0 +1,266 @@
+"""Scalar function catalog: string / date / math / array / map / json
+(SURVEY.md §2.8).
+
+Each query re-expresses one scalar-function family the reference uses in
+Python driver code as a native Column expression — JVM-side, inside
+whole-stage codegen, no Python in the hot path. Reference citations per
+query.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+@register(
+    "q_str_concat",
+    oracle="""
+    SELECT doc_id,
+           'Headline: ' || left(text, 20) || ', Lang: ' || lang AS message
+    FROM documents
+    """,
+    tier="A",
+    doc="String concat/format ≙ the flattened-message template "
+    "f'Headline: {…}, Authors: {…}' (raw_news_to_telegram.py:65-69).",
+)
+def q_str_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Headline: "), F.substring("text", 1, 20), F.lit(", Lang: "), F.col("lang")
+        ).alias("message"),
+    )
+
+
+@register(
+    "q_str_case",
+    oracle="SELECT doc_id, lower(source) AS source_lc, upper(lang) AS lang_uc FROM documents",
+    tier="A",
+    doc="Case mapping ≙ category.lower() routing (summary_news_to_telegram.py:63).",
+)
+def q_str_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.lower("source").alias("source_lc"), F.upper("lang").alias("lang_uc")
+    )
+
+
+@register(
+    "q_str_slice",
+    oracle="""
+    SELECT doc_id, substring(text, 1, 50) AS head50,
+           CAST(length(text) AS BIGINT) AS n_len
+    FROM documents
+    """,
+    tier="A",
+    doc="Truncation ≙ content[:5000] (news_summarization_batch.py:65,91-93).",
+)
+def q_str_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 50).alias("head50"),
+        F.length("text").cast("long").alias("n_len"),
+    )
+
+
+@register(
+    "q_str_split_len",
+    oracle="""
+    SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_words
+    FROM documents WHERE text <> ''
+    """,
+    tier="A",
+    doc="Tokenize + word count ≙ len(content.split()) for the max_length "
+    "heuristic (news_summarization_batch.py:66).",
+)
+def q_str_split_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text") != "").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_words")
+    )
+
+
+@register(
+    "q_str_trim_empty",
+    oracle="""
+    SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_trimmed,
+           length(trim(text)) = 0 AS is_blank
+    FROM documents
+    """,
+    tier="A",
+    doc="Strip/emptiness test ≙ content.strip() guards "
+    "(news_summarization_batch.py:61, raw_news_to_telegram.py:47).",
+)
+def q_str_trim_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id", n.cast("long").alias("n_trimmed"), (n == 0).alias("is_blank")
+    )
+
+
+@register(
+    "q_date_fmt",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    tier="A",
+    doc="Date formatting ≙ strftime('%Y-%m-%d') footer "
+    "(news_summarization_batch.py:109-112); the date is DATA, never wall "
+    "clock (fixes quirk SURVEY.md §2.11.5).",
+)
+def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q_json_to",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(content := left(text, 30), category := lang)) AS payload
+    FROM documents
+    """,
+    tier="A",
+    doc="Struct → JSON string ≙ to_json(struct(content, category)) Kafka "
+    "payload (news_summarization_batch.py:114-118). Writer and reader share "
+    "one schema (fixes quirk §2.11.1, the col1/col2 mismatch).",
+)
+def q_json_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.substring("text", 1, 30).alias("content"), F.col("lang").alias("category"))
+        ).alias("payload"),
+    )
+
+
+@register(
+    "q_json_from",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    tier="A",
+    doc="JSON string → typed fields ≙ json.loads(message).get(...) "
+    "(summary_news_to_telegram.py:62-64) as get_json_object — parsed "
+    "JVM-side, per-partition, no driver loop.",
+)
+def q_json_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.get_json_object("props", "$.k").cast("int").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q_array_join",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(regexp_split_to_array(text, '\\s+'))[1:5], ', ') AS first_words
+    FROM documents WHERE text <> ''
+    """,
+    tier="A",
+    doc="list → delimited string ≙ ', '.join(authors) "
+    "(raw_news_to_telegram.py:62); sorted slice for determinism.",
+)
+def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text") != "").select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(F.split("text", r"\s+")), 1, 5), ", ").alias(
+            "first_words"
+        ),
+    )
+
+
+@register(
+    "q_math_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(least(100, greatest(20, floor(l_extendedprice / l_quantity / 10.0))) AS BIGINT)
+             AS clamped
+    FROM lineitem
+    """,
+    tier="A",
+    doc="Arithmetic + clamp ≙ min(100, max(20, n//3)) max_length heuristic "
+    "(news_summarization_batch.py:67) via least/greatest/floor.",
+)
+def q_math_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.floor(F.col("l_extendedprice") / F.col("l_quantity") / 10.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.lit(100), F.greatest(F.lit(20), ratio)).cast("long").alias("clamped"),
+    )
+
+
+#: Canonical category routing table ≙ channel_map
+#: (summary_news_to_telegram.py:20-33) — one vocabulary for producer and
+#: consumer (fixes quirk SURVEY.md §2.11.2).
+CATEGORY_ROUTES: dict[str, str] = {
+    "en": "channel-english",
+    "es": "channel-spanish",
+    "de": "channel-german",
+    "fr": "channel-french",
+    "zh": "channel-chinese",
+}
+
+
+@register(
+    "q_map_lookup",
+    oracle="""
+    SELECT doc_id,
+           coalesce(CASE lang WHEN 'en' THEN 'channel-english'
+                              WHEN 'es' THEN 'channel-spanish'
+                              WHEN 'de' THEN 'channel-german'
+                              WHEN 'fr' THEN 'channel-french'
+                              WHEN 'zh' THEN 'channel-chinese' END,
+                    'channel-default') AS route
+    FROM documents
+    """,
+    tier="A",
+    doc="Dict-lookup routing ≙ channel_map.get(category) "
+    "(summary_news_to_telegram.py:74) as a map-literal lookup; at scale an "
+    "equivalent broadcast join against a mapping table.",
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    route_map = F.create_map(*[F.lit(x) for x in chain.from_iterable(CATEGORY_ROUTES.items())])
+    return docs.select(
+        "doc_id",
+        F.coalesce(route_map[F.col("lang")], F.lit("channel-default")).alias("route"),
+    )
+
+
+@register(
+    "q_membership",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt FROM events
+    WHERE event_type IN ('signup', 'error', 'purchase')
+    GROUP BY event_type
+    """,
+    tier="A",
+    doc="Set-membership validation ≙ `category not in self.categories` "
+    "(summary_news_to_telegram.py:70) as Column.isin.",
+)
+def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("signup", "error", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )

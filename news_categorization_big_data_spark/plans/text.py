@@ -1,0 +1,279 @@
+"""Tier-C text analysis over `documents` (SURVEY.md §2.12): cleaning,
+tokenization, per-doc statistics, language ID, quality scoring, token
+counting, fingerprinting, multimodal column plumbing.
+
+These are the per-document passes a 100-TB training-data pipeline runs
+before dedup/filtering. All of them are embarrassingly parallel column
+expressions — no shuffle except the final aggregations — so they scale
+linearly with executors and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.text_exprs import STOPWORDS, normalize_text, tokens
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+@register(
+    "q_text_clean",
+    oracle="""
+    SELECT doc_id,
+           left(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                    ' +', ' ', 'g')), 60) AS clean_head
+    FROM documents
+    """,
+    tier="C",
+    doc="Text normalization: lower → strip punctuation → collapse "
+    "whitespace → trim. Pure codegen; zero shuffle.",
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.substring(normalize_text("text"), 1, 60).alias("clean_head"))
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS cnt FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t NOT IN {tuple(STOPWORDS)!r} AND t <> '')) AS token
+      FROM documents WHERE text <> '')
+    GROUP BY token HAVING COUNT(*) >= 5
+    """,
+    tier="C",
+    doc="Tokenization + stopword removal + corpus term frequency: the "
+    "HashingTF precursor. Stopwords are filtered inside the array (no row "
+    "explosion until after the filter); the groupBy shuffles only tokens.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.filter(tokens("text"), lambda t: ~t.isin(*STOPWORDS) & (t != ""))
+    return (
+        docs.where(F.col("text") != "")
+        .select(F.explode(kept).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS BIGINT) AS total_words,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents WHERE text <> '' GROUP BY lang
+    """,
+    tier="C",
+    doc="Per-language corpus statistics (doc/char/word totals). Integer "
+    "sums are exact → safe to divide for the average in double.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("long")
+    return (
+        docs.where(F.col("text") != "")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.sum(n_words).alias("total_words"),
+            (F.sum(F.col("n_chars").cast("long")).cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language
+#: heuristic. Deterministic and SQL-expressible; real pipelines would
+#: plug a fastText-style model in via mapInPandas (operators/multimodal.py
+#: shows the pluggable-UDF pattern).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def _profile_score(tok_col, words: tuple[str, ...]):
+    return F.size(F.filter(tok_col, lambda t: t.isin(*words)))
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('the','a','of'))) AS s_en,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('el','la','de'))) AS s_es,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('der','die','das'))) AS s_de,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('le','la','et'))) AS s_fr
+      FROM documents WHERE text <> '')
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(greatest(s_en, s_es, s_de, s_fr) AS INT) AS top_score
+    FROM scored
+    """,
+    tier="C",
+    doc="Language ID via stopword-profile scoring (argmax over per-language "
+    "token-hit counts, alphabetical tie-break). Column-native: no UDF. The "
+    "CASE ladder encodes the same tie-break order ('de' < 'en' < 'es' < "
+    "'fr') on both engines.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = tokens("text")
+    scores = {lang: _profile_score(toks, prof) for lang, prof in LANG_PROFILES.items()}
+    top = F.greatest(*scores.values())
+    pred = (
+        F.when(top == 0, F.lit("und"))
+        .when(
+            (scores["de"] >= scores["en"]) & (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]),
+            F.lit("de"),
+        )
+        .when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]), F.lit("en"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"), top.cast("int").alias("top_score"))
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+           round(CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\\s+')), 4) AS distinct_ratio,
+           round(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> t IN {tuple(STOPWORDS)!r})) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\\s+')), 4) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(regexp_split_to_array(text, '\\s+')), 4)
+             AS chars_per_token
+    FROM documents WHERE text <> ''
+    """,
+    tier="C",
+    doc="Document quality scoring: token count, type/token ratio, stopword "
+    "ratio, chars-per-token — the standard cheap pre-training filters. "
+    "All ratios are single double divisions (engine-identical), rounded.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = tokens("text")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4).alias("distinct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n, 4
+        ).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS n_bpe_ish,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_ws
+    FROM documents WHERE text <> ''
+    """,
+    tier="C",
+    doc="Token counting two ways: whitespace and a BPE-ish regex "
+    "(letter-runs | digit-runs | single punctuation) — the cheap "
+    "token-budget estimator for LLM data pipelines.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    bpe_ish = F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        bpe_ish.cast("int").alias("n_bpe_ish"),
+        F.size(tokens("text")).cast("int").alias("n_ws"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+           ('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))::BIGINT AS fp_normalized
+    FROM documents
+    """,
+    tier="C",
+    doc="Document fingerprinting: 60-bit content hash of the raw and the "
+    "normalized text (the exact-dedup / cache key). md5-derived so the "
+    "oracle reproduces it; see functions/hashing.py for the fast-path "
+    "xxhash64 alternative when portability isn't needed.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash60("text").alias("fp"),
+        hash60(normalize_text("text")).alias("fp_normalized"),
+    )
+
+
+@register(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(type := event_type,
+                               k := CAST(json_extract_string(props, '$.k') AS INT))) AS meta_json
+    FROM events
+    """,
+    tier="C",
+    doc="Typed metadata struct over an opaque payload: JSON props parsed to "
+    "typed fields, re-packed as a struct column (the multimodal metadata "
+    "pattern — see operators/multimodal.py for the binary-payload side).",
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+        ).alias("meta_json"),
+    )
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+    tier="C",
+    doc="Binary payload column: text encoded as binary with byte-length and "
+    "content-hash metadata — the schema pattern for image/audio blobs "
+    "(payload binary + typed metadata). Decode plumbing lives in "
+    "operators/multimodal.py (Pandas-UDF, stubbed codec).",
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("int").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+    )

@@ -1,0 +1,188 @@
+"""Event-time windowing: batch analogs of the streaming operator surface
+(SURVEY.md §2.9) plus the as-of join.
+
+Spark's `window()` / `session_window()` work identically over batch and
+streaming DataFrames, so the oracle-checked batch queries here pin the
+exact semantics the live streaming topology (streaming/topology.py)
+reuses; the live variants are smoke-tested in tests/test_streaming.py
+with file/rate sources and processAllAvailable().
+
+The reference has NO event-time processing at all (its stream is a 1s
+processing-time micro-batch with no windows or watermarks —
+news_categorization_streaming.py:114-120); this module is the engine
+surface that makes its topology scale-correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from news_categorization_big_data_spark.operators.asof import asof_join
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    tier="B",
+    doc="Tumbling 10-minute window count — groupBy(window(ts, '10 minutes')). "
+    "Epoch-aligned on both engines. In streaming this is the canonical "
+    "watermarked aggregation; partial aggregation happens map-side per "
+    "micro-batch.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt FROM starts GROUP BY 1, 2
+    """,
+    tier="B",
+    doc="Sliding window (10-minute width, 5-minute slide): every event lands "
+    "in exactly width/slide = 2 windows; the oracle materializes both "
+    "epoch-aligned starts explicitly.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tier="B",
+    doc="Session window (5-minute gap) per user — session_window(ts, '5 "
+    "minutes'). Spark sessions are [first_ts, last_ts + gap): an event at "
+    "exactly prev_ts + gap starts a NEW session (end-exclusive), which the "
+    "gaps-and-islands oracle mirrors with `ts >= lag(ts) + gap`.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
+    "q_stream_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL '24 hours' FROM events)
+    GROUP BY 1
+    """,
+    tier="B",
+    doc="Watermark batch analog: rows older than max(event_time) - delay are "
+    "dropped, then windowed-counted — exactly what "
+    "withWatermark('ts', '24 hours') admits in streaming. The max is a "
+    "broadcast scalar, not a driver collect.",
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") >= F.col("_max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT window_start, COUNT(*) AS uniq_cnt FROM (
+      SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             user_id, event_type
+      FROM events)
+    GROUP BY window_start
+    """,
+    tier="B",
+    doc="Stream dedup analog — dropDuplicates on (window, user, type) ≙ "
+    "dropDuplicatesWithinWatermark keyed per hour. State is bounded by the "
+    "watermark horizon in the live variant.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"), "user_id", "event_type"
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "event_type")
+        .dropDuplicates(["window_start", "user_id", "event_type"])
+        .groupBy("window_start")
+        .agg(F.count("*").alias("uniq_cnt"))
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.event_id AS purchase_event_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tier="C",
+    doc="As-of join (no Spark built-in): each error event matched to the "
+    "latest purchase of the same user at-or-before it. Implemented as the "
+    "union + last_value(ignorenulls) window pattern in operators/asof.py — "
+    "one shuffle on the `by` key, no range cross-join. Oracle: DuckDB "
+    "native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return asof_join(
+        left=errors.select("event_id", "user_id", "ts"),
+        right=purchases.select(
+            "user_id", "ts", F.col("event_id").alias("purchase_event_id"), F.col("value").alias("purchase_value")
+        ),
+        on="ts",
+        by="user_id",
+    ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")

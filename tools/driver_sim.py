@@ -1,0 +1,71 @@
+"""Simulates the external driver: vanilla SparkSession (NOT the engine's
+tuned factory), import __spark_entry__, smoke entry(), then run every
+queries() entry at sf0.01 and hash-compare against oracle_sql() via DuckDB."""
+import hashlib, json, math, sys, time
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+import duckdb
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# deliberately vanilla: no engine confs at all
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+
+# --- t1 smoke ---
+df = entrymod.entry(spark)
+rows = df.collect()
+print(f"t1 entry: {len(rows)} rows, schema={df.columns}", flush=True)
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(float(v))
+    if isinstance(v, (list, tuple)): return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+queries = entrymod.queries()
+oracles = entrymod.oracle_sql()
+results = {}
+t_all = time.time()
+for name, fn in sorted(queries.items()):
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name in oracles:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok_rows = len(srows) == len(drows)
+            ok_schema = sorted(scols) == sorted(dcols)
+            ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
+            status = "MATCH" if (ok_rows and ok_schema and ok_hash) else f"MISMATCH rows={ok_rows} schema={ok_schema} hash={ok_hash}"
+        else:
+            status = f"ROWS_ONLY n={len(srows)}"
+        results[name] = status
+    except Exception as ex:
+        results[name] = f"ERROR {type(ex).__name__}: {str(ex)[:100]}"
+    print(f"  {name}: {results[name]} ({time.time()-t0:.1f}s)", flush=True)
+
+bad = {k: v for k, v in results.items() if v != "MATCH" and not v.startswith("ROWS_ONLY")}
+print(f"\nTOTAL {len(results)} queries in {time.time()-t_all:.0f}s; {len(bad)} failures")
+print(json.dumps(bad, indent=1) if bad else "ALL OK")
+spark.stop()
+sys.exit(1 if bad else 0)
