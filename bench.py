@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Headline set: the queries whose plans exercise the scale-critical paths —
+shuffle aggregation, broadcast joins, window top-k, LSH dedup, vector
+top-k — rather than the trivially-fast projections.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from news_categorization_big_data_spark.plans import REGISTRY
+from news_categorization_big_data_spark.session import get_spark
+
+HEADLINE = [
+    "q_group_stats",        # TPC-H Q1-shaped shuffle agg over lineitem
+    "q_join_multiway",      # 4-table join chain
+    "q_join_broadcast",     # dimension broadcast join on the fact table
+    "q_topk_per_group",     # ranked window over lineitem
+    "q_group_collect",      # the reference's flagship digest aggregate
+    "q_stream_session",     # session windows (gaps-and-islands state)
+    "q_dedup_ngram_jaccard",  # shingle self-join (exact near-dup)
+    "q_dedup_near",         # MinHash banded-LSH candidates
+    "q_sim_search",         # brute-force cosine top-k
+    "q_text_tokens",        # explode + token aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("ncbds-bench")
+
+    # Warm the JVM / file-listing caches so per-query numbers measure the
+    # plans, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        start = time.perf_counter()
+        # count() fully executes the plan without driver-collecting rows.
+        spec.builder(spark, sf_dir).count()
+        elapsed = round(time.perf_counter() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
