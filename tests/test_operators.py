@@ -1,0 +1,136 @@
+"""Operator-level golden tests: as-of join semantics, multimodal decode
+plumbing, summarizer hook fallbacks, ML accuracy + contract
+(SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.operators import classify as clf
+from news_categorization_big_data_spark.operators.asof import asof_join
+from news_categorization_big_data_spark.operators.multimodal import (
+    decode_payloads,
+    fake_codec,
+    pack_payload,
+)
+from news_categorization_big_data_spark.operators.summarize import (
+    extractive_summarize,
+    pluggable_summarizer_hook,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 150), (4, 30, 100)],
+        "event_id int, user_id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (20, 200, 3.0)],
+        "user_id int, ts int, price double",
+    )
+    out = {
+        r.event_id: r.price
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out[1] == 1.0  # equal ts matches (<=)
+    assert out[2] == 2.0  # latest at-or-before
+    assert out[3] is None  # right row is in the future
+    assert out[4] is None  # no right rows for user 30
+
+
+def test_asof_join_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "user_id int, ts int, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(df, df, on="ts", by="user_id")
+
+
+def test_multimodal_pack_decode(spark, sf_dir):
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    packed = pack_payload(docs, "doc_id", "text", mime="text/plain")
+    decoded = decode_payloads(packed, codec=fake_codec)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    ok_rows = [r for r in rows if r.ok]
+    assert len(ok_rows) == 20  # non-empty payloads decode
+    assert all(1 <= r.width <= 640 and 1 <= r.height <= 480 for r in ok_rows)
+    # deterministic: same input → same "dimensions"
+    again = {r.doc_id: (r.width, r.height) for r in decode_payloads(packed, fake_codec).collect()}
+    assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_multimodal_codec_stub_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    packed = pack_payload(df, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|no media codec"):
+        decode_payloads(packed, codec=None).collect()
+
+
+def test_multimodal_decode_error_containment(spark):
+    df = spark.createDataFrame([(1, "ok"), (2, "")], "doc_id long, text string")
+    packed = pack_payload(df, "doc_id", "text")
+    rows = {r.doc_id: r for r in decode_payloads(packed, fake_codec).collect()}
+    assert rows[1].ok is True
+    assert rows[2].ok is False and rows[2].width == 0  # empty payload → typed fallback row
+
+
+def test_summarizer_hook_reference_semantics(spark):
+    long_text = "word " * 3000  # > 5000 chars → truncated to 5000
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "short input here"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    echo = pluggable_summarizer_hook(lambda text: text)
+    out = {r.doc_id: r.summary for r in df.mapInPandas(echo, "doc_id long, summary string").collect()}
+    # 5000 chars of "word " → 1000 words → clamp min(100, max(20, 1000//3)) = 100
+    assert len(out[1].split()) == 100
+    # 3 words → clamp to 20 but only 3 available
+    assert out[2] == "short input here"
+    assert out[3] == ""  # blank → empty summary (fallback)
+
+
+def test_summarizer_hook_error_containment(spark):
+    df = spark.createDataFrame([(1, "boom please")], "doc_id long, text string")
+
+    def exploding(text):
+        raise RuntimeError("model crashed")
+
+    out = df.mapInPandas(
+        pluggable_summarizer_hook(exploding), "doc_id long, summary string"
+    ).collect()
+    assert out[0].summary == ""  # row-level containment, not task failure
+
+
+def test_extractive_summary_deterministic(spark, sf_dir):
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "").limit(50)
+    s1 = {r.doc_id: r.summary for r in extractive_summarize(docs).collect()}
+    s2 = {r.doc_id: r.summary for r in extractive_summarize(docs).collect()}
+    assert s1 == s2
+    assert all(s.startswith("- ") for s in s1.values())
+
+
+def test_ml_classifier_accuracy_and_fallback(spark):
+    """Separable two-class fixture → high accuracy; blank rows → typed
+    ('unknown', 0.0) fallback (news_categorization_streaming.py:74-104)."""
+    rows = []
+    for i in range(60):
+        rows.append((i, f"goal match stadium striker win league game {i % 5}", "sports"))
+        rows.append((100 + i, f"election senate vote policy bill congress {i % 5}", "political"))
+    rows.append((999, "   ", "sports"))  # blank
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+
+    model = clf.fit(df, text_col="text", label_col="label")
+    scored = clf.classify(model, df, id_col="doc_id", text_col="text")
+    out = {r.doc_id: r for r in scored.collect()}
+    assert out[999].category == "unknown" and out[999].confidence == 0.0
+    correct = sum(
+        1
+        for i, r in out.items()
+        if i != 999 and r.category == ("sports" if i < 100 else "political")
+    )
+    assert correct / 120 >= 0.95
+    assert all(0.0 <= r.confidence <= 1.0 for r in out.values())

@@ -1,0 +1,55 @@
+"""Property-based spot checks (SURVEY.md §5.2.4): Column-expression
+identities vs the reference's Python semantics, on driver-local data
+(one Spark round-trip per property keeps these fast)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x2FF),
+    max_size=80,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_substring_matches_python_slice(spark, texts):
+    """substring(x, 1, k) ≙ Python x[:k] (news_summarization_batch.py:65)."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.s for r in df.select(F.substring("t", 1, 10).alias("s")).collect()]
+    assert got == [t[:10] for t in texts]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=-1000, max_value=10000), min_size=1, max_size=8))
+def test_least_greatest_matches_python_clamp(spark, ns):
+    """least(100, greatest(20, n)) ≙ min(100, max(20, n))
+    (news_summarization_batch.py:67)."""
+    df = spark.createDataFrame([(n,) for n in ns], "n int")
+    got = [
+        r.c
+        for r in df.select(
+            F.least(F.lit(100), F.greatest(F.lit(20), F.col("n"))).alias("c")
+        ).collect()
+    ]
+    assert got == [min(100, max(20, n)) for n in ns]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(TEXT.filter(lambda s: s.strip()), max_size=4), min_size=1, max_size=6))
+def test_array_join_matches_python_join(spark, lists):
+    """array_join(xs, ', ') ≙ ', '.join(xs) (raw_news_to_telegram.py:62)."""
+    df = spark.createDataFrame([(xs,) for xs in lists], "xs array<string>")
+    got = [r.j for r in df.select(F.array_join("xs", ", ").alias("j")).collect()]
+    assert got == [", ".join(xs) for xs in lists]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_trim_matches_python_strip_spaces(spark, texts):
+    """trim ≙ .strip() for space-padded text (news_summarization_batch.py:61)."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.s for r in df.select(F.trim("t").alias("s")).collect()]
+    assert got == [t.strip(" ") for t in texts]

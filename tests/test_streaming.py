@@ -1,0 +1,124 @@
+"""Streaming topology tests (SURVEY.md §5.2.3): file-source streams with
+processAllAvailable, batch/stream parity for the windowed aggregates, and
+foreachBatch idempotency under batch replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.streaming.topology import (
+    classify_stream,
+    parse_messages,
+    read_message_stream,
+    write_idempotent_parquet,
+)
+
+CATEGORIES = ["technology", "political", "arts", "sports", "social", "environmental", "health"]
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+def _payload(content, category, ts):
+    return {"value": json.dumps({"content": content, "category": category, "event_ts": ts})}
+
+
+def test_stream_parse_classify_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        src,
+        [
+            _payload("solar farms expand", "Environmental", "2024-01-01 10:00:00"),
+            _payload("cup final tonight", "sports", "2024-01-01 10:01:00"),
+            _payload("", "sports", "2024-01-01 10:02:00"),  # blank → fallback
+            _payload("mystery piece", "astrology", "2024-01-01 10:03:00"),  # bad cat → fallback
+            {"value": "not json at all"},  # unparseable → null struct → fallback
+        ],
+    )
+    raw = read_message_stream(spark, source="json-files", path=src)
+    classified = classify_stream(parse_messages(raw), CATEGORIES)
+    query = write_idempotent_parquet(classified, out, ckpt)
+    query.processAllAvailable()
+    query.stop()
+
+    result = spark.read.parquet(out).collect()
+    assert len(result) == 5
+    by_cat = {}
+    for row in result:
+        by_cat.setdefault(row.category, []).append(row)
+    # case-normalized valid categories
+    assert len(by_cat["environmental"]) == 1 and by_cat["environmental"][0].confidence == 1.0
+    assert len(by_cat["sports"]) == 1  # the valid sports row
+    # blank content, invalid category, unparseable line → 3 typed fallbacks
+    unknowns = by_cat["unknown"]
+    assert len(unknowns) == 3
+    assert all(u.confidence == 0.0 for u in unknowns)
+
+
+def test_batch_stream_parity_tumbling(spark, tmp_path):
+    """The same window() aggregation over a stream of events equals the
+    batch answer on the same rows — the engine's core streaming claim."""
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "a"},
+        {"ts": "2024-01-01 00:04:00", "event_type": "a"},
+        {"ts": "2024-01-01 00:11:00", "event_type": "b"},
+        {"ts": "2024-01-01 00:19:59", "event_type": "a"},
+        {"ts": "2024-01-01 00:20:00", "event_type": "a"},
+    ]
+    src = str(tmp_path / "events")
+    _write_jsonl(src, rows)
+
+    def agg(df):
+        typed = df.select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        return (
+            typed.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+
+    batch = agg(spark.read.schema("ts string, event_type string").json(src))
+    stream = agg(spark.readStream.schema("ts string, event_type string").json(src))
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_rows = sorted(map(str, batch.collect()))
+    stream_rows = sorted(
+        map(str, spark.read.parquet(out).select("ws", "event_type", "cnt").collect())
+    )
+    assert batch_rows == stream_rows
+
+
+def test_foreachbatch_idempotent_replay(spark, tmp_path):
+    """Re-running a batch id must not duplicate rows (overwrite-by-batch
+    directory layout — the fix for quirk SURVEY.md §2.11.4)."""
+    out = str(tmp_path / "idem")
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    write_batch(df, 7)
+    write_batch(df, 7)  # replay of the same micro-batch
+    assert spark.read.parquet(out).count() == 5
