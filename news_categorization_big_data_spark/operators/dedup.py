@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import hash60, hash_bits16
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import word_shingles
 
 #: MinHash signature length and banding (b bands of r rows: b*r = k).
@@ -38,8 +39,12 @@ MINHASH_BANDS = 2  # 2 bands of 4 → candidates need 4 consecutive equal minhas
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) rows — distinct k-word shingles per document."""
-    return docs.select(id_col, F.explode(word_shingles(text_col, k)).alias("shingle"))
+    """(id, shingle) rows — distinct k-word shingles per document.
+
+    fan_out first: shingling + hashing is the CPU-heavy stage, and a
+    single-file input would otherwise run it on one core.
+    """
+    return fan_out(docs).select(id_col, F.explode(word_shingles(text_col, k)).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -52,23 +57,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard).
 
-    ``max_df`` drops shingles present in more than that many documents
-    before the self-join (skew cap — at corpus scale stopword-ish
-    shingles would otherwise create quadratic reducer buckets).
+    ``max_df`` skips candidate generation for shingles present in more
+    than that many documents (skew cap — at corpus scale stopword-ish
+    shingles would otherwise create quadratic buckets); per-doc shingle
+    sizes stay exact, so reported jaccard values are unaffected.
     """
     sh = shingle_table(docs, text_col, id_col, k)
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = sh.join(df_counts.where(F.col("_df") <= max_df).select("shingle"), "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Invert to shingle buckets and emit doc pairs inside each bucket —
+    # one groupBy + two generates instead of a self-join, so the shingle
+    # subtree is evaluated once, not three times, and there is no join
+    # key skew to manage beyond the bucket-size (max_df) cap itself.
+    buckets = sh.groupBy("shingle").agg(F.collect_list(id_col).alias("_ids"))
+    if max_df is not None:
+        buckets = buckets.where(F.size("_ids") <= max_df)
     inter = (
-        a.join(b, "shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("doc_a"), F.col("_ids"))
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("_inter"))
     )
     jac = F.col("_inter").cast("double") / (F.col("sa._sz") + F.col("sb._sz") - F.col("_inter"))
+    # inter (candidate pairs) is orders of magnitude smaller than sizes
+    # (one row per doc) — leave join strategy to AQE, which broadcasts
+    # the runtime-small side; an explicit hint here would be wrong at
+    # corpus scale in one direction or the other.
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
@@ -92,24 +107,35 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on ALL minhashes of ≥1 band.
 
-    Each band is an equi-join key — a union of `bands` hash-joins, every
-    one a plain shuffle join on a compact string key. No pairwise work
-    happens outside hash buckets, which is what makes MinHash dedup
-    linear-ish at corpus scale.
+    The signature table is exploded to one (band_idx, band_key, id) row
+    per band, grouped into buckets, and pairs are generated inside each
+    bucket — a single shuffle on the compact band key, the signature
+    subtree evaluated once, and no pairwise work outside hash buckets.
+    That shape is what makes MinHash dedup linear-ish at corpus scale.
     """
     rows = k // bands
-    per_band = []
-    for b in range(bands):
-        cols = [f"mh{j}" for j in range(b * rows, (b + 1) * rows)]
-        key = F.concat_ws("-", *cols).alias("_band_key")
-        sides = signatures.select(F.col(id_col), key)
-        left, right = sides.alias("l"), sides.alias("r")
-        per_band.append(
-            left.join(right, "_band_key")
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
-        )
-    return reduce(DataFrame.unionByName, per_band).distinct()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "-", *[f"mh{j}" for j in range(b * rows, (b + 1) * rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
+    return (
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("doc_a"), F.col("_ids"))
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
@@ -120,7 +146,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     totals. One explode + one groupBy with `bits` conditional-sum
     aggregates — same shuffle shape as minhash_signatures.
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         id_col, F.explode(F.array_distinct(F.split(text_col, r"\s+"))).alias("token")
     ).where(F.col("token") != "")
     h = hash_bits16("token")

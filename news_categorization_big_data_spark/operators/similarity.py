@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.partitioning import fan_out
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Double-precision dot product of two float-array columns."""
@@ -55,7 +57,7 @@ def brute_force_topk(
     Returns (id, score, nn_rank) sorted best-first. Deterministic: ties
     broken on the id column.
     """
-    scored = corpus.crossJoin(F.broadcast(query)).select(
+    scored = fan_out(corpus).crossJoin(F.broadcast(query)).select(
         id_col, cosine(vec_col, query_vec_col).alias("_score")
     )
     top = scored.orderBy(F.desc("_score"), F.asc(id_col)).limit(k)
@@ -77,7 +79,7 @@ def assign_cells(
 
     One broadcast of the centroid table; no shuffle of the corpus.
     """
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+    scored = fan_out(corpus).crossJoin(F.broadcast(centroids)).withColumn(
         "_cscore", cosine(vec_col, cent_vec_col)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc(cent_id_col))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import tokens
 
 #: Reference constants (news_summarization_batch.py:65-68).
@@ -39,7 +40,7 @@ def split_units(df: DataFrame, id_col: str, text_col: str, unit_tokens: int = 12
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * unit_tokens + 1, unit_tokens), " "),
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "unit")
     ).where(F.col("unit") != "")
 

@@ -166,8 +166,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(q_sim_ann_ivf shows the bucketing machinery).",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    a = fan_out(emb).select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = cosine("emb_a", "emb_b")
     return (
