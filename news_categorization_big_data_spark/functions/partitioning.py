@@ -2,13 +2,23 @@
 
 Small-file inputs (one parquet row group) arrive as a single partition,
 which serializes every downstream transform onto one core. ``fan_out``
-repartitions up to the session's default parallelism — but ONLY when the
-input has fewer partitions than cores, so on a real cluster where a scan
-already yields thousands of partitions it is a no-op (no extra shuffle).
+round-robin-repartitions CPU-heavy subtrees (hashing, shingling, vector
+math) to the session's default parallelism so they use every core.
 
-Use it in compute-heavy operators (hashing, shingling, vector math), not
-in plain scans/filters — those should keep their scan-aligned partitions
-and pushdown.
+The decision is **conf-driven, not plan-driven**: probing the input's
+partition count via ``df.rdd`` would force an analyzer round-trip per
+call and is unsupported on Spark Connect. Instead:
+
+- ``spark.graft.fanout.enabled`` (default ``true``) — set ``false`` on a
+  real cluster, where scans already yield thousands of partitions and an
+  extra round-robin exchange is pure cost. At 100 TB the scan width is
+  governed by ``spark.sql.files.maxPartitionBytes``; this knob exists
+  for the single-row-group small-file regime only.
+- ``spark.graft.fanout.partitions`` (default: ``defaultParallelism``) —
+  explicit width override.
+
+Use it in compute-heavy operators, not plain scans/filters — those keep
+their scan-aligned partitions and pushdown.
 """
 
 from __future__ import annotations
@@ -17,9 +27,11 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition only if the input is narrower than the target."""
+    """Repartition a CPU-heavy subtree to full parallelism (conf-gated)."""
     spark = df.sparkSession
-    target = partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if spark.conf.get("spark.graft.fanout.enabled", "true").lower() == "false":
         return df
+    target = partitions or int(
+        spark.conf.get("spark.graft.fanout.partitions", "0")
+    ) or spark.sparkContext.defaultParallelism
     return df.repartition(target)

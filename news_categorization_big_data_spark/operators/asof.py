@@ -40,6 +40,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        combined = combined.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return combined.where(F.col("_side") == 1).drop("_side")
+    # Carry ALL right value columns as ONE struct through a single
+    # last(ignorenulls) window: the matched right row's values stay
+    # atomic — a NULL in one of its value columns is preserved rather
+    # than being stitched with a stale value from an older right row
+    # (per-column last() would do exactly that, diverging from
+    # DuckDB/pandas ASOF semantics). Right rows always contribute a
+    # non-null struct; left rows contribute null → skipped by the window.
+    carried = F.last(
+        F.when(F.col("_side") == 0, F.struct(*value_cols)), ignorenulls=True
+    ).over(w)
+    return (
+        combined.withColumn("_carried", carried)
+        .where(F.col("_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_carried.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -55,12 +55,16 @@ def jaccard_pairs(
     k: int = 3,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard).
+    """n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard).
 
     ``max_df`` skips candidate generation for shingles present in more
     than that many documents (skew cap — at corpus scale stopword-ish
-    shingles would otherwise create quadratic buckets); per-doc shingle
-    sizes stay exact, so reported jaccard values are unaffected.
+    shingles would otherwise create quadratic buckets). Per-doc shingle
+    sizes stay exact, but for a pair that shares a capped shingle the
+    intersection is undercounted, so jaccard is *underestimated* for
+    such pairs (never overestimated): the cap trades a little recall on
+    pairs whose only overlap is non-discriminative shingles for a
+    bounded per-bucket reducer. Mirror the identical cap in any oracle.
     """
     sh = shingle_table(docs, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))

@@ -57,14 +57,18 @@ def extractive_summarize(
         text_col,
     )
     tok = units.select(id_col, "pos", "unit", F.explode(tokens("unit")).alias("token"))
-    n_docs = df.count()
+    # Corpus size as a lazily-computed broadcast scalar (one row) instead
+    # of an eager df.count(): no extra job fires before the terminal
+    # action, and the whole plan stays one Spark job.
+    n_docs = df.select(F.count("*").cast("double").alias("_n_docs"))
     doc_freq = tok.select(id_col, "token").distinct().groupBy("token").agg(
         F.count("*").alias("_df")
     )
     scored = (
         tok.join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy(id_col, "pos", "unit")
-        .agg(F.sum(F.log(F.lit(float(n_docs)) / F.col("_df"))).alias("_score"))
+        .agg(F.sum(F.log(F.col("_n_docs") / F.col("_df"))).alias("_score"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("pos"))
     top = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= top_k)

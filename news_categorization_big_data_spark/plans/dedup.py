@@ -34,13 +34,22 @@ _SHINGLES_CTE = """
 """
 
 
+#: Skew cap for shingle buckets: a shingle present in more documents than
+#: this carries no near-dup signal and would create an O(df²) pair blowup
+#: on one reducer at corpus scale. Shared Spark/oracle constant.
+JACCARD_MAX_DF = 1000
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    capped AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= {JACCARD_MAX_DF}),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
               FROM sh a JOIN sh b USING (shingle)
+              JOIN capped USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
@@ -50,14 +59,17 @@ _SHINGLES_CTE = """
     WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
     """,
     tier="C",
-    doc="Exact n-gram Jaccard near-duplicate pairs (3-word shingles, "
-    "threshold 0.8 — the testdata's planted near-dups sit at ~0.98, clean "
-    "separation). Shuffle key = shingle; operators/dedup.py supports a "
-    "max-df skew cap for corpus scale.",
+    doc="n-gram Jaccard near-duplicate pairs (3-word shingles, threshold "
+    f"0.8 — the testdata's planted near-dups sit at ~0.98, clean "
+    f"separation). Shingle buckets are capped at df ≤ {JACCARD_MAX_DF} "
+    "(identical cap in the oracle CTE): a stopword-ish shingle can no "
+    "longer put a quadratic bucket on one reducer; jaccard is "
+    "underestimated only for pairs whose overlap includes a capped "
+    "shingle (see operators/dedup.py:jaccard_pairs).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    return jaccard_pairs(docs, threshold=0.8)
+    return jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF)
 
 
 def _minhash_oracle() -> str:

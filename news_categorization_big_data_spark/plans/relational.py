@@ -498,21 +498,28 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            count_if(value > 100.0) AS n_big,
-           {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+           CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                              AS DECIMAL(30,6))) AS DECIMAL(30,2)) AS DOUBLE) AS purchase_value
     FROM events GROUP BY user_id
     """,
     tier="A",
     doc="Conditional aggregation ≙ the reference's implicit unknown-category "
-    "counting (news_categorization_streaming.py:77-81) as sum(CASE)/count_if.",
+    "counting (news_categorization_streaming.py:77-81) as sum(CASE)/count_if. "
+    "purchase_value is summed and then quantized to cents entirely in the "
+    "DECIMAL domain (ties-away on both engines) before the final cast to "
+    "double, so both engines cast the *identical* decimal — the driver's "
+    "float rendering cannot see a last-ulp or -0.0 artifact.",
 )
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
     return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
         F.count_if(F.col("value") > 100.0).alias("n_big"),
-        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
-            "purchase_value"
-        ),
+        F.sum(purchase.cast("decimal(30,6)"))
+        .cast("decimal(30,2)")
+        .cast("double")
+        .alias("purchase_value"),
     )
 
 

@@ -83,7 +83,10 @@ def normalize_authors(df: DataFrame, col: str = "authors") -> DataFrame:
     arr = F.from_json(raw, "array<string>")
     normalized = (
         F.when(F.col(col).isNull(), F.array().cast("array<string>"))
-        .when(raw.startswith("["), F.coalesce(arr, F.array().cast("array<string>")))
+        # A scalar that merely *starts* with '[' but isn't valid JSON
+        # (from_json → null) is still a scalar author → one-element array,
+        # not silently [].
+        .when(raw.startswith("[") & arr.isNotNull(), arr)
         .otherwise(F.array(raw))
     )
     return df.withColumn(col, normalized)
