@@ -12,11 +12,20 @@ in doubles) — JVM-side, no Python in the loop. Strategies:
   once (broadcast centroids), then answer queries inside the query's
   cell only — scan cost divided by n_cells at a small recall cost.
   Cell assignment is also how you'd partition the parquet at rest.
+- **sign-random-projection (SRP) LSH** for the pairwise near-dup join:
+  a deterministic md5-derived ±1 hyperplane matrix maps each vector to
+  a bit signature; banded signatures give candidate pairs via compact
+  equi-joins (same shape as the MinHash bands in operators/dedup.py),
+  and exact cosine is verified on candidates only. Because the
+  hyperplanes are md5-derived constants, the whole pipeline is
+  reproducible in the DuckDB oracle.
 - **random-hyperplane LSH** via MLlib BucketedRandomProjectionLSH for
   the approximate join variant (plans/similarity.py, rows-only check).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +73,125 @@ def brute_force_topk(
     w = Window.orderBy(F.desc("_score"), F.asc(id_col))  # k rows only — safe
     return top.select(
         id_col, F.round("_score", 4).alias("score"), F.row_number().over(w).alias("nn_rank")
+    )
+
+
+#: SRP signature width and banding for the embedding near-dup join.
+#: P(bit agrees) = 1 - θ/π; a pair is a candidate iff all bits of ≥1 band
+#: agree, i.e. P = 1 - (1 - p^r)^b with r = BITS/BANDS. With 16 bits in
+#: 4 bands of 4: recall ≈ 0.95 at cosine 0.9, ≈ 0.45 at cosine 0.35, and
+#: an orthogonal pair is a candidate with P ≈ 0.23 — the work drops ~4×
+#: vs all-pairs while catching production-threshold (≥0.8) near-dups
+#: reliably. Raise BITS (and bands) for a sharper curve at corpus scale.
+SRP_BITS = 16
+SRP_BANDS = 4
+
+
+def srp_signs(bits: int = SRP_BITS, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix, md5-derived per (bit, coord).
+
+    The constants — not the generator — are the operator contract: the
+    DuckDB oracle bakes the same matrix into its SQL, so both engines
+    compute bit-identical signatures.
+    """
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def srp_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = SRP_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bit0..bit{bits-1}) sign-random-projection signature rows.
+
+    Each bit is sign(embedding · h_j) for the deterministic hyperplane
+    h_j — `bits` independent zip_with/aggregate folds, all inside
+    whole-stage codegen, zero shuffle.
+    """
+    signs = srp_signs(bits, dim)
+    cols = [
+        (dot(vec_col, F.array(*[F.lit(s) for s in signs[j]])) > 0)
+        .cast("int")
+        .alias(f"bit{j}")
+        for j in range(bits)
+    ]
+    return fan_out(df).select(id_col, *cols)
+
+
+def srp_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "vec_id",
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+) -> DataFrame:
+    """Banded SRP candidate pairs (id_a, id_b): all bits of ≥1 band agree.
+
+    Same linear-shuffle shape as the MinHash LSH in operators/dedup.py:
+    explode to (band_idx, band_key), group into buckets, emit pairs
+    inside buckets only — no pairwise work outside hash buckets.
+    """
+    rows = bits // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "", *[F.col(f"bit{j}").cast("string") for j in range(b * rows, (b + 1) * rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
+    return (
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): SRP-LSH candidates verified by exact cosine.
+
+    The scale contract: candidate generation is equi-joins on compact
+    band keys (linear shuffle), and the exact cosine fold runs on
+    candidate pairs only — never on the full n(n-1)/2 cross product.
+    Candidates re-join the vector table on the id key; AQE broadcasts
+    the (small) candidate side.
+    """
+    cand = srp_candidate_pairs(srp_signature(emb, id_col, vec_col, bits), id_col, bits, bands)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    sim = cosine("emb_a", "emb_b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(sim >= threshold)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
     )
 
 

@@ -14,9 +14,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_categorization_big_data_spark.operators.similarity import (
+    SRP_BANDS,
+    SRP_BITS,
     assign_cells,
     brute_force_topk,
     cosine,
+    embedding_near_dup_pairs,
+    srp_signs,
 )
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -150,33 +154,54 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_oracle(threshold: float = 0.35) -> str:
+    """DuckDB mirror of the SRP-LSH near-dup pipeline: the md5-derived
+    hyperplane matrix is baked in as literals, so candidate generation is
+    bit-identical to the Spark plan (operators/similarity.py:srp_signs)."""
+    signs = srp_signs(SRP_BITS)
+    bit_exprs = ",\n           ".join(
+        "(list_sum(list_transform(list_zip(embedding, "
+        f"[{', '.join(str(s) for s in signs[j])}]::DOUBLE[]), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0) AS bit{j}"
+        for j in range(SRP_BITS)
+    )
+    rows = SRP_BITS // SRP_BANDS
+    band_conj = " OR ".join(
+        "("
+        + " AND ".join(f"a.bit{j} = b.bit{j}" for j in range(b * rows, (b + 1) * rows))
+        + ")"
+        for b in range(SRP_BANDS)
+    )
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding,
+           {bit_exprs}
+           FROM embeddings),
+    cand AS (SELECT a.vec_id AS va, a.embedding AS ea, b.vec_id AS vb, b.embedding AS eb
+             FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_conj}))
+    SELECT va AS vec_a, vb AS vec_b, round({_o_cos('ea', 'eb')}, 4) AS cos_sim
+    FROM cand WHERE {_o_cos('ea', 'eb')} >= {threshold}
+    """
+
+
 @register(
     "q_dedup_embedding",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_o_cos('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_o_cos('a.embedding', 'b.embedding')} >= 0.35
-    """,
+    oracle=_srp_oracle(),
     tier="C",
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.35 — above the "
-    "99.9th percentile of this corpus's pair distribution). Brute-force "
-    "pairing here for oracle parity; at corpus scale run the same "
-    "predicate over IVF-cell- or LSH-bucketed candidates only "
-    "(q_sim_ann_ivf shows the bucketing machinery).",
+    doc="Embedding-cosine near-duplicate pairs via sign-random-projection "
+    f"LSH: {SRP_BITS}-bit deterministic signatures banded into {SRP_BANDS} "
+    "bands generate candidates through compact equi-joins (linear "
+    "shuffle), and the exact cosine ≥ 0.35 predicate runs on candidates "
+    "only — never on the n(n-1)/2 cross product (the registered plan in "
+    "round 1 was an all-pairs theta join; this is the 100-TB shape). The "
+    "oracle mirrors the same md5-derived hyperplanes, so both engines "
+    "produce the identical candidate set. Recall vs the exact all-pairs "
+    "answer is the banding curve 1-(1-p^r)^b, p = 1-θ/π — ≈95% at cosine "
+    "0.9 (production near-dup range), lower near this low stress "
+    "threshold; measured against brute force in tests/test_scale_ops.py.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_categorization_big_data_spark.functions.partitioning import fan_out
-
     emb = load_table(spark, sf_dir, "embeddings")
-    a = fan_out(emb).select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    sim = cosine("emb_a", "emb_b")
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(sim >= 0.35)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
-    )
+    return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 @register(

@@ -50,6 +50,37 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert overlap >= 2, f"IVF recall collapsed: {overlap}/5 in true top-10"
 
 
+def test_srp_near_dup_subset_of_brute_force(spark, sf_dir):
+    """The SRP-LSH near-dup answer must be exactly (brute-force pairs ∩
+    SRP candidates): every reported pair is a true ≥-threshold pair (no
+    false positives — cosine is verified exactly on candidates), and
+    recall follows the banding curve. Brute force is the TEST oracle;
+    the registered plan never does all-pairs work."""
+    from news_categorization_big_data_spark.operators.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine("emb_a", "emb_b")
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b")).where(sim >= 0.35)
+        .select("vec_a", "vec_b").collect()
+    }
+    srp = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(emb, 0.35).collect()}
+    assert srp <= brute, f"SRP produced false positives: {srp - brute}"
+    assert brute, "corpus should contain ≥-threshold pairs"
+    # 0.35 is a stress threshold (θ ≈ 70°): expected recall ≈ 0.45 with
+    # 16 bits / 4 bands. Require the observed recall in a loose band
+    # around the theory — a collapse to ~0 or an explosion to all-pairs
+    # would both indicate broken banding.
+    recall = len(srp) / len(brute)
+    assert 0.2 <= recall <= 0.9, f"SRP recall {recall:.2f} off the banding curve"
+
+
 def test_hll_error_bound(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     approx = {
