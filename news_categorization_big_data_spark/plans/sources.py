@@ -1,0 +1,132 @@
+"""Source-surface queries (SURVEY.md §2.1): the permissive JSON corpus
+scan — the reference's ONLY real input format — as a registered,
+oracle-checked query.
+
+The reference accepts its corpus as a JSON array OR JSON-Lines with
+per-line error skip, and tolerates ``authors`` being a scalar string, a
+list, or absent (raw_news_to_telegram.py:36-64). ``q_scan_json``
+exercises all of it end-to-end: a JSONL fixture (derived
+deterministically from the ``documents`` table, one corrupt line
+included) plus a JSON-array fixture are read back through
+``sources/json_corpus.py`` — auto array-vs-JSONL detection, distributed
+DROPMALFORMED skip, union-typed ``authors`` normalization — and the
+DuckDB oracle recomputes the same projection straight from ``documents``.
+
+Fixture writing is part of the query on purpose (it IS the source test);
+the write is a distributed ``to_json`` projection — rows are JSON-encoded
+engine-side (quoting/escaping handled by the engine, never by string
+concatenation), no driver collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.json_corpus import (
+    normalize_authors,
+    read_json_corpus,
+)
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Scratch root for derived corpus fixtures (tmp — never under the repo).
+FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+
+#: The JSON-array fixture's constant records (doc_id < 0 so they can't
+#: collide with derived rows; authors exercise list / scalar / absent).
+_ARRAY_FIXTURE = (
+    '[{"doc_id": -1, "headline": "const A", "authors": ["x", "y", "z"]},\n'
+    ' {"doc_id": -2, "headline": "const B", "authors": "solo"},\n'
+    ' {"doc_id": -3, "headline": "const C"}]'
+)
+
+
+def _write_fixtures(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Derive the JSONL + array fixtures for ``sf_dir`` (idempotent
+    overwrite; path is keyed by the sf dir name so scale factors never
+    cross-contaminate)."""
+    base = os.path.join(FIXTURE_ROOT, "json_corpus", os.path.basename(os.path.normpath(sf_dir)))
+    jsonl_dir, array_dir = f"{base}/corpus_jsonl", f"{base}/corpus_array"
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    headline = F.substring("text", 1, 40).alias("headline")
+    # authors union-typing by doc_id residue: 0 → scalar string,
+    # 1 → two-element list, 2 → field absent. Three shapes, three
+    # structs — to_json handles all quoting.
+    scalar = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                "doc_id",
+                headline,
+                F.concat(F.lit("author_"), (F.col("doc_id") % 7).cast("string")).alias("authors"),
+            )
+        ).alias("value")
+    )
+    listy = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.to_json(
+            F.struct(
+                "doc_id",
+                headline,
+                F.array(
+                    F.concat(F.lit("a"), (F.col("doc_id") % 5).cast("string")),
+                    F.concat(F.lit("b"), (F.col("doc_id") % 3).cast("string")),
+                ).alias("authors"),
+            )
+        ).alias("value")
+    )
+    absent = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.to_json(F.struct("doc_id", headline)).alias("value")
+    )
+    corrupt = spark.createDataFrame([("{this is not json",)], "value string")
+    scalar.unionByName(listy).unionByName(absent).unionByName(corrupt).write.mode(
+        "overwrite"
+    ).text(jsonl_dir)
+
+    spark.createDataFrame([(_ARRAY_FIXTURE,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(array_dir)
+    return jsonl_dir, array_dir
+
+
+@register(
+    "q_scan_json",
+    oracle="""
+    SELECT doc_id, left(text, 40) AS headline,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS INT) AS n_authors,
+           CASE doc_id % 3
+             WHEN 0 THEN 'author_' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'a' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE NULL END AS first_author
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'const A', CAST(3 AS INT), 'x'),
+                          (CAST(-2 AS BIGINT), 'const B', CAST(1 AS INT), 'solo'),
+                          (CAST(-3 AS BIGINT), 'const C', CAST(0 AS INT), NULL))
+           t(doc_id, headline, n_authors, first_author)
+    """,
+    tier="A",
+    doc="Permissive JSON corpus scan ≙ raw_news_to_telegram.py:36-64: "
+    "JSON-array AND JSON-Lines fixtures (auto-detected from the file "
+    "head), one malformed line dropped distributedly (DROPMALFORMED), "
+    "and the union-typed authors field (scalar / list / absent) "
+    "normalized to array<string>. The oracle recomputes the projection "
+    "from the documents table the fixtures were derived from — a "
+    "round-trip proof of the reader, the error skip, and the "
+    "normalization.",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jsonl_dir, array_dir = _write_fixtures(spark, sf_dir)
+    parts = [
+        normalize_authors(read_json_corpus(spark, d)).select("doc_id", "headline", "authors")
+        for d in (jsonl_dir, array_dir)
+    ]
+    merged = parts[0].unionByName(parts[1])
+    return merged.select(
+        "doc_id",
+        "headline",
+        F.size("authors").cast("int").alias("n_authors"),
+        F.try_element_at("authors", F.lit(1)).alias("first_author"),
+    )
