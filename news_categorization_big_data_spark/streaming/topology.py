@@ -93,6 +93,102 @@ def classify_stream(parsed: DataFrame, categories: list[str]) -> DataFrame:
     )
 
 
+def serialize_messages(df: DataFrame) -> DataFrame:
+    """Rows → Kafka-shaped records: ``value`` = to_json(struct(...)) over
+    the SHARED payload schema (≙ news_summarization_batch.py:114-119,
+    minus the reference's col1/col2 producer/consumer mismatch — quirk
+    §2.11.1: this struct is the one vocabulary both sides use). ``key``
+    is the category so a topic partition holds one category's stream in
+    order."""
+    return df.select(
+        F.col("category").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("content").cast("string").alias("content"),
+                F.col("category").cast("string").alias("category"),
+                F.col("event_ts").cast("timestamp").alias("event_ts"),
+            )
+        ).alias("value"),
+    )
+
+
+def write_kafka_batch(
+    df: DataFrame,
+    topic: str = "news-summary",
+    kafka_servers: str = "localhost:9092",
+    fallback_path: str | None = None,
+) -> None:
+    """Kafka batch sink ≙ news_summarization_batch.py:121-127: serialize
+    to ``value`` strings, write the topic via ``df.write.format("kafka")``
+    — the reference's exact sink API.
+
+    ``fallback_path`` (tests / brokerless environments) writes the same
+    serialized frame as JSON files instead; the projection — the part
+    with engine logic in it — is identical either way.
+    """
+    out = serialize_messages(df)
+    if fallback_path is not None:
+        out.write.mode("overwrite").json(fallback_path)
+        return
+    (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", kafka_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def write_console_stream(stream: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
+    """Console stream sink ≙ news_categorization_streaming.py:114-120
+    (append mode, truncate=false, processing-time trigger) with the one
+    fix: a STABLE checkpoint dir instead of a fresh timestamped one per
+    run (quirk §2.11.3)."""
+    return (
+        stream.writeStream.format("console")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def write_routed_fan_out(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    categories: list[str],
+    trigger_seconds: int = 1,
+):
+    """Category-routed delivery ≙ summary_news_to_telegram.py:44-96 (one
+    Telegram channel per category) as a foreachBatch sink: each batch is
+    validated against the category dimension (unknown → 'unknown' route,
+    ≙ the consumer's membership check at :63-71) and lands partitioned
+    by route — ``out_dir/route=<category>/batch_id=<id>`` — so each
+    route is one directory a per-channel deliverer tails. Idempotent
+    under batch replay (batch-id-keyed overwrite), unlike the
+    reference's per-row sends."""
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = batch_df.withColumn(
+            "route",
+            F.when(
+                F.lower("category").isin(*categories), F.lower("category")
+            ).otherwise(F.lit("unknown")),
+        ).withColumn("batch_id", F.lit(batch_id))
+        routed.write.mode("overwrite").partitionBy("route", "batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(route_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def write_idempotent_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 1
 ):

@@ -13,7 +13,10 @@ from news_categorization_big_data_spark.streaming.topology import (
     classify_stream,
     parse_messages,
     read_message_stream,
+    serialize_messages,
     write_idempotent_parquet,
+    write_kafka_batch,
+    write_routed_fan_out,
 )
 
 CATEGORIES = ["technology", "political", "arts", "sports", "social", "environmental", "health"]
@@ -108,6 +111,85 @@ def test_batch_stream_parity_tumbling(spark, tmp_path):
         map(str, spark.read.parquet(out).select("ws", "event_type", "cnt").collect())
     )
     assert batch_rows == stream_rows
+
+
+def test_kafka_batch_sink_serialization_roundtrip(spark, tmp_path):
+    """The Kafka batch sink's serialize projection (to_json over the
+    SHARED payload schema ≙ news_summarization_batch.py:114-119) must
+    round-trip through parse_messages — the writer/reader schema match
+    the reference got wrong (quirk §2.11.1: col1/col2 vs
+    content/category meant every digest was dropped)."""
+    rows = [
+        ("solar farms expand", "environmental", "2024-01-01 10:00:00"),
+        ("cup final tonight", "sports", "2024-01-01 10:01:00"),
+    ]
+    df = spark.createDataFrame(rows, "content string, category string, event_ts string").select(
+        "content", "category", F.col("event_ts").cast("timestamp").alias("event_ts")
+    )
+    out = str(tmp_path / "kafka_fallback")
+    write_kafka_batch(df, fallback_path=out)  # brokerless: same projection, file sink
+
+    written = spark.read.json(out)
+    assert set(written.columns) == {"key", "value"}
+    # the consumer-side parse (one shared schema) recovers every field
+    parsed = parse_messages(written).orderBy("event_ts").collect()
+    assert [(r.content, r.category) for r in parsed] == [(c, k) for c, k, _ in rows]
+    assert all(r.event_ts is not None for r in parsed)
+    # key = category → per-category partition ordering in the topic
+    keys = {r.key for r in written.collect()}
+    assert keys == {"environmental", "sports"}
+
+
+def test_serialize_messages_is_pure_projection(spark):
+    """serialize_messages must add no shuffle/action — a single narrow
+    projection (the sink wrapper is IO, not compute)."""
+    df = spark.createDataFrame(
+        [("x", "sports", "2024-01-01 00:00:00")],
+        "content string, category string, event_ts string",
+    ).select("content", "category", F.col("event_ts").cast("timestamp").alias("event_ts"))
+    plan = serialize_messages(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_routed_fan_out(spark, tmp_path):
+    """Category-routed foreachBatch delivery ≙
+    summary_news_to_telegram.py:44-96: valid categories land under their
+    own route, unknown/invalid under route=unknown; replay of a batch id
+    does not duplicate."""
+    src = str(tmp_path / "routed_src")
+    out = str(tmp_path / "routed_out")
+    ckpt = str(tmp_path / "routed_ckpt")
+    _write_jsonl(
+        src,
+        [
+            _payload("solar", "Environmental", "2024-01-01 10:00:00"),
+            _payload("cup", "sports", "2024-01-01 10:01:00"),
+            _payload("stars", "astrology", "2024-01-01 10:02:00"),
+        ],
+    )
+    raw = read_message_stream(spark, source="json-files", path=src)
+    q = write_routed_fan_out(parse_messages(raw), out, ckpt, CATEGORIES)
+    q.processAllAvailable()
+    q.stop()
+
+    routed = spark.read.parquet(out)
+    by_route = {r.route: r.cnt for r in routed.groupBy("route").agg(F.count("*").alias("cnt")).collect()}
+    assert by_route == {"environmental": 1, "sports": 1, "unknown": 1}
+
+
+def test_console_stream_sink_runs(spark, tmp_path):
+    """Console sink ≙ news_categorization_streaming.py:114-120 — smoke:
+    the query starts from a stable checkpoint and drains the source."""
+    from news_categorization_big_data_spark.streaming.topology import write_console_stream
+
+    src = str(tmp_path / "console_src")
+    _write_jsonl(src, [_payload("hello", "sports", "2024-01-01 10:00:00")])
+    raw = read_message_stream(spark, source="json-files", path=src)
+    q = write_console_stream(parse_messages(raw), str(tmp_path / "console_ckpt"))
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    assert progress is not None and progress["sink"]["description"].startswith("org.apache.spark.sql.execution.streaming.ConsoleTable")
 
 
 def test_foreachbatch_idempotent_replay(spark, tmp_path):
