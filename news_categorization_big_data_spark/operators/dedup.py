@@ -34,8 +34,18 @@ from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import word_shingles
 
 #: MinHash signature length and banding (b bands of r rows: b*r = k).
+#: A pair with true Jaccard j becomes a candidate with
+#: P = 1 - (1 - j^r)^b, an S-curve whose threshold sits near
+#: (1/b)^(1/r). Defaults (k=8, b=2 → r=4): threshold ≈ 0.84 — matched
+#: to the registered q_dedup_near contract (planted dups at j≈0.98:
+#: P ≈ 0.995; random pairs j≈0.05: P ≈ 1e-5). For 100-TB corpora at a
+#: softer threshold, scale BOTH knobs — e.g. k=128, b=32 (r=4,
+#: threshold ≈ 0.42) or k=128, b=16 (r=8, threshold ≈ 0.71) — every
+#: operator below takes (k, bands) as parameters; the constants here
+#: are only the oracle-checked default. Recall is asserted at a second
+#: setting in tests/test_scale_ops.py.
 MINHASH_K = 8
-MINHASH_BANDS = 2  # 2 bands of 4 → candidates need 4 consecutive equal minhashes
+MINHASH_BANDS = 2
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:

@@ -64,25 +64,30 @@ def decode_batches(codec: Codec | None):
                 "(e.g. PIL-based) or use fake_codec for plumbing tests"
             )
         for batch in batches:
-            out = []
-            for _, row in batch.iterrows():
-                payload = row["payload"]
+            # The codec call is inherently per-payload (opaque bytes in,
+            # dimensions out); everything else — the bookkeeping columns —
+            # passes through as whole Arrow arrays, no iterrows/per-row
+            # Series construction.
+            dims = []
+            for payload in batch["payload"]:
                 try:
                     width, height = codec(bytes(payload))
-                    ok = True
+                    dims.append((width, height, True))
                 except Exception:
-                    width, height, ok = 0, 0, False
-                out.append(
-                    {
-                        "doc_id": row["doc_id"],
-                        "mime": row["mime"],
-                        "n_bytes": int(row["n_bytes"]),
-                        "width": width,
-                        "height": height,
-                        "ok": ok,
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "mime", "n_bytes", "width", "height", "ok"])
+                    dims.append((0, 0, False))
+            width, height, ok = (
+                map(list, zip(*dims)) if dims else ([], [], [])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "mime": batch["mime"].to_numpy(),
+                    "n_bytes": batch["n_bytes"].to_numpy().astype("int32"),
+                    "width": pd.array(width, dtype="int32"),
+                    "height": pd.array(height, dtype="int32"),
+                    "ok": pd.array(ok, dtype="bool"),
+                }
+            )
 
     return run
 

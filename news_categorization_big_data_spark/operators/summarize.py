@@ -104,16 +104,18 @@ def pluggable_summarizer_hook(
         # closure on first call — the pattern the reference's streaming
         # job gets right (news_categorization_streaming.py:62-64).
         for batch in batches:
-            out = []
-            for _, row in batch.iterrows():
-                text = (row["text"] or "")[:MAX_INPUT_CHARS]
+            # model_fn is inherently per-document; the id column passes
+            # through as a whole Arrow array (no iterrows).
+            summaries = []
+            for text in batch["text"]:
+                text = (text or "")[:MAX_INPUT_CHARS]
                 n_words = len(text.split())
                 max_len = min(MAX_SUMMARY_TOKENS, max(MIN_SUMMARY_TOKENS, n_words // 3))
                 try:
                     summary = " ".join(model_fn(text).split()[:max_len]) if text.strip() else ""
                 except Exception:
                     summary = ""  # row-level containment, typed fallback
-                out.append({"doc_id": row["doc_id"], "summary": summary})
-            yield pd.DataFrame(out, columns=["doc_id", "summary"])
+                summaries.append(summary)
+            yield pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "summary": summaries})
 
     return run

@@ -32,6 +32,24 @@ def test_lsh_candidates_cover_true_near_dups(spark, sf_dir):
     assert len(cands) < n * (n - 1) / 4
 
 
+def test_lsh_second_parameterization(spark, sf_dir):
+    """The (k, bands) knobs must hold at a second, sharper setting
+    (k=16, b=4 → r=4, same ≈0.84-ish threshold curve but 4 chances to
+    collide): planted j≈0.98 dups still fully recalled, and the
+    candidate set stays sub-quadratic. Guards the parameterization path
+    the 100-TB configs (k=128, b=16/32) rely on."""
+    docs = _docs(spark, sf_dir)
+    truth = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+    sigs = minhash_signatures(docs, k=16)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, k=16, bands=4).collect()
+    }
+    assert truth <= cands, f"(16,4) LSH missed true pairs: {truth - cands}"
+    n = docs.count()
+    assert len(cands) < n * (n - 1) / 4
+
+
 def test_mllib_lsh_agrees_on_planted_dups(spark, sf_dir):
     truth = {(r.doc_a, r.doc_b) for r in jaccard_pairs(_docs(spark, sf_dir), 0.8).collect()}
     mllib = {
