@@ -95,3 +95,139 @@ def decode_batches(codec: Codec | None):
 def decode_payloads(packed: DataFrame, codec: Codec | None = None) -> DataFrame:
     """Run the decode stage over packed payload rows."""
     return packed.mapInPandas(decode_batches(codec), DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract — same plumbing pattern as decode:
+# Arrow-batched mapInPandas, per-row codec with error containment, typed
+# metadata out. Codecs are stubs (no media libs here); the deterministic
+# fakes keep schema/batch/partition behavior fully testable.
+# ---------------------------------------------------------------------------
+
+#: (payload, target_w, target_h) → resized payload bytes.
+ResizeCodec = Callable[[bytes, int, int], bytes]
+
+#: payload → list of frame payloads (video → frames).
+FrameCodec = Callable[[bytes], list[bytes]]
+
+#: payload → fixed-dim feature vector.
+FeatureCodec = Callable[[bytes], list[float]]
+
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int, ok boolean"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, ok boolean"
+FEATURES_SCHEMA = "doc_id long, feature array<float>, ok boolean"
+
+#: Feature-vector width of the fake extractor (matches the testdata
+#: embeddings table's layout conventions, not its 64-dim size).
+FAKE_FEATURE_DIM = 8
+
+
+def fake_resize_codec(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in: truncate/pad payload to w*h bytes."""
+    if not payload:
+        raise ValueError("empty payload")
+    target = max(w * h, 1)
+    return (payload * (target // len(payload) + 1))[:target]
+
+
+def fake_frame_codec(payload: bytes) -> list[bytes]:
+    """Deterministic stand-in: split payload into ≤4 'frames'."""
+    if not payload:
+        raise ValueError("empty payload")
+    n = min(4, len(payload))
+    step = len(payload) // n
+    return [payload[i * step : (i + 1) * step] for i in range(n)]
+
+
+def fake_feature_codec(payload: bytes) -> list[float]:
+    """Deterministic stand-in: byte-histogram moments as a unit-free vec."""
+    if not payload:
+        raise ValueError("empty payload")
+    return [float(payload[i % len(payload)] % 97) / 97.0 for i in range(FAKE_FEATURE_DIM)]
+
+
+def resize_payloads(
+    packed: DataFrame, width: int, height: int, codec: ResizeCodec | None = None
+) -> DataFrame:
+    """Resize stage: (doc_id, payload, width, height, ok). Failed rows
+    keep a null payload with ok=False — containment, not task failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec is None:
+            raise NotImplementedError("no resize codec; use fake_resize_codec for tests")
+        for batch in batches:
+            payloads, oks = [], []
+            for payload in batch["payload"]:
+                try:
+                    payloads.append(codec(bytes(payload), width, height))
+                    oks.append(True)
+                except Exception:
+                    payloads.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "width": pd.array([width] * len(batch), dtype="int32"),
+                    "height": pd.array([height] * len(batch), dtype="int32"),
+                    "ok": pd.array(oks, dtype="bool"),
+                }
+            )
+
+    return packed.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(packed: DataFrame, codec: FrameCodec | None = None) -> DataFrame:
+    """Frame-sampling stage: one output row per extracted frame (the
+    set-returning mapInPandas shape — a batch in, a longer batch out).
+    Failed rows emit a single (frame_idx=-1, ok=False) marker row so
+    provenance survives."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec is None:
+            raise NotImplementedError("no frame codec; use fake_frame_codec for tests")
+        for batch in batches:
+            ids, idxs, frames, oks = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    for i, frame in enumerate(codec(bytes(payload))):
+                        ids.append(doc_id), idxs.append(i), frames.append(frame), oks.append(True)
+                except Exception:
+                    ids.append(doc_id), idxs.append(-1), frames.append(None), oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "ok": pd.array(oks, dtype="bool"),
+                }
+            )
+
+    return packed.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def extract_features(packed: DataFrame, codec: FeatureCodec | None = None) -> DataFrame:
+    """Feature-extraction stage: payload → array<float> embedding column,
+    ready for the similarity/ANN operators (operators/similarity.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec is None:
+            raise NotImplementedError("no feature codec; use fake_feature_codec for tests")
+        for batch in batches:
+            feats, oks = [], []
+            for payload in batch["payload"]:
+                try:
+                    feats.append([float(v) for v in codec(bytes(payload))])
+                    oks.append(True)
+                except Exception:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "feature": feats,
+                    "ok": pd.array(oks, dtype="bool"),
+                }
+            )
+
+    return packed.mapInPandas(run, FEATURES_SCHEMA)

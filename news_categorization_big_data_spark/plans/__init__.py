@@ -27,6 +27,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     ml,
     udf,
     sources,
+    udtf,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -37,6 +38,7 @@ _DRIVER_ORDER = [
     "q_scan_json",
     "q_udf_scalar",
     "q_udaf_grouped",
+    "q_udtf_chunks",
     "q_agg_filtered",  # red in round 1; fixed — needs a fresh row
     "q_text_stats",
     "q_lang_id",
@@ -78,7 +80,6 @@ _DRIVER_ORDER = [
     "q_window_frame",
     "q_topk_per_group",
     "q_sort_limit",
-    "q_set_union",
     "q_set_except",
     "q_dedup_exact",
     "q_stream_tumbling",
@@ -86,6 +87,7 @@ _DRIVER_ORDER = [
     "q_stream_watermark",
     "q_asof_join",
     # ---- driver's 50-entry window ends here ----
+    "q_set_union",
     "q_filter_neq",
     "q_project_compute",
     "q_offset_skip",

@@ -1,0 +1,78 @@
+"""Python UDTF surface (SURVEY.md §2.10 "(udtf)" row): a set-returning
+table function registered and invoked through the engine's SQL front end
+(``LATERAL udtf(...)``), completing the UDF surface alongside the scalar
+``@pandas_udf`` and grouped-map ``applyInPandas`` queries in plans/udf.py.
+
+The function itself — fixed-width token chunking — deliberately mirrors
+the native-array ``split_units`` stage in operators/summarize.py: the
+point is the UDTF *mechanism* (per-row Python generator → rows), checked
+against a DuckDB oracle that recomputes the chunking relationally.
+
+Scale note: a Python UDTF is a row-at-a-time generator across the
+JVM↔Python boundary — strictly the slowest UDF shape. It exists for
+set-returning logic that genuinely cannot be expressed as arrays +
+``explode`` (recursive parsers, per-row API fan-out); anything
+expressible natively (like this chunker) should use the array form in
+production — see operators/summarize.py:split_units for the native
+equivalent of exactly this function.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Tokens per chunk — matches split_units' default unit_tokens.
+CHUNK_TOKENS = 12
+
+
+@udtf(returnType="pos int, chunk string, n_tokens int")
+class ChunkDoc:
+    """Yield fixed-width token chunks of one document.
+
+    Tokenization is ``re.split(r"\\s+", ...)`` — the exact semantics of
+    Spark's ``split(col, '\\s+')`` and DuckDB's ``regexp_split_to_array``
+    (including empty leading/trailing fields), so all three agree.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — contract in class docstring
+        toks = re.split(r"\s+", text or "")
+        for i in range(0, len(toks), CHUNK_TOKENS):
+            window = toks[i : i + CHUNK_TOKENS]
+            yield i // CHUNK_TOKENS, " ".join(window), len(window)
+
+
+@register(
+    "q_udtf_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                  FROM documents WHERE text <> '' AND doc_id < 100),
+    ch AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+                  array_to_string(t[u.i * {CHUNK_TOKENS} + 1 : (u.i + 1) * {CHUNK_TOKENS}], ' ')
+                    AS chunk,
+                  CAST(len(t[u.i * {CHUNK_TOKENS} + 1 : (u.i + 1) * {CHUNK_TOKENS}]) AS INT)
+                    AS n_tokens
+           FROM toks,
+                UNNEST(range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(i))
+    SELECT doc_id, pos, chunk, n_tokens FROM ch
+    """,
+    tier="B",
+    doc="Python UDTF (set-returning table function, Spark ≥3.5) invoked "
+    "via LATERAL: fixed-width token chunking of each document. The "
+    "oracle recomputes the chunks relationally; the native-array "
+    "equivalent of this function is operators/summarize.py:split_units "
+    "(the production path — the UDTF exists to verify the mechanism).",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where("text <> '' AND doc_id < 100")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.pos, c.chunk, c.n_tokens "
+        "FROM _udtf_docs d, LATERAL chunk_doc(d.text) c"
+    )

@@ -27,6 +27,10 @@ file sources, which exercise identical logical plans.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,6 +94,40 @@ def classify_stream(parsed: DataFrame, categories: list[str]) -> DataFrame:
         F.when(blank | bad_cat, F.lit("unknown")).otherwise(F.lower("category")).alias("category"),
         F.when(blank | bad_cat, F.lit(0.0)).otherwise(F.lit(1.0)).alias("confidence"),
         "event_ts",
+    )
+
+
+#: Output/state schemas of the stateful per-category tracker.
+CATEGORY_STATE_OUTPUT = "category string, n_total long, chars_total long"
+CATEGORY_STATE_SCHEMA = "n long, chars long"
+
+
+def _update_category_state(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    """Module-level (picklable-by-reference) state update function."""
+    n, chars = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        chars += int(pdf["content"].fillna("").str.len().sum())
+    state.update((n, chars))
+    yield pd.DataFrame({"category": [key[0]], "n_total": [n], "chars_total": [chars]})
+
+
+def track_category_totals(parsed: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    category, cumulative message count + content chars ACROSS
+    micro-batches — the arbitrary-state shape Spark's built-in windowed
+    aggregations can't express (state here is a running pair, but the
+    same hook carries ML feature accumulators, per-entity CEP automata,
+    etc.). State is keyed by category → shuffle-partitioned, bounded by
+    the category dimension (never corpus-sized); checkpointed with the
+    query, so replays restore it exactly.
+    """
+    return parsed.groupBy("category").applyInPandasWithState(
+        _update_category_state,
+        outputStructType=CATEGORY_STATE_OUTPUT,
+        stateStructType=CATEGORY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

@@ -76,6 +76,42 @@ def test_multimodal_decode_error_containment(spark):
     assert rows[2].ok is False and rows[2].width == 0  # empty payload → typed fallback row
 
 
+def test_multimodal_resize_frames_features(spark):
+    """The three media stages share the decode plumbing contract: typed
+    metadata out, per-row containment, deterministic fakes."""
+    from news_categorization_big_data_spark.operators.multimodal import (
+        FAKE_FEATURE_DIM,
+        extract_features,
+        fake_feature_codec,
+        fake_frame_codec,
+        fake_resize_codec,
+        resize_payloads,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some media bytes here"), (2, "")], "doc_id long, text string"
+    )
+    packed = pack_payload(df, "doc_id", "text")
+
+    resized = {r.doc_id: r for r in resize_payloads(packed, 4, 3, fake_resize_codec).collect()}
+    assert resized[1].ok and len(bytes(resized[1].payload)) == 12  # w*h bytes
+    assert resized[2].ok is False and resized[2].payload is None
+
+    frames = sample_frames(packed, fake_frame_codec).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4 and all(r.ok for r in by_doc[1])  # set-returning
+    assert [r.frame_idx for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].frame_idx == -1  # marker row
+
+    feats = {r.doc_id: r for r in extract_features(packed, fake_feature_codec).collect()}
+    assert feats[1].ok and len(feats[1].feature) == FAKE_FEATURE_DIM
+    assert all(0.0 <= v < 1.0 for v in feats[1].feature)
+    assert feats[2].ok is False and feats[2].feature is None
+
+
 def test_summarizer_hook_reference_semantics(spark):
     long_text = "word " * 3000  # > 5000 chars → truncated to 5000
     df = spark.createDataFrame(

@@ -177,6 +177,51 @@ def test_routed_fan_out(spark, tmp_path):
     assert by_route == {"environmental": 1, "sports": 1, "unknown": 1}
 
 
+def test_stateful_category_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries state ACROSS micro-batches: totals
+    after a second batch include the first batch's rows (the property a
+    stateless per-batch agg cannot have)."""
+    import json as _json
+    import os as _os
+
+    from news_categorization_big_data_spark.streaming.topology import track_category_totals
+
+    src = str(tmp_path / "state_src")
+    out = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "state_ckpt")
+    _write_jsonl(src, [_payload("abcde", "sports", "2024-01-01 10:00:00")])
+
+    raw = read_message_stream(spark, source="json-files", path=src)
+    totals = track_category_totals(parse_messages(raw))
+
+    seen = []
+
+    def capture(batch_df, batch_id):
+        seen.append({(r.category): (r.n_total, r.chars_total) for r in batch_df.collect()})
+
+    q = (
+        totals.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: one more sports row + a new category
+    with open(_os.path.join(src, "part-1.json"), "w") as f:
+        f.write(_json.dumps(_payload("xyz", "sports", "2024-01-01 10:05:00")) + "\n")
+        f.write(_json.dumps(_payload("pq", "arts", "2024-01-01 10:06:00")) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {}
+    for batch in seen:
+        merged.update(batch)
+    # 5 chars from batch 1 + 3 from batch 2, count 2 — cumulative, not per-batch
+    assert merged["sports"] == (2, 8)
+    assert merged["arts"] == (1, 2)
+    del out  # (routed dirs unused — state lives in the checkpoint)
+
+
 def test_console_stream_sink_runs(spark, tmp_path):
     """Console sink ≙ news_categorization_streaming.py:114-120 — smoke:
     the query starts from a stable checkpoint and drains the source."""
