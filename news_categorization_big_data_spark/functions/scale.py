@@ -1,0 +1,100 @@
+"""Explicit scale techniques: bucketed co-located joins and key salting.
+
+The engine's default posture is to let AQE handle join strategy and skew
+(session.py turns on ``skewJoin`` + partition coalescing). These
+utilities are for the two cases where *declared* physical layout beats
+runtime re-planning at 100 TB:
+
+- **Bucketing** (``write_bucketed`` / ``read_bucketed``): when two fact
+  tables are repeatedly joined on the same key (orders ⋈ lineitem every
+  hour), pre-bucket BOTH at rest on that key with the same bucket
+  count. Spark's scan then reports a compatible ``HashPartitioning``
+  and the sort-merge join runs with ZERO exchanges — the shuffle is
+  paid once at write time, amortized over every subsequent join.
+  (tests assert the exchange-free plan.)
+
+- **Salting** (``salted_join`` / ``salted_sum``): when one join/group
+  key dwarfs the others (a null-ish user_id, one viral document) beyond
+  what AQE's skew-split handles — e.g. a single key that exceeds an
+  executor's memory in a build-side hash map. Salting rewrites the
+  computation: the skewed side gets a uniform salt in [0, n); the other
+  side is replicated n× (explode over the salt range); aggregations run
+  partial-per-salt then final. Results are IDENTICAL to the unsalted
+  plan (asserted in tests) — only the key distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+) -> None:
+    """Persist ``df`` as a bucketed+sorted managed table.
+
+    Both sides of a recurring join must use the SAME bucket count and
+    key for the exchange-free plan.
+    """
+    (
+        df.write.bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (scan reports its HashPartitioning)."""
+    return spark.table(table)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over
+    ``salt_buckets`` reducers and ``other`` is replicated per salt.
+
+    The salt on the skewed side only needs to be *uniform*, not stable:
+    a cheap hash of a per-row id spreads each hot key's rows across all
+    buckets. ``other`` grows salt_buckets× — use for dimension-sized
+    right sides (for fact-fact skew, prefer AQE skew-split or isolate
+    the hot keys and union).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    left = skewed.withColumn("_salt", salt.cast("int"))
+    right = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = left.join(right, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    alias: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof sum: partial aggregate per (keys, salt), then final per
+    keys — two small shuffles instead of one shuffle with a giant
+    reducer. Exact for any algebraic aggregate; sum shown here.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt.cast("int"))
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
