@@ -64,6 +64,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_df: int | None = None,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard).
 
@@ -99,6 +100,15 @@ def jaccard_pairs(
     sized = fan_out(docs).select(
         F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
     )
+    # `sized` feeds three consumers (prefix explode + both verify sides);
+    # without persistence the narrow shingle+hash projection recomputes
+    # per consumer — cheap, but at corpus scale a production run should
+    # pay the materialization once (MEMORY_AND_DISK spills, never OOMs).
+    # Off by default: registered oracle plans stay persistence-free.
+    if persist_sets:
+        from pyspark import StorageLevel
+
+        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
     pref = sized.select(id_col, F.explode(F.slice("_hs", 1, prefix_len)).alias("_h"))
     buckets = pref.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
