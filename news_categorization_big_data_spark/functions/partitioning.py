@@ -3,22 +3,21 @@
 Small-file inputs (one parquet row group) arrive as a single partition,
 which serializes every downstream transform onto one core. ``fan_out``
 round-robin-repartitions CPU-heavy subtrees (hashing, shingling, vector
-math) to the session's default parallelism so they use every core.
+math) to the session's default parallelism so they use every core — and
+NEVER shrinks an already-wide input.
 
-The decision is **conf-driven, not plan-driven**: probing the input's
-partition count via ``df.rdd`` would force an analyzer round-trip per
-call and is unsupported on Spark Connect. Instead:
+Decision order:
 
-- ``spark.graft.fanout.enabled`` (default ``true``) — set ``false`` on a
-  real cluster, where scans already yield thousands of partitions and an
-  extra round-robin exchange is pure cost. At 100 TB the scan width is
-  governed by ``spark.sql.files.maxPartitionBytes``; this knob exists
-  for the single-row-group small-file regime only.
-- ``spark.graft.fanout.partitions`` (default: ``defaultParallelism``) —
-  explicit width override.
-
-Use it in compute-heavy operators, not plain scans/filters — those keep
-their scan-aligned partitions and pushdown.
+1. ``spark.graft.fanout.enabled=false`` → no-op (set on real clusters
+   where scans already yield thousands of partitions; at 100 TB scan
+   width is governed by ``spark.sql.files.maxPartitionBytes``).
+2. ``spark.graft.fanout.partitions`` / explicit ``partitions`` arg →
+   repartition to exactly that width (operator knows best).
+3. Default: probe the current width and repartition only when the input
+   is NARROWER than ``defaultParallelism``. The probe costs one
+   plan→RDD analyzer round-trip on classic Spark; on Spark Connect
+   (where neither ``df.rdd`` nor ``sparkContext`` exists) the probe
+   fails and fan_out degrades to a safe no-op — use the confs there.
 """
 
 from __future__ import annotations
@@ -27,11 +26,18 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition a CPU-heavy subtree to full parallelism (conf-gated)."""
+    """Widen a CPU-heavy subtree to full parallelism (see module doc)."""
     spark = df.sparkSession
     if spark.conf.get("spark.graft.fanout.enabled", "true").lower() == "false":
         return df
-    target = partitions or int(
-        spark.conf.get("spark.graft.fanout.partitions", "0")
-    ) or spark.sparkContext.defaultParallelism
+    explicit = partitions or int(spark.conf.get("spark.graft.fanout.partitions", "0"))
+    if explicit:
+        return df.repartition(explicit)
+    try:
+        target = spark.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext/rdd — safe no-op
+        return df
+    if current >= target:
+        return df
     return df.repartition(target)

@@ -54,6 +54,14 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+#: Join types where replicating the right side per salt preserves the
+#: unsalted semantics: each LEFT row carries exactly one salt, and the
+#: right side exists at EVERY salt, so inner/left/semi/anti all see the
+#: same match set per left row. right/full outer would emit one row per
+#: replica for unmatched right keys — salt_buckets× duplicates.
+_SALT_SAFE_JOINS = frozenset({"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"})
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -69,7 +77,17 @@ def salted_join(
     buckets. ``other`` grows salt_buckets× — use for dimension-sized
     right sides (for fact-fact skew, prefer AQE skew-split or isolate
     the hot keys and union).
+
+    Only left-preserving join types are accepted: an unmatched RIGHT key
+    would otherwise surface once per salt replica (right/full outer are
+    rejected rather than silently duplicated).
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_JOINS}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}: "
+            "replicated right rows would duplicate unmatched right keys "
+            "salt_buckets times under right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     left = skewed.withColumn("_salt", salt.cast("int"))
     right = other.withColumn(

@@ -48,6 +48,25 @@ MINHASH_K = 8
 MINHASH_BANDS = 2
 
 
+def pairs_from_buckets(
+    buckets: DataFrame, ids_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Distinct ordered id pairs co-occurring in ≥1 bucket.
+
+    The shared tail of every bucketed candidate generator (shingle
+    buckets, MinHash bands, SRP bands): two generates inside each
+    bucket, ordered to halve the pair space, deduped across buckets.
+    No pairwise work ever happens outside a bucket.
+    """
+    return (
+        buckets.where(F.size(ids_col) > 1)
+        .select(F.explode(ids_col).alias(out_a), F.col(ids_col))
+        .select(out_a, F.explode(ids_col).alias(out_b))
+        .where(F.col(out_a) < F.col(out_b))
+        .distinct()
+    )
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) rows — distinct k-word shingles per document.
 
@@ -114,13 +133,7 @@ def jaccard_pairs(
     buckets = pref.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
     if max_df is not None:
         buckets = buckets.where(F.size("_ids") <= max_df)
-    cand = (
-        buckets.where(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("doc_a"), F.col("_ids"))
-        .select("doc_a", F.explode("_ids").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    cand = pairs_from_buckets(buckets, "_ids", "doc_a", "doc_b")
     sa = sized.select(
         F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza"), F.col("_hs").alias("_hsa")
     )
@@ -137,9 +150,13 @@ def jaccard_pairs(
     )
 
 
-#: Double-hashing modulus for the derived MinHash family (2^58): keeps
-#: j * (h2 % 2^58) + h1 < 2^63 for j ≤ 16 so neither engine overflows.
-MINHASH_H2_MOD = 1 << 58
+#: Double-hashing modulus for the derived MinHash family (2^50): keeps
+#: j·(h2 % 2^50) + h1 < 2^63 for every j < 7·2^10 = 7168, so the whole
+#: documented parameterization range (k up to 128+ for 100-TB configs)
+#: is overflow-free in BOTH engines (Spark would wrap, DuckDB would
+#: raise — either way a silent-or-loud divergence). Guarded below.
+MINHASH_H2_MOD = 1 << 50
+_MINHASH_MAX_K = ((1 << 63) - (1 << 60)) // MINHASH_H2_MOD  # 7168
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
@@ -154,6 +171,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     (the standard construction, e.g. Mash). Docs with no shingles get no
     row (they can't be near-duplicates).
     """
+    if k > _MINHASH_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds the int64-overflow-safe bound {_MINHASH_MAX_K} "
+            f"for the double-hash family (j·(h2 % {MINHASH_H2_MOD}) + h1)"
+        )
     sh = shingle_table(docs, text_col, id_col)
     h1 = hash60("shingle", seed="h1")
     h2m = hash60("shingle", seed="h2") % F.lit(MINHASH_H2_MOD)
@@ -186,13 +208,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 
         id_col, "b.band_idx", "b.band_key"
     )
     buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
-    return (
-        buckets.where(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("doc_a"), F.col("_ids"))
-        .select("doc_a", F.explode("_ids").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    return pairs_from_buckets(buckets, "_ids", "doc_a", "doc_b")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

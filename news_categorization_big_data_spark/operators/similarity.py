@@ -115,6 +115,11 @@ def srp_signature(
     Each bit is sign(embedding · h_j) for the deterministic hyperplane
     h_j — `bits` independent zip_with/aggregate folds, all inside
     whole-stage codegen, zero shuffle.
+
+    ``dim`` MUST equal the embedding width: a mismatched vector would
+    fold to NULL bits (zip_with null-padding) and every such row would
+    share one degenerate band key — a quadratic bucket. Rows whose
+    width differs from ``dim`` are therefore dropped here, explicitly.
     """
     signs = srp_signs(bits, dim)
     cols = [
@@ -123,7 +128,7 @@ def srp_signature(
         .alias(f"bit{j}")
         for j in range(bits)
     ]
-    return fan_out(df).select(id_col, *cols)
+    return fan_out(df).where(F.size(vec_col) == dim).select(id_col, *cols)
 
 
 def srp_candidate_pairs(
@@ -154,13 +159,9 @@ def srp_candidate_pairs(
         id_col, "b.band_idx", "b.band_key"
     )
     buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
-    return (
-        buckets.where(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    from news_categorization_big_data_spark.operators.dedup import pairs_from_buckets
+
+    return pairs_from_buckets(buckets, "_ids", "id_a", "id_b")
 
 
 def embedding_near_dup_pairs(
@@ -170,6 +171,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     bits: int = SRP_BITS,
     bands: int = SRP_BANDS,
+    dim: int = 64,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim): SRP-LSH candidates verified by exact cosine.
 
@@ -179,7 +181,9 @@ def embedding_near_dup_pairs(
     Candidates re-join the vector table on the id key; AQE broadcasts
     the (small) candidate side.
     """
-    cand = srp_candidate_pairs(srp_signature(emb, id_col, vec_col, bits), id_col, bits, bands)
+    cand = srp_candidate_pairs(
+        srp_signature(emb, id_col, vec_col, bits, dim), id_col, bits, bands
+    )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     sim = cosine("emb_a", "emb_b")

@@ -112,11 +112,15 @@ _DRIVER_ORDER = [
     "q_text_tokens",
 ]
 
-assert set(_DRIVER_ORDER) == set(REGISTRY), (
-    "driver order out of sync with registry: "
-    f"missing={set(REGISTRY) - set(_DRIVER_ORDER)} "
-    f"stale={set(_DRIVER_ORDER) - set(REGISTRY)}"
-)
+# Hard error, not assert: under `python -O` an assert would be stripped
+# and a query missing from the order list would silently vanish from
+# queries()/oracle_sql() at the REGISTRY rebuild below.
+if set(_DRIVER_ORDER) != set(REGISTRY):
+    raise RuntimeError(
+        "driver order out of sync with registry: "
+        f"missing={set(REGISTRY) - set(_DRIVER_ORDER)} "
+        f"stale={set(_DRIVER_ORDER) - set(REGISTRY)}"
+    )
 _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)

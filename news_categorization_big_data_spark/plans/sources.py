@@ -46,9 +46,20 @@ _ARRAY_FIXTURE = (
 
 def _write_fixtures(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Derive the JSONL + array fixtures for ``sf_dir`` (idempotent
-    overwrite; path is keyed by the sf dir name so scale factors never
-    cross-contaminate)."""
-    base = os.path.join(FIXTURE_ROOT, "json_corpus", os.path.basename(os.path.normpath(sf_dir)))
+    overwrite; path is keyed by the sf dir name AND the Spark
+    application id, so scale factors never cross-contaminate and two
+    concurrent sessions — e.g. pytest alongside the driver — never race
+    one shared directory between overwrite and scan)."""
+    try:
+        session_key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — fall back to session hash
+        session_key = f"s{abs(hash(spark)) % 10**8}"
+    base = os.path.join(
+        FIXTURE_ROOT,
+        "json_corpus",
+        session_key,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
     jsonl_dir, array_dir = f"{base}/corpus_jsonl", f"{base}/corpus_array"
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)

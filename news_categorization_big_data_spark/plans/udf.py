@@ -43,8 +43,10 @@ def _value_band(v: pd.Series) -> pd.Series:
     Wrapped with @pandas_udf at call time, NOT at module level: the
     decorator needs an active session, and Python workers re-import
     this module when unpickling the grouped-map function below.
+    Nullable Int32 out: a NULL value propagates as NULL (matching the
+    oracle's SQL semantics) instead of crashing the astype.
     """
-    return v.floordiv(50.0).clip(0, 5).astype("int32")
+    return v.floordiv(50.0).clip(0, 5).astype("Int32")
 
 
 @register(

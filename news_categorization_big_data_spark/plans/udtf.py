@@ -35,13 +35,16 @@ CHUNK_TOKENS = 12
 class ChunkDoc:
     """Yield fixed-width token chunks of one document.
 
-    Tokenization is ``re.split(r"\\s+", ...)`` — the exact semantics of
-    Spark's ``split(col, '\\s+')`` and DuckDB's ``regexp_split_to_array``
-    (including empty leading/trailing fields), so all three agree.
+    Tokenization is ``re.split(r"\\s+", ..., flags=re.ASCII)`` — the
+    ASCII flag matters: Python's ``\\s`` is Unicode-aware by default,
+    while Java's (Spark ``split``) and RE2's (DuckDB
+    ``regexp_split_to_array``) are ASCII-only, so a U+00A0 no-break
+    space would split here but not there. With ASCII all three agree,
+    including empty leading/trailing fields.
     """
 
     def eval(self, text: str):  # noqa: D102 — contract in class docstring
-        toks = re.split(r"\s+", text or "")
+        toks = re.split(r"\s+", text or "", flags=re.ASCII)
         for i in range(0, len(toks), CHUNK_TOKENS):
             window = toks[i : i + CHUNK_TOKENS]
             yield i // CHUNK_TOKENS, " ".join(window), len(window)

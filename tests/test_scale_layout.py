@@ -70,6 +70,18 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     )
 
 
+def test_salted_join_rejects_right_preserving(spark, sf_dir):
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(orders, customer, "o_custkey", how=how)
+
+
 def test_salted_sum_matches_plain_sum(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     # integer-cents domain so the comparison is exact under reordering
