@@ -110,6 +110,10 @@ _DRIVER_ORDER = [
     "q_stream_dedup",
     "q_text_clean",
     "q_text_tokens",
+    # beyond-SURVEY additions (pytest-oracle-verified; outside the
+    # driver window by design — the window holds the SURVEY contract set)
+    "q_group_quantiles",
+    "q_top_terms_per_doc",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

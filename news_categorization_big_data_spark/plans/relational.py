@@ -612,6 +612,32 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_group_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tier="B",
+    doc="Exact grouped quantiles (p50/p90/p99, linear interpolation) — the "
+    "latency-percentile workhorse. Exact percentile sorts each group's "
+    "values (fine at per-group cardinality); at corpus scale switch the "
+    "same query to approx_percentile (t-digest sketch, mergeable "
+    "map-side, engine-specific values → rows-only check like "
+    "q_group_approx). round(4) absorbs interpolation-order ulp.",
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits
 # ---------------------------------------------------------------------------

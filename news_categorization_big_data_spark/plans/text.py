@@ -232,6 +232,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_top_terms_per_doc",
+    oracle="""
+    SELECT doc_id, token, cnt FROM (
+      SELECT doc_id, token, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+      FROM (SELECT doc_id, token, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+                  FROM documents WHERE text <> '')
+            GROUP BY doc_id, token)
+    ) WHERE rn <= 3
+    """,
+    tier="C",
+    doc="Top-3 terms per document by frequency (ties → lexicographic) — "
+    "the keyword-extraction primitive. Integer counts + total ordering "
+    "⇒ fully exact; one shuffle on (doc_id, token), one on doc_id for "
+    "the ranked window with WindowGroupLimit pruning.",
+)
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "cnt")
+    )
+
+
+@register(
     "q_multimodal_cols",
     oracle="""
     SELECT event_id,
