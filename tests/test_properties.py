@@ -53,3 +53,46 @@ def test_trim_matches_python_strip_spaces(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r.s for r in df.select(F.trim("t").alias("s")).collect()]
     assert got == [t.strip(" ") for t in texts]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_jaccard_prefix_filter_matches_brute_force(spark, docs):
+    """The prefix-filtered jaccard operator must equal a Python
+    brute-force ground truth exactly — candidates lost to the prefix
+    lemma would surface here (tiny vocabulary ⇒ heavy shingle overlap,
+    the adversarial regime for prefix filtering)."""
+    from news_categorization_big_data_spark.operators.dedup import jaccard_pairs
+
+    threshold = 0.5
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sdf, threshold, max_df=None).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = shingles(a), shingles(b)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 4)
+
+    assert got == want
