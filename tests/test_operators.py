@@ -39,6 +39,20 @@ def test_asof_join_semantics(spark):
     assert out[4] is None  # no right rows for user 30
 
 
+def test_asof_join_null_columns_stay_atomic(spark):
+    """A matched right row's NULL must survive: per-column carry-forward
+    would stitch the stale non-NULL value from an older right row into
+    the newer match (DuckDB ASOF semantics keep the matched row atomic)."""
+    left = spark.createDataFrame([(1, 10, 300)], "event_id int, user_id int, ts int")
+    right = spark.createDataFrame(
+        [(10, 100, 1.0, 9.0), (10, 200, 2.0, None)],
+        "user_id int, ts int, price double, qty double",
+    )
+    row = asof_join(left, right, on="ts", by="user_id").collect()[0]
+    assert row.price == 2.0  # the matched (ts=200) row...
+    assert row.qty is None  # ...including its NULL — not 9.0 from ts=100
+
+
 def test_asof_join_rejects_column_collision(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "user_id int, ts int, v double")
     with pytest.raises(ValueError, match="collision"):
