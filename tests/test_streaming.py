@@ -113,6 +113,49 @@ def test_batch_stream_parity_tumbling(spark, tmp_path):
     assert batch_rows == stream_rows
 
 
+def test_batch_stream_parity_session_window(spark, tmp_path):
+    """session_window over a stream equals the batch answer on the same
+    rows — the gaps-and-islands state machine, not just tumbling."""
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "user": "u1"},
+        {"ts": "2024-01-01 00:03:00", "user": "u1"},  # same 5m session
+        {"ts": "2024-01-01 00:15:00", "user": "u1"},  # gap > 5m → new session
+        {"ts": "2024-01-01 00:02:00", "user": "u2"},
+    ]
+    src = str(tmp_path / "sess_events")
+    _write_jsonl(src, rows)
+
+    def agg(df):
+        typed = df.select(F.col("ts").cast("timestamp").alias("ts"), "user")
+        return (
+            typed.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "user", "cnt")
+        )
+
+    batch = agg(spark.read.schema("ts string, user string").json(src))
+    stream = agg(spark.readStream.schema("ts string, user string").json(src))
+    out = str(tmp_path / "sess_out")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_rows = sorted(map(str, batch.collect()))
+    stream_rows = sorted(map(str, spark.read.parquet(out).select("ws", "user", "cnt").collect()))
+    assert batch_rows == stream_rows
+    assert len(batch_rows) == 3  # two u1 sessions + one u2 session
+
+
 def test_kafka_batch_sink_serialization_roundtrip(spark, tmp_path):
     """The Kafka batch sink's serialize projection (to_json over the
     SHARED payload schema ≙ news_summarization_batch.py:114-119) must
