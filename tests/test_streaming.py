@@ -137,13 +137,17 @@ def test_batch_stream_parity_session_window(spark, tmp_path):
     batch = agg(spark.read.schema("ts string, user string").json(src))
     stream = agg(spark.readStream.schema("ts string, user string").json(src))
     out = str(tmp_path / "sess_out")
+    latest = {}
 
+    # Session-window streaming aggregation supports complete/append only
+    # (update is rejected); complete re-emits the full state per batch,
+    # so the LAST batch is the comparable answer.
     def write_batch(df, batch_id):
-        df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        latest["rows"] = df.select("ws", "user", "cnt").collect()
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
+        .outputMode("complete")
         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
         .start()
     )
@@ -151,9 +155,10 @@ def test_batch_stream_parity_session_window(spark, tmp_path):
     q.stop()
 
     batch_rows = sorted(map(str, batch.collect()))
-    stream_rows = sorted(map(str, spark.read.parquet(out).select("ws", "user", "cnt").collect()))
+    stream_rows = sorted(map(str, latest["rows"]))
     assert batch_rows == stream_rows
     assert len(batch_rows) == 3  # two u1 sessions + one u2 session
+    del out
 
 
 def test_kafka_batch_sink_serialization_roundtrip(spark, tmp_path):
