@@ -62,6 +62,26 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 _SALT_SAFE_JOINS = frozenset({"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"})
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Persist ``df`` hive-partitioned by low-cardinality columns
+    (category / date — the SURVEY §1.5 mapping of the reference's Mongo
+    store). A reader's filter on a partition column becomes directory
+    pruning: the scan never opens non-matching partitions, and a join
+    against a filtered dimension prunes at runtime via dynamic partition
+    pruning. Both behaviors are asserted in tests/test_scale_layout.py.
+
+    Partition columns must be low-cardinality (≲ thousands of values):
+    each value is a directory, and small-file explosion from
+    high-cardinality partitioning is the classic data-lake failure mode
+    — for high-cardinality keys use bucketing (write_bucketed) instead.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -11,6 +11,7 @@ from news_categorization_big_data_spark.functions.scale import (
     salted_join,
     salted_sum,
     write_bucketed,
+    write_partitioned,
 )
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -53,6 +54,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_static(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become directory pruning
+    (PartitionFilters), not a data filter over every file."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+
+    read = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = _plan(read)
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120], plan
+    want = docs.where(F.col("lang") == "en").count()
+    assert read.count() == want and want > 0
+
+
+def test_partitioned_write_prunes_dynamic(spark, sf_dir, tmp_path):
+    """Joining the partitioned fact to a FILTERED dimension must inject a
+    dynamic partition pruning subquery into the fact scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang_dpp")
+    write_partitioned(docs, path, ["lang"])
+
+    dim = docs.select("lang").distinct().where(F.col("lang").isin("en", "de"))
+    fact = spark.read.parquet(path)
+    joined = fact.join(dim, "lang")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP subquery in:\n{plan}"
+    assert joined.count() == docs.where(F.col("lang").isin("en", "de")).count()
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
