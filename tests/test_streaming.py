@@ -285,6 +285,42 @@ def test_console_stream_sink_runs(spark, tmp_path):
     assert progress is not None and progress["sink"]["description"].startswith("org.apache.spark.sql.execution.streaming.ConsoleTable")
 
 
+def test_restart_from_stable_checkpoint_no_reprocess(spark, tmp_path):
+    """Stopping a query and starting a NEW one on the same checkpoint
+    must resume from committed offsets: old rows are not reprocessed,
+    new rows are picked up (the fix for the reference's fresh-
+    timestamped-checkpoint reset, quirk SURVEY §2.11.3)."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    _write_jsonl(src, [_payload("first", "sports", "2024-01-01 10:00:00")])
+
+    def run_once():
+        raw = read_message_stream(spark, source="json-files", path=src)
+        q = write_idempotent_parquet(
+            classify_stream(parse_messages(raw), CATEGORIES), out, ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first_batches = {r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()}
+
+    with open(_os.path.join(src, "part-1.json"), "w") as f:
+        f.write(_json.dumps(_payload("second", "arts", "2024-01-01 10:05:00")) + "\n")
+    run_once()  # brand-new query object, same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    contents = sorted(r.content for r in rows)
+    assert contents == ["first", "second"]  # no duplicate of "first"
+    # the second run wrote a LATER batch id — it resumed, not restarted
+    new_batches = {r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()}
+    assert max(new_batches) > max(first_batches)
+
+
 def test_foreachbatch_idempotent_replay(spark, tmp_path):
     """Re-running a batch id must not duplicate rows (overwrite-by-batch
     directory layout — the fix for quirk SURVEY.md §2.11.4)."""
