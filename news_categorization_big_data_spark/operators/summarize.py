@@ -4,9 +4,11 @@ Replaces the reference's t5-small mapInPandas UDF
 (news_summarization_batch.py:52-73: truncate to 5000 chars, output
 length clamp min(100, max(20, words//3)), deterministic decode) with a
 pure-DataFrame extractive summarizer: split into units, score each unit
-by corpus TF-IDF, keep the top-k units per document in original order.
-Deterministic, shuffle-light (one token-DF aggregation + one window),
-and it scales linearly — no model, no Python.
+by an integer corpus-rarity weight (reciprocal document frequency — the
+same monotone family as TF-IDF, chosen integer-exact so the DuckDB
+oracle can verify the full operator), keep the top-k units per document
+in original order. Deterministic, shuffle-light (one token-DF
+aggregation + one window), and it scales linearly — no model, no Python.
 
 A ``mapInPandas`` escape hatch with the reference's exact truncation and
 clamp semantics is kept for plugging a real seq2seq model back in.
@@ -48,9 +50,19 @@ def split_units(df: DataFrame, id_col: str, text_col: str, unit_tokens: int = 12
 def extractive_summarize(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 2
 ) -> DataFrame:
-    """(id, summary, n_units): top-k TF-IDF-scored units per doc, rejoined
+    """(id, summary, n_units): top-k rarity-scored units per doc, rejoined
     in document order with the reference's '- ' bullet prefix
-    (≙ news_summarization_batch.py:102-107)."""
+    (≙ news_summarization_batch.py:102-107).
+
+    Unit score = Σ_token floor(1e6 · n_docs / df(token)) — an INTEGER
+    corpus-rarity weight (reciprocal document frequency, same monotone
+    family as idf). Integer scores make the ranking, and therefore the
+    whole operator, exactly reproducible across engines: a float
+    log-idf sum is reduction-order- and libm-sensitive, which is why
+    this operator was previously oracle-unverifiable. The quotient is
+    exact: 1e6·n_docs < 2^53 holds far beyond any corpus count, so the
+    double divide + floor is the true integer division on both engines.
+    """
     units = split_units(
         df.select(id_col, F.substring(text_col, 1, MAX_INPUT_CHARS).alias(text_col)),
         id_col,
@@ -64,11 +76,12 @@ def extractive_summarize(
     doc_freq = tok.select(id_col, "token").distinct().groupBy("token").agg(
         F.count("*").alias("_df")
     )
+    weight = F.floor((F.lit(1000000.0) * F.col("_n_docs")) / F.col("_df")).cast("long")
     scored = (
         tok.join(F.broadcast(doc_freq), "token")
         .crossJoin(F.broadcast(n_docs))
         .groupBy(id_col, "pos", "unit")
-        .agg(F.sum(F.log(F.col("_n_docs") / F.col("_df"))).alias("_score"))
+        .agg(F.sum(weight).alias("_score"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("pos"))
     top = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= top_k)

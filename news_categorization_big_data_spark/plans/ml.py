@@ -35,14 +35,46 @@ def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_summarize_extractive",
-    oracle=None,  # TF-IDF unit scoring is SQL-expressible but the rejoin is
-    # not worth a 100-line oracle; rows-only + golden tests (test_ml.py)
+    oracle="""
+    WITH base AS (SELECT doc_id, left(text, 5000) AS text
+                  FROM documents WHERE text <> ''),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM base),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM base),
+    units AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+                     array_to_string(t[u.i * 12 + 1 : (u.i + 1) * 12], ' ') AS unit
+              FROM toks,
+                   UNNEST(range(0, CAST(ceil(len(t) / 12.0) AS BIGINT))) AS u(i)),
+    units_f AS (SELECT * FROM units WHERE unit <> ''),
+    tok AS (SELECT doc_id, pos, unit,
+                   unnest(regexp_split_to_array(unit, '\\s+')) AS token
+            FROM units_f),
+    dfreqs AS (SELECT token, COUNT(*) AS dfreq
+               FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+    scored AS (SELECT t.doc_id, t.pos, t.unit,
+                      SUM(CAST(floor((1000000.0 * n.n_docs) / dfreqs.dfreq) AS BIGINT))
+                        AS score
+               FROM tok t JOIN dfreqs USING (token), n
+               GROUP BY t.doc_id, t.pos, t.unit),
+    top AS (SELECT doc_id, pos, unit FROM (
+              SELECT doc_id, pos, unit,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, pos) AS rn
+              FROM scored) WHERE rn <= 2)
+    SELECT doc_id,
+           '- ' || string_agg(unit, E'\n- ' ORDER BY pos) AS summary,
+           COUNT(*) AS n_units
+    FROM top GROUP BY doc_id
+    """,
     tier="C",
     doc="Extractive summarization in pure DataFrame ops (unit split → "
-    "corpus-TF-IDF scoring → top-2 units per doc in document order), the "
-    "deterministic replacement for the reference's t5-small UDF "
-    "(news_summarization_batch.py:52-73). The '- ' bullet format matches "
-    "news_summarization_batch.py:102-104.",
+    "integer corpus-rarity scoring → top-2 units per doc in document "
+    "order), the deterministic replacement for the reference's t5-small "
+    "UDF (news_summarization_batch.py:52-73). The '- ' bullet format "
+    "matches news_summarization_batch.py:102-104. Integer unit scores "
+    "(floor(1e6·n_docs/df) summed in BIGINT) make the whole pipeline — "
+    "chunking, scoring, ranking, rejoin — oracle-exact; the previous "
+    "float log-idf scoring was reduction-order/libm-sensitive and "
+    "therefore rows-only.",
 )
 def q_summarize_extractive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
