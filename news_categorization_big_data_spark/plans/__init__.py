@@ -59,6 +59,8 @@ _DRIVER_ORDER = [
     "q_sim_ann_lsh",
     "q_ml_classify",
     "q_summarize_extractive",
+    "q_classify_keywords",
+    "q_pipeline_digest",
     # -- one representative per operator family (green in round 1)
     "q_scan_parquet",
     "q_scan_range_pred",
@@ -83,10 +85,10 @@ _DRIVER_ORDER = [
     "q_set_except",
     "q_dedup_exact",
     "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_watermark",
     "q_asof_join",
     # ---- driver's 50-entry window ends here ----
+    "q_stream_session",
+    "q_stream_watermark",
     "q_set_union",
     "q_filter_neq",
     "q_project_compute",

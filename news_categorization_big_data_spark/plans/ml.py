@@ -8,13 +8,39 @@ rows-only driver checks; quality is asserted in tests/test_ml.py
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators import classify as clf
 from news_categorization_big_data_spark.operators.summarize import extractive_summarize
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Fixed digest date: the reference stamps the digest with the wall-clock
+#: date (news_summarization_batch.py:108-111) — nondeterministic across
+#: runs/engines, so the registered query pins a constant.
+DIGEST_DATE = "2026-01-01"
+
+#: Max documents per category digest. The reference's per-category
+#: collect is UNBOUNDED (news_summarization_batch.py:105-107) — a defect
+#: at corpus scale (one hot category = one giant reducer string, and a
+#: Telegram message is size-capped anyway). A row_number window bounds
+#: the per-category collect_list to a constant.
+DIGEST_MAX_ITEMS = 100
+
+
+def _kw_entries_sql(toks_col: str) -> str:
+    """DuckDB struct-list literal mirroring classify_keywords' scoring,
+    generated from the SAME KEYWORD_CATEGORIES constant as the Spark plan
+    (the minhash-oracle pattern: one source of truth for both engines)."""
+    return ", ".join(
+        "{{'s': len(list_filter({toks}, x -> list_contains([{kws}], x))), 'c': '{cat}'}}".format(
+            toks=toks_col,
+            kws=", ".join(f"'{k}'" for k in kws),
+            cat=cat,
+        )
+        for cat, kws in sorted(clf.KEYWORD_CATEGORIES.items())
+    )
 
 
 @register(
@@ -31,6 +57,36 @@ def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = clf.fit(docs, text_col="text", label_col="lang")
     return clf.classify(model, docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "q_classify_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    b AS (SELECT doc_id, len(toks) AS n_toks,
+                 list_max([{_kw_entries_sql('toks')}]) AS e
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN (e).s > 0 THEN (e).c ELSE 'unknown' END AS category,
+           CASE WHEN (e).s > 0 THEN CAST((e).s AS DOUBLE) / n_toks
+                ELSE 0.0 END AS confidence
+    FROM b
+    """,
+    tier="C",
+    doc="Deterministic keyword-score categorization over the reference's "
+    "7-label set (news_categorization_streaming.py:59), the "
+    "oracle-verifiable counterpart to q_ml_classify: same "
+    "(id, category, confidence) contract and ('unknown', 0.0) fallback "
+    "(news_categorization_streaming.py:74-81), scored as a pure per-row "
+    "column expression — no explode, no join, NO shuffle; embarrassingly "
+    "parallel at 100 TB.",
+)
+def q_classify_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return clf.classify_keywords(docs, id_col="doc_id", text_col="text")
 
 
 @register(
@@ -79,3 +135,94 @@ def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_summarize_extractive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     return extractive_summarize(docs, id_col="doc_id", text_col="text", top_k=2)
+
+
+@register(
+    "q_pipeline_digest",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, left(text, 5000) AS text
+                  FROM documents WHERE text <> ''),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM base),
+    stoks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM base),
+    units AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+                     array_to_string(t[u.i * 12 + 1 : (u.i + 1) * 12], ' ') AS unit
+              FROM stoks,
+                   UNNEST(range(0, CAST(ceil(len(t) / 12.0) AS BIGINT))) AS u(i)),
+    units_f AS (SELECT * FROM units WHERE unit <> ''),
+    tok AS (SELECT doc_id, pos, unit,
+                   unnest(regexp_split_to_array(unit, '\\s+')) AS token
+            FROM units_f),
+    dfreqs AS (SELECT token, COUNT(*) AS dfreq
+               FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+    scored AS (SELECT t.doc_id, t.pos, t.unit,
+                      SUM(CAST(floor((1000000.0 * n.n_docs) / dfreqs.dfreq) AS BIGINT))
+                        AS score
+               FROM tok t JOIN dfreqs USING (token), n
+               GROUP BY t.doc_id, t.pos, t.unit),
+    topu AS (SELECT doc_id, pos, unit FROM (
+               SELECT doc_id, pos, unit,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, pos) AS rn
+               FROM scored) WHERE rn <= 2),
+    summ AS (SELECT doc_id, '- ' || string_agg(unit, E'\\n- ' ORDER BY pos) AS summary
+             FROM topu GROUP BY doc_id),
+    ct AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '') AS ctoks
+           FROM documents WHERE text <> ''),
+    cb AS (SELECT doc_id, list_max([{_kw_entries_sql('ctoks')}]) AS e FROM ct),
+    cat AS (SELECT doc_id,
+                   CASE WHEN (e).s > 0 THEN (e).c ELSE 'unknown' END AS category
+            FROM cb),
+    items AS (SELECT s.doc_id, c.category, s.summary,
+                     row_number() OVER (PARTITION BY c.category
+                                        ORDER BY s.doc_id) AS rn
+              FROM summ s JOIN cat c USING (doc_id))
+    SELECT category,
+           string_agg(summary, E'\\n' ORDER BY doc_id)
+             || E'\\nDate: {DIGEST_DATE}' AS content,
+           COUNT(*) AS n_items
+    FROM items WHERE rn <= {DIGEST_MAX_ITEMS}
+    GROUP BY category
+    """,
+    tier="C",
+    doc="The reference's COMPLETE batch workload as one oracle-verified "
+    "query: truncate to 5000 chars → extractive summarization → keyword "
+    "categorization → per-category bulleted digest with a date stamp "
+    "(news_summarization_batch.py:91-111 end-to-end, with the zero-shot "
+    "category assignment of news_categorization_streaming.py:84-85 "
+    "replaced by the deterministic keyword scorer). Two scale fixes over "
+    "the reference: the per-category collect is bounded by a row_number "
+    "window (DIGEST_MAX_ITEMS — the reference's unbounded collect_list "
+    "is a one-hot-reducer defect), and the date stamp is a pinned "
+    "constant instead of wall-clock.",
+)
+def q_pipeline_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    summaries = extractive_summarize(docs, id_col="doc_id", text_col="text", top_k=2)
+    cats = clf.classify_keywords(docs, id_col="doc_id", text_col="text").select(
+        "doc_id", "category"
+    )
+    items = summaries.join(cats, "doc_id").select("doc_id", "category", "summary")
+    w = Window.partitionBy("category").orderBy("doc_id")
+    top = items.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= DIGEST_MAX_ITEMS
+    )
+    return (
+        top.groupBy("category")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "summary"))),
+                    lambda x: x["summary"],
+                ),
+            ).alias("_body"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "category",
+            F.concat("_body", F.lit("\nDate: " + DIGEST_DATE)).alias("content"),
+            "n_items",
+        )
+    )

@@ -184,3 +184,47 @@ def test_ml_classifier_accuracy_and_fallback(spark):
     )
     assert correct / 120 >= 0.95
     assert all(0.0 <= r.confidence <= 1.0 for r in out.values())
+
+
+def test_keyword_classifier_contract(spark):
+    """Keyword scorer: argmax with greatest-category tie-break, unknown
+    fallback on zero hits / blank / NULL text, map-only plan (no
+    Exchange — the 100-TB contract from the operator docstring)."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark hash spark table"),  # technology 3 vs environmental 1
+            (2, "scan filter"),  # 1-1 tie → greatest category name wins
+            (3, "zzz yyy"),  # no keyword hits
+            (4, "   "),  # blank
+            (5, None),  # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in clf.classify_keywords(df).collect()}
+    assert out[1].category == "technology" and out[1].confidence == 3 / 4
+    assert out[2].category == "health news"  # 'health news' > 'environmental news'
+    assert all(
+        out[i].category == "unknown" and out[i].confidence == 0.0 for i in (3, 4, 5)
+    )
+    plan = clf.classify_keywords(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pipeline_digest_bounded_and_stamped(spark, sf_dir):
+    """End-to-end digest: every content block ends with the pinned date
+    stamp, n_items never exceeds DIGEST_MAX_ITEMS, and the bullets are
+    newline-joined in doc_id order (reference news_summarization_batch.py
+    :102-111 semantics with the unbounded collect bounded)."""
+    from news_categorization_big_data_spark.plans.ml import (
+        DIGEST_DATE,
+        DIGEST_MAX_ITEMS,
+        q_pipeline_digest,
+    )
+
+    rows = q_pipeline_digest(spark, sf_dir).collect()
+    assert rows, "digest produced no categories"
+    for r in rows:
+        assert r.content.endswith("\nDate: " + DIGEST_DATE)
+        assert 1 <= r.n_items <= DIGEST_MAX_ITEMS
+        body = r.content.rsplit("\nDate: ", 1)[0]
+        assert all(chunk.startswith("- ") for chunk in body.split("\n- ")[:1])
