@@ -28,6 +28,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     udf,
     sources,
     udtf,
+    sampling,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -61,6 +62,8 @@ _DRIVER_ORDER = [
     "q_summarize_extractive",
     "q_classify_keywords",
     "q_pipeline_digest",
+    "q_split_train_eval",
+    "q_sample_stratified",
     # -- one representative per operator family (green in round 1)
     "q_scan_parquet",
     "q_scan_range_pred",
@@ -70,8 +73,6 @@ _DRIVER_ORDER = [
     "q_join_inner_equi",
     "q_join_broadcast",
     "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
     "q_join_theta_range",
     "q_join_multiway",
     "q_group_collect",
@@ -87,6 +88,8 @@ _DRIVER_ORDER = [
     "q_stream_tumbling",
     "q_asof_join",
     # ---- driver's 50-entry window ends here ----
+    "q_join_semi",
+    "q_join_anti",
     "q_stream_session",
     "q_stream_watermark",
     "q_set_union",

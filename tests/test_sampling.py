@@ -1,0 +1,70 @@
+"""Deterministic sampling/splitting contracts (operators/sampling.py):
+partition-invariance, growth stability (no train/test leakage on
+append), proportion tolerance, and per-stratum fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.operators.sampling import (
+    assign_split,
+    hash_sample,
+    stratified_sample,
+)
+
+
+def _ids(n):
+    return [(i,) for i in range(n)]
+
+
+def test_split_partition_invariant(spark):
+    """The property RNG-based randomSplit lacks: assignment must not
+    depend on physical partitioning."""
+    df1 = spark.createDataFrame(_ids(2000), "doc_id long").repartition(1)
+    df32 = spark.createDataFrame(_ids(2000), "doc_id long").repartition(32)
+    a = {r.doc_id: r.split for r in assign_split(df1).collect()}
+    b = {r.doc_id: r.split for r in assign_split(df32).collect()}
+    assert a == b
+
+
+def test_split_stable_under_growth(spark):
+    """Appending documents never reassigns existing ones — the
+    leakage-free property for long-lived training corpora."""
+    small = assign_split(spark.createDataFrame(_ids(1000), "doc_id long"))
+    big = assign_split(spark.createDataFrame(_ids(3000), "doc_id long"))
+    a = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in big.collect()}
+    assert all(b[i] == a[i] for i in a)
+
+
+def test_split_proportions_and_totality(spark):
+    df = assign_split(spark.createDataFrame(_ids(10000), "doc_id long"))
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10000  # total: every row exactly one split
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10000 - 0.1) < 0.01
+    assert abs(counts["test"] / 10000 - 0.1) < 0.01
+
+
+def test_hash_sample_fraction_and_subset(spark):
+    df = spark.createDataFrame(_ids(10000), "doc_id long")
+    kept = hash_sample(df, "doc_id", fraction_bp=1500)
+    n = kept.count()
+    assert abs(n / 10000 - 0.15) < 0.02
+    # monotone: a smaller fraction is a strict subset of a larger one
+    smaller = {r.doc_id for r in hash_sample(df, "doc_id", fraction_bp=500).collect()}
+    larger = {r.doc_id for r in kept.collect()}
+    assert smaller <= larger
+
+
+def test_stratified_fractions_per_stratum(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("es" if i % 4 == 1 else "de")) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 2000, "es": 5000}, default_bp=10_000
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 4000 - 0.2) < 0.03
+    assert abs(got["es"] / 2000 - 0.5) < 0.04
+    assert got["de"] == 2000  # default keeps the long tail in full
