@@ -1,0 +1,79 @@
+"""Length-bucketed training-batch construction.
+
+Transformer training pads every sequence in a batch to the batch max, so
+batching docs of wildly different lengths burns FLOPs on pad tokens. The
+standard fix is length bucketing: group docs into power-of-two length
+buckets, build batches within a bucket, and account the residual padding
+waste.
+
+Scale design: the naive construction (row_number over each bucket →
+``floor(rn / batch)``) needs a GLOBAL SORT PER BUCKET — with ~6 buckets
+that is 6 reducers regardless of cluster size, a scale-killer. Instead,
+batch membership is an md5-hash of the doc id modulo the bucket's batch
+count (operators/sampling.py philosophy): batch sizes become
+Poisson(batch_docs) rather than exactly batch_docs — a non-issue for
+training — and the plan is two skinny shuffles (a 6-row bucket-count
+aggregate broadcast back, then the per-batch stats aggregate), no sort,
+no single-reducer stage, deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.hashing import hash60
+
+#: Power-of-two token-length bucket ceilings; the last is the catch-all.
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512]
+
+#: Target documents per training batch.
+BATCH_DOCS = 32
+
+
+def length_bucket(tok_count: Column) -> Column:
+    """Smallest configured power-of-two ceiling ≥ tok_count — an integer
+    CASE chain, not ``ceil(log2(x))``: libm log2 at exact powers of two
+    is the kind of last-ulp hazard that breaks cross-engine hashes."""
+    expr = F.when(tok_count <= LENGTH_BUCKETS[0], F.lit(LENGTH_BUCKETS[0]))
+    for ceiling in LENGTH_BUCKETS[1:-1]:
+        expr = expr.when(tok_count <= ceiling, F.lit(ceiling))
+    return expr.otherwise(F.lit(LENGTH_BUCKETS[-1]))
+
+
+def assign_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_docs: int = BATCH_DOCS,
+) -> DataFrame:
+    """Per-batch stats: (bucket, batch_id, n_docs, sum_tokens,
+    max_tokens, padding_waste).
+
+    ``padding_waste = n_docs·max_tokens − sum_tokens``: the pad tokens a
+    trainer would burn if every doc in the batch is padded to the batch
+    max — the quantity length bucketing exists to minimize.
+    """
+    tc = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    docs = df.select(F.col(id_col), tc.alias("tok_count")).withColumn(
+        "bucket", length_bucket(F.col("tok_count"))
+    )
+    n_batches = (
+        docs.groupBy("bucket")
+        .agg(F.ceil(F.count("*") / batch_docs).cast("long").alias("_nb"))
+    )
+    assigned = docs.join(F.broadcast(n_batches), "bucket").withColumn(
+        "batch_id", hash60(F.col(id_col).cast("string"), seed="batch") % F.col("_nb")
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok_count").alias("sum_tokens"),
+            F.max("tok_count").alias("max_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from news_categorization_big_data_spark.operators.batching import assign_batches
 from news_categorization_big_data_spark.operators.sampling import (
     assign_split,
     stratified_sample,
@@ -77,3 +78,44 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions_bp=STRAT_FRACTIONS_BP,
         default_bp=STRAT_DEFAULT_BP,
     )
+
+
+@register(
+    "q_batch_assign",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS tok_count
+               FROM documents),
+    b AS (SELECT doc_id, tok_count,
+                 CASE WHEN tok_count <= 16 THEN 16
+                      WHEN tok_count <= 32 THEN 32
+                      WHEN tok_count <= 64 THEN 64
+                      WHEN tok_count <= 128 THEN 128
+                      WHEN tok_count <= 256 THEN 256
+                      ELSE 512 END AS bucket
+          FROM d),
+    c AS (SELECT bucket, CAST(ceil(COUNT(*) / 32.0) AS BIGINT) AS nb
+          FROM b GROUP BY bucket),
+    a AS (SELECT b.bucket, b.tok_count,
+                 ('0x' || substr(md5('batch:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % c.nb AS batch_id
+          FROM b JOIN c USING (bucket))
+    SELECT bucket, batch_id,
+           COUNT(*) AS n_docs,
+           SUM(tok_count) AS sum_tokens,
+           MAX(tok_count) AS max_tokens,
+           COUNT(*) * MAX(tok_count) - SUM(tok_count) AS padding_waste
+    FROM a GROUP BY bucket, batch_id
+    """,
+    tier="C",
+    doc="Length-bucketed training-batch construction with padding-waste "
+    "accounting (operators/batching.py): power-of-two token buckets, "
+    "hash-assigned batch membership (NO per-bucket global sort — the "
+    "naive row_number construction collapses to one reducer per bucket "
+    "at corpus scale), per-batch n/sum/max token stats and the pad-token "
+    "waste a trainer would burn. All-integer outputs → oracle-exact.",
+)
+def q_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return assign_batches(docs, id_col="doc_id", text_col="text")

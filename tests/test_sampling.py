@@ -68,3 +68,19 @@ def test_stratified_fractions_per_stratum(spark):
     assert abs(got["en"] / 4000 - 0.2) < 0.03
     assert abs(got["es"] / 2000 - 0.5) < 0.04
     assert got["de"] == 2000  # default keeps the long tail in full
+
+
+def test_batch_assign_invariants(spark):
+    from news_categorization_big_data_spark.operators.batching import assign_batches
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 7) % 200))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = assign_batches(df).collect()
+    assert sum(r.n_docs for r in out) == 3000  # totality: every doc in a batch
+    for r in out:
+        assert r.max_tokens <= r.bucket  # bucket is a true length ceiling
+        assert r.padding_waste >= 0
+        assert r.padding_waste == r.n_docs * r.max_tokens - r.sum_tokens
+    # deterministic under repartitioning (hash membership, no row_number)
+    again = assign_batches(df.repartition(17)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
