@@ -65,6 +65,7 @@ _DRIVER_ORDER = [
     "q_split_train_eval",
     "q_sample_stratified",
     "q_batch_assign",
+    "q_quality_filter",
     # -- one representative per operator family (green in round 1)
     "q_scan_parquet",
     "q_scan_range_pred",
@@ -86,8 +87,8 @@ _DRIVER_ORDER = [
     "q_sort_limit",
     "q_set_except",
     "q_dedup_exact",
-    "q_stream_tumbling",
     # ---- driver's 50-entry window ends here ----
+    "q_stream_tumbling",
     "q_asof_join",
     "q_join_semi",
     "q_join_anti",

@@ -184,6 +184,64 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_filter",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t, n_chars
+               FROM documents WHERE text <> ''),
+    s AS (SELECT doc_id,
+                 len(t) AS n,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+                 CAST(len(list_filter(t, x -> x IN {tuple(STOPWORDS)!r})) AS DOUBLE)
+                   / len(t) AS sr,
+                 CAST(n_chars AS DOUBLE) / len(t) AS cpt
+          FROM q),
+    r AS (SELECT doc_id, list_filter([
+            CASE WHEN n < 20 THEN 'too_short' END,
+            CASE WHEN dr < 0.33 THEN 'repetitive' END,
+            CASE WHEN sr < 0.02 THEN 'no_stopwords' END,
+            CASE WHEN cpt < 3.0 THEN 'fragmented' END,
+            CASE WHEN cpt > 10.0 THEN 'overlong_tokens' END],
+            x -> x IS NOT NULL) AS reasons
+          FROM s)
+    SELECT doc_id, len(reasons) = 0 AS keep,
+           coalesce(array_to_string(reasons, ','), '') AS reasons
+    FROM r
+    """,
+    tier="C",
+    doc="Gopher/C4-style quality FILTER: the keep/drop decision layer over "
+    "q_quality_score's signals, with per-document reason codes "
+    "(too_short, repetitive, no_stopwords, fragmented, overlong_tokens) "
+    "so drops are auditable — the curation property that matters when a "
+    "filter eats 20% of a 100-TB corpus. Same map-only/zero-shuffle "
+    "shape as the scoring pass; thresholds are integer/double-compare "
+    "only (no rounding in the decision path → engine-identical).",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = tokens("text")
+    n = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n
+    sr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    cpt = F.col("n_chars").cast("double") / n
+    checks = [
+        (n < 20, "too_short"),
+        (dr < 0.33, "repetitive"),
+        (sr < 0.02, "no_stopwords"),
+        (cpt < 3.0, "fragmented"),
+        (cpt > 10.0, "overlong_tokens"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(code)) for cond, code in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
+
+
+@register(
     "q_token_count",
     oracle="""
     SELECT doc_id,
