@@ -73,6 +73,75 @@ def hash_sample(
     return df.where(hash_bucket(id_col, seed, SAMPLE_BUCKETS) < fraction_bp)
 
 
+def mixture_fractions(
+    df: DataFrame,
+    domain_col: str,
+    weights_permille: dict[str, int],
+) -> DataFrame:
+    """Per-domain sampling fractions hitting a target mixture.
+
+    Given target shares w_d (per-mille) and observed counts c_d, the
+    largest corpus honoring the mixture without upsampling is
+    ``T = min_d(c_d / w_d) · 1000`` — the scarcest domain relative to its
+    target binds, keeps 100%, and every other domain downsamples to
+    ``frac_d = T · w_d / (1000 · c_d)``. This is the static data-mixing
+    step of a pretraining pipeline (fixed-weight DoReMi-style mixtures).
+
+    Returns (domain, n_docs, frac_bp): observed count and the keep
+    fraction in basis points. Domains absent from ``weights_permille``
+    get frac_bp = 0 (excluded from the mix). The result is
+    dimension-sized (one row per domain) — always broadcastable.
+    """
+    pairs: list[Column] = []
+    for value, w in sorted(weights_permille.items()):
+        pairs.extend([F.lit(value), F.lit(w)])
+    w_col = F.coalesce(F.create_map(*pairs)[F.col(domain_col)], F.lit(0))
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("_w", w_col)
+    )
+    # T_scaled = min over weighted domains of c_d/w_d (double; identical
+    # across engines — same divisions, same min).
+    t_scaled = (
+        counts.where(F.col("_w") > 0)
+        .agg(F.min(F.col("n_docs").cast("double") / F.col("_w")).alias("_t"))
+    )
+    frac_bp = F.least(
+        F.lit(SAMPLE_BUCKETS),
+        F.floor(F.lit(SAMPLE_BUCKETS) * F.col("_t") * F.col("_w") / F.col("n_docs")).cast(
+            "long"
+        ),
+    )
+    return (
+        counts.crossJoin(F.broadcast(t_scaled))
+        .select(
+            domain_col,
+            "n_docs",
+            F.when(F.col("_w") > 0, frac_bp).otherwise(F.lit(0)).alias("frac_bp"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights_permille: dict[str, int],
+    seed: str = "mix",
+) -> DataFrame:
+    """Sample the corpus to the target mixture: join the (broadcast)
+    per-domain fractions and keep rows by the id-hash predicate. Same
+    determinism/stability properties as ``hash_sample``; the only
+    shuffle is the dimension-sized count aggregate."""
+    fracs = mixture_fractions(df, domain_col, weights_permille)
+    return (
+        df.join(F.broadcast(fracs.select(domain_col, "frac_bp")), domain_col)
+        .where(hash_bucket(id_col, seed, SAMPLE_BUCKETS) < F.col("frac_bp"))
+        .drop("frac_bp")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -66,6 +66,7 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_batch_assign",
     "q_quality_filter",
+    "q_mix_sources",
     # -- one representative per operator family (green in round 1)
     "q_scan_parquet",
     "q_scan_range_pred",
@@ -85,9 +86,9 @@ _DRIVER_ORDER = [
     "q_window_frame",
     "q_topk_per_group",
     "q_sort_limit",
-    "q_set_except",
     "q_dedup_exact",
     # ---- driver's 50-entry window ends here ----
+    "q_set_except",
     "q_stream_tumbling",
     "q_asof_join",
     "q_join_semi",

@@ -10,10 +10,13 @@ is bit-identical in DuckDB, unlike RNG-based ``df.sample``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators.batching import assign_batches
 from news_categorization_big_data_spark.operators.sampling import (
     assign_split,
+    mixture_fractions,
+    mixture_sample,
     stratified_sample,
 )
 from news_categorization_big_data_spark.plans.registry import register
@@ -77,6 +80,61 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="lang",
         fractions_bp=STRAT_FRACTIONS_BP,
         default_bp=STRAT_DEFAULT_BP,
+    )
+
+
+#: Target mixture (per-mille of the final corpus) for the data-mixing
+#: query; sources not listed are excluded from the mix.
+MIX_WEIGHTS_PERMILLE = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
+
+
+@register(
+    "q_mix_sources",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+                             WHEN 'src2' THEN 200 WHEN 'src3' THEN 100
+                             ELSE 0 END AS wt
+          FROM counts),
+    t AS (SELECT MIN(CAST(n_docs AS DOUBLE) / wt) AS t FROM w WHERE wt > 0),
+    f AS (SELECT source, n_docs,
+                 CASE WHEN wt > 0
+                      THEN least(10000,
+                                 CAST(floor(10000 * t.t * wt / n_docs) AS BIGINT))
+                      ELSE 0 END AS frac_bp
+          FROM w, t),
+    k AS (SELECT d.source, COUNT(*) AS n_kept
+          FROM documents d JOIN f USING (source)
+          WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 10000 < f.frac_bp
+          GROUP BY d.source)
+    SELECT f.source, f.n_docs, f.frac_bp, COALESCE(k.n_kept, 0) AS n_kept
+    FROM f LEFT JOIN k USING (source)
+    """,
+    tier="C",
+    doc="Data-mixture rebalancing (operators/sampling.py "
+    "mixture_fractions/mixture_sample): given target per-source shares, "
+    "derive the largest corpus honoring the mixture without upsampling "
+    "(the scarcest-relative-to-target source binds at 100%), downsample "
+    "every other source by the id-hash predicate, and report per-source "
+    "observed count, keep fraction (bp), and kept count. The fraction "
+    "table is dimension-sized and broadcast; membership stays map-only "
+    "— the static data-mixing step of a pretraining pipeline.",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fracs = mixture_fractions(docs, "source", MIX_WEIGHTS_PERMILLE)
+    kept = (
+        mixture_sample(docs, "doc_id", "source", MIX_WEIGHTS_PERMILLE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return fracs.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "frac_bp",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
 
 

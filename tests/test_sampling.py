@@ -84,3 +84,26 @@ def test_batch_assign_invariants(spark):
     # deterministic under repartitioning (hash membership, no row_number)
     again = assign_batches(df.repartition(17)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from news_categorization_big_data_spark.operators.sampling import (
+        mixture_fractions,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 10 < 6 else ("b" if i % 10 < 9 else "c")) for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # counts: a=6000, b=3000, c=1000; target 50/30/20 → c binds (1000/200
+    # is the scarcest relative share), T=5000: a→2500 (frac .4167), b→1500
+    fr = {r.domain: r.frac_bp for r in mixture_fractions(df, "domain", {"a": 500, "b": 300, "c": 200}).collect()}
+    assert fr["c"] == 10_000  # binding domain keeps everything
+    assert abs(fr["a"] - 4166) <= 1 and fr["b"] == 5000
+    kept = mixture_sample(df, "doc_id", "domain", {"a": 500, "b": 300, "c": 200})
+    got = {r.domain: r.n for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert got["c"] == 1000
+    assert abs(got["a"] / total - 0.5) < 0.03 and abs(got["b"] / total - 0.3) < 0.03
+    # excluded domains are dropped entirely
+    none_kept = mixture_sample(df, "doc_id", "domain", {"a": 1000})
+    assert {r.domain for r in none_kept.select("domain").distinct().collect()} == {"a"}
