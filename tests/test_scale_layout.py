@@ -125,3 +125,24 @@ def test_salted_sum_matches_plain_sum(spark, sf_dir):
         for r in salted_sum(ev, ["event_type"], cents, "total", salt_buckets=4).collect()
     }
     assert salted == plain
+
+
+def test_map_only_queries_have_no_exchange(spark, sf_dir):
+    """The curation/scoring queries documented as map-only must stay
+    shuffle-free: one Exchange creeping into a per-row pass is the
+    difference between linear scan and cluster-wide repartition at
+    100 TB."""
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    for name in [
+        "q_classify_keywords",
+        "q_split_train_eval",
+        "q_sample_stratified",
+        "q_quality_filter",
+        "q_text_clean",
+        "q_doc_fingerprint",
+        "q_quality_score",
+        "q_token_count",
+    ]:
+        plan = _plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} is no longer map-only:\n{plan}"
