@@ -38,6 +38,20 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, r"\s+")
 
 
+def word_ngrams(col: Column | str, k: int = 2) -> Column:
+    """All k-word n-grams IN ORDER, duplicates kept (repetition analysis
+    needs the multiset — ``word_shingles`` below dedups for set-similarity).
+
+    DuckDB mirror (1-based inclusive slices):
+    ``list_transform(range(1, len(t) - {k-2}), i -> array_to_string(t[i:i+{k-1}], ' '))``.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(k)])
+    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard input unit).
 

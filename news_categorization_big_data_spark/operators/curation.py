@@ -1,0 +1,100 @@
+"""Corpus-hygiene operators a pretraining pipeline runs between dedup
+and batching: eval-set decontamination and within-document repetition
+measurement.
+
+Scale shapes (100 TB corpus, holdout ≤ 1e-3 of it):
+
+- **decontamination**: the holdout's distinct shingle-hash set is
+  dimension-sized relative to the corpus, so the overlap test is a
+  BROADCAST semi-join — the train side is never shuffled on n-grams;
+  the only shuffle carries the (doc_id, hit) rows that actually
+  overlap, a vanishing fraction of the corpus.
+- **repetition**: a pure per-row column expression (n-gram multiset vs
+  its distinct size) — map-only, zero shuffle, whole-stage codegen.
+
+The reference has no notion of dataset hygiene (SURVEY.md §2.12 frames
+the Tier-C mandate); these are the engine-side versions of the
+train/test-overlap and boilerplate filters described in the GPT-3 and
+Gopher dataset reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.text_exprs import word_shingles
+
+
+def ngram_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Train documents sharing ≥1 k-word shingle with the holdout set.
+
+    Returns (id, n_overlap): the number of DISTINCT train-doc shingles
+    that also occur anywhere in the holdout — the signal a
+    decontamination pass thresholds on before dropping or redacting
+    train docs (exact-substring contamination à la GPT-3 appendix C).
+
+    The holdout's shingles are hashed (60-bit md5 — engine-portable,
+    collision-negligible) and deduped to a compact key set that Spark
+    broadcasts; train shingles stream past it map-side.
+    """
+    ev = (
+        holdout.select(F.explode(word_shingles(text_col, k)).alias("_s"))
+        .select(hash60("_s").alias("_h"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_s")
+    ).select(id_col, hash60("_s").alias("_h"))
+    return (
+        tr.join(F.broadcast(ev), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+) -> DataFrame:
+    """Per-document repetition ratio over k-word n-grams (map-only).
+
+    (id, n_grams, n_distinct, dup_ratio): dup_ratio = 1 − distinct/total
+    over the ORDERED n-gram multiset — near 0 for natural prose, near 1
+    for looping boilerplate ("click here click here …"). Documents with
+    fewer than k words have no n-grams and are excluded (no ratio to
+    report). Downstream filters threshold on dup_ratio the way Gopher's
+    repetition rules do.
+    """
+    from news_categorization_big_data_spark.functions.text_exprs import word_ngrams
+
+    grams = word_ngrams(text_col, k)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return (
+        docs.select(
+            F.col(id_col),
+            n.cast("long").alias("n_grams"),
+            nd.cast("long").alias("n_distinct"),
+        )
+        .where(F.col("n_grams") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_distinct",
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct"))
+                / F.col("n_grams").cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -122,6 +122,9 @@ _DRIVER_ORDER = [
     # driver window by design — the window holds the SURVEY contract set)
     "q_group_quantiles",
     "q_top_terms_per_doc",
+    "q_decontaminate",
+    "q_repetition_stats",
+    "q_dedup_cluster",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

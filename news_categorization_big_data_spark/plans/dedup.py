@@ -116,7 +116,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs)
 
 
-def _lsh_oracle() -> str:
+def _lsh_cand_ctes() -> str:
+    """CTE chain ending in ``cand(doc_a, doc_b)`` — the banded-LSH
+    candidate pairs, shared by q_dedup_near and q_dedup_cluster so the
+    two oracles cannot drift."""
     rows = MINHASH_K // MINHASH_BANDS
     mins = ",\n           ".join(_o_minhash(j) for j in range(MINHASH_K))
     band_keys = []
@@ -125,14 +128,19 @@ def _lsh_oracle() -> str:
         band_keys.append(f"({cols})")
     band_join = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
     band_sel = ",\n           ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     banded AS (SELECT doc_id,
            {band_sel}
-           FROM mh)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_join})
+           FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_join}))"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b FROM cand
     """
 
 
@@ -148,6 +156,42 @@ def _lsh_oracle() -> str:
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_cand_ctes()},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+    """
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=_cluster_oracle(),
+    tier="C",
+    doc="Near-duplicate CLUSTERS from the banded-LSH candidate pairs: "
+    "distributed connected components by min-label propagation "
+    "(operators/graph.py), component label = min doc id — the canonical "
+    "survivor a dedup pass keeps. Each round is one equi-join + one "
+    "min-aggregate over the (tiny, cached) pair graph; rounds = cluster "
+    "diameter, 2-4 in practice for LSH graphs. Oracle = recursive-CTE "
+    "min-reachable-label over the same candidate CTE as q_dedup_near.",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components(pairs)
 
 
 def _simhash_oracle(bits: int = 16) -> str:

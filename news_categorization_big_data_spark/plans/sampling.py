@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators.batching import assign_batches
+from news_categorization_big_data_spark.operators.curation import ngram_contamination
 from news_categorization_big_data_spark.operators.sampling import (
     assign_split,
     mixture_fractions,
@@ -136,6 +137,49 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_bp",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                  FROM documents WHERE text <> ''),
+    hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id,
+                        unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                 FROM toks)),
+    sp AS (SELECT doc_id,
+                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000 AS b
+           FROM documents),
+    ev AS (SELECT DISTINCT h FROM hh JOIN sp USING (doc_id) WHERE b >= 900)
+    SELECT hh.doc_id, COUNT(*) AS n_overlap
+    FROM hh JOIN sp USING (doc_id) JOIN ev USING (h)
+    WHERE sp.b < 800
+    GROUP BY hh.doc_id
+    """,
+    tier="C",
+    doc="Eval-set decontamination (operators/curation.py "
+    "ngram_contamination): train docs (80% id-hash split) sharing ≥1 "
+    "3-word shingle with the held-out test split, with the count of "
+    "overlapping shingles — the exact-substring train/test-overlap "
+    "check of the GPT-3 appendix-C flavor. The holdout's distinct "
+    "shingle-hash set is dimension-sized, so Spark BROADCASTS it and "
+    "the 100-TB train side is never shuffled on n-grams; only actual "
+    "hits reach the per-doc count.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text") != "")
+    )
+    split = assign_split(docs, id_col="doc_id", train_permille=800, val_permille=100)
+    train = split.where(F.col("split") == "train")
+    holdout = split.where(F.col("split") == "test")
+    return ngram_contamination(train, holdout, text_col="text", id_col="doc_id", k=3)
 
 
 @register(

@@ -290,6 +290,35 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_repetition_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id,
+                      list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' ')) AS grams
+               FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                     FROM documents WHERE text <> ''))
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round((len(grams) - len(list_distinct(grams)))
+                 / CAST(len(grams) AS DOUBLE), 4) AS dup_ratio
+    FROM g WHERE len(grams) > 0
+    """,
+    tier="C",
+    doc="Within-document repetition ratio over ordered word bigrams "
+    "(operators/curation.py repetition_stats): dup_ratio = 1 − "
+    "distinct/total — near 0 for prose, near 1 for looping boilerplate. "
+    "The Gopher-style repetition filter signal, computed as a pure "
+    "column expression: map-only, zero shuffle, whole-stage codegen.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.curation import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return repetition_stats(docs, text_col="text", id_col="doc_id", k=2)
+
+
+@register(
     "q_top_terms_per_doc",
     oracle="""
     SELECT doc_id, token, cnt FROM (
