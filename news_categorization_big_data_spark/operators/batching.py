@@ -19,7 +19,7 @@ no single-reducer stage, deterministic across engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import hash60
@@ -39,6 +39,62 @@ def length_bucket(tok_count: Column) -> Column:
     for ceiling in LENGTH_BUCKETS[1:-1]:
         expr = expr.when(tok_count <= ceiling, F.lit(ceiling))
     return expr.otherwise(F.lit(LENGTH_BUCKETS[-1]))
+
+
+#: Sequence-packing defaults: context length in tokens, and the shard
+#: count for the SMALL testdata. Parallelism = n_shards, so at corpus
+#: scale n_shards grows with the data (~1e6 shards for 100 TB): packing
+#: quality is shard-local, the only cost of finer sharding is ~seq_len/2
+#: boundary-waste tokens per shard — negligible next to shard size.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 64
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy contiguous sequence packing, shard-parallel.
+
+    Pretraining concatenates documents into fixed-length sequences
+    (seq_len tokens) instead of padding each doc — "sequence packing".
+    The layout must be DETERMINISTIC (reproducible data order across
+    runs/engines) yet parallel: docs are hash-bucketed into shards, laid
+    out inside each shard in md5-hash order (a deterministic shuffle —
+    training wants documents decorrelated, and the hash order delivers
+    that for free), and concatenated; a doc starting at cumulative token
+    offset ``s`` lands in sequence ``s // seq_len`` at offset
+    ``s % seq_len`` (docs crossing a boundary continue into the next
+    sequence, standard packed-dataset semantics).
+
+    (id, shard, tok_count, seq_idx, seq_offset) — all integers, fully
+    oracle-exact. One shuffle (the per-shard window sort); each reducer
+    sorts corpus/n_shards docs, so n_shards — not a constant — sets the
+    parallelism, chosen ∝ corpus size.
+    """
+    tc = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    docs = df.select(
+        F.col(id_col),
+        tc.cast("long").alias("tok_count"),
+        (hash60(F.col(id_col).cast("string"), seed="packshard") % n_shards).alias("shard"),
+        hash60(F.col(id_col).cast("string"), seed="packorder").alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("tok_count").over(w), F.lit(0))
+    return docs.select(
+        id_col,
+        "shard",
+        "tok_count",
+        F.floor(start / seq_len).cast("long").alias("seq_idx"),
+        (start % seq_len).alias("seq_offset"),
+    )
 
 
 def assign_batches(

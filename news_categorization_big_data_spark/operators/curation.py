@@ -60,6 +60,48 @@ def ngram_contamination(
     )
 
 
+#: (name, pattern, replacement) applied IN ORDER on progressively
+#: scrubbed text — order matters: emails first (their local parts can
+#: contain digit runs), then IPv4 (dotted quads would otherwise match
+#: the looser phone pattern), then phones. Patterns deliberately use
+#: only syntax with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repeats, \b, \d.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-like numbers; count each (map-only).
+
+    (id, text_clean, n_email, n_ip, n_phone). Each pattern's count is
+    taken on the text AFTER the previous patterns were scrubbed, so an
+    address never double-counts as a phone number — and both engines
+    apply the identical sequence, keeping the counts oracle-exact.
+    Pure ``regexp_count``/``regexp_replace`` column expressions: zero
+    shuffle, whole-stage codegen, the per-row shape of a C4/Gopher-style
+    PII pass (swap in NER-backed detection via mapInPandas when regex
+    isn't enough — same plumbing as operators/multimodal.py).
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    done: list[str] = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.select(
+            id_col,
+            *[F.col(c) for c in done],
+            F.regexp_count("_t", F.lit(pat)).cast("long").alias(f"n_{name}"),
+            F.regexp_replace("_t", pat, repl).alias("_t"),
+        )
+        done.append(f"n_{name}")
+    return out.select(
+        id_col, F.col("_t").alias("text_clean"), *[F.col(c) for c in done]
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",

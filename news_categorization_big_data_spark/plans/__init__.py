@@ -125,6 +125,8 @@ _DRIVER_ORDER = [
     "q_decontaminate",
     "q_repetition_stats",
     "q_dedup_cluster",
+    "q_pii_scrub",
+    "q_pack_sequences",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from news_categorization_big_data_spark.operators.batching import assign_batches
+from news_categorization_big_data_spark.operators.batching import (
+    PACK_SEQ_LEN,
+    PACK_SHARDS,
+    assign_batches,
+    pack_sequences,
+)
 from news_categorization_big_data_spark.operators.curation import ngram_contamination
 from news_categorization_big_data_spark.operators.sampling import (
     assign_split,
@@ -137,6 +142,41 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_bp",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                           x -> x <> '')) AS BIGINT) AS tok_count,
+                      ('0x' || substr(md5('packshard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % {PACK_SHARDS} AS shard,
+                      ('0x' || substr(md5('packorder:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        AS ok
+               FROM documents),
+    s AS (SELECT doc_id, shard, tok_count,
+                 COALESCE(SUM(tok_count) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM d)
+    SELECT doc_id, shard, tok_count,
+           CAST(floor(st / {PACK_SEQ_LEN}) AS BIGINT) AS seq_idx,
+           st % {PACK_SEQ_LEN} AS seq_offset
+    FROM s
+    """,
+    tier="C",
+    doc="Deterministic sequence packing (operators/batching.py "
+    f"pack_sequences): docs hash-bucketed into {PACK_SHARDS} shards, "
+    "laid out in md5-hash order within each shard (a reproducible "
+    "corpus shuffle), concatenated, and assigned to fixed "
+    f"{PACK_SEQ_LEN}-token training sequences by cumulative offset. "
+    "One per-shard window shuffle; parallelism = n_shards, which scales "
+    "with the corpus (the constant here fits the testdata). All-integer "
+    "outputs → oracle-exact.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, id_col="doc_id", text_col="text")
 
 
 @register(

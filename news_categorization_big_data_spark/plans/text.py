@@ -289,6 +289,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """Sequential scrub CTE chain generated from PII_PATTERNS — same
+    constants as the Spark operator, so the two cannot drift."""
+    from news_categorization_big_data_spark.operators.curation import PII_PATTERNS
+
+    prev = "(SELECT doc_id, text AS t FROM documents)"
+    carried: list[str] = []
+    for name, pat, repl in PII_PATTERNS:
+        cols = "".join(f"{c}, " for c in carried)
+        prev = f"""(SELECT doc_id, {cols}
+               CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name},
+               regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+        FROM {prev})"""
+        carried.append(f"n_{name}")
+    cols = ", ".join(carried)
+    return f"SELECT doc_id, t AS text_clean, {cols} FROM {prev}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=_pii_oracle(),
+    tier="C",
+    doc="PII redaction (operators/curation.py pii_scrub): emails, IPv4s, "
+    "and phone-like digit runs replaced by typed placeholders, each "
+    "counted on the progressively scrubbed text so categories never "
+    "double-count. Map-only regexp expressions with Java/RE2-portable "
+    "syntax; the testdata corpus is PII-free by construction, so the "
+    "registered run proves the no-op path — planted-PII behavior is "
+    "pinned cross-engine in tests/test_curation.py.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.curation import pii_scrub
+
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "q_repetition_stats",
     oracle="""

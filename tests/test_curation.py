@@ -62,6 +62,65 @@ def test_repetition_ratio_separates_prose_from_boilerplate(spark):
     assert rows[2]["dup_ratio"] == 0.0
 
 
+def test_pii_scrub_planted_rows_match_duckdb(spark, duck):
+    """Cross-engine regex parity on text the corpus doesn't contain:
+    both engines scrub the same planted rows to identical outputs."""
+    import duckdb
+
+    from news_categorization_big_data_spark.operators.curation import pii_scrub
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server at 10.0.255.3 logged 192.168.1.1 twice"),
+        (3, "no sensitive content in this row at all"),
+        (4, "mixed: a@b.io then 8.8.8.8 then 555-123-4567 done"),
+    ]
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in pii_scrub(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    values = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    oracle = REGISTRY["q_pii_scrub"].oracle.replace(
+        "FROM documents", f"FROM (VALUES {values}) AS documents(doc_id, text)"
+    )
+    con = duckdb.connect()
+    want = {r[0]: tuple(r) for r in con.execute(oracle).fetchall()}
+    con.close()
+    assert got == want
+    assert got[1][1] == "contact <EMAIL> or call <PHONE> now"
+    assert got[2][1] == "server at <IP> logged <IP> twice"
+    # counts: (text_clean, n_email, n_ip, n_phone) after doc_id
+    assert got[1][2:] == (1, 0, 1)
+    assert got[2][2:] == (0, 2, 0)
+    assert got[3][2:] == (0, 0, 0)
+    assert got[4][2:] == (1, 1, 1)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Offsets are consistent: within (shard, hash-order), each doc's
+    start offset equals the previous doc's start + tok_count, and
+    seq_idx/seq_offset decompose that offset by seq_len."""
+    from collections import defaultdict
+
+    from news_categorization_big_data_spark.operators.batching import pack_sequences
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_sequences(docs, seq_len=128, n_shards=8).collect()
+    assert len(out) == docs.count()
+    by_shard = defaultdict(list)
+    for r in out:
+        start = r["seq_idx"] * 128 + r["seq_offset"]
+        by_shard[r["shard"]].append((start, r["tok_count"]))
+    for shard, entries in by_shard.items():
+        entries.sort()
+        pos = 0
+        for start, tok in entries:
+            assert start == pos, f"shard {shard}: gap at {start} != {pos}"
+            pos += tok
+
+
 def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (9, 8)], ["doc_a", "doc_b"]

@@ -144,6 +144,7 @@ def test_map_only_queries_have_no_exchange(spark, sf_dir):
         "q_quality_score",
         "q_token_count",
         "q_repetition_stats",
+        "q_pii_scrub",
     ]:
         plan = _plan(REGISTRY[name].builder(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} is no longer map-only:\n{plan}"
