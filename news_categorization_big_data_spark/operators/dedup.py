@@ -129,11 +129,34 @@ def jaccard_pairs(
 
         sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
-    pref = sized.select(id_col, F.explode(F.slice("_hs", 1, prefix_len)).alias("_h"))
-    buckets = pref.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
+    pref = sized.select(
+        id_col, "_sz", F.explode(F.slice("_hs", 1, prefix_len)).alias("_h")
+    )
+    buckets = pref.groupBy("_h").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sz").alias("s"))).alias("_ids")
+    )
     if max_df is not None:
         buckets = buckets.where(F.size("_ids") <= max_df)
-    cand = pairs_from_buckets(buckets, "_ids", "doc_a", "doc_b")
+    # LENGTH FILTER (PPJoin): J = |∩|/|∪| ≤ min(sz)/max(sz), so J ≥ t
+    # forces min ≥ t·max — prune inside the buckets, before the pair
+    # ever reaches the (expensive) set-intersection verify join. Sound:
+    # pruned pairs cannot pass verification, so the RESULT is unchanged
+    # and the oracle needs no mirror. Integer arithmetic (t scaled to
+    # parts-per-million) so a pair at exactly J = t is never lost to a
+    # float boundary (0.8·5 in binary is 4.0000000000000002 > 4).
+    t_ppm = round(threshold * 1_000_000)
+    cand = (
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("_a"), F.col("_ids"))
+        .select("_a", F.explode("_ids").alias("_b"))
+        .where(F.col("_a.i") < F.col("_b.i"))
+        .where(
+            F.least("_a.s", "_b.s") * F.lit(1_000_000)
+            >= F.lit(t_ppm) * F.greatest("_a.s", "_b.s")
+        )
+        .select(F.col("_a.i").alias("doc_a"), F.col("_b.i").alias("doc_b"))
+        .distinct()
+    )
     sa = sized.select(
         F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza"), F.col("_hs").alias("_hsa")
     )

@@ -45,9 +45,17 @@ def connected_components(
     diameter-25 near-dup cluster means the candidate generator is
     broken, not that more rounds are needed).
     """
+    # The pair graph is orders of magnitude smaller than whatever corpus
+    # produced it, but its lineage (e.g. an LSH distinct) can carry
+    # hundreds of shuffle partitions. Coalesce the cached tables to the
+    # cluster's core count so each propagation round schedules O(cores)
+    # tasks, not O(upstream partitions) — coalesce never shuffles and
+    # never increases the count.
+    n_parts = max(1, pairs.sparkSession.sparkContext.defaultParallelism)
     edges = (
         pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .union(pairs.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .coalesce(n_parts)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
