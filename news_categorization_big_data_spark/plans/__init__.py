@@ -127,6 +127,7 @@ _DRIVER_ORDER = [
     "q_dedup_cluster",
     "q_pii_scrub",
     "q_pack_sequences",
+    "q_ml_kmeans",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -60,6 +60,35 @@ def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ml_kmeans",
+    oracle=None,  # iterative Lloyd fit is engine-specific → rows-only check
+    tier="C",
+    doc="MLlib KMeans over the embeddings table (k=8, fixed seed): the "
+    "clustering estimator that builds a REAL IVF index at scale — "
+    "q_sim_ann_ivf's deterministic first-8-vectors centroids are the "
+    "oracle-checkable stand-in; production replaces them with these "
+    "fitted centroids (fit on a sample, broadcast, assign map-side). "
+    "Output (vec_id, cluster, n_in_cluster); structural properties "
+    "(cluster count, nearest-centroid consistency, seed determinism) "
+    "asserted in tests/test_curation.py.",
+)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cluster").fit(emb)
+    assigned = model.transform(emb).select("vec_id", "cluster")
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_in_cluster"))
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "n_in_cluster"
+    )
+
+
+@register(
     "q_classify_keywords",
     oracle=f"""
     WITH t AS (SELECT doc_id,

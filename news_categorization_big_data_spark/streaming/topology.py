@@ -131,6 +131,45 @@ def track_category_totals(parsed: DataFrame) -> DataFrame:
     )
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "category",
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    within_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within an event-time interval:
+    a right event matches a left event iff it lands in
+    ``[left_ts, left_ts + within_seconds]``.
+
+    Both sides are watermarked, which is what BOUNDS THE JOIN STATE — the
+    state store only retains rows younger than watermark + interval, so
+    state size tracks the event rate, not the stream length (the
+    unbounded-state trap of an unconstrained stream-stream join). The
+    same function works on batch frames (watermarks skipped — they are
+    streaming-only), which is how the parity test pins the semantics.
+
+    Output disambiguates the two sides as ``<col>_l`` / ``<col>_r``.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    l = left.select([F.col(c).alias(f"{c}_l") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{c}_r") for c in right.columns])
+    cond = (
+        (F.col(f"{key}_l") == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(f"{left_ts}_l"))
+        & (
+            F.col(f"{right_ts}_r")
+            <= F.col(f"{left_ts}_l") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def serialize_messages(df: DataFrame) -> DataFrame:
     """Rows → Kafka-shaped records: ``value`` = to_json(struct(...)) over
     the SHARED payload schema (≙ news_summarization_batch.py:114-119,

@@ -160,6 +160,47 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
+def test_kmeans_structural_properties(spark, sf_dir):
+    """Labels in the synthetic embeddings are not separable, so the
+    check is structural: every vector assigned, k clusters used, each
+    point's cluster is its nearest fitted centroid, and the fit is
+    seed-deterministic."""
+    import numpy as np
+
+    from news_categorization_big_data_spark.plans import REGISTRY
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    out = REGISTRY["q_ml_kmeans"].builder(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(out) == len(emb)
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 8
+
+    # Recompute centroids from the assignment; every point must then be
+    # nearest its own centroid (Lloyd fixed-point property).
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(emb[r["vec_id"]])
+    cents = {c: np.mean(vs, axis=0) for c, vs in by_cluster.items()}
+    cl_ids = sorted(cents)
+    cmat = np.stack([cents[c] for c in cl_ids])
+    mismatched = 0
+    for r in out:
+        d = np.linalg.norm(cmat - emb[r["vec_id"]], axis=1)
+        if cl_ids[int(np.argmin(d))] != r["cluster"]:
+            mismatched += 1
+    # tolerate a convergence-tolerance sliver, not systematic error
+    assert mismatched <= max(2, len(out) // 100), mismatched
+
+    again = REGISTRY["q_ml_kmeans"].builder(spark, sf_dir).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in again} == {
+        (r["vec_id"], r["cluster"]) for r in out
+    }
+
+
 def test_connected_components_raises_when_budget_too_small(spark):
     # A 5-vertex path needs more than one propagation round.
     pairs = spark.createDataFrame(

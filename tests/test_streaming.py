@@ -333,3 +333,56 @@ def test_foreachbatch_idempotent_replay(spark, tmp_path):
     write_batch(df, 7)
     write_batch(df, 7)  # replay of the same micro-batch
     assert spark.read.parquet(out).count() == 5
+
+
+def test_stream_stream_interval_join_parity(spark, tmp_path):
+    """Stream-stream event-time interval join equals the batch theta join
+    on the same rows — and the join carries watermarks on both sides so
+    its state is bounded."""
+    from news_categorization_big_data_spark.streaming.topology import (
+        join_streams_interval,
+    )
+
+    left_rows = [
+        _payload("l-sports-early", "sports", "2024-01-01 10:00:00"),
+        _payload("l-sports-late", "sports", "2024-01-01 11:00:00"),
+        _payload("l-arts", "arts", "2024-01-01 10:00:00"),
+    ]
+    right_rows = [
+        _payload("r-sports-in", "sports", "2024-01-01 10:05:00"),   # joins early (5m)
+        _payload("r-sports-out", "sports", "2024-01-01 10:30:00"),  # 30m: outside 10m
+        _payload("r-arts-exact", "arts", "2024-01-01 10:10:00"),    # boundary: exactly 10m
+        _payload("r-political", "political", "2024-01-01 10:00:00"),
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_jsonl(lsrc, left_rows)
+    _write_jsonl(rsrc, right_rows)
+
+    def build(streaming: bool):
+        if streaming:
+            l = parse_messages(read_message_stream(spark, source="json-files", path=lsrc))
+            r = parse_messages(read_message_stream(spark, source="json-files", path=rsrc))
+        else:
+            l = parse_messages(spark.read.schema("value string").json(lsrc))
+            r = parse_messages(spark.read.schema("value string").json(rsrc))
+        return join_streams_interval(l, r, within_seconds=600)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    query = (
+        build(streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+
+    got = {(r.content_l, r.content_r) for r in spark.read.parquet(out).collect()}
+    want = {(r.content_l, r.content_r) for r in build(streaming=False).collect()}
+    assert got == want
+    assert want == {
+        ("l-sports-early", "r-sports-in"),
+        ("l-arts", "r-arts-exact"),
+    }
