@@ -29,6 +29,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     sources,
     udtf,
     sampling,
+    reshape,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -128,6 +129,9 @@ _DRIVER_ORDER = [
     "q_pii_scrub",
     "q_pack_sequences",
     "q_ml_kmeans",
+    "q_pivot_wide",
+    "q_unpivot_long",
+    "q_gap_fill",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

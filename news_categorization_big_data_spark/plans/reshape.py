@@ -1,0 +1,170 @@
+"""Reshaping queries over `events`: pivot (long→wide), unpivot
+(wide→long), and time-series gap filling — the reporting-layer surface a
+warehouse user reaches for after the aggregations in plans/relational.py.
+
+Scale notes: pivot with an EXPLICIT value list compiles to one hash
+aggregate with `len(values)` conditional counters — one shuffle, no
+second pass (omitting the list makes Spark run an extra distinct job to
+discover it, and an unbounded value domain would explode the row width —
+always pin the list). Unpivot is a map-only `expand` (each input row
+emits `len(values)` rows, no shuffle). Gap filling joins the observed
+bins to a GENERATED time spine — `sequence()` is evaluated per
+event_type group, the spine is dimension-sized (bins × types, never
+corpus-sized), and the carry-forward is one window per type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import dsum, o_dsum
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: The events table's closed event-type domain — pinned so the pivot is
+#: single-pass and both engines emit identical column sets.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """
+
+
+@register(
+    "q_pivot_wide",
+    oracle=_pivot_oracle(),
+    tier="B",
+    doc="Pivot long→wide: per-user event counts, one column per event "
+    "type. The value list is EXPLICIT (EVENT_TYPES) so Spark skips the "
+    "value-discovery job and plans a single hash aggregate with one "
+    "conditional counter per type — one shuffle, same shape as the "
+    "oracle's CASE aggregation.",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.select("user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES])
+
+
+def _unpivot_oracle() -> str:
+    spine = " UNION ALL ".join(f"SELECT '{t}' AS event_type" for t in EVENT_TYPES)
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS ({spine}),
+    c AS (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """
+
+
+@register(
+    "q_unpivot_long",
+    oracle=_unpivot_oracle(),
+    tier="B",
+    doc="Unpivot wide→long (`df.unpivot`, the melt): the pivoted per-user "
+    "counts restored to (user_id, event_type, n) rows — including the "
+    "explicit zeros the wide form materialized. Unpivot itself is a "
+    "map-only expand (each row emits one output row per value column, "
+    "no shuffle on top of the pivot's aggregate).",
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_wide(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+#: Gap-fill bin width (seconds) — 1-hour bins: sparse enough on the
+#: testdata event rate that real gaps exist, so the spine + LOCF path is
+#: exercised by data, not just by plan shape.
+GAP_BIN_SECONDS = 3600
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(to_timestamp(floor(epoch(ts) / {GAP_BIN_SECONDS}) * {GAP_BIN_SECONDS})
+                           AS TIMESTAMP) AS bin,
+                      COUNT(*) AS n_events,
+                      {o_dsum('value')} AS sum_value
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bin) AS lo, MAX(bin) AS hi FROM b GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL {GAP_BIN_SECONDS} SECONDS)) AS bin
+              FROM bounds),
+    joined AS (SELECT s.event_type, s.bin,
+                      COALESCE(b.n_events, 0) AS n_events,
+                      b.sum_value,
+                      (b.event_type IS NULL) AS was_gap
+               FROM spine s LEFT JOIN b USING (event_type, bin))
+    SELECT event_type, bin, n_events, was_gap,
+           round(COALESCE(sum_value,
+                 last_value(sum_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+             AS sum_value_ff
+    FROM joined
+    """,
+    tier="C",
+    doc="Time-series gap filling (the hypertable `time_bucket_gapfill` "
+    "analog): 1-hour bins per event type, a generated dense time spine "
+    "(`sequence()` per type — dimension-sized, never corpus-sized), "
+    "empty bins restored with n_events = 0 and the decimal-exact bin "
+    "sum carried forward (`last(ignorenulls)` window = LOCF "
+    "interpolation). One agg shuffle + one dimension-sized window.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / GAP_BIN_SECONDS).cast("long") * GAP_BIN_SECONDS
+    )
+    binned = ev.groupBy(
+        "event_type", bin_col.alias("bin")
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    spine = (
+        binned.groupBy("event_type")
+        .agg(F.min("bin").alias("_lo"), F.max("bin").alias("_hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {GAP_BIN_SECONDS} SECONDS"))
+            ).alias("bin"),
+        )
+    )
+    joined = spine.join(binned, ["event_type", "bin"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bin",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("was_gap"),
+        F.round(
+            F.coalesce(
+                "sum_value", F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+            ),
+            4,
+        ).alias("sum_value_ff"),
+    )
