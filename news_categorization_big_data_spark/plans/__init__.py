@@ -30,6 +30,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     udtf,
     sampling,
     reshape,
+    tpch,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -132,6 +133,9 @@ _DRIVER_ORDER = [
     "q_pivot_wide",
     "q_unpivot_long",
     "q_gap_fill",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -1,0 +1,204 @@
+"""TPC-H-style macro queries (Q1 / Q3 / Q5 shapes, adapted to the
+testdata's column subset): full multi-operator workloads — scan +
+pushed-down filters + multiway joins + hash aggregation + top-k — that
+exercise Catalyst's join reordering, AQE broadcast selection, and
+partial aggregation END TO END, where the per-operator queries in
+plans/relational.py each isolate one primitive.
+
+Determinism: every money expression quantizes its FACTORS to
+DECIMAL(18,2) first (the raw doubles carry exactly ≤2 true decimals, so
+the cast is error-free in both engines) and multiplies/sums in decimal —
+exact, reduction-order-independent, identical in Spark and DuckDB. The
+double division for averages happens on bit-identical inputs.
+
+Plan expectations at scale (asserted in tests/test_tpch.py): Q1 is one
+scan + one hash agg (no join); Q3/Q5 broadcast every dimension-sized
+side under AQE and never shuffle the lineitem fact on anything but its
+aggregation keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Q1 cutoff / Q3 segment + date / Q5 region + year — query parameters
+#: pinned as constants (shared by Spark plan and oracle).
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01"
+Q5_REGION = "ASIA"
+Q5_YEAR_LO = "1996-01-01"
+Q5_YEAR_HI = "1997-01-01"
+
+
+def _d2(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_price() -> Column:
+    """l_extendedprice · (1 − l_discount), exact in decimal."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return _d2("l_extendedprice") * (one - _d2("l_discount"))
+
+
+_O_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_O_DISC_PRICE}
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="B",
+    doc="TPC-H Q1 (pricing summary report): one pushed-down date filter, "
+    "one hash aggregate with eight measures — the canonical partial+final "
+    "aggregation workload. Money math is exact decimal (factors "
+    "quantized at 2, the data's true scale), so every sum is "
+    "reduction-order-independent and the avgs divide bit-identical "
+    "numerators.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    charge = _disc_price() * (one + _d2("l_tax"))
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_d2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_d2("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(_d2("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(_d2("l_discount")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tier="B",
+    doc="TPC-H Q3 (shipping priority): segment-filtered customers joined "
+    "through orders into lineitem, revenue per unshipped order, top 10. "
+    "The filtered customer side collapses to a broadcast under AQE; the "
+    "only fact-table shuffle is the aggregation on l_orderkey. "
+    "l_orderkey added to the ORDER BY as a determinism tie-break "
+    "(standard Q3 ties revenue+date only).",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(f"{Q3_DATE} 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _disc_price().alias("_dp"))
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("_dp").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q5_YEAR_HI} 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tier="B",
+    doc="TPC-H Q5 (local supplier volume): six-table join — region-"
+    "filtered nations, customers and suppliers constrained to the SAME "
+    "nation, one order year — then revenue per nation. region/nation/"
+    "supplier are broadcast; Catalyst+AQE order the join tree so the "
+    "lineitem fact streams through map-side joins and shuffles only for "
+    "the final nation aggregate.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(f"{Q5_YEAR_LO} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{Q5_YEAR_HI} 00:00:00").cast("timestamp")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _disc_price().alias("_dp")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy("n_name").agg(F.sum("_dp").cast("double").alias("revenue"))
