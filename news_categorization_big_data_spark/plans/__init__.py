@@ -6,12 +6,13 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-``_DRIVER_ORDER`` places (a) queries without an official correctness row
-yet — the whole Tier-C LLM-pipeline surface plus this round's additions —
-and (b) one representative per operator family inside that window;
-variants that already hold a green round-1 row (q_str_* catalog, second
-window/set/stream variants, …) sit after position 50. Every entry is
-still registered and runnable regardless of position.
+``_DRIVER_ORDER`` places every query that lacks an official CORRECTNESS
+row (the round-1 Tier-C surface plus all round-2 additions, 44 queries),
+the one round-1 red (q_agg_filtered, since fixed), and five green-in-
+round-1 regression canaries inside that window — so rounds 1∪2 together
+give every registered query an official row. Entries after position 50
+all hold green round-1 rows and remain registered, runnable, and
+pytest/driver_sim-verified every round.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -37,12 +38,15 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # -- no official correctness row yet: new this round + Tier-C LLM ops
+    # -- every query WITHOUT an official CORRECTNESS row (44: the round-1
+    # Tier-C set plus everything added in round 2), plus q_agg_filtered
+    # (red in round 1; fixed — needs a fresh row). With these 45 inside
+    # the window, rounds 1∪2 give every registered query an official row.
     "q_scan_json",
     "q_udf_scalar",
     "q_udaf_grouped",
     "q_udtf_chunks",
-    "q_agg_filtered",  # red in round 1; fixed — needs a fresh row
+    "q_agg_filtered",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -69,8 +73,28 @@ _DRIVER_ORDER = [
     "q_batch_assign",
     "q_quality_filter",
     "q_mix_sources",
-    # -- one representative per operator family (green in round 1)
+    "q_group_quantiles",
+    "q_top_terms_per_doc",
+    "q_decontaminate",
+    "q_repetition_stats",
+    "q_dedup_cluster",
+    "q_pii_scrub",
+    "q_pack_sequences",
+    "q_ml_kmeans",
+    "q_pivot_wide",
+    "q_unpivot_long",
+    "q_gap_fill",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    # -- regression canaries (green in round 1): one per core family
     "q_scan_parquet",
+    "q_join_multiway",
+    "q_group_stats",
+    "q_window_rank",
+    "q_dedup_exact",
+    # ---- driver's 50-entry window ends here ----
+    # everything below already holds a green round-1 CORRECTNESS row
     "q_scan_range_pred",
     "q_project_cast",
     "q_filter_null_guard",
@@ -79,17 +103,12 @@ _DRIVER_ORDER = [
     "q_join_broadcast",
     "q_join_left_outer",
     "q_join_theta_range",
-    "q_join_multiway",
     "q_group_collect",
-    "q_group_stats",
     "q_group_approx",
     "q_grouping_sets",
-    "q_window_rank",
     "q_window_frame",
     "q_topk_per_group",
     "q_sort_limit",
-    "q_dedup_exact",
-    # ---- driver's 50-entry window ends here ----
     "q_set_except",
     "q_stream_tumbling",
     "q_asof_join",
@@ -120,22 +139,6 @@ _DRIVER_ORDER = [
     "q_stream_dedup",
     "q_text_clean",
     "q_text_tokens",
-    # beyond-SURVEY additions (pytest-oracle-verified; outside the
-    # driver window by design — the window holds the SURVEY contract set)
-    "q_group_quantiles",
-    "q_top_terms_per_doc",
-    "q_decontaminate",
-    "q_repetition_stats",
-    "q_dedup_cluster",
-    "q_pii_scrub",
-    "q_pack_sequences",
-    "q_ml_kmeans",
-    "q_pivot_wide",
-    "q_unpivot_long",
-    "q_gap_fill",
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -53,6 +53,19 @@ def test_registry_window_contains_llm_tier():
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
+def test_registry_window_covers_all_unofficial_queries():
+    """Every query without a round-1 CORRECTNESS row must sit inside the
+    50-entry window, so rounds 1∪2 jointly give every registered query
+    an official row."""
+    import json
+
+    with open("/root/repo/CORRECTNESS_r01.json") as f:
+        r01 = set(json.load(f))
+    window = set(list(REGISTRY)[:50])
+    missing = [q for q in REGISTRY if q not in r01 and q not in window]
+    assert not missing, f"no official row in either round for: {missing}"
+
+
 def test_queries_and_oracles_paired():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
