@@ -87,14 +87,17 @@ _DRIVER_ORDER = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
-    # -- regression canaries (green in round 1): one per core family
-    "q_scan_parquet",
+    "q_window_distribution",
+    "q_array_hof",
+    # -- regression canaries (green in round 1): core families. Scans
+    # are implicitly canaried by every query above.
     "q_join_multiway",
     "q_group_stats",
-    "q_window_rank",
     "q_dedup_exact",
     # ---- driver's 50-entry window ends here ----
     # everything below already holds a green round-1 CORRECTNESS row
+    "q_scan_parquet",
+    "q_window_rank",
     "q_scan_range_pred",
     "q_project_cast",
     "q_filter_null_guard",

@@ -734,3 +734,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_cnt"))
         .select("doc_id", "dup_cnt", "text_hash")
     )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tier="B",
+    doc="Distribution window functions — ntile/percent_rank/cume_dist per "
+    "user over purchase value. The ORDER BY carries event_id as a total-"
+    "order tie-break, making every rank deterministic; percent_rank and "
+    "cume_dist are exact small-integer ratios, identical in both engines.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -264,3 +264,34 @@ def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 0.9)) > 0 AS any_big,
+           list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm
+    FROM embeddings
+    """,
+    tier="B",
+    doc="Higher-order array functions over the embedding column — "
+    "filter (positive-component count), exists (any |x| > 0.9), and an "
+    "aggregate fold (L1 norm) — all JVM-side lambda expressions inside "
+    "whole-stage codegen, zero UDFs. The fold's double sum is a "
+    "sequential left-fold over the array in BOTH engines (DuckDB "
+    "list_sum over list_transform), so it is bit-identical without "
+    "decimal quantization.",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dabs = lambda x: F.abs(x.cast("double"))  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: F.abs(x) > 0.9).alias("any_big"),
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + dabs(x)
+        ).alias("l1_norm"),
+    )
