@@ -26,6 +26,25 @@ def hash60(col: Column | str, seed: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def hash60_pair(col: Column | str) -> tuple[Column, Column]:
+    """TWO independent 60-bit integers from ONE md5 digest: hex chars
+    1-15 and 16-30 of the same evaluation. The halves of an md5 digest
+    are independent uniform bits, so this is the standard way to feed a
+    Kirsch-Mitzenberger double-hash family at half the hashing cost of
+    two seeded digests.
+
+    DuckDB mirrors:
+    ``('0x' || substr(md5(expr), 1, 15))::BIGINT`` and
+    ``('0x' || substr(md5(expr), 16, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(c)
+    return (
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(d, 16, 15), 16, 10).cast("long"),
+    )
+
+
 def hash_bits16(col: Column | str) -> Column:
     """16-bit integer from the first 4 hex chars of md5 (SimHash lanes).
 

@@ -29,7 +29,11 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from news_categorization_big_data_spark.functions.hashing import hash60, hash_bits16
+from news_categorization_big_data_spark.functions.hashing import (
+    hash60,
+    hash60_pair,
+    hash_bits16,
+)
 from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import word_shingles
 
@@ -173,13 +177,22 @@ def jaccard_pairs(
     )
 
 
-#: Double-hashing modulus for the derived MinHash family (2^50): keeps
-#: j·(h2 % 2^50) + h1 < 2^63 for every j < 7·2^10 = 7168, so the whole
-#: documented parameterization range (k up to 128+ for 100-TB configs)
-#: is overflow-free in BOTH engines (Spark would wrap, DuckDB would
-#: raise — either way a silent-or-loud divergence). Guarded below.
-MINHASH_H2_MOD = 1 << 50
-_MINHASH_MAX_K = ((1 << 63) - (1 << 60)) // MINHASH_H2_MOD  # 7168
+#: Modulus of the double-hash family: a PRIME just under 2^50
+#: (2^50 − 27, Miller-Rabin-verified). Two constraints meet here:
+#:
+#: 1. **It must be a modulus at all** — g_j = h1 + j·h2m WITHOUT a wrap
+#:    is monotone in j, so one shingle holding both a small h1 and a
+#:    small h2m wins every coordinate and the "k" minhashes collapse to
+#:    ~2 independent ones (argmin h1 and argmin h2m), silently wrecking
+#:    banded-LSH recall. The mod-P wrap re-randomizes the argmin per j —
+#:    the actual Kirsch-Mitzenberger construction.
+#: 2. **Overflow headroom**: h1 < 2^60 and j·h2m < k·2^50 keep
+#:    h1 + j·h2m < 2^63 for every k ≤ 7168, so the whole documented
+#:    parameterization range (k up to 128+ for 100-TB configs) is
+#:    overflow-free in BOTH engines (Spark would wrap, DuckDB would
+#:    raise — either way a silent-or-loud divergence). Guarded below.
+MINHASH_PRIME = (1 << 50) - 27
+_MINHASH_MAX_K = ((1 << 63) - (1 << 60)) // (1 << 50)  # 7168
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
@@ -188,22 +201,33 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     One explode + one groupBy: the shuffle carries (id, shingle-hashes)
     once and computes all k min-hashes as parallel aggregates of the
     same rows. The k hash functions are Kirsch-Mitzenberger double
-    hashes g_j = h1 + j·(h2 mod 2^58) derived from TWO md5 evaluations
-    per shingle instead of k — md5 is the dominant per-row cost, so the
-    signature stage does ~k/2× less hashing at identical sketch quality
-    (the standard construction, e.g. Mash). Docs with no shingles get no
-    row (they can't be near-duplicates).
+    hashes g_j = (h1 + j·(h2 mod P)) mod P (P prime, MINHASH_PRIME)
+    where h1/h2 are the two halves of ONE md5 digest per shingle
+    (hash60_pair) — md5 is the dominant
+    per-row cost, so the signature stage hashes each shingle exactly
+    once regardless of k (the standard construction, e.g. Mash). The
+    halves are PROJECTED before the groupBy so the digest is provably
+    evaluated once, not re-derived inside each of the k aggregate
+    expressions. Docs with no shingles get no row (they can't be
+    near-duplicates).
     """
     if k > _MINHASH_MAX_K:
         raise ValueError(
             f"k={k} exceeds the int64-overflow-safe bound {_MINHASH_MAX_K} "
-            f"for the double-hash family (j·(h2 % {MINHASH_H2_MOD}) + h1)"
+            f"for the double-hash family ((h1 + j·(h2 % P)) % P)"
         )
     sh = shingle_table(docs, text_col, id_col)
-    h1 = hash60("shingle", seed="h1")
-    h2m = hash60("shingle", seed="h2") % F.lit(MINHASH_H2_MOD)
-    aggs = [F.min(h1 + F.lit(j) * h2m).alias(f"mh{j}") for j in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    h1, h2 = hash60_pair("shingle")
+    hashed = sh.select(
+        id_col, h1.alias("_h1"), (h2 % F.lit(MINHASH_PRIME)).alias("_h2m")
+    )
+    aggs = [
+        F.min((F.col("_h1") + F.lit(j) * F.col("_h2m")) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{j}"
+        )
+        for j in range(k)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:

@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators.dedup import (
     MINHASH_BANDS,
-    MINHASH_H2_MOD,
     MINHASH_K,
+    MINHASH_PRIME,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -23,13 +23,16 @@ from news_categorization_big_data_spark.operators.dedup import (
 )
 
 #: DuckDB mirror of the double-hashed MinHash family in
-#: operators/dedup.py:minhash_signatures (same constants, can't drift).
-_O_H1 = "('0x' || substr(md5('h1:' || shingle), 1, 15))::BIGINT"
-_O_H2M = f"(('0x' || substr(md5('h2:' || shingle), 1, 15))::BIGINT % {MINHASH_H2_MOD})"
+#: operators/dedup.py:minhash_signatures (same constants, can't drift):
+#: h1/h2 are the two halves of ONE md5 digest (hash60_pair), and the
+#: family is (h1 + j·(h2 % P)) % P — see MINHASH_PRIME for why the
+#: wrap is load-bearing.
+_O_H1 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+_O_H2M = f"(('0x' || substr(md5(shingle), 16, 15))::BIGINT % {MINHASH_PRIME})"
 
 
 def _o_minhash(j: int) -> str:
-    return f"min({_O_H1} + {j} * {_O_H2M}) AS mh{j}"
+    return f"min(({_O_H1} + {j} * {_O_H2M}) % {MINHASH_PRIME}) AS mh{j}"
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
