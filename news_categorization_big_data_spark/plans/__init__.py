@@ -89,13 +89,14 @@ _DRIVER_ORDER = [
     "q_tpch_q5",
     "q_window_distribution",
     "q_array_hof",
+    "q_scan_csv",
     # -- regression canaries (green in round 1): core families. Scans
     # are implicitly canaried by every query above.
     "q_join_multiway",
     "q_group_stats",
-    "q_dedup_exact",
     # ---- driver's 50-entry window ends here ----
     # everything below already holds a green round-1 CORRECTNESS row
+    "q_dedup_exact",
     "q_scan_parquet",
     "q_window_rank",
     "q_scan_range_pred",

@@ -141,3 +141,55 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("authors").cast("int").alias("n_authors"),
         F.try_element_at("authors", F.lit(1)).alias("first_author"),
     )
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT doc_id, lang, n_chars, left(text, 40) AS headline
+    FROM documents WHERE doc_id < 300 AND text <> ''
+    """,
+    tier="B",
+    doc="Permissive CSV scan, completing the source matrix (parquet / "
+    "JSON / CSV): a CSV fixture derived from the documents table with "
+    "one malformed line injected, read back through spark.read.csv "
+    "with an explicit schema and mode=DROPMALFORMED — the bad row is "
+    "dropped distributedly, never raising on an executor. The oracle "
+    "recomputes the projection from the source table: a round-trip "
+    "proof of writer, reader, schema enforcement, and error skip. "
+    "(Empty-text docs are excluded: the CSV reader maps empty fields "
+    "to NULL, a lossy corner the fixture sidesteps by construction.)",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        session_key = spark.sparkContext.applicationId
+    except Exception:
+        session_key = f"s{abs(hash(spark)) % 10**8}"
+    csv_dir = os.path.join(
+        FIXTURE_ROOT,
+        "csv_corpus",
+        session_key,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300) & (F.col("text") != "")
+    )
+    # Word-soup text is comma/quote-free by construction, so the CSV
+    # lines are plain joins; the READER (schema + DROPMALFORMED) is the
+    # surface under test.
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+            F.substring("text", 1, 40),
+        ).alias("value")
+    )
+    corrupt = spark.createDataFrame([("oops,notanumber",)], "value string")
+    lines.unionByName(corrupt).write.mode("overwrite").text(csv_dir)
+    return (
+        spark.read.schema("doc_id long, lang string, n_chars long, headline string")
+        .option("mode", "DROPMALFORMED")
+        .csv(csv_dir)
+    )
