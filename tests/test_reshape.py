@@ -24,6 +24,26 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
     assert len(long_rows) == len(users) * len(EVENT_TYPES)
 
 
+def test_reshape_and_packing_plan_shapes(spark, sf_dir):
+    """Physical-plan guarantees the docstrings promise: pivot is one
+    aggregate with no value-discovery pass, pack_sequences shuffles
+    exactly once (the per-shard window), gap_fill never degenerates to
+    a nested-loop/cartesian join."""
+
+    def plan(name):
+        return (
+            REGISTRY[name].builder(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    pack = plan("q_pack_sequences")
+    assert pack.count("Exchange hashpartitioning") == 1, pack
+    gap = plan("q_gap_fill")
+    assert "CartesianProduct" not in gap and "BroadcastNestedLoopJoin" not in gap, gap
+    piv = plan("q_pivot_wide")
+    assert "Join" not in piv, piv  # explicit value list → no discovery join
+
+
 def test_gap_fill_exercises_gaps_and_carries_forward(spark, sf_dir):
     rows = REGISTRY["q_gap_fill"].builder(spark, sf_dir).collect()
     gaps = [r for r in rows if r["was_gap"]]
