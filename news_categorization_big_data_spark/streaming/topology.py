@@ -153,12 +153,15 @@ def join_streams_interval(
 
     Output disambiguates the two sides as ``<col>_l`` / ``<col>_r``.
     """
-    if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
-    if right.isStreaming:
-        right = right.withWatermark(right_ts, watermark)
+    # Rename FIRST, then watermark the renamed column: the watermark
+    # must be attached to the exact attribute the join consumes, so a
+    # later projection can never separate the two.
     l = left.select([F.col(c).alias(f"{c}_l") for c in left.columns])
     r = right.select([F.col(c).alias(f"{c}_r") for c in right.columns])
+    if l.isStreaming:
+        l = l.withWatermark(f"{left_ts}_l", watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_ts}_r", watermark)
     cond = (
         (F.col(f"{key}_l") == F.col(f"{key}_r"))
         & (F.col(f"{right_ts}_r") >= F.col(f"{left_ts}_l"))
