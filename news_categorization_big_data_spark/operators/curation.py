@@ -23,8 +23,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from news_categorization_big_data_spark.functions.hashing import hash60
-from news_categorization_big_data_spark.functions.text_exprs import word_shingles
+from news_categorization_big_data_spark.functions.text_exprs import (
+    STOPWORDS,
+    tokens,
+    word_shingles,
+)
+
+#: Gopher/C4-style quality thresholds (shared by q_quality_filter and
+#: the end-to-end q_pipeline_curate; the oracle SQL mirrors each one).
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_DISTINCT_RATIO = 0.33
+QUALITY_MIN_STOPWORD_RATIO = 0.02
+QUALITY_MIN_CHARS_PER_TOKEN = 3.0
+QUALITY_MAX_CHARS_PER_TOKEN = 10.0
+
+
+def quality_reasons(text_col: str = "text", n_chars_col: str = "n_chars") -> Column:
+    """Array of quality-violation reason codes for a document row
+    (empty array = keep). Pure column expression — map-only."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n
+    sr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    cpt = F.col(n_chars_col).cast("double") / n
+    checks = [
+        (n < QUALITY_MIN_TOKENS, "too_short"),
+        (dr < QUALITY_MIN_DISTINCT_RATIO, "repetitive"),
+        (sr < QUALITY_MIN_STOPWORD_RATIO, "no_stopwords"),
+        (cpt < QUALITY_MIN_CHARS_PER_TOKEN, "fragmented"),
+        (cpt > QUALITY_MAX_CHARS_PER_TOKEN, "overlong_tokens"),
+    ]
+    return F.filter(
+        F.array(*[F.when(cond, F.lit(code)) for cond, code in checks]),
+        lambda x: x.isNotNull(),
+    )
 
 
 def ngram_contamination(

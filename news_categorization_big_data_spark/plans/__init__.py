@@ -90,12 +90,14 @@ _DRIVER_ORDER = [
     "q_window_distribution",
     "q_array_hof",
     "q_scan_csv",
-    # -- regression canaries (green in round 1): core families. Scans
-    # are implicitly canaried by every query above.
-    "q_join_multiway",
+    "q_pipeline_curate",
+    # -- regression canary (green in round 1): the decimal-quantized
+    # aggregation contract. Scans and joins are implicitly canaried by
+    # the TPC-H queries above.
     "q_group_stats",
     # ---- driver's 50-entry window ends here ----
     # everything below already holds a green round-1 CORRECTNESS row
+    "q_join_multiway",
     "q_dedup_exact",
     "q_scan_parquet",
     "q_window_rank",

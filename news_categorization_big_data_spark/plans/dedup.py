@@ -36,15 +36,22 @@ def _o_minhash(j: int) -> str:
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
-# Shared CTE: distinct 3-word shingles per non-empty document (DuckDB).
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "documents WHERE text <> ''") -> str:
+    """CTE chain producing (doc_id, shingle) from a (doc_id, text)
+    relation — parameterized so composed pipelines (q_pipeline_curate)
+    can shingle an intermediate CTE instead of the raw table."""
+    return f"""
     toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-             FROM documents WHERE text <> ''),
+             FROM {src}),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
                          i -> array_to_string(t[i:i+2], ' ')))) AS shingle
            FROM toks)
 """
+
+
+# Shared CTE: distinct 3-word shingles per non-empty document (DuckDB).
+_SHINGLES_CTE = _shingles_cte()
 
 
 #: Skew cap for shingle buckets: a shingle present in more documents than
@@ -119,10 +126,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs)
 
 
-def _lsh_cand_ctes() -> str:
+def _lsh_cand_ctes(src: str = "documents WHERE text <> ''") -> str:
     """CTE chain ending in ``cand(doc_a, doc_b)`` — the banded-LSH
-    candidate pairs, shared by q_dedup_near and q_dedup_cluster so the
-    two oracles cannot drift."""
+    candidate pairs, shared by q_dedup_near, q_dedup_cluster and
+    q_pipeline_curate so the oracles cannot drift."""
     rows = MINHASH_K // MINHASH_BANDS
     mins = ",\n           ".join(_o_minhash(j) for j in range(MINHASH_K))
     band_keys = []
@@ -131,7 +138,7 @@ def _lsh_cand_ctes() -> str:
         band_keys.append(f"({cols})")
     band_join = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
     band_sel = ",\n           ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
-    return f"""{_SHINGLES_CTE},
+    return f"""{_shingles_cte(src)},
     mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     banded AS (SELECT doc_id,
            {band_sel}

@@ -144,6 +144,108 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_oracle() -> str:
+    from news_categorization_big_data_spark.functions.text_exprs import STOPWORDS
+    from news_categorization_big_data_spark.operators.curation import (
+        QUALITY_MAX_CHARS_PER_TOKEN,
+        QUALITY_MIN_CHARS_PER_TOKEN,
+        QUALITY_MIN_DISTINCT_RATIO,
+        QUALITY_MIN_STOPWORD_RATIO,
+        QUALITY_MIN_TOKENS,
+    )
+    from news_categorization_big_data_spark.plans.dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH RECURSIVE
+    qs AS (SELECT doc_id, text,
+                  len(t) AS n,
+                  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+                  CAST(len(list_filter(t, x -> x IN {tuple(STOPWORDS)!r})) AS DOUBLE)
+                    / len(t) AS sr,
+                  CAST(n_chars AS DOUBLE) / len(t) AS cpt
+           FROM (SELECT doc_id, text, n_chars,
+                        regexp_split_to_array(text, '\\s+') AS t
+                 FROM documents WHERE text <> '')),
+    kept AS (SELECT doc_id, text FROM qs
+             WHERE NOT (n < {QUALITY_MIN_TOKENS}
+                        OR dr < {QUALITY_MIN_DISTINCT_RATIO}
+                        OR sr < {QUALITY_MIN_STOPWORD_RATIO}
+                        OR cpt < {QUALITY_MIN_CHARS_PER_TOKEN}
+                        OR cpt > {QUALITY_MAX_CHARS_PER_TOKEN})),
+    src AS (SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text),
+    {_lsh_cand_ctes(src="src")},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    canon AS (SELECT s.doc_id,
+                     len(list_filter(regexp_split_to_array(s.text, '\\s+'),
+                                     x -> x <> '')) AS tok
+              FROM src s LEFT JOIN cc ON cc.id = s.doc_id
+              WHERE cc.id IS NULL OR cc.component = s.doc_id),
+    sp AS (SELECT CASE WHEN b < 800 THEN 'train'
+                       WHEN b < 900 THEN 'val'
+                       ELSE 'test' END AS split,
+                  tok
+           FROM (SELECT tok,
+                        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 1000 AS b
+                 FROM canon))
+    SELECT split, COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+    FROM sp GROUP BY split
+    """
+
+
+@register(
+    "q_pipeline_curate",
+    oracle=_curate_oracle(),
+    tier="C",
+    doc="The COMPLETE pretraining-curation pipeline as one DAG: quality "
+    "filter (shared thresholds with q_quality_filter) → exact dedup "
+    "(min-id per content hash) → near-dup canonicalization (banded-LSH "
+    "candidates → connected components, keep each cluster's min id) → "
+    "deterministic train/val/test split → per-split document and token "
+    "budget. Every stage is the registered operator's own machinery "
+    "(operators/curation.py, operators/dedup.py, operators/graph.py, "
+    "operators/sampling.py) and the oracle is composed from the same "
+    "generated CTE fragments — one source of truth per stage. The "
+    "3-row output is the corpus report a training run starts from.",
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+    from news_categorization_big_data_spark.operators.curation import quality_reasons
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    kept = docs.where(F.size(quality_reasons("text", "n_chars")) == 0)
+    # Exact dedup: group on the 16-byte content hash (not the text) so
+    # the shuffle key stays small; texts in a group are identical, so
+    # first() is deterministic in value.
+    src = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(src))
+    cc = connected_components(pairs)
+    surv = src.join(cc, src["doc_id"] == cc["doc_id"], "left").where(
+        cc["doc_id"].isNull() | (F.col("component") == src["doc_id"])
+    ).select(src["doc_id"], "text")
+    tok = F.size(F.filter(tokens("text"), lambda t: t != "")).cast("long")
+    split = assign_split(surv.select("doc_id", tok.alias("tok")))
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("sum_tokens")
+    )
+
+
 @register(
     "q_pack_sequences",
     oracle=f"""

@@ -217,23 +217,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only (no rounding in the decision path → engine-identical).",
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.curation import quality_reasons
+
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    toks = tokens("text")
-    n = F.size(toks)
-    dr = F.size(F.array_distinct(toks)).cast("double") / n
-    sr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
-    cpt = F.col("n_chars").cast("double") / n
-    checks = [
-        (n < 20, "too_short"),
-        (dr < 0.33, "repetitive"),
-        (sr < 0.02, "no_stopwords"),
-        (cpt < 3.0, "fragmented"),
-        (cpt > 10.0, "overlong_tokens"),
-    ]
-    reasons = F.filter(
-        F.array(*[F.when(cond, F.lit(code)) for cond, code in checks]),
-        lambda x: x.isNotNull(),
-    )
+    reasons = quality_reasons("text", "n_chars")
     return docs.select(
         "doc_id",
         (F.size(reasons) == 0).alias("keep"),
