@@ -26,18 +26,30 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Widen a CPU-heavy subtree to full parallelism (see module doc)."""
+    """Widen a CPU-heavy subtree to full parallelism (see module doc).
+
+    The explicit path sets the TARGET width, never the exact width —
+    fan_out NEVER shrinks an already-wide input (collapsing a
+    2000-partition scan to a conf-sized handful and paying a shuffle
+    for it is the exact pathology this module exists to prevent). The
+    only exception is Spark Connect with an explicit width, where the
+    current width can't be probed and the conf owner's number wins.
+    """
     spark = df.sparkSession
     if spark.conf.get("spark.graft.fanout.enabled", "true").lower() == "false":
         return df
     explicit = partitions or int(spark.conf.get("spark.graft.fanout.partitions", "0"))
-    if explicit:
-        return df.repartition(explicit)
     try:
-        target = spark.sparkContext.defaultParallelism
         current = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no sparkContext/rdd — safe no-op
-        return df
+    except Exception:  # Spark Connect: no sparkContext/rdd probe
+        current = None
+    if explicit:
+        if current is not None and current >= explicit:
+            return df
+        return df.repartition(explicit)
+    if current is None:
+        return df  # Connect without explicit width: safe no-op
+    target = spark.sparkContext.defaultParallelism
     if current >= target:
         return df
     return df.repartition(target)

@@ -71,6 +71,34 @@ def pairs_from_buckets(
     )
 
 
+def banded_pairs(
+    signatures: DataFrame,
+    band_keys: list,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """Generic banded-LSH candidate generator: one Column expression per
+    band key, exploded to (band_idx, band_key) rows, grouped into
+    buckets, pairs emitted inside buckets only — the shared skeleton of
+    MinHash banding (lsh_candidate_pairs) and SRP banding
+    (operators/similarity.py:srp_candidate_pairs), factored once so
+    band-handling fixes (skew caps, key hardening) land in one place."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+            for b, key in enumerate(band_keys)
+        ]
+    )
+    banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.collect_list(id_col).alias("_ids")
+    )
+    return pairs_from_buckets(buckets, "_ids", out_a, out_b)
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) rows — distinct k-word shingles per document.
 
@@ -240,22 +268,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = 
     That shape is what makes MinHash dedup linear-ish at corpus scale.
     """
     rows = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "-", *[f"mh{j}" for j in range(b * rows, (b + 1) * rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_idx", "b.band_key"
-    )
-    buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
-    return pairs_from_buckets(buckets, "_ids", "doc_a", "doc_b")
+    band_keys = [
+        F.concat_ws("-", *[f"mh{j}" for j in range(b * rows, (b + 1) * rows)])
+        for b in range(bands)
+    ]
+    return banded_pairs(signatures, band_keys, id_col, "doc_a", "doc_b")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

@@ -50,20 +50,30 @@ def connected_components(
     # hundreds of shuffle partitions. Coalesce the cached tables to the
     # cluster's core count so each propagation round schedules O(cores)
     # tasks, not O(upstream partitions) — coalesce never shuffles and
-    # never increases the count.
-    n_parts = max(1, pairs.sparkSession.sparkContext.defaultParallelism)
-    edges = (
-        pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .union(pairs.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-        .coalesce(n_parts)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # never increases the count. (Spark Connect exposes no
+    # sparkContext — skip the trim there, same graceful degradation as
+    # functions/partitioning.py:fan_out.)
+    edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).union(
+        pairs.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     )
+    try:
+        edges = edges.coalesce(
+            max(1, pairs.sparkSession.sparkContext.defaultParallelism)
+        )
+    except Exception:  # Spark Connect: no sparkContext
+        pass
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("_s").alias("_id"))
         .distinct()
         .select("_id", F.col("_id").alias("_lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # `cached` tracks the PERSISTED frame backing `labels`: unpersist()
+    # must be called on the exact frame that was persisted — calling it
+    # on a derived projection (e.g. after .drop) is a silent no-op and
+    # leaks one cached table per round.
+    cached = labels
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -87,15 +97,23 @@ def connected_components(
             changed = new_labels.agg(
                 F.coalesce(F.sum(F.col("_chg").cast("int")), F.lit(0))
             ).collect()[0][0]
-            old = labels
+            cached.unpersist()
+            cached = new_labels
             labels = new_labels.drop("_chg")
-            old.unpersist()
             if changed == 0:
-                return labels.select(
+                # localCheckpoint (eager) materializes the result and
+                # TRUNCATES lineage, so every intermediate — including
+                # the final persisted label table — can be released
+                # here instead of leaking one cached table per call;
+                # the checkpoint itself is reclaimed by the
+                # ContextCleaner once the returned frame is unreferenced.
+                result = labels.select(
                     F.col("_id").alias(id_out), F.col("_lbl").alias(component_out)
-                )
+                ).localCheckpoint(eager=True)
+                return result
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
         edges.unpersist()
+        cached.unpersist()

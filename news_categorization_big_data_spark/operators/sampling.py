@@ -107,11 +107,23 @@ def mixture_fractions(
         counts.where(F.col("_w") > 0)
         .agg(F.min(F.col("n_docs").cast("double") / F.col("_w")).alias("_t"))
     )
-    frac_bp = F.least(
+    # The BINDING domain (c_d/w_d == t, bit-exact: t IS the min of these
+    # same division results, so equality is reliable and engine-identical)
+    # keeps exactly SAMPLE_BUCKETS — computing it via the rounded product
+    # floor(10000·t·w/c) can land on 9999 for ~7% of (count, weight)
+    # pairs and silently drop a hash bucket of the scarcest source,
+    # contradicting the no-upsampling contract. Mirror the same CASE in
+    # any oracle.
+    frac_bp = F.when(
+        F.col("n_docs").cast("double") / F.col("_w") == F.col("_t"),
         F.lit(SAMPLE_BUCKETS),
-        F.floor(F.lit(SAMPLE_BUCKETS) * F.col("_t") * F.col("_w") / F.col("n_docs")).cast(
-            "long"
-        ),
+    ).otherwise(
+        F.least(
+            F.lit(SAMPLE_BUCKETS),
+            F.floor(
+                F.lit(SAMPLE_BUCKETS) * F.col("_t") * F.col("_w") / F.col("n_docs")
+            ).cast("long"),
+        )
     )
     return (
         counts.crossJoin(F.broadcast(t_scaled))

@@ -143,25 +143,16 @@ def srp_candidate_pairs(
     explode to (band_idx, band_key), group into buckets, emit pairs
     inside buckets only — no pairwise work outside hash buckets.
     """
-    rows = bits // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "", *[F.col(f"bit{j}").cast("string") for j in range(b * rows, (b + 1) * rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_idx", "b.band_key"
-    )
-    buckets = banded.groupBy("band_idx", "band_key").agg(F.collect_list(id_col).alias("_ids"))
-    from news_categorization_big_data_spark.operators.dedup import pairs_from_buckets
+    from news_categorization_big_data_spark.operators.dedup import banded_pairs
 
-    return pairs_from_buckets(buckets, "_ids", "id_a", "id_b")
+    rows = bits // bands
+    band_keys = [
+        F.concat_ws(
+            "", *[F.col(f"bit{j}").cast("string") for j in range(b * rows, (b + 1) * rows)]
+        )
+        for b in range(bands)
+    ]
+    return banded_pairs(signatures, band_keys, id_col, "id_a", "id_b")
 
 
 def embedding_near_dup_pairs(

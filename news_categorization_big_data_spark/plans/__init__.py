@@ -7,12 +7,16 @@ pairs consumed by ``__spark_entry__``.
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
 ``_DRIVER_ORDER`` places every query that lacks an official CORRECTNESS
-row (the round-1 Tier-C surface plus all round-2 additions, 44 queries),
-the one round-1 red (q_agg_filtered, since fixed), and five green-in-
-round-1 regression canaries inside that window — so rounds 1∪2 together
-give every registered query an official row. Entries after position 50
-all hold green round-1 rows and remain registered, runnable, and
-pytest/driver_sim-verified every round.
+row (the round-1 Tier-C surface plus all round-2 additions — 48
+queries), the one round-1 red (q_agg_filtered, since fixed), and one
+green-in-round-1 regression canary (q_group_stats) inside that window —
+so rounds 1∪2 together give every registered query an official row.
+Entries after position 50 all hold round-1 rows (green, except
+q_group_approx whose row is rows-only by design: ``err: no_oracle``)
+and remain registered, runnable, and pytest/driver_sim-verified every
+round. The window is exactly full — adding a query in round 3 means
+rotating out one that earned its official row this round (asserted in
+tests/test_driver_contract.py).
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -38,9 +42,9 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # -- every query WITHOUT an official CORRECTNESS row (44: the round-1
+    # -- every query WITHOUT an official CORRECTNESS row (48: the round-1
     # Tier-C set plus everything added in round 2), plus q_agg_filtered
-    # (red in round 1; fixed — needs a fresh row). With these 45 inside
+    # (red in round 1; fixed — needs a fresh row). With these 49 inside
     # the window, rounds 1∪2 give every registered query an official row.
     "q_scan_json",
     "q_udf_scalar",

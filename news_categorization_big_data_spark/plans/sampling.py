@@ -106,8 +106,11 @@ MIX_WEIGHTS_PERMILLE = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
     t AS (SELECT MIN(CAST(n_docs AS DOUBLE) / wt) AS t FROM w WHERE wt > 0),
     f AS (SELECT source, n_docs,
                  CASE WHEN wt > 0
-                      THEN least(10000,
-                                 CAST(floor(10000 * t.t * wt / n_docs) AS BIGINT))
+                      THEN CASE WHEN CAST(n_docs AS DOUBLE) / wt = t.t
+                                THEN 10000
+                                ELSE least(10000,
+                                           CAST(floor(10000 * t.t * wt / n_docs) AS BIGINT))
+                           END
                       ELSE 0 END AS frac_bp
           FROM w, t),
     k AS (SELECT d.source, COUNT(*) AS n_kept

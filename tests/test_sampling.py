@@ -107,3 +107,22 @@ def test_mixture_sample_hits_target_shares(spark):
     # excluded domains are dropped entirely
     none_kept = mixture_sample(df, "doc_id", "domain", {"a": 1000})
     assert {r.domain for r in none_kept.select("domain").distinct().collect()} == {"a"}
+
+
+def test_mixture_binding_domain_keeps_everything(spark):
+    """The scarcest-relative-to-target domain must keep exactly 10000 bp
+    (100%) — the rounded-product formulation lands on 9999 for ~7% of
+    (count, weight) pairs (e.g. count=7, weight=300), silently dropping
+    a hash bucket of the binding source."""
+    from news_categorization_big_data_spark.operators.sampling import (
+        mixture_fractions,
+    )
+
+    rows = [(i, "scarce") for i in range(7)] + [(100 + i, "rich") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    fracs = {
+        r["source"]: r["frac_bp"]
+        for r in mixture_fractions(df, "source", {"scarce": 300, "rich": 100}).collect()
+    }
+    assert fracs["scarce"] == 10000, fracs
+    assert 0 < fracs["rich"] < 10000

@@ -224,6 +224,25 @@ def test_routed_fan_out(spark, tmp_path):
     by_route = {r.route: r.cnt for r in routed.groupBy("route").agg(F.count("*").alias("cnt")).collect()}
     assert by_route == {"environmental": 1, "sports": 1, "unknown": 1}
 
+    # Replay: a FRESH checkpoint reprocesses batch 0 over the same
+    # source into the same out_dir. Dynamic partition overwrite must
+    # rewrite each (route, batch_id) partition in place — one stray
+    # static-overwrite would truncate the sibling routes, one append
+    # would double every count.
+    q2 = write_routed_fan_out(
+        parse_messages(read_message_stream(spark, source="json-files", path=src)),
+        out,
+        str(tmp_path / "routed_ckpt2"),
+        CATEGORIES,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    replayed = {
+        r.route: r.cnt
+        for r in spark.read.parquet(out).groupBy("route").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert replayed == by_route
+
 
 def test_stateful_category_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState carries state ACROSS micro-batches: totals
