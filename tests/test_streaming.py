@@ -405,3 +405,56 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
         ("l-sports-early", "r-sports-in"),
         ("l-arts", "r-arts-exact"),
     }
+
+
+def test_watermark_drops_late_data_live(spark, tmp_path):
+    """LIVE watermark semantics (the batch analog q_stream_watermark
+    can't show dropping): an append-mode windowed count with a 10-minute
+    watermark finalizes a window once the watermark passes its end, and
+    an event arriving after that is DROPPED, not double-counted."""
+    import os as _os
+
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    _os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            for ts in rows:
+                f.write(json.dumps({"ts": ts}) + "\n")
+
+    # Batch 1: window [00:00, 00:10) gets 2 events; the 01:00 event
+    # advances the watermark to 00:50, far past that window's end.
+    write_file("b1.json", ["2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 01:00:00"])
+    stream = (
+        spark.readStream.schema("ts string")
+        .json(src)
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # Batch 2: a straggler for the already-finalized [00:00, 00:10)
+    # window — older than the watermark, must be dropped.
+    write_file("b2.json", ["2024-01-01 00:03:00"])
+    q.processAllAvailable()
+    # Batch 3: close out the remaining window so every on-time event is
+    # emitted before we stop.
+    write_file("b3.json", ["2024-01-01 02:00:00"])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {str(r["start"]): r["n"] for r in spark.read.parquet(out).collect()}
+    # The straggler did NOT bump the finalized window back to 3.
+    assert got.get("2024-01-01 00:00:00") == 2, got
+    assert got.get("2024-01-01 01:00:00") == 1, got
