@@ -100,6 +100,10 @@ _DRIVER_ORDER = [
     # the TPC-H queries above.
     "q_group_stats",
     # ---- driver's 50-entry window ends here ----
+    # -- rotation-pending: added after this round's window froze at 50;
+    # placed FIRST in the tail so round 3 rotates them in mechanically
+    # (mirrored in tests/test_driver_contract.py ROTATION_PENDING).
+    "q_join_full_outer",
     # everything below already holds a green round-1 CORRECTNESS row
     "q_join_multiway",
     "q_dedup_exact",

@@ -764,3 +764,41 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000),
+    b AS (SELECT o_custkey, COUNT(*) AS n_big_orders
+          FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey)
+    SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey,
+           a.c_acctbal AS acctbal,
+           b.n_big_orders
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+    """,
+    tier="B",
+    doc="Full outer join — the one join type the §2.3 family lacked: "
+    "rich customers vs customers with big orders, either side "
+    "survivable alone (left-null = big spender below the balance "
+    "filter, right-null = rich customer with no big order). Plans as a "
+    "sort-merge FullOuter; the COALESCE key keeps the output "
+    "single-keyed.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 8000)
+        .select("c_custkey", "c_acctbal")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+    return cust.join(big, cust["c_custkey"] == big["o_custkey"], "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        "n_big_orders",
+    )
