@@ -104,6 +104,8 @@ _DRIVER_ORDER = [
     # placed FIRST in the tail so round 3 rotates them in mechanically
     # (mirrored in tests/test_driver_contract.py ROTATION_PENDING).
     "q_join_full_outer",
+    "q_tpch_q6",
+    "q_sql_correlated",
     # everything below already holds a green round-1 CORRECTNESS row
     "q_join_multiway",
     "q_dedup_exact",

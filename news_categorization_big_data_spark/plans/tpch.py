@@ -202,3 +202,75 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
     return joined.groupBy("n_name").agg(F.sum("_dp").cast("double").alias("revenue"))
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q5_YEAR_LO} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q5_YEAR_HI} 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tier="B",
+    doc="TPC-H Q6 (forecasting revenue change): pure scan + conjunctive "
+    "filter + one global aggregate — the minimal whole-stage-codegen "
+    "workload where every predicate must reach the parquet scan. The "
+    "discount BETWEEN runs on the decimal-quantized value so the "
+    "boundary compare can't flip on a double representation artifact.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(f"{Q5_YEAR_LO} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{Q5_YEAR_HI} 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & _d2("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_d2("l_extendedprice") * _d2("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_sql_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+    tier="B",
+    doc="The SQL front end itself: temp views + spark.sql() running "
+    "correlated EXISTS / NOT EXISTS subqueries (customers with an "
+    "urgent order and no finished one) — Catalyst rewrites them to "
+    "left-semi and left-anti joins, the same physical shapes as "
+    "q_join_semi/q_join_anti, proving the declarative surface reaches "
+    "the identical plans. Pure set logic, no float math in the "
+    "predicate path.",
+)
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )

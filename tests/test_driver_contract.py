@@ -56,7 +56,7 @@ def test_registry_window_contains_llm_tier():
 #: Queries registered after this round's 50-entry window froze: they are
 #: pytest/driver_sim-verified but get no official row until round 3
 #: rotates them in — so they must lead the tail (positions 51+).
-ROTATION_PENDING = ["q_join_full_outer"]
+ROTATION_PENDING = ["q_join_full_outer", "q_tpch_q6", "q_sql_correlated"]
 
 
 def test_registry_window_covers_all_unofficial_queries():
