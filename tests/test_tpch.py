@@ -27,6 +27,25 @@ def test_q3_broadcasts_customer_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q6_pushes_all_scan_filters(spark, sf_dir):
+    plan = _plan(REGISTRY["q_tpch_q6"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # Filters reach the scan (the toString form TRUNCATES the pushed
+    # list, so assert the head of it) and column pruning holds: the
+    # scan reads exactly the four referenced columns.
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan, plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    ), plan
+
+
+def test_sql_correlated_plans_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(REGISTRY["q_sql_correlated"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q5_broadcasts_dimensions_no_cartesian(spark, sf_dir):
     plan = _plan(REGISTRY["q_tpch_q5"].builder(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
