@@ -497,7 +497,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-           count_if(value > 100.0) AS n_big,
+           CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
            CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
                               AS DECIMAL(30,6))) AS DECIMAL(30,2)) AS DOUBLE) AS purchase_value
     FROM events GROUP BY user_id
@@ -505,10 +505,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="A",
     doc="Conditional aggregation ≙ the reference's implicit unknown-category "
     "counting (news_categorization_streaming.py:77-81) as sum(CASE)/count_if. "
-    "purchase_value is summed and then quantized to cents entirely in the "
-    "DECIMAL domain (ties-away on both engines) before the final cast to "
-    "double, so both engines cast the *identical* decimal — the driver's "
-    "float rendering cannot see a last-ulp or -0.0 artifact.",
+    "purchase_value is quantized to cents in the DECIMAL domain before the "
+    "final cast to double (identical on both engines). n_big is CAST to "
+    "BIGINT because DuckDB's count_if returns HUGEINT, which the driver's "
+    "pandas fetch renders as float64 ('2014.0' vs Spark's '2014') — the "
+    "actual root cause of the r01/r02 red hashes on this query.",
 )
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

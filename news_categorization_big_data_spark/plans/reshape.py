@@ -29,7 +29,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def _pivot_oracle() -> str:
     cols = ",\n           ".join(
-        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}"
         for t in EVENT_TYPES
     )
     return f"""

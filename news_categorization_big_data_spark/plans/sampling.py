@@ -200,7 +200,7 @@ def _curate_oracle() -> str:
                         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                           % 1000 AS b
                  FROM canon))
-    SELECT split, COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
     FROM sp GROUP BY split
     """
 
@@ -261,8 +261,9 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS ok
                FROM documents),
     s AS (SELECT doc_id, shard, tok_count,
-                 COALESCE(SUM(tok_count) OVER (PARTITION BY shard ORDER BY ok, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+                 CAST(COALESCE(SUM(tok_count) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS st
           FROM d)
     SELECT doc_id, shard, tok_count,
            CAST(floor(st / {PACK_SEQ_LEN}) AS BIGINT) AS seq_idx,
@@ -350,9 +351,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b JOIN c USING (bucket))
     SELECT bucket, batch_id,
            COUNT(*) AS n_docs,
-           SUM(tok_count) AS sum_tokens,
+           CAST(SUM(tok_count) AS BIGINT) AS sum_tokens,
            MAX(tok_count) AS max_tokens,
-           COUNT(*) * MAX(tok_count) - SUM(tok_count) AS padding_waste
+           CAST(COUNT(*) * MAX(tok_count) - SUM(tok_count) AS BIGINT) AS padding_waste
     FROM a GROUP BY bucket, batch_id
     """,
     tier="C",

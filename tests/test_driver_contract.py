@@ -66,8 +66,10 @@ def test_registry_window_covers_all_unofficial_queries():
     must be the FIRST tail entries so the round-3 rotation is
     mechanical."""
     import json
+    from pathlib import Path
 
-    with open("/root/repo/CORRECTNESS_r01.json") as f:
+    repo = Path(__file__).resolve().parents[1]
+    with open(repo / "CORRECTNESS_r01.json") as f:
         r01 = set(json.load(f))
     names = list(REGISTRY)
     window = set(names[:50])

@@ -34,6 +34,27 @@ def canon(v):
     if isinstance(v, (list, tuple)): return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
+def _numpy_rows(arrs, cols):
+    """Render a fetchnumpy() result as python rows: masked slots -> None,
+    numpy scalars -> python scalars via .tolist() (int64 stays int,
+    float64 stays float — so HUGEINT's float64 conversion is visible)."""
+    from itertools import repeat
+
+    import numpy.ma as ma
+
+    out_cols = []
+    for c in cols:
+        a = arrs[c]
+        is_masked = isinstance(a, ma.MaskedArray)
+        mask = ma.getmaskarray(a) if is_masked else repeat(False)
+        data = a.data if is_masked else a
+        out_cols.append([
+            None if m else (v.tolist() if hasattr(v, "tolist") else v)
+            for v, m in zip(data, mask)
+        ])
+    return list(zip(*out_cols))
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -56,7 +77,15 @@ for pos, (name, fn) in enumerate(queries.items(), 1):
         if name in oracles:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch through numpy like the REAL driver (not fetchall).
+            # This reproduces the driver's rendering exactly as observed
+            # across r01/r02: nullable BIGINT arrives as a masked int64
+            # array (NULLs preserved, values render "5" — those queries
+            # were officially green), while HUGEINT (count_if, un-cast
+            # SUM of BIGINT) arrives as plain float64 and renders "150.0"
+            # vs Spark's "150" — exactly the five official red hashes.
+            # fetchall()'s native ints masked that whole class.
+            drows = _numpy_rows(res.fetchnumpy(), dcols)
             ok_rows = len(srows) == len(drows)
             ok_schema = sorted(scols) == sorted(dcols)
             ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
