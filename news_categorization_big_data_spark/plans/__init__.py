@@ -6,17 +6,27 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-``_DRIVER_ORDER`` places every query that lacks an official CORRECTNESS
-row (the round-1 Tier-C surface plus all round-2 additions — 48
-queries), the one round-1 red (q_agg_filtered, since fixed), and one
-green-in-round-1 regression canary (q_group_stats) inside that window —
-so rounds 1∪2 together give every registered query an official row.
-Entries after position 50 all hold round-1 rows (green, except
-q_group_approx whose row is rows-only by design: ``err: no_oracle``)
-and remain registered, runnable, and pytest/driver_sim-verified every
-round. The window is exactly full — adding a query in round 3 means
-rotating out one that earned its official row this round (asserted in
-tests/test_driver_contract.py).
+Round-3 window composition, in priority order:
+
+1. The five queries red in round 2 on oracle HUGEINT typing (fixed this
+   round — the window run is the proof): q_agg_filtered, q_pivot_wide,
+   q_batch_assign, q_pack_sequences, q_pipeline_curate.
+2. The three queries registered after round 2's window froze, rotated in
+   for their first official row: q_join_full_outer, q_tpch_q6,
+   q_sql_correlated.
+3. Regression canaries green in round 2: q_group_stats, q_scan_json,
+   q_udf_scalar.
+4. Queries NEW this round (no official row yet) — inserted right after
+   the canaries; each insertion displaces the last window-filling entry
+   into the tail.
+5. Window fill: round-2-green queries earning a second green row.
+
+The tail (positions 51+) holds queries with official rows from rounds
+1–2 (rows-only entries first — their official rows carry the least
+information, so they were displaced first). Tail queries remain
+registered, runnable, and pytest/driver_sim-verified every round.
+tests/test_driver_contract.py asserts the priority groups sit inside
+the window and that every row-less query is window-covered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -42,15 +52,26 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # -- every query WITHOUT an official CORRECTNESS row (48: the round-1
-    # Tier-C set plus everything added in round 2), plus q_agg_filtered
-    # (red in round 1; fixed — needs a fresh row). With these 49 inside
-    # the window, rounds 1∪2 give every registered query an official row.
+    # -- round-2 reds, oracle typing fixed this round: the window run
+    # is the proof the CASTs work through the driver's real fetch path.
+    "q_agg_filtered",
+    "q_pivot_wide",
+    "q_batch_assign",
+    "q_pack_sequences",
+    "q_pipeline_curate",
+    # -- first official row: registered after round 2's window froze.
+    "q_join_full_outer",
+    "q_tpch_q6",
+    "q_sql_correlated",
+    # -- regression canaries (green round 2).
+    "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
+    # -- NEW round-3 queries go here (each displaces the last
+    # window-fill entry below into the tail).
+    # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
-    "q_agg_filtered",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -62,19 +83,15 @@ _DRIVER_ORDER = [
     "q_dedup_minhash",
     "q_dedup_near",
     "q_dedup_simhash",
-    "q_dedup_mllib_lsh",
     "q_sim_search",
     "q_knn_label",
     "q_sim_ann_ivf",
     "q_dedup_embedding",
-    "q_sim_ann_lsh",
-    "q_ml_classify",
     "q_summarize_extractive",
     "q_classify_keywords",
     "q_pipeline_digest",
     "q_split_train_eval",
     "q_sample_stratified",
-    "q_batch_assign",
     "q_quality_filter",
     "q_mix_sources",
     "q_group_quantiles",
@@ -83,9 +100,6 @@ _DRIVER_ORDER = [
     "q_repetition_stats",
     "q_dedup_cluster",
     "q_pii_scrub",
-    "q_pack_sequences",
-    "q_ml_kmeans",
-    "q_pivot_wide",
     "q_unpivot_long",
     "q_gap_fill",
     "q_tpch_q1",
@@ -94,18 +108,12 @@ _DRIVER_ORDER = [
     "q_window_distribution",
     "q_array_hof",
     "q_scan_csv",
-    "q_pipeline_curate",
-    # -- regression canary (green in round 1): the decimal-quantized
-    # aggregation contract. Scans and joins are implicitly canaried by
-    # the TPC-H queries above.
-    "q_group_stats",
+    "q_dedup_mllib_lsh",
     # ---- driver's 50-entry window ends here ----
-    # -- rotation-pending: added after this round's window froze at 50;
-    # placed FIRST in the tail so round 3 rotates them in mechanically
-    # (mirrored in tests/test_driver_contract.py ROTATION_PENDING).
-    "q_join_full_outer",
-    "q_tpch_q6",
-    "q_sql_correlated",
+    # -- rows-only entries (err: no_oracle both rounds): displaced first.
+    "q_sim_ann_lsh",
+    "q_ml_classify",
+    "q_ml_kmeans",
     # everything below already holds a green round-1 CORRECTNESS row
     "q_join_multiway",
     "q_dedup_exact",
