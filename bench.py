@@ -30,6 +30,12 @@ HEADLINE = [
     "q_dedup_near",         # MinHash banded-LSH candidates
     "q_sim_search",         # brute-force cosine top-k
     "q_text_tokens",        # explode + token aggregation
+    # -- appended round 3 (original 10 above are unchanged for
+    # round-over-round comparability): the macro workloads.
+    "q_tpch_q1",            # full TPC-H Q1 pricing summary
+    "q_tpch_q3",            # shipping-priority join+agg+topk
+    "q_tpch_q5",            # 6-table local-supplier volume join
+    "q_pipeline_curate",    # end-to-end curation DAG over documents
 ]
 
 
