@@ -50,6 +50,33 @@ def test_lsh_second_parameterization(spark, sf_dir):
     assert len(cands) < n * (n - 1) / 4
 
 
+def test_lsh_production_parameterization(spark, sf_dir):
+    """The documented 100-TB setting (k=128, b=32 → r=4): the banding
+    curve gives a planted j≈0.98 pair per-band collision probability
+    0.98^4 ≈ 0.92, so P(missed by all 32 bands) ≈ 0.08^32 ≈ 1e-35 —
+    full recall is a near-certainty, not a tolerance. This proves the
+    Kirsch-Mitzenberger hash family stays non-degenerate at production
+    k (the round-2 bug class: a degenerate family collapses all lanes
+    to one permutation), and that candidates stay sub-quadratic."""
+    docs = _docs(spark, sf_dir)
+    truth = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+    sigs = minhash_signatures(docs, k=128)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, k=128, bands=32).collect()
+    }
+    assert truth, "testdata should contain planted near-duplicates"
+    assert truth <= cands, f"(128,32) LSH missed true pairs: {truth - cands}"
+    n = docs.count()
+    assert len(cands) < n * (n - 1) / 4
+    # the family really has 128 distinct lanes (mh0..mh127): a
+    # degenerate family (the round-2 bug class) collapses lanes to one
+    # permutation, so per-doc distinct minhash values would crater
+    for row in sigs.limit(5).collect():
+        lanes = [row[f"mh{j}"] for j in range(128)]
+        assert len(set(lanes)) > 64, "hash family degenerate at k=128"
+
+
 def test_mllib_lsh_agrees_on_planted_dups(spark, sf_dir):
     truth = {(r.doc_a, r.doc_b) for r in jaccard_pairs(_docs(spark, sf_dir), 0.8).collect()}
     mllib = {
