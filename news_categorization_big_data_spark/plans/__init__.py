@@ -46,6 +46,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     sampling,
     reshape,
     tpch,
+    analytics,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -67,8 +68,20 @@ _DRIVER_ORDER = [
     "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
-    # -- NEW round-3 queries go here (each displaces the last
-    # window-fill entry below into the tail).
+    # -- NEW round-3 queries (no official row yet; each displaced one
+    # window-fill entry into the tail): TPC-H depth, event analytics,
+    # tokenizer/curation/vector additions.
+    "q_tpch_q4",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_sessionize",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_decay_agg",
+    "q_bpe_pair_counts",
+    "q_doc_commonness",
+    "q_embedding_quantize",
+    "q_dedup_keep_best",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -98,6 +111,8 @@ _DRIVER_ORDER = [
     "q_top_terms_per_doc",
     "q_decontaminate",
     "q_repetition_stats",
+    # ---- driver's 50-entry window ends here ----
+    # -- displaced window-fill (round-2 green; sim-verified every round)
     "q_dedup_cluster",
     "q_pii_scrub",
     "q_unpivot_long",
@@ -109,7 +124,6 @@ _DRIVER_ORDER = [
     "q_array_hof",
     "q_scan_csv",
     "q_dedup_mllib_lsh",
-    # ---- driver's 50-entry window ends here ----
     # -- rows-only entries (err: no_oracle both rounds): displaced first.
     "q_sim_ann_lsh",
     "q_ml_classify",

@@ -1,0 +1,220 @@
+"""Behavioral event analytics: sessionization, funnels, cohort
+retention, recency-weighted aggregates.
+
+The reference's event handling is a flat per-category count stream
+(news_categorization_streaming.py:77-96); these queries are the batch
+analytics surface a production event table actually gets asked for —
+each expressed as window functions + hash aggregates so Catalyst keeps
+the whole plan in codegen.
+
+Determinism notes (driver hash parity): all arithmetic stays in the
+integer / decimal domain — epoch-µs longs for gaps, integer day
+diffs and integer decay weights, decimal money sums — so no result
+depends on float reduction order or libm rounding. Window orderings
+always carry ``event_id`` as the unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Session gap: a new session starts after ≥ 6 hours of inactivity.
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+#: Funnel stage order (subset of the testdata's event_type domain).
+FUNNEL_STAGES = ("signup", "click", "purchase")
+#: Decay anchor: "today" for the recency weighting, pinned one day past
+#: the testdata's event horizon so weights are reproducible constants.
+DECAY_ANCHOR = "2024-02-01"
+#: Linear decay window in days: weight = max(0, DECAY_WINDOW - age).
+DECAY_WINDOW = 31
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tier="B",
+    doc="Batch sessionization (gaps-and-islands): per user, a new "
+    "session starts after a ≥6h silence; session id is the running sum "
+    "of new-session flags. One shuffle for the per-user ordered window "
+    "(lag + cumulative sum in a single window spec, so Spark sorts each "
+    "user's events once), then a partial-aggregating groupBy on "
+    "(user_id, session). Gap math is epoch-µs long subtraction — no "
+    "float anywhere. The streaming twin is q_stream_session "
+    "(session_window); this is the arbitrary-logic batch shape that "
+    "handles policies session_window can't (e.g. activity-type-aware "
+    "gaps).",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > SESSION_GAP_US), 1).otherwise(0)
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("long").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= s2.t2
+           GROUP BY e.user_id)
+    SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, '{FUNNEL_STAGES[1]}', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT COUNT(*) FROM s3)
+    """,
+    tier="B",
+    doc="Ordered funnel (signup → click-after-signup → "
+    "purchase-after-that-click): each stage keeps users whose first "
+    "qualifying event is at-or-after their previous stage's timestamp. "
+    "Every stage is a filter + per-user min + equi-join on user_id — "
+    "all three stages hash-partition on the SAME key, so under AQE the "
+    "stage joins reuse the child partitioning instead of re-shuffling "
+    "(ensured-requirements alignment), and the final counts are "
+    "scalars. No window over the full event stream: the funnel never "
+    "sorts events, it only takes mins.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
+        cur = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(F.col("ts") >= F.col("_t"))
+        return cur.groupBy("user_id").agg(F.min("ts").alias("_t"))
+
+    s1 = stage(None, FUNNEL_STAGES[0])
+    s2 = stage(s1, FUNNEL_STAGES[1])
+    s3 = stage(s2, FUNNEL_STAGES[2])
+    rows = [
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(etype).alias("event_type"),
+            "n_users",
+        )
+        for i, (s, etype) in enumerate(zip((s1, s2, s3), FUNNEL_STAGES))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                   FROM events GROUP BY user_id)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tier="B",
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "activity counted per (cohort, day offset) — the classic retention "
+    "triangle. Two aggregations on user_id-aligned partitioning (first-"
+    "seen min, then the join back) and one distinct-count shuffle on "
+    "the (cohort, offset) key. Day math is integer datediff; the cohort "
+    "renders as an ISO string so both engines hash the identical "
+    "value.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q_decay_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * GREATEST(0, {DECAY_WINDOW}
+                               - date_diff('day', CAST(ts AS DATE),
+                                           DATE '{DECAY_ANCHOR}'))) AS DOUBLE)
+             AS decayed_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS raw_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tier="B",
+    doc="Recency-weighted aggregate: per-event weight = "
+    f"max(0, {DECAY_WINDOW} − age_days) relative to the pinned anchor "
+    f"{DECAY_ANCHOR} (linear/triangular decay — the integer-exact "
+    "variant of exponential recency weighting: decimal(value) × "
+    "int(weight) is exact, so the sum is reduction-order-independent, "
+    "where exp(−λ·age) would hang the hash on libm ulps). Map-only "
+    "weight computation + one partial-aggregating shuffle on the "
+    "5-value event_type key.",
+)
+def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.to_date("ts"))
+    weight = F.greatest(F.lit(0), F.lit(DECAY_WINDOW) - age)
+    dval = F.col("value").cast("decimal(18,2)")
+    return ev.groupBy("event_type").agg(
+        F.sum(dval * weight).cast("double").alias("decayed_value"),
+        F.sum(dval).cast("double").alias("raw_value"),
+        F.count("*").alias("n_events"),
+    )

@@ -266,3 +266,77 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
     )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_cand_ctes()},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+    qual AS (SELECT doc_id,
+                    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                      AS n_tokens
+             FROM documents WHERE text <> ''),
+    ranked AS (SELECT c.component, c.doc_id, q.n_tokens,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY q.n_tokens DESC, c.doc_id)
+                        AS rk,
+                      COUNT(*) OVER (PARTITION BY c.component) AS n_members
+               FROM comp c JOIN qual q ON c.doc_id = q.doc_id)
+    SELECT component, doc_id AS best_doc, n_tokens AS best_tokens, n_members
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    tier="C",
+    doc="Near-duplicate cluster dedup with a QUALITY survivor policy: "
+    "instead of q_dedup_cluster's min-id canonical label, keep each "
+    "cluster's longest document (token count desc, doc_id tie-break) — "
+    "the curation-real policy, since near-dup clusters usually contain "
+    "one full article plus truncated/boilerplate copies. Composes the "
+    "same banded-LSH candidates + connected components, joins the "
+    "component table (cluster-members-sized, tiny relative to the "
+    "corpus — broadcast at scale) against per-doc token counts, and "
+    "takes the per-component argmax with one ranked window "
+    "(WindowGroupLimit prunes to the top row per component). Oracle = "
+    "the q_dedup_cluster recursive CTE + the same ranked argmax.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+    from news_categorization_big_data_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    comp = connected_components(pairs)
+    qual = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        comp.join(qual, "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            "n_tokens",
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(Window.partitionBy("component")).alias("n_members"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("best_doc"),
+            F.col("n_tokens").alias("best_tokens"),
+            "n_members",
+        )
+    )

@@ -226,3 +226,46 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = emb.where(F.col("vec_id") == 0).select("features").head()[0]
     out = model.approxNearestNeighbors(emb.where(F.col("vec_id") != 0), key, 10)
     return out.select("vec_id", "label", F.round("distCol", 4).alias("l2_dist"))
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH m AS (SELECT vec_id,
+                      embedding,
+                      list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))) AS mx
+               FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE)
+                                          * (CASE WHEN mx > 0 THEN 127.0 / mx
+                                                  ELSE 0.0 END) + 0.5)
+                                    AS INT)) AS qvec
+    FROM m
+    """,
+    tier="C",
+    doc="Symmetric int8 quantization of the embedding column — the "
+    "storage/bandwidth compression step before ANN index build "
+    "(scale = 127/max|x|, q = floor(x·scale + 0.5); floor(x+0.5) "
+    "instead of round() because both engines' floor is IEEE-exact while "
+    "their round() tie conventions differ). Pure per-row array "
+    "transform: map-only, zero shuffle, whole-stage codegen; float32→"
+    "double casts and one double multiply are bit-identical on both "
+    "engines. An all-zero vector quantizes to scale 0 / all-zero qvec.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )

@@ -422,3 +422,79 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("int").alias("n_bytes"),
         F.md5("text").alias("payload_md5"),
     )
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH g AS (SELECT list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' ')) AS grams
+               FROM (SELECT regexp_split_to_array(text, '\\s+') AS t
+                     FROM documents WHERE text <> ''))
+    SELECT pair, COUNT(*) AS cnt
+    FROM (SELECT unnest(grams) AS pair FROM g)
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 64
+    """,
+    tier="C",
+    doc="Adjacent-pair frequency counting — the inner loop of BPE/"
+    "WordPiece vocabulary construction (count all adjacent symbol "
+    "pairs, merge the winner, repeat): one explode of in-order bigrams "
+    "(functions/text_exprs.py word_ngrams — the same arrays_zip "
+    "construction q_repetition_stats uses), one partial-aggregating "
+    "shuffle on the pair, TakeOrderedAndProject for the top-64. At "
+    "corpus scale the iteration would re-run this query on a "
+    "pair-merged token column; each round is the same single-shuffle "
+    "plan. Ties break lexicographically for a total order.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return (
+        docs.select(F.explode(word_ngrams("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(64)
+    )
+
+
+@register(
+    "q_doc_commonness",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+                 FROM documents WHERE text <> ''),
+    tf AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT tok.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(tf.freq) AS BIGINT) AS sum_freq,
+           CAST(CAST(SUM(tf.freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq
+    FROM tok JOIN tf ON tok.token = tf.token
+    GROUP BY tok.doc_id
+    """,
+    tier="C",
+    doc="Per-document corpus-commonness score: average corpus frequency "
+    "of the document's tokens — the integer-exact stand-in for a "
+    "unigram-LM perplexity filter (CCNet-style quality signal: "
+    "boilerplate scores high, rare-junk scores low; avg of exact "
+    "integer counts divides identically on both engines where "
+    "sum-of-log-probs would not). Two shuffles: the term-frequency "
+    "aggregate, then the token-keyed join back. The join key is "
+    "Zipf-skewed by construction — AQE skew-join splitting handles the "
+    "head tokens; at 100 TB the vocabulary table is also a broadcast "
+    "candidate after a min-frequency cut.",
+)
+def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    return (
+        tok.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            (F.sum("freq").cast("double") / F.count("*")).alias("avg_freq"),
+        )
+    )

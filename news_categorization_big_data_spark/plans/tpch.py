@@ -238,6 +238,170 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Q4 late-shipment slack / Q10 quarter / Q18 quantity threshold.
+Q4_LO = "1996-01-01"
+Q4_HI = "1997-01-01"
+Q4_SLACK_DAYS = 60
+Q10_LO = "1996-10-01"
+Q10_HI = "1997-01-01"
+Q18_QTY = 250
+
+
+@register(
+    "q_tpch_q4",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q4_HI} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_SLACK_DAYS} DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tier="B",
+    doc="TPC-H Q4 shape (order priority checking), adapted: the testdata "
+    "lacks l_commitdate/l_receiptdate, so the standard late-commit "
+    "EXISTS becomes 'some line shipped more than 60 days after the "
+    "order date' — the same correlated-EXISTS-with-inequality workload. "
+    "Catalyst rewrites it to a left-semi join whose condition mixes the "
+    "orderkey equality (the shuffle key) with the non-equi date "
+    "predicate (evaluated post-match), then counts per priority. At "
+    "scale only the equality shuffles; the date slack never fans out.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(f"{Q4_LO} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{Q4_HI} 00:00:00").cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_SLACK_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q10_HI} 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tier="B",
+    doc="TPC-H Q10 (returned item reporting): one quarter of orders, "
+    "returned lines only, lost revenue per customer, top 20. nation "
+    "broadcasts; the quarter filter on orders and the returnflag filter "
+    "on lineitem are both pushed to the scans so the join input is two "
+    "pre-filtered slivers of the facts. c_custkey tie-breaks the "
+    "revenue ordering for determinism (standard Q10 orders by revenue "
+    "alone).",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(f"{Q10_LO} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{Q10_HI} 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _disc_price().alias("_dp"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("_dp").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    tier="B",
+    doc="TPC-H Q18 (large volume customer): the HAVING subquery first "
+    "reduces lineitem to the few orderkeys whose total quantity exceeds "
+    "the threshold — a partial-aggregating semi-join input that AQE "
+    "then broadcasts back against the fact — before joining customer "
+    "and orders and re-aggregating. The heavy table is aggregated "
+    "BEFORE any join: at 100 TB the qualifying-key set is tiny, so the "
+    "three-way join runs on slivers. o_orderkey tie-breaks the "
+    "ordering.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _d2("l_quantity").alias("_qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_qty").alias("_sq"))
+        .where(F.col("_sq") > Q18_QTY)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), li["l_orderkey"] == big["_bigkey"], "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("_qty").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 @register(
     "q_sql_correlated",
     oracle="""

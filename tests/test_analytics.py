@@ -1,0 +1,118 @@
+"""Plan-shape audits for the round-3 additions (TPC-H Q4/Q10/Q18 and
+the event-analytics / curation / vector queries): physical plans must
+carry the scale shapes the docstrings promise — value parity is covered
+by tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from news_categorization_big_data_spark.plans import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_left_semi_no_cartesian(spark, sf_dir):
+    plan = _plan(REGISTRY["q_tpch_q4"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the order-date window reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q10_broadcasts_nation_pushes_filters(spark, sf_dir):
+    plan = _plan(REGISTRY["q_tpch_q10"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # returnflag filter pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_q18_aggregates_lineitem_before_joins(spark, sf_dir):
+    plan = _plan(REGISTRY["q_tpch_q18"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """The window partitions by user_id; the follow-up groupBy
+    (user_id, sid) is satisfied by the SAME hash partitioning
+    (ClusteredDistribution subset rule), so the whole query must plan
+    exactly one shuffle."""
+    plan = _plan(REGISTRY["q_sessionize"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_funnel_no_window_no_cartesian(spark, sf_dir):
+    """The funnel is min-aggregates + user_id equi-joins — never a
+    sort-the-event-stream window, never a cross join."""
+    plan = _plan(REGISTRY["q_funnel"].builder(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_cohort_reuses_user_partitioning(spark, sf_dir):
+    """first-seen agg + join back both hash on user_id; only the final
+    (cohort, offset) distinct-count adds different-key shuffles."""
+    plan = _plan(REGISTRY["q_retention_cohort"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_decay_agg_map_side_weights(spark, sf_dir):
+    plan = _plan(REGISTRY["q_decay_agg"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bpe_pairs_single_shuffle_topk(spark, sf_dir):
+    plan = _plan(REGISTRY["q_bpe_pair_counts"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_quantize_map_only(spark, sf_dir):
+    plan = _plan(REGISTRY["q_embedding_quantize"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_keep_best_single_component_window(spark, sf_dir):
+    """One window pass over the (tiny) component table computes both the
+    argmax rank and n_members — WindowGroupLimit can't prune here
+    because the member count needs every row, so the contract is: a
+    single component-partitioned Window, no cross join."""
+    plan = _plan(REGISTRY["q_dedup_keep_best"].builder(spark, sf_dir))
+    assert plan.count("Window") >= 1, plan
+    assert "Exchange hashpartitioning(component" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_values(spark, sf_dir):
+    """Sessions are well-formed: start ≤ end, positive event counts,
+    per-user session_seq is 1..n dense."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["q_sessionize"].builder(spark, sf_dir)
+    bad = df.where(
+        (F.col("session_start") > F.col("session_end")) | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0
+    dense = (
+        df.groupBy("user_id")
+        .agg(
+            F.min("session_seq").alias("lo"),
+            F.max("session_seq").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .where((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert dense == 0
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_users for r in REGISTRY["q_funnel"].builder(spark, sf_dir).collect()}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
