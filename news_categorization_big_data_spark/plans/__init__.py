@@ -82,6 +82,11 @@ _DRIVER_ORDER = [
     "q_doc_commonness",
     "q_embedding_quantize",
     "q_dedup_keep_best",
+    "q_cube",
+    "q_window_time_range",
+    "q_value_histogram",
+    "q_zscore_outliers",
+    "q_join_salted",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -106,13 +111,13 @@ _DRIVER_ORDER = [
     "q_split_train_eval",
     "q_sample_stratified",
     "q_quality_filter",
+    # ---- driver's 50-entry window ends here ----
+    # -- displaced window-fill (round-2 green; sim-verified every round)
     "q_mix_sources",
     "q_group_quantiles",
     "q_top_terms_per_doc",
     "q_decontaminate",
     "q_repetition_stats",
-    # ---- driver's 50-entry window ends here ----
-    # -- displaced window-fill (round-2 green; sim-verified every round)
     "q_dedup_cluster",
     "q_pii_scrub",
     "q_unpivot_long",

@@ -218,3 +218,123 @@ def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dval).cast("double").alias("raw_value"),
         F.count("*").alias("n_events"),
     )
+
+
+#: Histogram bucket width for events.value (domain ≈ [0, 500]).
+HIST_WIDTH = 50
+
+
+@register(
+    "q_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type, bucket
+    """,
+    tier="B",
+    doc=f"Fixed-width value histogram per event type (width {HIST_WIDTH}): "
+    "bucket = floor(value/width) — one double division (IEEE-identical "
+    "on both engines) + exact floor, then a partial-aggregating "
+    "shuffle on the (type, bucket) key. The distribution-profiling "
+    "primitive: at 100 TB the bucket space stays tiny regardless of "
+    "row count, so the final aggregate is dimension-sized.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_WIDTH).alias("bucket")
+    return ev.groupBy("event_type", bucket).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+               FROM events GROUP BY event_type),
+    st AS (SELECT event_type, n, s1 / n AS mean,
+                  sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+           FROM s)
+    SELECT e.event_type, MAX(st.n) AS n,
+           MAX(st.mean) AS mean, MAX(st.std) AS std,
+           CAST(count_if(abs(e.value - st.mean) > 2 * st.std) AS BIGINT)
+             AS n_outliers
+    FROM events e JOIN st ON e.event_type = st.event_type
+    GROUP BY e.event_type
+    """,
+    tier="B",
+    doc="Two-sigma outlier detection per event type: moments from "
+    "EXACT decimal sums (sum and sum-of-squares are reduction-order-"
+    "independent; mean/variance/sqrt then run the identical double "
+    "expression on identical inputs on both engines — the only way a "
+    "float std is hash-stable), broadcast back over the events for the "
+    "outlier count. Two shuffles on the 5-value type key; the stats "
+    "side is dimension-sized, so the join is a broadcast at any "
+    "scale.",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dval = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dval).cast("double").alias("s1"),
+        F.sum(dval * dval).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    st = s.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean").alias("mean"),
+            F.max("std").alias("std"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("mean")) > 2 * F.col("std")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    WITH dim AS (SELECT event_type, COUNT(*) AS type_total
+                 FROM events GROUP BY event_type)
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(dim.type_total) AS BIGINT) AS sum_type_total
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY e.user_id
+    """,
+    tier="B",
+    doc="Skew-safe salted join as a first-class query: events are "
+    "pathologically skewed on event_type (5 hot keys for the whole "
+    "table — the worst equi-join distribution), so the fact side takes "
+    "a uniform per-row salt and the dimension is replicated per salt "
+    "(functions/scale.py salted_join), spreading each hot key over 8 "
+    "reducers. The oracle is the PLAIN join — salting must be "
+    "semantically invisible. The follow-up user_id aggregate proves "
+    "the salt column never leaks into downstream keys.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    return (
+        salted_join(ev.select("user_id", "event_type"), dim, on="event_type", salt_buckets=8)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("type_total").alias("sum_type_total"),
+        )
+    )

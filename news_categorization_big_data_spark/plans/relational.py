@@ -803,3 +803,25 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         "n_big_orders",
     )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tier="B",
+    doc="CUBE over (status, priority): all four grouping sets — the "
+    "OLAP companion to q_grouping_sets's ROLLUP hierarchy. Spark "
+    "expands the cube into one shuffle carrying a grouping-id column "
+    "(rows replicated per set map-side, partially aggregated before "
+    "the exchange); both grouping columns are non-null in the data, so "
+    "NULL unambiguously marks the rolled-up level in both engines.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total")
+    )

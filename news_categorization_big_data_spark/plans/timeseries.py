@@ -186,3 +186,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="ts",
         by="user_id",
     ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
+
+
+@register(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tier="B",
+    doc="Event-time RANGE frame: per user, the trailing one-hour event "
+    "count and value sum at every event — the per-entity moving "
+    "aggregate q_window_frame's ROWS frame can't express (a row count "
+    "is not a time span). Ordered by epoch-µs longs so the frame "
+    "bounds are integer arithmetic; the value sum is decimal-exact. "
+    "One shuffle on user_id, one per-partition sort, single window "
+    "pass — the batch twin of a sliding stream aggregate, exact "
+    "rather than slide-quantized.",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_1h"),
+    )

@@ -116,3 +116,33 @@ def test_funnel_is_monotone(spark, sf_dir):
     rows = {r.stage: r.n_users for r in REGISTRY["q_funnel"].builder(spark, sf_dir).collect()}
     assert rows[1] >= rows[2] >= rows[3]
     assert rows[1] > 0
+
+
+def test_cube_expands_once(spark, sf_dir):
+    plan = _plan(REGISTRY["q_cube"].builder(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_time_range_window_single_pass(spark, sf_dir):
+    plan = _plan(REGISTRY["q_window_time_range"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_histogram_single_shuffle_no_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q_value_histogram"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zscore_broadcasts_stats(spark, sf_dir):
+    plan = _plan(REGISTRY["q_zscore_outliers"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_join_hides_salt(spark, sf_dir):
+    df = REGISTRY["q_join_salted"].builder(spark, sf_dir)
+    assert df.columns == ["user_id", "n_events", "sum_type_total"]
+    plan = _plan(df)
+    assert "_salt" in plan, plan  # the salt really is in the join keys
