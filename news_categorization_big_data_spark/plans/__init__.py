@@ -87,6 +87,8 @@ _DRIVER_ORDER = [
     "q_value_histogram",
     "q_zscore_outliers",
     "q_join_salted",
+    "q_scan_orc",
+    "q_scan_partitioned",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -109,10 +111,10 @@ _DRIVER_ORDER = [
     "q_classify_keywords",
     "q_pipeline_digest",
     "q_split_train_eval",
-    "q_sample_stratified",
-    "q_quality_filter",
     # ---- driver's 50-entry window ends here ----
     # -- displaced window-fill (round-2 green; sim-verified every round)
+    "q_sample_stratified",
+    "q_quality_filter",
     "q_mix_sources",
     "q_group_quantiles",
     "q_top_terms_per_doc",

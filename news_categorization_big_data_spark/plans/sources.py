@@ -193,3 +193,74 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(csv_dir)
     )
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Per-(session, sf) scratch dir — same keying as the CSV fixture."""
+    try:
+        session_key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect
+        session_key = f"s{abs(hash(spark)) % 10**8}"
+    return os.path.join(
+        FIXTURE_ROOT, kind, session_key, os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 400 GROUP BY lang
+    """,
+    tier="B",
+    doc="ORC round-trip, completing the columnar-format matrix (parquet "
+    "/ ORC — both built into Spark SQL): a slice of documents is "
+    "written as ORC and read back through spark.read.orc, then "
+    "aggregated; the oracle recomputes from the parquet source, so a "
+    "write-side or read-side corruption anywhere in the round-trip "
+    "breaks the hash. ORC carries the same pushdown/pruning contract "
+    "as parquet (predicate + column indexes); the write is a "
+    "distributed projection, no driver collect.",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orc_dir = _fixture_dir(spark, sf_dir, "orc_corpus")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+    )
+    docs.write.mode("overwrite").orc(orc_dir)
+    return (
+        spark.read.orc(orc_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@register(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    """,
+    tier="B",
+    doc="Hive-style partitioned layout + partition pruning: documents "
+    "written partitionBy(lang) and read back with a lang predicate — "
+    "the scan must prune to the two matching partition directories "
+    "BEFORE reading any data file (PartitionFilters in the plan, "
+    "asserted in tests/test_sources_layout.py). This is the at-rest "
+    "layout contract for the 100-TB store: partition keys eliminate "
+    "I/O in O(partitions), not O(rows); the oracle recomputes from the "
+    "unpartitioned source.",
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_dir = _fixture_dir(spark, sf_dir, "partitioned_docs")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(part_dir)
+    return (
+        spark.read.parquet(part_dir)
+        .where(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )

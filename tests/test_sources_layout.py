@@ -1,0 +1,40 @@
+"""Storage-layout contracts: partitioned-write pruning and the ORC
+round-trip — the at-rest I/O-elimination guarantees for the 100-TB
+store. Value parity is covered by tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from news_categorization_big_data_spark.plans import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The lang predicate must become a PartitionFilter (directory
+    pruning, zero data-file I/O for other langs), not a post-scan
+    filter."""
+    plan = _plan(REGISTRY["q_scan_partitioned"].builder(spark, sf_dir))
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120], plan
+    # and the pruned scan reads only the referenced columns
+    assert "ReadSchema: struct<source:string>" in plan, plan
+
+
+def test_orc_scan_pushes_column_pruning(spark, sf_dir):
+    plan = _plan(REGISTRY["q_scan_orc"].builder(spark, sf_dir))
+    assert "Format: ORC" in plan or "orc" in plan.lower(), plan
+    # only lang + n_chars are read back for the aggregate
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan
+
+
+def test_orc_roundtrip_preserves_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    expected = (
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).count()
+    )
+    got = REGISTRY["q_scan_orc"].builder(spark, sf_dir).agg(F.sum("n_docs")).head()[0]
+    assert got == expected
