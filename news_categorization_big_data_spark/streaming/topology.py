@@ -131,6 +131,65 @@ def track_category_totals(parsed: DataFrame) -> DataFrame:
     )
 
 
+def _make_category_totals_processor():
+    """Build the StatefulProcessor for ``track_category_totals_v2`` —
+    the transformWithStateInPandas (state V2) twin of
+    ``_update_category_state``: per-category cumulative count + chars in
+    a typed ValueState cell. Constructed inside a function because the
+    base-class import is Spark ≥ 4 only."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", CATEGORY_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._totals.get() if self._totals.exists() else None
+            n, chars = (int(prior[0]), int(prior[1])) if prior else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                chars += int(pdf["content"].fillna("").str.len().sum())
+            self._totals.update((n, chars))
+            yield pd.DataFrame(
+                {"category": [key[0]], "n_total": [n], "chars_total": [chars]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _Processor()
+
+
+def track_category_totals_v2(parsed: DataFrame) -> DataFrame:
+    """The state-V2 form of :func:`track_category_totals`:
+    ``transformWithStateInPandas`` with an explicit StatefulProcessor.
+
+    Same semantics (cumulative per-category totals across micro-batches,
+    category-keyed state bounded by the dimension), but on the V2
+    runtime surface: typed named state cells (ValueState here; the same
+    handle serves ListState/MapState), lifecycle hooks, and optional
+    event/processing-time timers — the API the 100-TB topology would
+    standardize on, since state evolution (adding a cell) doesn't
+    invalidate checkpoints the way changing an applyInPandasWithState
+    tuple schema does.
+
+    Runtime prerequisite: the V2 state channel is protobuf-encoded, so
+    executing (not building) this plan needs the ``google.protobuf``
+    package — unavailable in the build sandbox (the test skips, like
+    the live-Kafka path); on a real cluster it ships with pyspark's
+    declared deps.
+    """
+    return parsed.groupBy("category").transformWithStateInPandas(
+        statefulProcessor=_make_category_totals_processor(),
+        outputStructType=CATEGORY_STATE_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def join_streams_interval(
     left: DataFrame,
     right: DataFrame,
@@ -139,8 +198,9 @@ def join_streams_interval(
     right_ts: str = "event_ts",
     within_seconds: int = 600,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` within an event-time interval:
+    """Stream-stream join on ``key`` within an event-time interval:
     a right event matches a left event iff it lands in
     ``[left_ts, left_ts + within_seconds]``.
 
@@ -151,8 +211,19 @@ def join_streams_interval(
     same function works on batch frames (watermarks skipped — they are
     streaming-only), which is how the parity test pins the semantics.
 
+    ``how="left_outer"`` additionally emits unmatched LEFT rows
+    (right side NULL) — in streaming these surface only once the
+    watermark has passed the row's interval (the engine must be sure no
+    future right row can match before declaring the miss), which is
+    exactly why the outer variant REQUIRES the event-time bound: an
+    unbounded outer stream join could never emit a definitive NULL.
+
     Output disambiguates the two sides as ``<col>_l`` / ``<col>_r``.
     """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(
+            f"join_streams_interval supports inner/left_outer, got {how!r}"
+        )
     # Rename FIRST, then watermark the renamed column: the watermark
     # must be attached to the exact attribute the join consumes, so a
     # later projection can never separate the two.
@@ -170,7 +241,7 @@ def join_streams_interval(
             <= F.col(f"{left_ts}_l") + F.expr(f"INTERVAL {within_seconds} SECONDS")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, "left_outer" if how in ("left_outer", "leftOuter") else "inner")
 
 
 def serialize_messages(df: DataFrame) -> DataFrame:

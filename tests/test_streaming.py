@@ -458,3 +458,128 @@ def test_watermark_drops_late_data_live(spark, tmp_path):
     # The straggler did NOT bump the finalized window back to 3.
     assert got.get("2024-01-01 00:00:00") == 2, got
     assert got.get("2024-01-01 01:00:00") == 1, got
+
+
+def test_stateful_v2_category_totals_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (state V2, Spark 4): the
+    StatefulProcessor's ValueState carries totals ACROSS micro-batches,
+    matching the applyInPandasWithState operator's semantics.
+
+    The V2 runtime ships state to Python over a protobuf channel, so it
+    needs the google.protobuf package — absent in this sandbox (and
+    installs are disallowed). Skip, exactly like the live-Kafka gap;
+    the operator itself (track_category_totals_v2) builds the identical
+    plan either way and the V1 twin is fully tested above."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf", reason="transformWithStateInPandas needs protobuf"
+    )
+
+    from news_categorization_big_data_spark.streaming.topology import (
+        track_category_totals_v2,
+    )
+
+    src = str(tmp_path / "v2_src")
+    ckpt = str(tmp_path / "v2_ckpt")
+    _write_jsonl(src, [_payload("abcde", "sports", "2024-01-01 10:00:00")])
+
+    raw = read_message_stream(spark, source="json-files", path=src)
+    totals = track_category_totals_v2(parse_messages(raw))
+
+    seen = []
+
+    def capture(batch_df, batch_id):
+        seen.append({r.category: (r.n_total, r.chars_total) for r in batch_df.collect()})
+
+    q = (
+        totals.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    with open(_os.path.join(src, "part-1.json"), "w") as f:
+        f.write(_json.dumps(_payload("xyz", "sports", "2024-01-01 10:05:00")) + "\n")
+        f.write(_json.dumps(_payload("pq", "arts", "2024-01-01 10:06:00")) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {}
+    for batch in seen:
+        merged.update(batch)
+    assert merged["sports"] == (2, 8)
+    assert merged["arts"] == (1, 2)
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer interval join: unmatched left rows surface with NULL
+    right columns once the watermark passes their interval — and the
+    streaming answer equals the batch left-outer theta join."""
+    from news_categorization_big_data_spark.streaming.topology import (
+        join_streams_interval,
+    )
+
+    left_rows = [
+        _payload("l-match", "sports", "2024-01-01 10:00:00"),
+        _payload("l-miss", "arts", "2024-01-01 10:00:00"),
+        # far-future row pushes the watermark past the earlier intervals
+        _payload("l-flush", "sports", "2024-01-01 13:00:00"),
+    ]
+    right_rows = [
+        _payload("r-in", "sports", "2024-01-01 10:05:00"),
+        _payload("r-flush", "sports", "2024-01-01 13:00:00"),
+    ]
+    lsrc, rsrc = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    _write_jsonl(lsrc, left_rows)
+    _write_jsonl(rsrc, right_rows)
+
+    def build(streaming: bool):
+        if streaming:
+            l = parse_messages(read_message_stream(spark, source="json-files", path=lsrc))
+            r = parse_messages(read_message_stream(spark, source="json-files", path=rsrc))
+        else:
+            l = parse_messages(spark.read.schema("value string").json(lsrc))
+            r = parse_messages(spark.read.schema("value string").json(rsrc))
+        return join_streams_interval(l, r, within_seconds=600, how="left_outer")
+
+    out, ckpt = str(tmp_path / "lo_out"), str(tmp_path / "lo_ckpt")
+    q = (
+        build(streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.content_l, r.content_r) for r in spark.read.parquet(out).collect()}
+    want = {(r.content_l, r.content_r) for r in build(streaming=False).collect()}
+    # the batch side is ground truth; the unmatched arts row must be there
+    assert ("l-miss", None) in want
+    # streaming may still hold not-yet-flushable rows in state at stop
+    # time, but everything it DID emit must agree with batch, and the
+    # matched pair plus the watermark-flushed miss must have surfaced
+    assert got <= want
+    assert ("l-match", "r-in") in got
+    assert ("l-miss", None) in got
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from news_categorization_big_data_spark.streaming.topology import (
+        join_streams_interval,
+    )
+
+    df = spark.range(1).select(
+        F.lit("a").alias("category"),
+        F.current_timestamp().alias("event_ts"),
+    )
+    with _pytest.raises(ValueError):
+        join_streams_interval(df, df, how="full_outer")
