@@ -89,6 +89,7 @@ _DRIVER_ORDER = [
     "q_join_salted",
     "q_scan_orc",
     "q_scan_partitioned",
+    "q_scan_pyds",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -110,9 +111,9 @@ _DRIVER_ORDER = [
     "q_summarize_extractive",
     "q_classify_keywords",
     "q_pipeline_digest",
-    "q_split_train_eval",
     # ---- driver's 50-entry window ends here ----
     # -- displaced window-fill (round-2 green; sim-verified every round)
+    "q_split_train_eval",
     "q_sample_stratified",
     "q_quality_filter",
     "q_mix_sources",

@@ -264,3 +264,47 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "q_scan_pyds",
+    oracle="""
+    SELECT CAST(i % 8 AS INT) AS shard,
+           COUNT(*) AS n,
+           CAST(SUM((i * 1103515245 + 12345) % 2147483648) AS BIGINT) AS sum_h,
+           MIN(i) AS min_id, MAX(i) AS max_id
+    FROM generate_series(0, 9999) t(i)
+    GROUP BY shard
+    """,
+    tier="B",
+    doc="Custom connector via Spark 4's Python Data Source API "
+    "(sources/docgen.py): schema declaration, one InputPartition per "
+    "shard (the scan parallelizes with no driver materialization), and "
+    "pushFilters shard pruning. The generator is a pure function of "
+    "the row id (LCG step in BIGINT-safe range), so DuckDB's "
+    "generate_series reproduces it exactly — the oracle proves the "
+    "whole connector path: registration, planning, per-partition "
+    "iteration, type mapping.",
+)
+def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.session import tune_session
+    from news_categorization_big_data_spark.sources.docgen import DocGenDataSource
+
+    # Unlike every other query, this one never touches load_table, so
+    # it must self-tune the (possibly vanilla, driver-provided) session
+    # itself — pushFilters readers fail analysis without the conf.
+    tune_session(spark)
+    # registration is idempotent (same name → replace)
+    spark.dataSource.register(DocGenDataSource)
+    src = (
+        spark.read.format("docgen")
+        .option("rows", 10000)
+        .option("shards", 8)
+        .load()
+    )
+    return src.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("h").alias("sum_h"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -36,6 +36,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     # Spark 4 refuses it unless read as long (we convert to µs in the
     # catalog loader, matching DuckDB's ns→µs truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python Data Source API: allow pushFilters (sources/docgen.py) —
+    # off by default in Spark 4.1; a reader implementing pushFilters
+    # FAILS analysis when this is unset, so the engine turns it on.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

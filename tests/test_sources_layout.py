@@ -38,3 +38,48 @@ def test_orc_roundtrip_preserves_rows(spark, sf_dir):
     )
     got = REGISTRY["q_scan_orc"].builder(spark, sf_dir).agg(F.sum("n_docs")).head()[0]
     assert got == expected
+
+
+def test_pyds_shard_pushdown_prunes_partitions():
+    """pushFilters on shard-equality must prune partition planning to
+    the matching shard (driver-side unit check, no Spark session)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from news_categorization_big_data_spark.sources.docgen import DocGenReader
+
+    r = DocGenReader({"rows": "100", "shards": "8"})
+    rest = list(r.pushFilters([EqualTo(("shard",), 3), GreaterThan(("id",), 10)]))
+    # the id predicate is NOT consumed — Spark must re-evaluate it
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    parts = r.partitions()
+    assert [p.shard for p in parts] == [3]
+
+    r2 = DocGenReader({"rows": "100", "shards": "8"})
+    assert list(r2.pushFilters([In(("shard",), (1, 5))])) == []
+    assert sorted(p.shard for p in r2.partitions()) == [1, 5]
+
+
+def test_pyds_filtered_scan_matches_generator(spark):
+    """End-to-end through Spark: a shard-filtered read returns exactly
+    that shard's slice of the generator function."""
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.docgen import (
+        LCG_A,
+        LCG_C,
+        LCG_M,
+        DocGenDataSource,
+    )
+
+    spark.dataSource.register(DocGenDataSource)
+    df = (
+        spark.read.format("docgen")
+        .option("rows", 1000)
+        .option("shards", 8)
+        .load()
+        .where(F.col("shard") == 2)
+    )
+    rows = {r.id: (r.payload, r.h) for r in df.collect()}
+    assert set(rows) == set(range(2, 1000, 8))
+    for i in (2, 10, 994):
+        assert rows[i] == (f"doc_{i}", (i * LCG_A + LCG_C) % LCG_M)
