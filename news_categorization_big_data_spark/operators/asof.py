@@ -19,13 +19,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
-    """Left as-of join: latest right row with ``right[on] <= left[on]``
-    per ``by`` group; right value columns are null when no match exists.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join per ``by`` group; right value columns are null
+    when no match exists.
+
+    ``direction="backward"`` (default): latest right row with
+    ``right[on] <= left[on]``. ``direction="forward"``: EARLIEST right
+    row with ``right[on] >= left[on]`` — same single-shuffle plan with
+    the per-partition sort reversed (rights still order before lefts at
+    equal time, so the boundary tie matches in both directions).
+
+    ``tolerance_seconds`` bounds the match's staleness, pandas
+    merge_asof-style: the nearest candidate is found first, then the
+    whole carried row is NULLed if it lies further than the tolerance —
+    equivalent to "no match within tolerance" because the candidate IS
+    the nearest one. Requires ``on`` to be a timestamp column.
 
     ``left`` and ``right`` must share exactly the ``on`` and ``by``
     columns; every other right column is carried forward as a value.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = [c for c in right.columns if c not in (on, by)]
     overlap = [c for c in left.columns if c in value_cols]
     if overlap:
@@ -35,9 +56,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
     tagged_right = right.withColumn("_side", F.lit(0))
     combined = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
 
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry ALL right value columns as ONE struct through a single
@@ -47,14 +69,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
     # (per-column last() would do exactly that, diverging from
     # DuckDB/pandas ASOF semantics). Right rows always contribute a
     # non-null struct; left rows contribute null → skipped by the window.
+    # The right's own `on` value rides along as `_match_on` for the
+    # tolerance check.
     carried = F.last(
-        F.when(F.col("_side") == 0, F.struct(*value_cols)), ignorenulls=True
+        F.when(F.col("_side") == 0, F.struct(*value_cols, F.col(on).alias("_match_on"))),
+        ignorenulls=True,
     ).over(w)
-    return (
-        combined.withColumn("_carried", carried)
-        .where(F.col("_side") == 1)
-        .select(
-            *[c for c in left.columns],
-            *[F.col(f"_carried.{c}").alias(c) for c in value_cols],
+    out = combined.withColumn("_carried", carried).where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap_us = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_carried._match_on"))
+        if direction == "forward":
+            gap_us = -gap_us
+        out = out.withColumn(
+            "_carried",
+            F.when(gap_us <= tolerance_seconds * 1_000_000, F.col("_carried")),
         )
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"_carried.{c}").alias(c) for c in value_cols],
     )

@@ -222,3 +222,83 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cnt_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_1h"),
     )
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.event_id AS next_purchase_id, p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    tier="C",
+    doc="FORWARD as-of join: each error event matched to the user's "
+    "EARLIEST purchase at-or-after it (the 'what happened next' "
+    "direction — outcome attribution, next-action labeling). Same "
+    "union + last(ignorenulls) single-shuffle plan as q_asof_join with "
+    "the per-partition sort reversed (operators/asof.py direction="
+    "'forward'); oracle: DuckDB native ASOF with the inequality "
+    "flipped.",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return asof_join(
+        left=errors.select("event_id", "user_id", "ts"),
+        right=purchases.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("next_purchase_id"),
+            F.col("value").alias("next_purchase_value"),
+        ),
+        on="ts",
+        by="user_id",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_purchase_id", "next_purchase_value")
+
+
+#: Tolerance for the bounded as-of variant: 30 minutes.
+ASOF_TOLERANCE_S = 1800
+
+
+@register(
+    "q_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_S} * 1000000
+                THEN p.event_id END AS purchase_event_id,
+           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_S} * 1000000
+                THEN p.value END AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tier="C",
+    doc=f"As-of join with a staleness bound (pandas merge_asof "
+    f"tolerance): the latest at-or-before purchase counts only within "
+    f"{ASOF_TOLERANCE_S}s; older nearest-matches become NULL — "
+    "nullifying the nearest candidate IS the no-match-within-tolerance "
+    "semantics, because any other candidate is further away. The "
+    "operator carries the matched row's own timestamp inside the "
+    "atomic struct for the integer-µs gap check; the oracle applies "
+    "the identical CASE to DuckDB's native ASOF result.",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return asof_join(
+        left=errors.select("event_id", "user_id", "ts"),
+        right=purchases.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        ),
+        on="ts",
+        by="user_id",
+        tolerance_seconds=ASOF_TOLERANCE_S,
+    ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")

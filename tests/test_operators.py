@@ -228,3 +228,53 @@ def test_pipeline_digest_bounded_and_stamped(spark, sf_dir):
         assert 1 <= r.n_items <= DIGEST_MAX_ITEMS
         body = r.content.rsplit("\nDate: ", 1)[0]
         assert all(chunk.startswith("- ") for chunk in body.split("\n- ")[:1])
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 10, 201), (4, 30, 100)],
+        "event_id int, user_id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0)],
+        "user_id int, ts int, price double",
+    )
+    out = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward"
+        ).collect()
+    }
+    assert out[1] == 1.0  # equal ts matches (>=) — boundary tie
+    assert out[2] is None  # every right row is in the past
+    assert out[3] is None  # 201 > 200: nearest-after doesn't exist
+    assert out[4] is None  # no right rows for user 30
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    left = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 10, t(40))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(0), 1.0)], "user_id int, ts timestamp, price double"
+    )
+    out = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance_seconds=1800
+        ).collect()
+    }
+    assert out[1] == 1.0  # 0s old: within 30min
+    assert out[2] is None  # 40min old: nearest match exists but is stale
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, 1)], "user_id int, ts int")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="ts", by="user_id", direction="nearest")
