@@ -92,6 +92,8 @@ _DRIVER_ORDER = [
     "q_scan_pyds",
     "q_asof_forward",
     "q_asof_tolerance",
+    "q_variant_json",
+    "q_sql_lateral",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -109,9 +111,9 @@ _DRIVER_ORDER = [
     "q_sim_search",
     "q_knn_label",
     "q_sim_ann_ivf",
+    # ---- driver's 50-entry window ends here ----
     "q_dedup_embedding",
     "q_summarize_extractive",
-    # ---- driver's 50-entry window ends here ----
     "q_classify_keywords",
     "q_pipeline_digest",
     # -- displaced window-fill (round-2 green; sim-verified every round)

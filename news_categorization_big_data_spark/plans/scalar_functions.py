@@ -295,3 +295,53 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", F.lit(0.0), lambda acc, x: acc + dabs(x)
         ).alias("l1_norm"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    WITH j AS (SELECT event_id, event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_id,
+           event_type AS vtype,
+           k AS vk,
+           k * 2 AS vk2,
+           CAST(NULL AS BIGINT) AS vmissing
+    FROM j
+    """,
+    tier="B",
+    doc="Semi-structured VARIANT surface (Spark 4): a nested JSON "
+    "payload (object + array, built engine-side from props.k and "
+    "event_type with integer-only rendering so both engines byte-agree "
+    "on the document) is parse_json'd into a VariantType value, then "
+    "typed paths come back out — variant_get for object fields "
+    "('$.meta.type'), array indexing ('$.ks[1]'), and try_variant_get "
+    "returning NULL on a missing path instead of erroring. Variant "
+    "stores shredded binary, so repeated path access never re-parses "
+    "text — the at-scale answer to schemaless columns. The oracle "
+    "recomputes the expected values directly from the source (a "
+    "round-trip proof, like q_scan_json).",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    payload = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('"},"k":'),
+        k.cast("string"),
+        F.lit(',"ks":['),
+        k.cast("string"),
+        F.lit(","),
+        (k * 2).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(payload)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.k", "long").alias("vk"),
+        F.variant_get(v, "$.ks[1]", "long").alias("vk2"),
+        F.try_variant_get(v, "$.missing", "long").alias("vmissing"),
+    )

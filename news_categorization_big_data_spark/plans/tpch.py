@@ -438,3 +438,35 @@ def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_orderstatus = 'F')
         """
     )
+
+
+@register(
+    "q_sql_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_orderdate FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+    """,
+    tier="B",
+    doc="Correlated LATERAL subquery through the SQL front end: each "
+    "customer's two most recent orders — the per-row dependent-subquery "
+    "surface (SQL:1999 LATERAL). Catalyst decorrelates the "
+    "limit-per-group subquery into a ranked-window shape rather than "
+    "executing one subquery per outer row, so the plan is a join + "
+    "window, not N scans; DuckDB runs the identical SQL as the oracle. "
+    "o_orderkey tie-breaks equal dates for a total order.",
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+        """
+    )

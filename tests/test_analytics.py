@@ -146,3 +146,18 @@ def test_salted_join_hides_salt(spark, sf_dir):
     assert df.columns == ["user_id", "n_events", "sum_type_total"]
     plan = _plan(df)
     assert "_salt" in plan, plan  # the salt really is in the join keys
+
+
+def test_lateral_decorrelates_to_window(spark, sf_dir):
+    """The per-customer LIMIT-2 LATERAL subquery must decorrelate into
+    a ranked-window + join plan — NOT one subquery execution per outer
+    row (no nested-loop over the orders scan)."""
+    plan = _plan(REGISTRY["q_sql_lateral"].builder(spark, sf_dir))
+    assert "Window" in plan or "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_variant_json_map_only(spark, sf_dir):
+    plan = _plan(REGISTRY["q_variant_json"].builder(spark, sf_dir))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "variant_get" in plan, plan
