@@ -94,6 +94,7 @@ _DRIVER_ORDER = [
     "q_asof_tolerance",
     "q_variant_json",
     "q_sql_lateral",
+    "q_udtf_polymorphic",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -110,8 +111,8 @@ _DRIVER_ORDER = [
     "q_dedup_simhash",
     "q_sim_search",
     "q_knn_label",
-    "q_sim_ann_ivf",
     # ---- driver's 50-entry window ends here ----
+    "q_sim_ann_ivf",
     "q_dedup_embedding",
     "q_summarize_extractive",
     "q_classify_keywords",

@@ -79,3 +79,62 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.pos, c.chunk, c.n_tokens "
         "FROM _udtf_docs d, LATERAL chunk_doc(d.text) c"
     )
+
+
+#: n-gram width for the registered polymorphic-UDTF query.
+POLY_NGRAM_K = 3
+
+
+@udtf
+class NGramsUDTF:
+    """POLYMORPHIC UDTF (Spark ≥4): the output schema is computed by
+    ``analyze`` from the literal ``k`` argument — ``pos`` plus word
+    columns ``w1..wk`` — so one registration serves every n-gram width,
+    the dynamic-schema capability a ``returnType`` UDTF cannot express.
+    Tokenization matches ChunkDoc (ASCII ``\\s`` split) for
+    cross-engine agreement.
+    """
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import IntegerType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if k.value is None or not isinstance(k.value, int) or k.value < 1:
+            raise ValueError("ngrams(text, k): k must be a positive int literal")
+        schema = StructType().add("pos", IntegerType())
+        for i in range(k.value):
+            schema = schema.add(f"w{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):
+        toks = re.split(r"\s+", text or "", flags=re.ASCII)
+        for i in range(len(toks) - k + 1):
+            yield (i, *toks[i : i + k])
+
+
+@register(
+    "q_udtf_polymorphic",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                  FROM documents WHERE text <> '' AND doc_id < 50)
+    SELECT doc_id, CAST(u.i AS INT) AS pos,
+           t[u.i + 1] AS w1, t[u.i + 2] AS w2, t[u.i + 3] AS w3
+    FROM toks, UNNEST(range(0, GREATEST(len(t) - {POLY_NGRAM_K - 1}, 0))) AS u(i)
+    """,
+    tier="B",
+    doc=f"Polymorphic Python UDTF (Spark 4 analyze()): the n-gram "
+    f"emitter's schema (pos, w1..wk) is derived from the literal "
+    f"k={POLY_NGRAM_K} at ANALYSIS time — Catalyst resolves the "
+    "LATERAL's output columns from the UDTF's own analyze method, the "
+    "dynamic-schema contract static returnType UDTFs can't express. "
+    "Oracle recomputes the k-grams relationally.",
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where("text <> '' AND doc_id < 50")
+    spark.udtf.register("poly_ngrams", NGramsUDTF)
+    docs.createOrReplaceTempView("_udtf_poly_docs")
+    return spark.sql(
+        f"SELECT d.doc_id, g.pos, g.w1, g.w2, g.w3 "
+        f"FROM _udtf_poly_docs d, LATERAL poly_ngrams(d.text, {POLY_NGRAM_K}) g"
+    )
