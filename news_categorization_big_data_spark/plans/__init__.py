@@ -46,6 +46,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     sampling,
     reshape,
     tpch,
+    tpch_deep,
     analytics,
 )
 
@@ -95,6 +96,14 @@ _DRIVER_ORDER = [
     "q_variant_json",
     "q_sql_lateral",
     "q_udtf_polymorphic",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
@@ -103,6 +112,7 @@ _DRIVER_ORDER = [
     "q_quality_score",
     "q_token_count",
     "q_doc_fingerprint",
+    # ---- driver's 50-entry window ends here ----
     "q_multimodal_cols",
     "q_multimodal_binary",
     "q_dedup_ngram_jaccard",
@@ -111,7 +121,6 @@ _DRIVER_ORDER = [
     "q_dedup_simhash",
     "q_sim_search",
     "q_knn_label",
-    # ---- driver's 50-entry window ends here ----
     "q_sim_ann_ivf",
     "q_dedup_embedding",
     "q_summarize_extractive",
