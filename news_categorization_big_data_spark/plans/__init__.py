@@ -48,6 +48,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     tpch,
     tpch_deep,
     analytics,
+    mutation,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -104,15 +105,19 @@ _DRIVER_ORDER = [
     "q_tpch_q17",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_merge_upsert",
+    "q_join_bucketed",
+    "q_vocab_coverage",
+    "q_dedup_fuzzy",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
     "q_text_stats",
+    # ---- driver's 50-entry window ends here ----
     "q_lang_id",
     "q_quality_score",
     "q_token_count",
     "q_doc_fingerprint",
-    # ---- driver's 50-entry window ends here ----
     "q_multimodal_cols",
     "q_multimodal_binary",
     "q_dedup_ngram_jaccard",

@@ -338,3 +338,71 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("type_total").alias("sum_type_total"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tier="B",
+    doc="Exchange-free sort-merge join via bucketing — the at-rest layout "
+    "for RECURRING fact-fact joins (functions/scale.py write_bucketed): "
+    "orders and customer are persisted bucketed+sorted on the customer "
+    "key with the same bucket count, so the join plans as a zero-"
+    "Exchange sort-merge over co-located buckets, and the downstream "
+    "per-customer aggregate reuses the same hash partitioning (output "
+    "partitioning on the join key satisfies the groupBy's clustered "
+    "distribution) — the whole query runs without a single shuffle "
+    "(asserted in tests/test_analytics.py). The oracle is the plain "
+    "join on the raw parquet: the layout must be semantically "
+    "invisible. At 100 TB this amortizes: one bucketed write, every "
+    "subsequent join/agg on the key shuffle-free.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from news_categorization_big_data_spark.functions.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    try:
+        session_key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect
+        session_key = f"s{abs(hash(spark)) % 10**8}"
+    suffix = _re.sub(
+        r"[^a-z0-9]", "_", f"{session_key}_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}".lower()
+    )
+    orders_tbl, cust_tbl = f"b_orders_{suffix}", f"b_customer_{suffix}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("_price")
+        ),
+        orders_tbl,
+        ["o_custkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        cust_tbl,
+        ["c_custkey"],
+    )
+    # hint("merge"): at sf0.01 the planner would broadcast the tiny
+    # customer side, hiding the layout's point; at 100 TB neither side
+    # broadcasts and sort-merge over co-located buckets IS the plan.
+    return (
+        read_bucketed(spark, orders_tbl)
+        .join(
+            read_bucketed(spark, cust_tbl).hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_price").cast("double").alias("total_spend"),
+        )
+    )

@@ -340,3 +340,73 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents),
+    b AS (SELECT doc_id, substr(norm, 1, 24) AS blk, len(norm) AS l,
+                 substr(norm, 1, 120) AS pfx
+          FROM d WHERE len(norm) >= 24)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE abs(a.l - c.l) <= 10
+      AND levenshtein(a.pfx, c.pfx) <= 20
+    """,
+    tier="C",
+    doc="Edit-distance near-dup pairs — the character-level complement "
+    "to the token-level families (Jaccard/MinHash/SimHash catch "
+    "reorderings; levenshtein catches small in-place edits they "
+    "dilute): candidates BLOCK on the 24-char normalized prefix "
+    "(equi-join buckets, linear shuffle — never all-pairs), an integer "
+    "length filter discards impossible pairs before any distance is "
+    "computed (|len gap| bounds the edit distance from below), and the "
+    "O(n·m) levenshtein verify runs only inside blocks, on the 120-"
+    "char prefix, JVM-side (built-in levenshtein, codegen — no UDF). "
+    "At 100 TB the recall lever is multiple shifted blocking keys (or "
+    "the MinHash families) feeding this same verify stage; Spark's "
+    "threshold-bounded levenshtein(l, r, t) caps the DP early-exit.",
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("norm")
+    )
+    b = docs.where(F.length("norm") >= 24).select(
+        "doc_id",
+        F.substring("norm", 1, 24).alias("blk"),
+        F.length("norm").alias("l"),
+        F.substring("norm", 1, 120).alias("pfx"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("blk"),
+        F.col("l").alias("l_a"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk"),
+        F.col("l").alias("l_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(c, ["blk"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("l_a") - F.col("l_b")) <= 10)
+            & (F.levenshtein("pfx_a", "pfx_b") <= 20)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("edit_dist"),
+        )
+    )

@@ -498,3 +498,60 @@ def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("freq").cast("double") / F.count("*")).alias("avg_freq"),
         )
     )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+                 FROM documents WHERE text <> ''),
+    tf AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM (
+                SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rn
+                FROM tf) WHERE rn <= 500)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(count_if(v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(CAST(count_if(v.token IS NULL) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY doc_id
+    """,
+    tier="C",
+    doc="Per-document vocabulary coverage: out-of-vocabulary token rate "
+    "against the corpus top-500 vocabulary — the tokenizer-fit signal a "
+    "training pipeline computes before committing to a vocab (high OOV "
+    "= the tokenizer will fragment the doc into bytes). The vocabulary "
+    "is derived IN-QUERY: term frequencies (one shuffle), a "
+    "deterministic top-500 rank (freq desc, token asc — total order), "
+    "then a BROADCAST left join back to the token stream with null-"
+    "miss counting; the token stream itself is never re-shuffled. At "
+    "100 TB the vocab stays vocabulary-sized (broadcastable by "
+    "construction) regardless of corpus size; OOV divides two exact "
+    "integers, bit-identical in both engines.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    rn = F.row_number().over(Window.orderBy(F.desc("freq"), F.col("token")))
+    vocab = (
+        tf.select("token", rn.alias("rn"))
+        .where(F.col("rn") <= 500)
+        .select(F.col("token").alias("v_token"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok["token"] == F.col("v_token"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("v_token").isNull()).alias("n_oov"),
+            (
+                F.count_if(F.col("v_token").isNull()).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

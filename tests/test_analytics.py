@@ -161,3 +161,32 @@ def test_variant_json_map_only(spark, sf_dir):
     plan = _plan(REGISTRY["q_variant_json"].builder(spark, sf_dir))
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert "variant_get" in plan, plan
+
+
+def test_join_bucketed_runs_with_zero_exchanges(spark, sf_dir):
+    """Bucketed layout: join AND downstream aggregate reuse the at-rest
+    hash partitioning — not a single Exchange in the physical plan."""
+    df = REGISTRY["q_join_bucketed"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_merge_upsert_is_one_copartitioned_shuffle(spark, sf_dir):
+    """MERGE plans as FullOuter sort-merge; both profile aggregates and
+    the join share the user_id partitioning (one exchange per side, the
+    join itself adds none)."""
+    df = REGISTRY["q_merge_upsert"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_merge_upsert_actions_partition_the_keyspace(spark, sf_dir):
+    rows = REGISTRY["q_merge_upsert"].builder(spark, sf_dir).collect()
+    actions = {r["merge_action"] for r in rows}
+    assert actions <= {"insert", "update", "keep"}
+    # keys are unique after the merge — it IS an upsert
+    keys = [r["user_id"] for r in rows]
+    assert len(keys) == len(set(keys))

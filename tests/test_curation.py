@@ -208,3 +208,27 @@ def test_connected_components_raises_when_budget_too_small(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_vocab_coverage_broadcasts_vocab_not_tokens(spark, sf_dir):
+    """The top-500 vocab joins back as a broadcast; the token stream is
+    shuffled only for the per-doc aggregate, never for the join."""
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    df = REGISTRY["q_vocab_coverage"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_fuzzy_blocks_before_levenshtein(spark, sf_dir):
+    """Candidates come from an equi-join on the block key (linear
+    shuffle) — levenshtein never runs across the full cross product."""
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    df = REGISTRY["q_dedup_fuzzy"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    rows = df.collect()
+    assert len(rows) > 0  # the planted near-dups are found
+    assert all(r["edit_dist"] <= 20 for r in rows)
