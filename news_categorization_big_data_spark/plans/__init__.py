@@ -109,11 +109,12 @@ _DRIVER_ORDER = [
     "q_join_bucketed",
     "q_vocab_coverage",
     "q_dedup_fuzzy",
+    "q_event_transitions",
     # -- window fill: round-2 greens earning a second green row.
     "q_udaf_grouped",
     "q_udtf_chunks",
-    "q_text_stats",
     # ---- driver's 50-entry window ends here ----
+    "q_text_stats",
     "q_lang_id",
     "q_quality_score",
     "q_token_count",

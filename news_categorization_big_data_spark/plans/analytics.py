@@ -406,3 +406,55 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_price").cast("double").alias("total_spend"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
+           CAST(CAST(n AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE)
+             AS p_trans
+    FROM t
+    """,
+    tier="B",
+    doc="Event-transition matrix (first-order Markov estimate): for every "
+    "ordered pair of event types, how often does one follow the other "
+    "in a user's timeline, and with what conditional probability. One "
+    "user-partitioned lag window (ts with unique event_id tiebreak — "
+    "the q_window_lag idiom), one (prev, next) count shuffle, then the "
+    "row-normalization window over the TRANSITION MATRIX (event-type² "
+    "rows, trivially small at any corpus scale) — the heavy data "
+    "touches one window + one aggregate, both on bounded-cardinality "
+    "keys. p_trans divides two exact integers cast to double: "
+    "bit-identical in both engines.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(norm).cast("double")).alias(
+            "p_trans"
+        ),
+    )

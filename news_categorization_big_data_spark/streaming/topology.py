@@ -362,3 +362,36 @@ def write_idempotent_parquet(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact frame
+    against a STATIC dimension — the categories/routing table the
+    reference keeps as a Python dict on the driver
+    (news_categorization_streaming.py:21-27) becomes a broadcast join
+    the executors apply per micro-batch.
+
+    Stream-static joins are STATELESS: each micro-batch joins against
+    the dimension as-of that batch (the static side is re-scanned per
+    batch, so an updated dimension file takes effect on the next batch
+    without restarting the query — the cheap form of slowly-changing
+    enrichment). No watermark is needed because no cross-batch state is
+    kept; this is the right shape whenever one side is bounded and
+    slowly changing, and the 100-TB analogue is a broadcast of the
+    dimension to every task. Spark restricts the join types where the
+    STREAMING side must be preserved (inner / left_outer with the
+    stream on the left are the safe ones) — enforced here.
+
+    The same call works on two batch frames, which is how the parity
+    test pins the semantics (tests/test_streaming.py).
+    """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"enrich_with_static supports inner/left_outer, got {how!r}")
+    return stream.join(
+        F.broadcast(dim), on, "left_outer" if how in ("left_outer", "leftOuter") else how
+    )

@@ -583,3 +583,60 @@ def test_interval_join_rejects_unknown_how(spark):
     )
     with _pytest.raises(ValueError):
         join_streams_interval(df, df, how="full_outer")
+
+
+def test_stream_static_enrichment_parity(spark, tmp_path):
+    """Stream-static broadcast enrichment: the streaming result equals
+    the batch join, unmatched stream rows survive (left_outer), and the
+    query is stateless — no watermark required."""
+    from news_categorization_big_data_spark.streaming.topology import (
+        enrich_with_static,
+    )
+
+    rows = [
+        _payload("m-sports", "sports", "2024-01-01 10:00:00"),
+        _payload("m-arts", "arts", "2024-01-01 10:01:00"),
+        _payload("m-unmapped", "mystery", "2024-01-01 10:02:00"),
+    ]
+    src = str(tmp_path / "msgs")
+    _write_jsonl(src, rows)
+    dim = spark.createDataFrame(
+        [("sports", "desk-1"), ("arts", "desk-2"), ("political", "desk-3")],
+        "category string, desk string",
+    )
+
+    def build(streaming: bool):
+        if streaming:
+            s = parse_messages(read_message_stream(spark, source="json-files", path=src))
+        else:
+            s = parse_messages(spark.read.schema("value string").json(src))
+        return enrich_with_static(s, dim, on="category")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        build(streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.content, r.desk) for r in spark.read.parquet(out).collect()}
+    want = {(r.content, r.desk) for r in build(streaming=False).collect()}
+    assert got == want
+    assert ("m-unmapped", None) in got  # left_outer keeps unmatched stream rows
+
+
+def test_enrich_with_static_rejects_stream_dropping_join(spark):
+    import pytest as _pytest
+
+    from news_categorization_big_data_spark.streaming.topology import (
+        enrich_with_static,
+    )
+
+    dim = spark.createDataFrame([("a", 1)], "category string, x int")
+    with _pytest.raises(ValueError):
+        enrich_with_static(dim, dim, on="category", how="right_outer")
