@@ -61,9 +61,13 @@ def test_registry_window_contains_round3_priorities():
 def test_registry_window_covers_all_unofficial_queries():
     """Every query without an official CORRECTNESS row from rounds 1-2
     (i.e. anything registered this round) must sit inside the 50-entry
-    window, or it finishes the round unproven."""
+    window — or be explicitly declared ROTATION_PENDING (registered
+    after the window's 50 slots were already committed; first official
+    row in round 4)."""
     import json
     from pathlib import Path
+
+    from news_categorization_big_data_spark.plans import ROTATION_PENDING
 
     repo = Path(__file__).resolve().parents[1]
     official = set()
@@ -71,8 +75,15 @@ def test_registry_window_covers_all_unofficial_queries():
         with open(repo / rnd) as f:
             official |= set(json.load(f))
     window = set(list(REGISTRY)[:50])
-    missing = [q for q in REGISTRY if q not in official and q not in window]
+    missing = [
+        q
+        for q in REGISTRY
+        if q not in official and q not in window and q not in ROTATION_PENDING
+    ]
     assert not missing, f"no official row in any round for: {missing}"
+    # the pending set is genuinely pending (not shadow-listing window
+    # or official entries), and every pending name exists
+    assert ROTATION_PENDING <= set(REGISTRY) - window - official
 
 
 def test_queries_and_oracles_paired():
