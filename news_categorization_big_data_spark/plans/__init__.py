@@ -50,6 +50,8 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     tpch_final,
     analytics,
     mutation,
+    olap,
+    corpus,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -126,6 +128,14 @@ _DRIVER_ORDER = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_group_mode",
+    "q_window_nth",
+    "q_skyline",
+    "q_resample_ohlc",
+    "q_dedup_passage",
+    "q_sample_weighted",
+    "q_hll_distinct",
+    "q_graph_triangles",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -247,6 +257,14 @@ ROTATION_PENDING = frozenset(
         "q_tpch_q16",
         "q_tpch_q20",
         "q_tpch_q21",
+        "q_group_mode",
+        "q_window_nth",
+        "q_skyline",
+        "q_resample_ohlc",
+        "q_dedup_passage",
+        "q_sample_weighted",
+        "q_hll_distinct",
+        "q_graph_triangles",
     }
 )
 

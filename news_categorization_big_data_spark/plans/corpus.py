@@ -1,0 +1,225 @@
+"""Corpus-scale curation extensions: passage-level exact dedup,
+weighted deterministic sampling, mergeable HLL distinct sketches, and
+triangle counting on the near-duplicate pair graph.
+
+These extend the §2.13 curation tier (plans/text.py, plans/sampling.py,
+plans/dedup.py) with the remaining shapes a 100-TB pretraining pipeline
+runs:
+
+- passage dedup is the sub-document complement of doc-level dedup —
+  boilerplate passages (headers, disclaimers) repeat across documents
+  that are NOT near-duplicates as wholes, so doc-level MinHash misses
+  them (cf. "Deduplicating Training Data Makes Language Models Better",
+  Lee et al. 2022 — the EXACTSUBSTR motivation);
+- weighted sampling keeps documents with probability proportional to a
+  per-row weight, deterministically (id-hash threshold, not RNG), with
+  the inverse-probability weight emitted for downstream reweighting;
+- HLL sketches are the mergeable-state form of distinct counting — the
+  only shape that survives incremental/rollup recomputation at 100 TB;
+- triangle count is the standard clustering-coefficient probe of the
+  near-dup pair graph (a sanity signal on LSH banding quality: dup
+  clusters should be triangle-dense, random collisions are not).
+
+Reference parity: none of this exists in the reference (its only text
+operation is substring bulletizing, news_summarization_batch.py:104);
+the tier is graded against BASELINE.json's curation north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from news_categorization_big_data_spark.plans.dedup import _lsh_cand_ctes
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Passage width in whitespace tokens. 8 keeps ≥1 passage for the
+#: testdata's shortest documents; production corpora use 50-100.
+PASSAGE_TOKENS = 8
+
+#: Weighted-sampling buckets: keep-probability = min(weight, DEN)/DEN.
+WSAMPLE_DEN = 1000
+
+
+@register(
+    "q_dedup_passage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents WHERE text <> ''),
+    chunks AS (SELECT doc_id,
+                      md5(array_to_string(
+                          t[(i*{PASSAGE_TOKENS}+1):(i*{PASSAGE_TOKENS}+{PASSAGE_TOKENS})],
+                          ' ')) AS h
+               FROM tok,
+                    UNNEST(range(CAST(floor(len(t) / {PASSAGE_TOKENS}) AS BIGINT))) AS u(i)),
+    freq AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_frac
+    FROM chunks ch JOIN freq f ON f.h = ch.h
+    GROUP BY ch.doc_id
+    """,
+    tier="C",
+    doc=f"Passage-level exact dedup: each document is cut into "
+    f"consecutive {PASSAGE_TOKENS}-token passages, passages are "
+    "md5-fingerprinted, and every document reports how much of it is "
+    "corpus-duplicated material (boilerplate detection — the "
+    "sub-document complement of q_dedup_exact/q_dedup_near; cf. the "
+    "EXACTSUBSTR finding of Lee et al. 2022). Spark: slice/transform "
+    "higher-order functions build the passage hashes JVM-side (no "
+    "UDF), one explode, one count shuffle on the 16-byte hash, one "
+    "shuffle join back, one per-doc aggregate. At 100 TB the hash "
+    "frequency table is the big intermediate — it shuffles as "
+    "(hash, count) pairs only, and the join back is hash-partitioned "
+    "on the same key so AQE reuses the exchange.",
+)
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    P = PASSAGE_TOKENS
+    toks = F.split(F.col("text"), " ")
+    n = F.floor(F.size(toks) / P).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * P + 1, P)))  # noqa: E731
+    chunks = docs.select(
+        "doc_id", F.explode(F.transform(idx, chunk)).alias("h")
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            (F.col("n_dup_passages").cast("double") / F.col("n_passages")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           LEAST(n_chars, {WSAMPLE_DEN}) AS weight
+    FROM documents
+    WHERE ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {WSAMPLE_DEN} < LEAST(n_chars, {WSAMPLE_DEN})
+    """,
+    tier="C",
+    doc="Weighted deterministic sampling: keep each document with "
+    "probability proportional to its length (weight/1000, capped at "
+    "1), decided by an id-hash threshold — reproducible across "
+    "engines, partitionings and reruns, unlike RNG sampling (the "
+    "q_split_train_eval design, weight-generalized). The emitted "
+    "weight column is the unnormalized inclusion propensity for "
+    "downstream Horvitz-Thompson reweighting. Map-only: a per-row "
+    "predicate, no shuffle, embarrassingly parallel at 100 TB.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(WSAMPLE_DEN))
+    bucket = hash60(F.col("doc_id").cast("string"), seed="wsamp") % WSAMPLE_DEN
+    return docs.where(bucket < weight).select(
+        "doc_id", "n_chars", weight.alias("weight")
+    )
+
+
+@register(
+    "q_hll_distinct",
+    oracle=None,  # sketch bytes are engine-specific → rows-only check;
+    # tests/test_corpus.py asserts <5% relative error vs exact counts
+    tier="C",
+    doc="Mergeable HLL distinct sketches (Spark 3.5+ Datasketches "
+    "surface): per event type, an hll_sketch_agg over user_id is "
+    "built, re-aggregated via hll_union_agg to the global sketch, and "
+    "both estimates are emitted next to the per-type ones. The sketch "
+    "column is the point: unlike approx_count_distinct's scalar, the "
+    "binary sketch is STATE — storable, mergeable across days/"
+    "partitions without touching raw data, the only distinct-count "
+    "shape that survives incremental recomputation at 100 TB. "
+    "Estimates are engine-specific → rows-only driver check; the <5% "
+    "error bound and union≥max-partial invariants are pytest-asserted.",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    global_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_users")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("approx_users"),
+        )
+        .crossJoin(F.broadcast(global_est))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+    FROM cand e1
+    JOIN cand e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+    JOIN cand e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ORDER BY e1.doc_a, e1.doc_b, doc_c
+    """,
+    tier="C",
+    doc="Triangle enumeration on the banded-LSH near-duplicate pair "
+    "graph (doc_a < doc_b < doc_c): the clustering-coefficient probe "
+    "of dedup quality — true duplicate clusters are cliques (triangle-"
+    "dense), random band collisions are trees (triangle-free), so the "
+    "triangle count separates signal from noise in the banding "
+    "parameters. The id-ordered edge orientation (a<b) is the "
+    "standard compact-forward scheme: each triangle is produced "
+    "exactly once, and the two equi-joins shuffle on edge endpoints "
+    "(never an all-pairs product). Oracle reuses the SAME candidate-"
+    "pair CTE chain as q_dedup_near/q_dedup_cluster, so the graphs "
+    "cannot drift. At 100 TB the pair graph is orders of magnitude "
+    "smaller than the corpus; degree skew (celebrity boilerplate "
+    "nodes) is bounded upstream by the banding df-cap.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    edges = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e2.doc_b") > F.col("e1.doc_b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_b"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )

@@ -156,10 +156,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_resample_ohlc",
     oracle=f"""
     SELECT event_type, date_trunc('{OHLC_BUCKET}', ts) AS bucket,
-           arg_min(value, [epoch_us(ts), event_id]) AS open,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, [epoch_us(ts), event_id]) AS close,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
            {o_dsum('value')} AS volume,
            COUNT(*) AS n_events
     FROM events
@@ -171,15 +173,19 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latest event via min_by/max_by on an (epoch-µs, event_id) "
     "composite key — a single hash aggregate, no window, no sort of "
     "the raw stream (the naive first_value-over-window plan sorts "
-    "every event; this one reduces map-side). The composite key makes "
-    "tie-break exact across engines (DuckDB arg_min/arg_max on the "
-    "same integer list). Volume sums via per-row decimal quantization "
+    "every event; this one reduces map-side). The composite key is a "
+    "fixed-width zero-padded string (lexicographic = numeric; DuckDB's "
+    "arg_min/arg_max don't take list keys), identical in both engines. "
+    "Volume sums via per-row decimal quantization "
     "(dsum). At 100 TB: one shuffle keyed (type, bucket), partial "
     "aggregation absorbs the per-bucket fan-in before the exchange.",
 )
 def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    key = F.array(F.unix_micros(F.col("ts")), F.col("event_id"))
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
     return ev.groupBy(
         "event_type", F.date_trunc(OHLC_BUCKET, F.col("ts")).alias("bucket")
     ).agg(

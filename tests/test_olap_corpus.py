@@ -1,0 +1,172 @@
+"""Plan-shape and invariant tests for plans/olap.py and plans/corpus.py.
+Value parity vs DuckDB is covered by the parametrized
+tests/test_oracle_parity.py; these assert the 100-TB plan claims and
+the semantic invariants the oracles can't express."""
+
+from __future__ import annotations
+
+from news_categorization_big_data_spark.plans import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- q_group_mode -----------------------------------------------------------
+
+
+def test_group_mode_window_runs_on_aggregate_not_raw_events(spark, sf_dir):
+    plan = _plan(REGISTRY["q_group_mode"].builder(spark, sf_dir))
+    # count first (partial+final), THEN the ranked window — the window
+    # string must appear above the aggregate in the tree (executedPlan
+    # prints top-down, so Window comes before the agg's FileScan)
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert plan.index("Window") < plan.index("FileScan"), plan
+
+
+def test_group_mode_unique_per_user(spark, sf_dir):
+    rows = REGISTRY["q_group_mode"].builder(spark, sf_dir).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+
+
+# -- q_window_nth -----------------------------------------------------------
+
+
+def test_window_nth_single_pass(spark, sf_dir):
+    plan = _plan(REGISTRY["q_window_nth"].builder(spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    # all three navigators in the same window node (Catalyst rewrites
+    # first() over an explicit frame into nth_value(…, 1))
+    assert plan.count("nth_value(") >= 2 and "last(" in plan, plan
+
+
+def test_window_nth_last_equals_partition_last(spark, sf_dir):
+    df = REGISTRY["q_window_nth"].builder(spark, sf_dir)
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add((r.first_val, r.last_val))
+    # full-frame navigation: every row of a user agrees on first/last
+    assert all(len(v) == 1 for v in by_user.values())
+
+
+# -- q_skyline --------------------------------------------------------------
+
+
+def test_skyline_no_dominated_rows(spark, sf_dir):
+    rows = REGISTRY["q_skyline"].builder(spark, sf_dir).collect()
+    assert rows, "skyline must be non-empty"
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for price, size in pts:
+        for p2, s2 in pts:
+            dominated = p2 <= price and s2 >= size and (p2 < price or s2 > size)
+            assert not dominated, (price, size, p2, s2)
+
+
+def test_skyline_window_runs_on_per_price_aggregate(spark, sf_dir):
+    plan = _plan(REGISTRY["q_skyline"].builder(spark, sf_dir))
+    assert "Window" in plan, plan
+    # frontier joined back by broadcast — the fact side never shuffles
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# -- q_resample_ohlc --------------------------------------------------------
+
+
+def test_ohlc_is_one_aggregate_no_window_no_udf(spark, sf_dir):
+    plan = _plan(REGISTRY["q_resample_ohlc"].builder(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "min_by" in plan and "max_by" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_min_by" in plan, plan
+
+
+def test_ohlc_open_close_consistent(spark, sf_dir):
+    rows = REGISTRY["q_resample_ohlc"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high, r
+        assert r.low <= r.close <= r.high, r
+        if r.n_events == 1:
+            assert r.open == r.close == r.high == r.low, r
+
+
+# -- q_dedup_passage --------------------------------------------------------
+
+
+def test_dedup_passage_stays_jvm_side(spark, sf_dir):
+    plan = _plan(REGISTRY["q_dedup_passage"].builder(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the explode
+
+
+def test_dedup_passage_invariants(spark, sf_dir):
+    rows = REGISTRY["q_dedup_passage"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_passages, r
+        assert 0 <= r.n_dup_passages <= r.n_passages, r
+        assert abs(r.dup_frac - r.n_dup_passages / r.n_passages) < 1e-12, r
+
+
+# -- q_sample_weighted ------------------------------------------------------
+
+
+def test_sample_weighted_deterministic_and_proportional(spark, sf_dir):
+    build = REGISTRY["q_sample_weighted"].builder
+    a = sorted(r.doc_id for r in build(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in build(spark, sf_dir).collect())
+    assert a == b and a, "deterministic, non-empty"
+
+
+# -- q_hll_distinct ---------------------------------------------------------
+
+
+def test_hll_estimates_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_hll_distinct"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_global = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert abs(r.approx_users - exact[r.event_type]) / exact[r.event_type] < 0.05, r
+        assert abs(r.global_users - exact_global) / exact_global < 0.05, r
+        # union can never undercut its largest input by more than the
+        # sketch error band
+        assert r.global_users >= r.approx_users * 0.95, r
+
+
+# -- q_graph_triangles ------------------------------------------------------
+
+
+def test_triangles_are_ordered_closed_and_edge_backed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    tris = REGISTRY["q_graph_triangles"].builder(spark, sf_dir).collect()
+    for t in tris:
+        assert t.doc_a < t.doc_b < t.doc_c, t
+        assert (t.doc_a, t.doc_b) in edges, t
+        assert (t.doc_a, t.doc_c) in edges, t
+        assert (t.doc_b, t.doc_c) in edges, t

@@ -14,21 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HEADLINE = [
-    "q_group_stats",
-    "q_join_multiway",
-    "q_join_broadcast",
-    "q_topk_per_group",
-    "q_group_collect",
-    "q_stream_session",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_near",
-    "q_sim_search",
-    "q_text_tokens",
-]
-
-
 def main() -> None:
+    from bench import HEADLINE  # single source of truth for the set
     from news_categorization_big_data_spark.plans import REGISTRY
     from news_categorization_big_data_spark.session import get_spark
 
