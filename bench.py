@@ -48,17 +48,19 @@ def main() -> None:
     # plans, not session startup.
     spark.range(1).count()
 
-    # Two runs per query, report the min: steady-state throughput is the
-    # metric that transfers to a long-running cluster — run 1 pays
+    # Three runs per query, report the min: steady-state throughput is
+    # the metric that transfers to a long-running cluster — run 1 pays
     # one-time whole-stage-codegen JIT, which a 100 TB engine amortizes
-    # to zero. Cold times are reported alongside for transparency.
+    # to zero, and a third run damps this box's GC/scheduling jitter
+    # (observed ±1s swings on the iterative queries with best-of-2).
+    # Cold times are reported alongside for transparency.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             # count() fully executes the plan without driver-collecting rows.
             spec.builder(spark, sf_dir).count()
