@@ -136,6 +136,10 @@ _DRIVER_ORDER = [
     "q_sample_weighted",
     "q_hll_distinct",
     "q_graph_triangles",
+    "q_incremental_agg",
+    "q_quantile_sketch",
+    "q_chi2_terms",
+    "q_join_interval_overlap",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -265,6 +269,10 @@ ROTATION_PENDING = frozenset(
         "q_sample_weighted",
         "q_hll_distinct",
         "q_graph_triangles",
+        "q_incremental_agg",
+        "q_quantile_sketch",
+        "q_chi2_terms",
+        "q_join_interval_overlap",
     }
 )
 

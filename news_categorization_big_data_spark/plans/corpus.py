@@ -223,3 +223,103 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b", "doc_c")
     )
+
+
+#: Distinctive-terms top-k per language.
+CHI2_TOP_K = 3
+
+
+@register(
+    "q_chi2_terms",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                 x -> x <> '')) AS term
+                 FROM documents WHERE text <> ''),
+    lt AS (SELECT lang, term, COUNT(*) AS a FROM tok GROUP BY lang, term),
+    l AS (SELECT lang, SUM(a) AS lang_total FROM lt GROUP BY lang),
+    t AS (SELECT term, SUM(a) AS term_total FROM lt GROUP BY term),
+    g AS (SELECT SUM(a) AS grand FROM lt),
+    cells AS (SELECT lt.lang, lt.term,
+                     CAST(lt.a AS BIGINT) AS a,
+                     CAST(t.term_total - lt.a AS BIGINT) AS b,
+                     CAST(l.lang_total - lt.a AS BIGINT) AS c,
+                     CAST(g.grand - t.term_total - l.lang_total + lt.a AS BIGINT) AS d,
+                     CAST(g.grand AS BIGINT) AS n
+              FROM lt JOIN l USING (lang) JOIN t USING (term) CROSS JOIN g),
+    scored AS (SELECT lang, term, a,
+                      CAST(n AS DOUBLE)
+                      * (CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+                      / (CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
+                         * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE)) AS chi2
+               FROM cells),
+    ranked AS (SELECT lang, term, a AS n_occurrences, chi2,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY chi2 DESC, term) AS rn
+               FROM scored)
+    SELECT lang, term, n_occurrences, chi2
+    FROM ranked WHERE rn <= {CHI2_TOP_K}
+    """,
+    tier="C",
+    doc=f"Distinctive terms per language (top-{CHI2_TOP_K} by chi-square "
+    "association): the 2×2 contingency cells (term-in-lang / term-"
+    "elsewhere / other-in-lang / other-elsewhere) come from three "
+    "reuses of ONE (lang, term) count aggregate — per-language totals, "
+    "per-term totals and the grand total are rollups of the same "
+    "shuffle output, and the term-marginal join is the only second "
+    "shuffle. The chi-square arithmetic is fixed-order double math "
+    "over exactly-represented integer cells (products first cast from "
+    "BIGINT where they fit, to DOUBLE where they'd overflow) — "
+    "bit-identical in both engines. Tie-break: term ascending. The "
+    "corpus-curation use: surface language-classifier features and "
+    "contamination smells (a term wildly over-represented in one "
+    "shard).",
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("a"))
+    l_tot = lt.groupBy("lang").agg(F.sum("a").alias("lang_total"))
+    t_tot = lt.groupBy("term").agg(F.sum("a").alias("term_total"))
+    grand = lt.agg(F.sum("a").alias("grand"))
+
+    cells = (
+        lt.join(F.broadcast(l_tot), "lang")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "term",
+            F.col("a").cast("long").alias("a"),
+            (F.col("term_total") - F.col("a")).cast("long").alias("b"),
+            (F.col("lang_total") - F.col("a")).cast("long").alias("c"),
+            (F.col("grand") - F.col("term_total") - F.col("lang_total") + F.col("a"))
+            .cast("long")
+            .alias("d"),
+            F.col("grand").cast("long").alias("n"),
+        )
+    )
+    det = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * (det * det)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "term")
+    return (
+        cells.select("lang", "term", F.col("a").alias("n_occurrences"), chi2.alias("chi2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CHI2_TOP_K)
+        .drop("rn")
+    )

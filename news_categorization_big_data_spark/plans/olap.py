@@ -55,13 +55,13 @@ OHLC_BUCKET = "hour"
     "output is |users|·|types| — the window never sees raw events.",
 )
 def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.olap import grouped_mode
+
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("n_events"))
+    return grouped_mode(ev, "user_id", "event_type").select(
+        "user_id",
+        F.col("mode_event_type").alias("mode_event"),
+        F.col("n").alias("n_events"),
     )
 
 
@@ -134,19 +134,11 @@ def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders of magnitude smaller than the fact.",
 )
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.olap import skyline_min_max
+
     part = load_table(spark, sf_dir, "part")
-    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
-    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
-    sky = (
-        per_price.withColumn("prev_best", F.max("best_size").over(w))
-        .where(F.col("prev_best").isNull() | (F.col("best_size") > F.col("prev_best")))
-        .select(F.col("p_retailprice").alias("sky_price"), F.col("best_size"))
-    )
     return (
-        part.join(
-            F.broadcast(sky),
-            (part.p_retailprice == F.col("sky_price")) & (part.p_size == F.col("best_size")),
-        )
+        skyline_min_max(part, minimize="p_retailprice", maximize="p_size")
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
@@ -195,4 +187,152 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         dsum("value").alias("volume"),
         F.count("*").alias("n_events"),
+    )
+
+
+#: Incremental-maintenance cutover: rows strictly before are the "base"
+#: (yesterday's rollup), at-or-after are the "delta" (today's arrivals).
+INCR_CUTOVER = "2024-01-15"
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    tier="B",
+    doc="Incremental aggregate maintenance: the engine computes the "
+    "rollup as merge(partial(base), partial(delta)) — events split at "
+    f"{INCR_CUTOVER}, each side reduced to mergeable partial state "
+    "(count, DECIMAL sum, max), states unioned and merged — while the "
+    "oracle computes the same rollup in one pass over everything. The "
+    "green hash is the machine-checked proof that the engine's partial "
+    "states compose exactly (the property that makes daily 100-TB "
+    "rollups incremental: yesterday's materialized state + today's "
+    "delta, never a full rescan). Exactness requires the sum to stay "
+    "in DECIMAL until after the merge — summing doubles would make "
+    "merge order observable. Both scans prune to their half via "
+    "pushed timestamp predicates.",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(f"{INCR_CUTOVER} 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_sv"),
+            F.max("ts").alias("_mx"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cut))
+    delta = partial(ev.where(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_sv").cast("double").alias("total_value"),
+            F.max("_mx").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=None,  # sketch-based estimates are engine-specific →
+    # rows-only check; tests/test_olap_corpus.py bounds the error vs
+    # the exact grouped percentiles (q_group_quantiles machinery)
+    tier="B",
+    doc="Approximate grouped quantiles (p50/p95/p99 of value per event "
+    "type) via approx_percentile's KLL-style sketch — the mergeable, "
+    "bounded-memory companion to the exact sort-based "
+    "q_group_quantiles. At 100 TB exact per-group percentiles need a "
+    "full sort of every group; the sketch is fixed-size per group, "
+    "merges map-side, and bounds rank error by the accuracy parameter "
+    "(10000 → ~0.01%% rank error). Estimates are engine-specific → "
+    "rows-only driver check; pytest asserts each estimate lands "
+    "within the exact group's [p-ε, p+ε] rank neighborhood.",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )
+
+
+#: Interval-overlap join parameters: each qualifying event projects a
+#: ±1h interest window; intervals bucketize to hours for the equi-join.
+IVL_HALF_WIDTH_US = 3600 * 1_000_000
+IVL_BUCKET_US = 3600 * 1_000_000
+IVL_VALUE_MIN = 200.0
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH p AS (SELECT event_id, epoch_us(ts) - {IVL_HALF_WIDTH_US} AS lo,
+                      epoch_us(ts) + {IVL_HALF_WIDTH_US} AS hi
+               FROM events WHERE event_type = 'purchase' AND value > {IVL_VALUE_MIN}),
+    e AS (SELECT event_id, epoch_us(ts) - {IVL_HALF_WIDTH_US} AS lo,
+                 epoch_us(ts) + {IVL_HALF_WIDTH_US} AS hi
+          FROM events WHERE event_type = 'error' AND value > {IVL_VALUE_MIN})
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           GREATEST(p.lo, e.lo) AS overlap_lo_us,
+           LEAST(p.hi, e.hi) AS overlap_hi_us
+    FROM p JOIN e ON p.lo <= e.hi AND e.lo <= p.hi
+    """,
+    tier="B",
+    doc="Interval-overlap join (both sides are time intervals): "
+    "high-value purchase windows × error-incident windows that "
+    "overlap in time. The ORACLE runs the textbook theta join "
+    "(p.lo ≤ e.hi ∧ e.lo ≤ p.hi — a quadratic nested loop); the "
+    "Spark plan is the scale shape: each interval explodes into its "
+    "covering hour buckets (≤3 per ±1h window), the join is an "
+    "EQUI-join on the bucket id, duplicate bucket-pair hits collapse "
+    "with distinct, and the exact overlap predicate verifies "
+    "candidates — shuffle volume is O(intervals·buckets_per_interval) "
+    "instead of |A|·|B|. The green hash proves the bucketization is "
+    "lossless (every true overlap shares ≥1 hour bucket because "
+    "bucket width ≥ 0 gap tolerance). At 100 TB bucket width tunes "
+    "against interval length: wider buckets → fewer explode rows, "
+    "more false candidates for the verify filter.",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def windows(kind: str, out_id: str) -> DataFrame:
+        us = F.unix_micros(F.col("ts"))
+        return ev.where(
+            (F.col("event_type") == kind) & (F.col("value") > IVL_VALUE_MIN)
+        ).select(
+            F.col("event_id").alias(out_id),
+            (us - IVL_HALF_WIDTH_US).alias(f"{out_id}_lo"),
+            (us + IVL_HALF_WIDTH_US).alias(f"{out_id}_hi"),
+        )
+
+    def bucketed(df: DataFrame, id_col: str) -> DataFrame:
+        lo_b = F.floor(F.col(f"{id_col}_lo") / IVL_BUCKET_US)
+        hi_b = F.floor(F.col(f"{id_col}_hi") / IVL_BUCKET_US)
+        return df.withColumn("bucket", F.explode(F.sequence(lo_b, hi_b)))
+
+    p = bucketed(windows("purchase", "purchase_id"), "purchase_id")
+    e = bucketed(windows("error", "error_id"), "error_id")
+    return (
+        p.join(e, "bucket")
+        .where(
+            (F.col("purchase_id_lo") <= F.col("error_id_hi"))
+            & (F.col("error_id_lo") <= F.col("purchase_id_hi"))
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            F.greatest("purchase_id_lo", "error_id_lo").alias("overlap_lo_us"),
+            F.least("purchase_id_hi", "error_id_hi").alias("overlap_hi_us"),
+        )
+        .distinct()
     )

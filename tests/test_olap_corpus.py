@@ -170,3 +170,115 @@ def test_triangles_are_ordered_closed_and_edge_backed(spark, sf_dir):
         assert (t.doc_a, t.doc_b) in edges, t
         assert (t.doc_a, t.doc_c) in edges, t
         assert (t.doc_b, t.doc_c) in edges, t
+
+
+# -- q_incremental_agg ------------------------------------------------------
+
+
+def test_incremental_agg_prunes_both_halves(spark, sf_dir):
+    plan = _plan(REGISTRY["q_incremental_agg"].builder(spark, sf_dir))
+    # both sides push their timestamp predicate to their scan
+    # both halves filter at their scan (events.ts is ns-encoded BIGINT,
+    # converted in a projection, so the predicate sits in DataFilters on
+    # the derived column rather than PushedFilters)
+    assert ">= 2024-01-15 00:00:00" in plan, plan
+    assert "< 2024-01-15 00:00:00" in plan, plan
+    # merge = union of partial states + final aggregate (no join)
+    assert "Union" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_incremental_agg_equals_single_pass(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    merged = {
+        r.event_type: (r.n_events, round(r.total_value, 6))
+        for r in REGISTRY["q_incremental_agg"].builder(spark, sf_dir).collect()
+    }
+    full = {
+        r.event_type: (r.n, round(r.sv, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+# -- q_quantile_sketch ------------------------------------------------------
+
+
+def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_quantile_sketch"].builder(spark, sf_dir).collect()
+    assert rows
+    # the sketch returns an actual data value at (approximately) the
+    # requested rank, while exact percentile interpolates — so bound by
+    # the RANK neighborhood: the estimate must land inside the exact
+    # [p-0.02, p+0.02] percentile envelope
+    pcts = [0.5, 0.95, 0.99]
+    lo = [max(p - 0.02, 0.0) for p in pcts]
+    hi = [min(p + 0.02, 1.0) for p in pcts]
+    envelope = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.array(*[F.lit(p) for p in lo])).alias("lo"),
+            F.percentile("value", F.array(*[F.lit(p) for p in hi])).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        los, his = envelope[r.event_type]
+        for approx, lo_v, hi_v in zip(r.approx_pcts, los, his):
+            assert lo_v - 1e-9 <= approx <= hi_v + 1e-9, (r, los, his)
+
+
+# -- q_chi2_terms -----------------------------------------------------------
+
+
+def test_chi2_terms_topk_per_lang_and_nonnegative(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.corpus import CHI2_TOP_K
+
+    rows = REGISTRY["q_chi2_terms"].builder(spark, sf_dir).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+        assert r.chi2 >= 0.0, r
+        assert r.n_occurrences > 0, r
+    for lang, rs in per_lang.items():
+        assert len(rs) <= CHI2_TOP_K, (lang, rs)
+        chis = [r.chi2 for r in rs]
+        assert chis == sorted(chis, reverse=True), (lang, chis)
+
+
+# -- q_join_interval_overlap ------------------------------------------------
+
+
+def test_interval_overlap_is_equi_join_not_theta(spark, sf_dir):
+    plan = _plan(REGISTRY["q_join_interval_overlap"].builder(spark, sf_dir))
+    # the join must be hash-based on the bucket id — never a nested loop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
+    # interval explode on both sides
+    assert plan.count("Generate") >= 2, plan
+
+
+def test_interval_overlap_pairs_truly_overlap(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.olap import IVL_HALF_WIDTH_US
+
+    rows = REGISTRY["q_join_interval_overlap"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert r.overlap_lo_us <= r.overlap_hi_us, r
+        # overlap length is bounded by a full window
+        assert r.overlap_hi_us - r.overlap_lo_us <= 2 * IVL_HALF_WIDTH_US, r

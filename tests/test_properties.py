@@ -96,3 +96,53 @@ def test_jaccard_prefix_filter_matches_brute_force(spark, docs):
                 want[(i, j)] = round(jac, 4)
 
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # minimize
+            st.integers(min_value=0, max_value=20),  # maximize
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_skyline_matches_brute_force(spark, points):
+    """The aggregate+window skyline ≙ the O(n²) dominance definition,
+    including co-frontier duplicates (operators/olap.py)."""
+    from news_categorization_big_data_spark.operators.olap import (
+        dominance_check,
+        skyline_min_max,
+    )
+
+    df = spark.createDataFrame([(a, b) for a, b in points], "price int, size int")
+    sky = [(r.price, r.size) for r in skyline_min_max(df, "price", "size").collect()]
+    assert dominance_check(points, sky)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_grouped_mode_matches_python_counter(spark, rows):
+    """grouped_mode ≙ Counter.most_common with lexicographic ties
+    (operators/olap.py)."""
+    from collections import Counter
+
+    from news_categorization_big_data_spark.operators.olap import grouped_mode
+
+    df = spark.createDataFrame(rows, "k int, v string")
+    got = {r.k: (r.mode_v, r.n) for r in grouped_mode(df, "k", "v").collect()}
+    expected = {}
+    for k in {k for k, _ in rows}:
+        c = Counter(v for kk, v in rows if kk == k)
+        # ties: highest count, then smallest value
+        top = min(v for v, n in c.items() if n == c.most_common(1)[0][1])
+        expected[k] = (top, c[top])
+    assert got == expected

@@ -640,3 +640,65 @@ def test_enrich_with_static_rejects_stream_dropping_join(spark):
     dim = spark.createDataFrame([("a", 1)], "category string, x int")
     with _pytest.raises(ValueError):
         enrich_with_static(dim, dim, on="category", how="right_outer")
+
+
+def test_batch_stream_parity_ohlc(spark, tmp_path):
+    """The q_resample_ohlc aggregate (min_by/max_by on a composite key)
+    is streaming-legal: the same windowless groupBy over a stream equals
+    the batch answer — OHLC bars maintainable incrementally from a live
+    event feed."""
+    rows = [
+        {"ts": "2024-01-01 00:00:05", "event_id": 1, "event_type": "a", "value": 10.0},
+        {"ts": "2024-01-01 00:10:00", "event_id": 2, "event_type": "a", "value": 30.0},
+        {"ts": "2024-01-01 00:59:59", "event_id": 3, "event_type": "a", "value": 20.0},
+        {"ts": "2024-01-01 01:00:00", "event_id": 4, "event_type": "a", "value": 99.0},
+        {"ts": "2024-01-01 00:30:00", "event_id": 5, "event_type": "b", "value": 7.0},
+        # same-timestamp tie inside one bucket: event_id must break it
+        {"ts": "2024-01-01 00:00:05", "event_id": 0, "event_type": "a", "value": 11.0},
+    ]
+    src = str(tmp_path / "ohlc_events")
+    _write_jsonl(src, rows)
+    schema = "ts string, event_id long, event_type string, value double"
+
+    def bars(df):
+        typed = df.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type", "value"
+        )
+        key = F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        return typed.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        ).agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+
+    batch = bars(spark.read.schema(schema).json(src))
+    stream = bars(spark.readStream.schema(schema).json(src))
+    out = str(tmp_path / "ohlc_out")
+    ckpt = str(tmp_path / "ohlc_ckpt")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ["event_type", "bucket", "open", "high", "low", "close", "n_events"]
+    batch_rows = sorted(map(str, batch.select(cols).collect()))
+    stream_rows = sorted(map(str, spark.read.parquet(out).select(cols).collect()))
+    assert batch_rows == stream_rows
+    # the tie at 00:00:05 resolves by event_id: open = value of id 0
+    a_bar = next(r for r in batch.collect() if r.event_type == "a" and r.bucket.hour == 0)
+    assert a_bar.open == 11.0 and a_bar.close == 20.0
