@@ -298,3 +298,82 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         F.lit(0),
     )
     return lanes.select(id_col, sketch.cast("long").alias("simhash"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_pct: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: (doc_a, doc_b, containment)
+    with C(A→B) = |A∩B| / |A| ≥ threshold_pct/100, A ≠ B.
+
+    Containment is the dedup predicate Jaccard structurally misses: a
+    passage quoted whole inside a much longer page has J ≈ |A|/|B| ≈ 0
+    but C(A→B) ≈ 1 — near-superset detection is how a curation pipeline
+    catches boilerplate wrappers and quote-inflation.
+
+    Prefix filtering adapts asymmetrically (the containment variant of
+    the PPJoin lemma): the probe side A explodes only its first
+    ``sz − ⌈t·sz⌉ + 1`` sorted hashes (pigeonhole: any ⌈t·sz⌉-subset of
+    A — in particular A∩B — must hit that prefix), while the INDEX side
+    B explodes every hash (containment puts no lower bound on B's
+    overlap position). Bucket df-cap ``max_df`` applies to the index
+    side (documented recall trade, mirrored in the oracle). The
+    threshold is integer parts-per-hundred so the boundary comparison
+    ``inter·100 ≥ t_pct·sz`` is exact — no float can flip membership.
+    """
+    hs = F.array_sort(
+        F.array_distinct(
+            F.transform(word_shingles(text_col, k), lambda s: hash60(s))
+        )
+    )
+    sized = fan_out(docs).select(
+        F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
+    )
+    # ⌈t·sz⌉ in pure integers: (t_pct·sz + 99) div 100.
+    ceil_t_sz = F.floor((F.col("_sz") * threshold_pct + 99) / 100).cast("int")
+    prefix_len = (F.col("_sz") - ceil_t_sz + 1).cast("int")
+    probe = sized.select(
+        F.col(id_col).alias("doc_a"),
+        F.explode(F.slice("_hs", 1, prefix_len)).alias("_h"),
+    )
+    index = sized.select(
+        F.col(id_col).alias("doc_b"), F.explode("_hs").alias("_h")
+    )
+    if max_df is not None:
+        df_ok = (
+            index.groupBy("_h")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("_h")
+        )
+        index = index.join(df_ok, "_h")
+    cand = (
+        probe.join(index, "_h")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sized.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_sz").alias("_sza"),
+        F.col("_hs").alias("_hsa"),
+    )
+    sb = sized.select(
+        F.col(id_col).alias("doc_b"), F.col("_hs").alias("_hsb")
+    )
+    inter = F.size(F.array_intersect("_hsa", "_hsb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(inter * 100 >= F.col("_sza") * threshold_pct)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / F.col("_sza"), 4).alias("containment"),
+        )
+    )

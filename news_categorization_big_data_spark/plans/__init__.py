@@ -58,69 +58,12 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # -- round-2 reds, oracle typing fixed this round: the window run
-    # is the proof the CASTs work through the driver's real fetch path.
-    "q_agg_filtered",
-    "q_pivot_wide",
-    "q_batch_assign",
-    "q_pack_sequences",
-    "q_pipeline_curate",
-    # -- first official row: registered after round 2's window froze.
-    "q_join_full_outer",
-    "q_tpch_q6",
-    "q_sql_correlated",
-    # -- regression canaries (green round 2).
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    # -- NEW round-3 queries (no official row yet; each displaced one
-    # window-fill entry into the tail): TPC-H depth, event analytics,
-    # tokenizer/curation/vector additions.
-    "q_tpch_q4",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_sessionize",
-    "q_funnel",
-    "q_retention_cohort",
-    "q_decay_agg",
-    "q_bpe_pair_counts",
-    "q_doc_commonness",
+    # ---- ROUND-4 WINDOW (first 50 = the driver's correctness window) ----
+    # -- re-proof: round 3's only red row (driver's pandas canon crashed
+    # on the raw array column; qvec is now comma-serialized on both sides).
     "q_embedding_quantize",
-    "q_dedup_keep_best",
-    "q_cube",
-    "q_window_time_range",
-    "q_value_histogram",
-    "q_zscore_outliers",
-    "q_join_salted",
-    "q_scan_orc",
-    "q_scan_partitioned",
-    "q_scan_pyds",
-    "q_asof_forward",
-    "q_asof_tolerance",
-    "q_variant_json",
-    "q_sql_lateral",
-    "q_udtf_polymorphic",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_merge_upsert",
-    "q_join_bucketed",
-    "q_vocab_coverage",
-    "q_dedup_fuzzy",
-    "q_event_transitions",
-    # -- window fill: round-2 greens earning a second green row.
-    "q_udaf_grouped",
-    "q_udtf_chunks",
-    # ---- driver's 50-entry window ends here ----
-    # -- ROTATION_PENDING: registered after the round-3 window froze
-    # (the window already holds 40 row-less queries + the 5 re-proofs
-    # + canaries). pytest + driver_sim verified every round; first
-    # official row when rotated into the round-4 window.
+    # -- first official row: the 19 ROTATION_PENDING queries registered
+    # after round 3's window froze (TPC-H completion + OLAP/corpus batch).
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",
@@ -140,6 +83,81 @@ _DRIVER_ORDER = [
     "q_quantile_sketch",
     "q_chi2_terms",
     "q_join_interval_overlap",
+    # -- NEW round-4 queries (no official row yet): rollup/argmax/
+    # period-over-period/multi-grain/heavy-hitter OLAP, deterministic
+    # grouped statistics (regression, entropy, HHI, moments), and
+    # asymmetric containment dedup.
+    "q_rollup",
+    "q_argmax_join",
+    "q_percent_change",
+    "q_time_rollup_multi",
+    "q_heavy_hitters",
+    "q_grouped_regression",
+    "q_group_entropy",
+    "q_hhi_concentration",
+    "q_grouped_moments",
+    "q_dedup_containment",
+    # -- regression canaries (green r01-r03).
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    # -- timestamp-flavor re-proofs: the round-4 testdata regenerated all
+    # timestamp columns as µs/isAdjustedToUTC=false (rounds 1-3: events.ts
+    # was INT64 TIMESTAMP(NANOS)); the loader's NTZ→UTC normalization is
+    # new code, so every timestamp-heavy family re-earns an official row
+    # through the real driver this round.
+    "q_sessionize",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_decay_agg",
+    "q_window_time_range",
+    "q_asof_forward",
+    "q_asof_tolerance",
+    "q_event_transitions",
+    "q_merge_upsert",
+    "q_gap_fill",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_scan_partitioned",
+    "q_stream_session",
+    # ---- driver's 50-entry window ends here ----
+    # Tail: queries with official rows from rounds 1-3, prior relative
+    # order preserved; all remain registered, runnable, and
+    # pytest/driver_sim-verified every round.
+    "q_agg_filtered",
+    "q_pivot_wide",
+    "q_batch_assign",
+    "q_pack_sequences",
+    "q_pipeline_curate",
+    "q_join_full_outer",
+    "q_tpch_q6",
+    "q_sql_correlated",
+    "q_tpch_q18",
+    "q_bpe_pair_counts",
+    "q_doc_commonness",
+    "q_dedup_keep_best",
+    "q_cube",
+    "q_value_histogram",
+    "q_zscore_outliers",
+    "q_join_salted",
+    "q_scan_orc",
+    "q_scan_pyds",
+    "q_variant_json",
+    "q_sql_lateral",
+    "q_udtf_polymorphic",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_join_bucketed",
+    "q_vocab_coverage",
+    "q_dedup_fuzzy",
+    "q_udaf_grouped",
+    "q_udtf_chunks",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -158,7 +176,6 @@ _DRIVER_ORDER = [
     "q_summarize_extractive",
     "q_classify_keywords",
     "q_pipeline_digest",
-    # -- displaced window-fill (round-2 green; sim-verified every round)
     "q_split_train_eval",
     "q_sample_stratified",
     "q_quality_filter",
@@ -170,7 +187,6 @@ _DRIVER_ORDER = [
     "q_dedup_cluster",
     "q_pii_scrub",
     "q_unpivot_long",
-    "q_gap_fill",
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -178,11 +194,9 @@ _DRIVER_ORDER = [
     "q_array_hof",
     "q_scan_csv",
     "q_dedup_mllib_lsh",
-    # -- rows-only entries (err: no_oracle both rounds): displaced first.
     "q_sim_ann_lsh",
     "q_ml_classify",
     "q_ml_kmeans",
-    # everything below already holds a green round-1 CORRECTNESS row
     "q_join_multiway",
     "q_dedup_exact",
     "q_scan_parquet",
@@ -206,7 +220,6 @@ _DRIVER_ORDER = [
     "q_asof_join",
     "q_join_semi",
     "q_join_anti",
-    "q_stream_session",
     "q_stream_watermark",
     "q_set_union",
     "q_filter_neq",
@@ -246,34 +259,12 @@ _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
-#: Queries registered AFTER the round-3 window froze (the 50 slots were
-#: already committed to the 40 row-less round-3 queries, the five
-#: round-2 re-proofs and canaries). They run in pytest + driver_sim
-#: every round and rotate into the round-4 window for their first
-#: official CORRECTNESS row. tests/test_driver_contract.py allows
-#: exactly this set to sit outside the window row-less.
-ROTATION_PENDING = frozenset(
-    {
-        "q_tpch_q2",
-        "q_tpch_q9",
-        "q_tpch_q11",
-        "q_tpch_q12",
-        "q_tpch_q16",
-        "q_tpch_q20",
-        "q_tpch_q21",
-        "q_group_mode",
-        "q_window_nth",
-        "q_skyline",
-        "q_resample_ohlc",
-        "q_dedup_passage",
-        "q_sample_weighted",
-        "q_hll_distinct",
-        "q_graph_triangles",
-        "q_incremental_agg",
-        "q_quantile_sketch",
-        "q_chi2_terms",
-        "q_join_interval_overlap",
-    }
-)
+#: Queries registered AFTER the current round's window froze. Round 4:
+#: EMPTY — the 50-entry window holds every query lacking an official
+#: CORRECTNESS row (the 19 round-3 pending rotations, the 10 new
+#: round-4 queries, and the q_embedding_quantize re-proof), so nothing
+#: is deferred. tests/test_driver_contract.py allows exactly this set
+#: to sit outside the window row-less.
+ROTATION_PENDING: frozenset[str] = frozenset()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

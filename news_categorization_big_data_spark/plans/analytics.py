@@ -16,6 +16,8 @@ always carry ``event_id`` as the unique tie-break.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -457,4 +459,292 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_trans").cast("double") / F.sum("n_trans").over(norm).cast("double")).alias(
             "p_trans"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 grouped-statistics batch. Shared determinism machinery: every
+# floating aggregate is either (a) an exact DECIMAL sum of values whose
+# decimal expansion is finite and whose scaled magnitude stays below
+# 2^53 (decimal→double conversion is then exact, so both engines see
+# bit-identical doubles), or (b) a DECIMAL-quantized sum of per-row
+# doubles that are themselves bit-identical on both engines (IEEE
+# arithmetic on identical inputs) — quantization at scale s rounds the
+# identical double to the same 10^-s grid on both engines (an exact
+# half-way point would require the double to be a non-dyadic rational,
+# which cannot exist), so the quantized sum is reduction-order-free AND
+# engine-identical. Final scalar formulas then run the same expression
+# tree on the same doubles. No rounding-for-luck anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouped_regression",
+    oracle="""
+    WITH s AS (SELECT p_brand,
+                      COUNT(*) AS n_parts,
+                      CAST(SUM(CAST(p_size AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(p_size * p_size AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
+                      CAST(SUM(CAST(p_size * p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy,
+                      CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+               FROM part GROUP BY p_brand)
+    SELECT p_brand, n_parts,
+           (n_parts * sxy - sx * sy)
+             / sqrt((n_parts * sxx - sx * sx) * (n_parts * syy - sy * sy))
+             AS corr_size_price,
+           (sxy - sx * sy / n_parts) / (n_parts - 1) AS covar_size_price,
+           (n_parts * sxy - sx * sy) / (n_parts * sxx - sx * sx) AS slope,
+           (sy - (n_parts * sxy - sx * sy) / (n_parts * sxx - sx * sx) * sx)
+             / n_parts AS intercept
+    FROM s
+    """,
+    tier="B",
+    doc="Grouped Pearson correlation, sample covariance, and OLS "
+    "slope/intercept (retail price regressed on size, per brand) from "
+    "the five moment sums — one partial-aggregating shuffle computes "
+    "all of them; corr/covar/regr_* builtins would each re-scan. "
+    "Determinism: x is integer, y has 2 decimals — x², x·y, y² have "
+    "exact 0/2/4-decimal expansions, the DECIMAL sums are exact, and "
+    "every scaled magnitude stays under 2^53 (y² ≤ 4·10⁶, "
+    "~10³ parts/brand at sf1 → Σ ≤ 4·10⁹ → 4·10¹³ ten-thousandths), "
+    "so the decimal→double conversions and the shared closed-form "
+    "arithmetic are bit-identical on both engines — no output "
+    "rounding needed. The builtin corr()/regr_slope() aggregates sum "
+    "raw doubles in shuffle order and cannot hash-match across "
+    "engines; this moment-sum form is how a warehouse makes grouped "
+    "statistics reproducible.",
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("double")
+    y = F.col("p_retailprice")
+    s = part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(x.cast("decimal(30,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(30,2)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(30,0)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(30,2)")).cast("double").alias("sxy"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n_parts")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "p_brand",
+        "n_parts",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_size_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_size_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+#: log2 lookup domain: covers any per-user event count the table can
+#: see at the registered scale factors with ~10x headroom (observed max
+#: 99 at sf0.1); at larger corpora the table is regenerated with a
+#: larger bound — it is driver-generated, not hand-written.
+LOG2_TABLE_MAX = 1024
+
+#: (n, log2 n) rows shared by both engines. repr() emits the shortest
+#: round-tripping decimal; the `e0` suffix forces DuckDB to TYPE the
+#: literal as DOUBLE (parsed correctly-rounded → the exact same IEEE
+#: double Spark receives directly as a Python float). Without it the
+#: literal is typed DECIMAL(17,16), whose decimal arithmetic truncates
+#: on rescale and whose →DOUBLE conversion is off by 1 ulp for ~17% of
+#: the table (both measured here).
+_LOG2_ROWS = [(n, math.log2(n)) for n in range(1, LOG2_TABLE_MAX + 1)]
+_LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
+
+
+@register(
+    "q_group_entropy",
+    oracle=f"""
+    WITH lut(n, l2) AS (VALUES {_LOG2_VALUES_SQL}),
+    c AS (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+    j AS (SELECT c.user_id, c.n, lut.l2 FROM c JOIN lut ON c.n = lut.n),
+    s AS (SELECT user_id,
+                 CAST(SUM(n) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(n * l2 AS DECIMAL(30,9))) AS DOUBLE)
+                   AS s_nlogn
+          FROM j GROUP BY 1)
+    SELECT s.user_id, s.n_events,
+           lut.l2 - s_nlogn / s.n_events AS entropy_bits
+    FROM s JOIN lut ON s.n_events = lut.n
+    """,
+    tier="C",
+    doc="Per-user Shannon entropy of the event-type distribution (in "
+    "bits) — the behavioral-diversity feature a curation pipeline "
+    "computes per source/domain to downweight single-note spam "
+    "(entropy 0 = every event identical; log2(5) ≈ 2.32 = uniform "
+    "over the 5 types). Algebraic form: H = log2(N) − Σ nᵢ·log2(nᵢ)/N "
+    "over the (user, type) counts. Determinism: native log2 is NOT "
+    "hash-stable across engines (measured on this platform: 7634 of "
+    "20000 integer inputs differ in the last ulp between Spark's JVM "
+    "log and DuckDB's libm — transcendentals are not correctly "
+    "rounded, unlike +,−,×,÷,√), so BOTH sides join a driver-"
+    "generated (n, log2 n) lookup dimension: Python floats feed Spark "
+    "directly and reach DuckDB as shortest-round-trip repr() literals "
+    "— the identical double by construction. The lookup is "
+    f"{LOG2_TABLE_MAX} rows — a broadcast dimension at any corpus "
+    "scale (the inner join also bounds the domain explicitly). "
+    "nᵢ·log2(nᵢ) terms quantize to a 10⁻⁹ grid for the exact decimal "
+    "sum — reduction-order-free, grid point identical on both engines "
+    "(an exact half-way would require a non-dyadic double). Two "
+    "dimension-keyed shuffles; the raw event table is touched once.",
+)
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lut = spark.createDataFrame(_LOG2_ROWS, "n bigint, l2 double")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    j = c.join(F.broadcast(lut), "n")
+    s = j.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum((F.col("n") * F.col("l2")).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("s_nlogn"),
+    )
+    lut_n = F.broadcast(
+        lut.select(F.col("n").alias("n_events"), F.col("l2").alias("_l2n"))
+    )
+    return s.join(lut_n, "n_events").select(
+        "user_id",
+        "n_events",
+        (F.col("_l2n") - F.col("s_nlogn") / F.col("n_events")).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle="""
+    WITH r AS (SELECT o_orderpriority, o_custkey,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                        AS rev
+               FROM orders GROUP BY 1, 2),
+    t AS (SELECT o_orderpriority,
+                 CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE) AS total,
+                 COUNT(*) AS n_cust
+          FROM r GROUP BY 1)
+    SELECT r.o_orderpriority,
+           MAX(t.n_cust) AS n_cust,
+           CAST(SUM(CAST((r.rev / t.total) * (r.rev / t.total)
+                         AS DECIMAL(30,12))) AS DOUBLE) AS hhi
+    FROM r JOIN t ON r.o_orderpriority = t.o_orderpriority
+    GROUP BY r.o_orderpriority
+    """,
+    tier="B",
+    doc="Herfindahl–Hirschman concentration index per order priority: "
+    "Σ share² over customer revenue shares — the standard 'is this "
+    "group dominated by few members' diagnostic (1/n_cust = perfectly "
+    "even, 1.0 = single customer), used in curation to flag sources "
+    "dominated by one crawler/domain. Plan: per-(priority, customer) "
+    "decimal-exact revenue, per-priority totals broadcast back (the "
+    "totals side is |priorities| rows — broadcast at any scale), "
+    "shares squared and quantized to a 10⁻¹² grid for the exact "
+    "decimal sum (share² ≤ 1, ≤10⁴ members/group at sf1 → scaled "
+    "magnitude ≤ 10¹⁶·10⁻⁴ ≪ 2^53): reduction-order-free and "
+    "engine-identical by the module-header argument.",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    t = r.groupBy("o_orderpriority").agg(
+        F.sum(F.col("rev").cast("decimal(30,2)")).cast("double").alias("total"),
+        F.count("*").alias("n_cust"),
+    )
+    share = F.col("rev") / F.col("total")
+    return (
+        r.join(F.broadcast(t), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_cust").alias("n_cust"),
+            F.sum((share * share).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("hhi"),
+        )
+    )
+
+
+@register(
+    "q_grouped_moments",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+               FROM events GROUP BY 1),
+    st AS (SELECT event_type, n, s1 / n AS mean,
+                  sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+           FROM s),
+    z AS (SELECT e.event_type, st.n, st.mean, st.std,
+                 (e.value - st.mean) / st.std AS t
+          FROM events e JOIN st ON e.event_type = st.event_type)
+    SELECT event_type,
+           MAX(n) AS n, MAX(mean) AS mean, MAX(std) AS std,
+           CAST(SUM(CAST(t * t * t AS DECIMAL(30,9))) AS DOUBLE) / MAX(n)
+             AS skewness,
+           CAST(SUM(CAST(t * t * t * t AS DECIMAL(30,9))) AS DOUBLE) / MAX(n)
+             - 3.0 AS excess_kurtosis
+    FROM z GROUP BY event_type
+    """,
+    tier="B",
+    doc="Grouped skewness and excess kurtosis — the shape diagnostics "
+    "behind drift monitoring on a feature column. Raw third/fourth "
+    "power sums of a 3-digit value would scale past 2^53 and make the "
+    "decimal→double conversion lossy, so the engine uses the two-pass "
+    "standardized form (same shape as q_zscore_outliers): exact-decimal "
+    "first pass → mean/std as bit-identical doubles, broadcast back; "
+    "second pass sums ((x−μ)/σ)³ and ⁴ — identical doubles on both "
+    "engines, quantized to a 10⁻⁹ grid (|t| ≤ ~5 ⇒ t⁴ ≤ 10³, 10⁶ "
+    "rows/group at sf1 → scaled ≤ 10¹⁸·10⁻⁹·10³ ≈ 10¹² ≪ 2^53) for "
+    "the reduction-order-free sum. Two shuffles on the 5-value type "
+    "key; stats side broadcast.",
+)
+def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dval = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dval).cast("double").alias("s1"),
+        F.sum(dval * dval).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    st = s.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+        ).alias("std"),
+    )
+    t = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean").alias("mean"),
+            F.max("std").alias("std"),
+            (
+                F.sum((t * t * t).cast("decimal(30,9)")).cast("double")
+                / F.max("n")
+            ).alias("skewness"),
+            (
+                F.sum((t * t * t * t).cast("decimal(30,9)")).cast("double")
+                / F.max("n")
+                - F.lit(3.0)
+            ).alias("excess_kurtosis"),
+        )
     )

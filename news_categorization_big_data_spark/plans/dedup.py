@@ -16,6 +16,7 @@ from news_categorization_big_data_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_PRIME,
+    containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -410,3 +411,57 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pfx_a", "pfx_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+#: Containment threshold (percent) and index-side df cap.
+CONTAIN_PCT = 90
+CONTAIN_MAX_DF = 1000
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id,
+                  list_sort(list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)))
+                    AS hsorted
+           FROM sh GROUP BY doc_id),
+    sized AS (SELECT doc_id, len(hsorted) AS sz, hsorted FROM hs),
+    pref AS (SELECT doc_id,
+                    unnest(hsorted[1 : CAST(sz - floor((sz * {CONTAIN_PCT} + 99) / 100) + 1 AS INT)])
+                      AS h
+             FROM sized),
+    idx AS (SELECT doc_id, unnest(hsorted) AS h FROM sized),
+    capped AS (SELECT h FROM idx GROUP BY h
+               HAVING COUNT(*) <= {CONTAIN_MAX_DF}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a
+             JOIN (SELECT idx.doc_id, idx.h FROM idx JOIN capped USING (h)) b
+               ON a.h = b.h
+             WHERE a.doc_id <> b.doc_id),
+    v AS (SELECT doc_a, doc_b,
+                 len(list_intersect(sa.hsorted, sb.hsorted)) AS inter,
+                 sa.sz AS sza
+          FROM cand
+          JOIN sized sa ON sa.doc_id = cand.doc_a
+          JOIN sized sb ON sb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / sza, 4) AS containment
+    FROM v WHERE inter * 100 >= sza * {CONTAIN_PCT}
+    """,
+    tier="C",
+    doc=f"Asymmetric shingle containment |A∩B|/|A| ≥ {CONTAIN_PCT}% — "
+    "near-SUPERSET detection, the predicate Jaccard structurally "
+    "misses (a passage quoted whole inside a long page has J ≈ 0 but "
+    "C ≈ 1): how a curation pipeline catches boilerplate wrappers and "
+    "quote inflation. Probe side explodes only the containment-prefix "
+    "(sz − ⌈t·sz⌉ + 1 sorted hashes — exact recall by the pigeonhole "
+    "lemma), index side explodes all hashes under a df ≤ "
+    f"{CONTAIN_MAX_DF} skew cap (identical cap in the oracle); "
+    "verification is exact set intersection with an integer threshold "
+    "(inter·100 ≥ t·sz — no float boundary). See "
+    "operators/dedup.py:containment_pairs.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return containment_pairs(docs, CONTAIN_PCT, max_df=CONTAIN_MAX_DF)

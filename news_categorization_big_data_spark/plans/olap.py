@@ -336,3 +336,231 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 OLAP batch: hierarchy rollup, argmax join, period-over-period,
+# multi-grain time rollup, calendar gap fill, exact heavy hitters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tier="B",
+    doc="Hierarchical ROLLUP (region → nation → grand total) over the "
+    "customer dimension join — the drill-down complement of q_cube's "
+    "full lattice: ROLLUP materializes only the prefix aggregates "
+    "(n+1 grouping sets instead of 2^n), which at 100 TB is the "
+    "difference between 3 and 4 shuffled aggregate copies of the fact. "
+    "GROUPING() bitmask (identical bit order on both engines: leftmost "
+    "column = MSB) disambiguates a NULL group key from a rollup "
+    "subtotal row. The two dimension joins broadcast under AQE; the "
+    "rollup expands rows map-side and partially aggregates before the "
+    "single shuffle.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = cust.join(nat, cust.c_nationkey == nat.n_nationkey).join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal", 2).alias("sum_bal"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "q_argmax_join",
+    oracle="""
+    WITH k AS (SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+                      CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                        + c_custkey AS bal_key
+               FROM customer)
+    SELECT n_name,
+           arg_max(c_name, bal_key) AS top_name,
+           CAST(arg_max(c_custkey, bal_key) AS BIGINT) AS top_custkey,
+           MAX(c_acctbal) AS top_bal
+    FROM k JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tier="B",
+    doc="Grouped argmax (max_by / arg_max): richest customer per nation "
+    "WITHOUT the join-back-to-max or ranked-window detour — one "
+    "partial-aggregating shuffle carries a single (key, best-so-far) "
+    "pair per group per mapper, vs the window variant shuffling every "
+    "row to sort it. Determinism: both engines' native max_by is "
+    "tie-nondeterministic, so the ordering key is the composite "
+    "bal_cents·10^7 + custkey — strictly lexicographic (custkey < 10^7 "
+    "here; the multiplier is a corpus parameter), exact integer "
+    "arithmetic (2-decimal balance → cents are exact), ties impossible. "
+    "The nation join is a 25-row broadcast.",
+)
+def q_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    bal_key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("c_custkey")
+    )
+    best = (
+        cust.withColumn("bal_key", bal_key)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "bal_key").alias("top_name"),
+            F.max_by("c_custkey", "bal_key").alias("top_custkey"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+    )
+    return best.join(
+        F.broadcast(nat), best.c_nationkey == nat.n_nationkey
+    ).select("n_name", "top_name", "top_custkey", "top_bal")
+
+
+@register(
+    "q_percent_change",
+    oracle="""
+    WITH m AS (SELECT o_orderpriority,
+                      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                        AS month,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                        AS rev
+               FROM orders GROUP BY 1, 2),
+    w AS (SELECT o_orderpriority, month, rev,
+                 lag(rev) OVER (PARTITION BY o_orderpriority
+                                ORDER BY month) AS prev_rev
+          FROM m)
+    SELECT o_orderpriority, month, rev, prev_rev,
+           (rev - prev_rev) / prev_rev AS mom_change
+    FROM w
+    """,
+    tier="B",
+    doc="Period-over-period delta: monthly revenue per order priority "
+    "with month-over-month relative change via lag(). The window "
+    "partitions by priority and orders by month — it runs over the "
+    "AGGREGATED frame (|priorities|·|months| rows), never raw orders, "
+    "so the sort after the agg shuffle is dimension-sized at any "
+    "corpus scale. Revenue sums are decimal-exact (dsum), so the "
+    "double division runs on identical inputs on both engines; the "
+    "first month's change is NULL by lag semantics.",
+)
+def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        ),
+    ).agg(dsum("o_totalprice", 2).alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return m.select(
+        "o_orderpriority",
+        "month",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+    ).withColumn(
+        "mom_change", (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev")
+    )
+
+
+@register(
+    "q_time_rollup_multi",
+    oracle="""
+    SELECT 'day' AS grain,
+           strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'week', strftime(date_trunc('week', o_orderdate), '%Y-%m-%d'),
+           COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', o_orderdate), '%Y-%m-%d'),
+           COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders GROUP BY 2
+    """,
+    tier="B",
+    doc="Multi-granularity time rollup (hypertable-style continuous "
+    "aggregate): the same fact aggregated at day/week/month grains, "
+    "union'd with a grain tag — the materialization a time-series "
+    "store keeps per retention tier. date_trunc('week') is ISO-Monday "
+    "on both engines. Each grain is an independent partial-aggregated "
+    "shuffle over the same scan (Spark reuses the scan via the shared "
+    "subplan); at 100 TB the coarser grains would instead fold the "
+    "day-grain output (day → week → month cascade) — the cascade is "
+    "expressible here by feeding this query's day slice back through "
+    "the same groupBy, cutting two full fact shuffles to "
+    "dimension-sized ones.",
+)
+def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def grain(g: str) -> DataFrame:
+        return orders.groupBy(
+            F.date_format(F.date_trunc(g, "o_orderdate"), "yyyy-MM-dd").alias(
+                "bucket"
+            )
+        ).agg(
+            F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("rev")
+        ).select(F.lit(g).alias("grain"), "bucket", "n_orders", "rev")
+
+    return grain("day").unionByName(grain("week")).unionByName(grain("month"))
+
+
+#: Heavy-hitter threshold in parts-per-thousand of total event volume.
+HH_PER_MILLE = 3
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT user_id, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    WHERE cnt * 1000 >= total * {HH_PER_MILLE}
+    """,
+    tier="B",
+    doc=f"Exact heavy hitters: users contributing ≥ {HH_PER_MILLE}‰ of "
+    "all events. Two aggregates — per-key counts (partial+final, the "
+    "shuffle carries one row per key per mapper) and a single-row "
+    "grand total broadcast back as a cross join — with an INTEGER "
+    "threshold comparison (cnt·1000 ≥ total·k: no float boundary can "
+    "flip membership; the double share column is display-only, "
+    "computed identically from the same two integers on both engines). "
+    "At 100 TB this two-pass exact plan is the verifier behind a "
+    "count-min-sketch first pass (CMS bounds which keys CAN exceed "
+    "the threshold; the exact pass runs only on those) — the sketch "
+    "path is q_hll_distinct's machinery pointed at frequency instead "
+    "of cardinality.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 1000 >= F.col("total") * HH_PER_MILLE)
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

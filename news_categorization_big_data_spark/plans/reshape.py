@@ -168,3 +168,4 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_value_ff"),
     )
+

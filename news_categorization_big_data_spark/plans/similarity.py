@@ -238,11 +238,11 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings)
     SELECT vec_id,
            CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
                           x -> CAST(floor(CAST(x AS DOUBLE)
                                           * (CASE WHEN mx > 0 THEN 127.0 / mx
                                                   ELSE 0.0 END) + 0.5)
-                                    AS INT)) AS qvec
+                                    AS INT)), ',') AS qvec
     FROM m
     """,
     tier="C",
@@ -253,7 +253,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their round() tie conventions differ). Pure per-row array "
     "transform: map-only, zero shuffle, whole-stage codegen; float32→"
     "double casts and one double multiply are bit-identical on both "
-    "engines. An all-zero vector quantizes to scale 0 / all-zero qvec.",
+    "engines. An all-zero vector quantizes to scale 0 / all-zero qvec. "
+    "The quantized vector is emitted comma-serialized (not as a raw "
+    "array column): the external driver canonicalizes results through a "
+    "pandas sort, which cannot order numpy-array cells — the sole red "
+    "row in CORRECTNESS_r03 was this query crashing that sort. Every "
+    "oracle-bearing query must emit scalar columns only "
+    "(tests/test_oracle_types.py enforces this).",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -264,8 +270,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         scale.alias("scale"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )

@@ -8,12 +8,18 @@ replacement for the reference's MongoDB document store
 predicates, and at scale tables would be partitioned/z-ordered by the
 range-scan key so partition pruning kicks in before row-group pruning.
 
-Timestamp normalization: the driver testdata writes ``events.ts`` as
-INT64 TIMESTAMP(NANOS). Spark 4 reads it (only) as a raw nanosecond long
-under ``spark.sql.legacy.parquet.nanosAsLong``; we convert to a
-microsecond timestamp with integer floor-division — bit-for-bit the same
-truncation DuckDB applies when it reads the ns column, so both engines
-see identical values.
+Timestamp normalization: the testdata's timestamp columns arrive in
+whichever parquet flavor the generator used that round — rounds 1-3
+wrote ``events.ts`` as INT64 TIMESTAMP(NANOS) (readable in Spark 4 only
+as a raw nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``),
+round 4 regenerated everything as µs with ``isAdjustedToUTC=false``,
+which Spark 4 infers as TIMESTAMP_NTZ while functions like
+``unix_micros``/``window`` demand TIMESTAMP. The loader normalizes both
+flavors to session-UTC TIMESTAMP: ns-longs via integer floor-division
+(bit-for-bit DuckDB's ns→µs truncation), NTZ via a cast that under the
+engine's UTC session timezone reinterprets the wall-clock value as the
+same instant — value- and rendering-identical to DuckDB's naive read of
+the same file.
 """
 
 from __future__ import annotations
@@ -49,6 +55,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(field.dataType, T.LongType) and field.name == "ts":
             # ns → µs truncation (matches DuckDB's read of the same file).
             df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # µs NTZ → session-UTC instant (same wall-clock, same render).
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -32,38 +32,55 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round3_priorities():
+def test_registry_window_contains_round4_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-3 window must hold: the five round-2 reds whose oracles were
-    re-typed (the window run proves the fix through the driver's real
-    fetch path), the three queries rotated in for their first official
-    row, and the regression canaries."""
+    round-4 window must hold: the q_embedding_quantize re-proof (round
+    3's only red — the driver's pandas canon crashed on its raw array
+    column), every round-3 ROTATION_PENDING query (first official row),
+    the new round-4 queries, and the regression canaries."""
     window = list(REGISTRY)[:50]
     for name in [
-        # oracle-typing fixes needing green r03 rows
-        "q_agg_filtered",
-        "q_pivot_wide",
-        "q_batch_assign",
-        "q_pack_sequences",
-        "q_pipeline_curate",
-        # first official row (registered after the r02 window froze)
-        "q_join_full_outer",
-        "q_tpch_q6",
-        "q_sql_correlated",
+        # r03 red re-proof (array column now serialized)
+        "q_embedding_quantize",
+        # first official row (registered after the r03 window froze)
+        "q_tpch_q2",
+        "q_tpch_q9",
+        "q_tpch_q21",
+        "q_group_mode",
+        "q_skyline",
+        "q_hll_distinct",
+        "q_quantile_sketch",
+        "q_join_interval_overlap",
+        # new round-4 queries
+        "q_rollup",
+        "q_argmax_join",
+        "q_percent_change",
+        "q_time_rollup_multi",
+        "q_heavy_hitters",
+        "q_grouped_regression",
+        "q_group_entropy",
+        "q_hhi_concentration",
+        "q_grouped_moments",
+        "q_dedup_containment",
         # canaries
         "q_group_stats",
         "q_scan_json",
         "q_udf_scalar",
+        # timestamp-flavor re-proofs (round-4 testdata regenerated all
+        # timestamp columns as µs NTZ; the loader normalization is new)
+        "q_sessionize",
+        "q_asof_tolerance",
+        "q_decay_agg",
+        "q_gap_fill",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-2
+    """Every query without an official CORRECTNESS row from rounds 1-3
     (i.e. anything registered this round) must sit inside the 50-entry
     window — or be explicitly declared ROTATION_PENDING (registered
-    after the window's 50 slots were already committed; first official
-    row in round 4)."""
+    after the window's 50 slots were already committed)."""
     import json
     from pathlib import Path
 
@@ -71,7 +88,11 @@ def test_registry_window_covers_all_unofficial_queries():
 
     repo = Path(__file__).resolve().parents[1]
     official = set()
-    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for rnd in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         with open(repo / rnd) as f:
             official |= set(json.load(f))
     window = set(list(REGISTRY)[:50])

@@ -55,6 +55,21 @@ def _numpy_rows(arrs, cols):
     return list(zip(*out_cols))
 
 
+def driver_canon_probe(rows, cols):
+    """Replicate the real driver's canonicalization path: both result
+    sets are loaded into pandas and sorted with ``sort_values`` over
+    every column. A list/struct cell arrives as a numpy array, which is
+    unhashable — pandas' lexsort factorization raises TypeError and the
+    driver records the query as an error (observed: q_embedding_quantize,
+    CORRECTNESS_r03). Run the same sort here so the sim fails the same
+    way BEFORE the official run does."""
+    import pandas as pd
+
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    if len(df):
+        df.sort_values(by=sorted(df.columns), inplace=False)
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -86,6 +101,8 @@ for pos, (name, fn) in enumerate(queries.items(), 1):
             # vs Spark's "150" — exactly the five official red hashes.
             # fetchall()'s native ints masked that whole class.
             drows = _numpy_rows(res.fetchnumpy(), dcols)
+            driver_canon_probe(srows, scols)
+            driver_canon_probe(drows, dcols)
             ok_rows = len(srows) == len(drows)
             ok_schema = sorted(scols) == sorted(dcols)
             ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
