@@ -233,9 +233,17 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.where(F.size(quality_reasons("text", "n_chars")) == 0)
     # Exact dedup: group on the 16-byte content hash (not the text) so
     # the shuffle key stays small; texts in a group are identical, so
-    # first() is deterministic in value.
-    src = kept.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    # first() is deterministic in value. fan_out(force=True): the
+    # groupBy's exchange is AQE-coalesced to ~1 partition at runtime,
+    # which would single-thread the downstream shingle/md5 stage — the
+    # forced user-numbered repartition is a floor AQE respects.
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
+
+    src = fan_out(
+        kept.groupBy(F.md5("text").alias("_h")).agg(
+            F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+        ),
+        force=True,
     )
     pairs = lsh_candidate_pairs(minhash_signatures(src))
     cc = connected_components(pairs)

@@ -202,12 +202,45 @@ def test_kmeans_structural_properties(spark, sf_dir):
 
 
 def test_connected_components_raises_when_budget_too_small(spark):
-    # A 5-vertex path needs more than one propagation round.
+    # A 5-vertex path needs more than one propagation round. Force the
+    # distributed loop (localThreshold=0) — the driver-side union-find
+    # would otherwise solve any small graph without iterating.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
     )
-    with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iter=1)
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iter=1)
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The size-adaptive local union-find must return exactly the
+    distributed min-label loop's table: same vertices, same min-id
+    component labels, singletons equally absent."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    local = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        dist = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+    assert local == dist
+    assert local == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+        (30, 30), (31, 30),
+    }
 
 
 def test_vocab_coverage_broadcasts_vocab_not_tokens(spark, sf_dir):

@@ -58,6 +58,16 @@ def _numpy_rows(arrs, cols):
     return list(zip(*out_cols))
 
 
+def driver_canon_probe(rows, cols):
+    """Mirror tools/driver_sim.py: the real driver sorts both result
+    sets through pandas; unhashable cells (numpy arrays) crash it."""
+    import pandas as pd
+
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    if len(df):
+        df.sort_values(by=sorted(df.columns), inplace=False)
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -84,6 +94,8 @@ for name in names:
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = _numpy_rows(res.fetchnumpy(), dcols)
+        driver_canon_probe(srows, scols)
+        driver_canon_probe(drows, dcols)
         ok_rows = len(srows) == len(drows)
         ok_schema = sorted(scols) == sorted(dcols)
         ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
