@@ -244,6 +244,8 @@ _DRIVER_ORDER = [
     "q_stream_dedup",
     "q_text_clean",
     "q_text_tokens",
+    # -- registered after the round-4 window froze (ROTATION_PENDING).
+    "q_bitmap_distinct",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -259,12 +261,13 @@ _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
-#: Queries registered AFTER the current round's window froze. Round 4:
-#: EMPTY — the 50-entry window holds every query lacking an official
-#: CORRECTNESS row (the 19 round-3 pending rotations, the 10 new
-#: round-4 queries, and the q_embedding_quantize re-proof), so nothing
-#: is deferred. tests/test_driver_contract.py allows exactly this set
-#: to sit outside the window row-less.
-ROTATION_PENDING: frozenset[str] = frozenset()
+#: Queries registered AFTER the current round's window froze. The
+#: round-4 window was committed to the 19 round-3 rotations, the 10 new
+#: round-4 queries, the q_embedding_quantize re-proof, canaries, and
+#: timestamp re-proofs before these were written; they run in pytest +
+#: driver_sim every round and rotate into the round-5 window for their
+#: first official row. tests/test_driver_contract.py allows exactly
+#: this set to sit outside the window row-less.
+ROTATION_PENDING: frozenset[str] = frozenset({"q_bitmap_distinct"})
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

@@ -564,3 +564,40 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tier="B",
+    doc="EXACT distinct counting via bitmap aggregation — the "
+    "mergeable-and-exact alternative between COUNT(DISTINCT) (exact, "
+    "but re-shuffles raw ids on every rollup) and HLL (mergeable, but "
+    "approximate; q_hll_distinct): ids map to (bucket, bit) via "
+    "bitmap_bucket_number/bitmap_bit_position, each (group, bucket) "
+    "partial-aggregates map-side into a fixed 4KB bitmap, bitmaps OR "
+    "together (bitmap_or_agg) and popcount to the exact distinct. "
+    "The shuffle carries one bitmap per (group, bucket) instead of "
+    "every distinct id, partials compose (an incremental rollup merges "
+    "yesterday's bitmaps with today's delta without re-scanning — the "
+    "ClickHouse/Iceberg exact-distinct pattern), and the oracle's "
+    "plain COUNT(DISTINCT) green hash proves exactness. At 100 TB "
+    "bucket count scales with the id domain, not the row count.",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("_bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bmp"),
+        F.count("*").alias("_n"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("_bmp")).alias("n_users"),
+        F.sum("_n").alias("n_events"),
+    )

@@ -111,7 +111,7 @@ for pos, (name, fn) in enumerate(queries.items(), 1):
             status = f"ROWS_ONLY n={len(srows)}"
         results[name] = status
     except Exception as ex:
-        results[name] = f"ERROR {type(ex).__name__}: {str(ex)[:100]}"
+        results[name] = f"ERROR {type(ex).__name__}: {str(ex)[:2000]}"
     print(f"  {name}: {results[name]} ({time.time()-t0:.1f}s)", flush=True)
 
 bad = {k: v for k, v in results.items() if v != "MATCH" and not v.startswith("ROWS_ONLY")}
