@@ -6,25 +6,27 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-Round-3 window composition, in priority order:
+Round-4 window composition, in priority order:
 
-1. The five queries red in round 2 on oracle HUGEINT typing (fixed this
-   round — the window run is the proof): q_agg_filtered, q_pivot_wide,
-   q_batch_assign, q_pack_sequences, q_pipeline_curate.
-2. The three queries registered after round 2's window froze, rotated in
-   for their first official row: q_join_full_outer, q_tpch_q6,
-   q_sql_correlated.
-3. Regression canaries green in round 2: q_group_stats, q_scan_json,
+1. q_embedding_quantize — round 3's only red row (the driver's pandas
+   canon crashed on its raw array column; now comma-serialized), re-run
+   through the real driver as the proof.
+2. The 19 queries registered after round 3's window froze
+   (ROTATION_PENDING last round), rotated in for their first official
+   row: the TPC-H completion set + the OLAP/corpus batch.
+3. The 10 queries NEW this round: rollup/argmax/percent-change/
+   multi-grain/heavy-hitter OLAP, the deterministic grouped-statistics
+   tier (regression, entropy, HHI, moments), and containment dedup.
+4. Regression canaries green in rounds 1-3: q_group_stats, q_scan_json,
    q_udf_scalar.
-4. Queries NEW this round (no official row yet) — inserted right after
-   the canaries; each insertion displaces the last window-filling entry
-   into the tail.
-5. Window fill: round-2-green queries earning a second green row.
+5. Timestamp-flavor re-proofs: the round-4 testdata regenerated every
+   timestamp column as µs/isAdjustedToUTC=false parquet (rounds 1-3
+   wrote events.ts as INT64 NANOS), so the loader's NTZ normalization
+   is new code — the timestamp-heavy families re-earn official rows.
 
 The tail (positions 51+) holds queries with official rows from rounds
-1–2 (rows-only entries first — their official rows carry the least
-information, so they were displaced first). Tail queries remain
-registered, runnable, and pytest/driver_sim-verified every round.
+1–3, prior relative order preserved. Tail queries remain registered,
+runnable, and pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 """
