@@ -36,6 +36,10 @@ HEADLINE = [
     "q_tpch_q3",            # shipping-priority join+agg+topk
     "q_tpch_q5",            # 6-table local-supplier volume join
     "q_pipeline_curate",    # end-to-end curation DAG over documents
+    # -- appended round 4: the deterministic-statistics tier and the
+    # exact-distinct bitmap path.
+    "q_grouped_regression",  # 5 moment sums -> corr/covar/OLS, one shuffle
+    "q_bitmap_distinct",     # exact distinct via mergeable bitmaps
 ]
 
 

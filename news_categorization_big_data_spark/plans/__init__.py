@@ -248,6 +248,8 @@ _DRIVER_ORDER = [
     "q_text_tokens",
     # -- registered after the round-4 window froze (ROTATION_PENDING).
     "q_bitmap_distinct",
+    "q_mad_outliers",
+    "q_winsorize",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -270,6 +272,8 @@ REGISTRY.update(_reordered)
 #: driver_sim every round and rotate into the round-5 window for their
 #: first official row. tests/test_driver_contract.py allows exactly
 #: this set to sit outside the window row-less.
-ROTATION_PENDING: frozenset[str] = frozenset({"q_bitmap_distinct"})
+ROTATION_PENDING: frozenset[str] = frozenset(
+    {"q_bitmap_distinct", "q_mad_outliers", "q_winsorize"}
+)
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

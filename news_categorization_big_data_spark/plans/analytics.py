@@ -748,3 +748,136 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("excess_kurtosis"),
         )
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH st AS (SELECT event_type,
+                       list_sort(list(value))[(COUNT(*) - 1) // 2 + 1] AS med
+                FROM events GROUP BY 1),
+    d AS (SELECT e.event_type, e.value, st.med,
+                 abs(e.value - st.med) AS dev
+          FROM events e JOIN st USING (event_type)),
+    m AS (SELECT event_type, MAX(med) AS med,
+                 list_sort(list(dev))[(COUNT(*) - 1) // 2 + 1] AS mad
+          FROM d GROUP BY 1)
+    SELECT d.event_type, MAX(m.med) AS med, MAX(m.mad) AS mad,
+           CAST(count_if(d.dev > 3.0 * m.mad) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tier="B",
+    doc="Robust outlier detection via median absolute deviation — the "
+    "resistant alternative to q_zscore_outliers (one wild value drags "
+    "a mean/std arbitrarily; the median/MAD pair has a 50% breakdown "
+    "point). Both medians are EXACT LOWER order statistics (the "
+    "element at index (n−1)//2 of the sorted group), not interpolated "
+    "percentiles: an order statistic is an actual data value, so both "
+    "engines agree bit-for-bit and the |x−med| / 3·MAD boundary "
+    "comparisons are decided on identical doubles — no rounding, no "
+    "interpolation-ulp hazard (the reason q_group_quantiles needs "
+    "round(4)). Plan: two sort-within-group aggregates with broadcast "
+    "joins back; per-group sort is memory-bounded by group size — at "
+    "100 TB swap approx_percentile for the same query shape "
+    "(mergeable t-digest, rows-only check).",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lower_median = F.element_at(
+        F.array_sort(F.collect_list("value")),
+        ((F.count("*") - 1) / 2 + 1).cast("int"),
+    )
+    st = ev.groupBy("event_type").agg(lower_median.alias("med"))
+    d = ev.join(F.broadcast(st), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    m = d.groupBy("event_type").agg(
+        F.max("med").alias("_med"),
+        F.element_at(
+            F.array_sort(F.collect_list("dev")),
+            ((F.count("*") - 1) / 2 + 1).cast("int"),
+        ).alias("mad"),
+    )
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("_med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count_if(F.col("dev") > F.lit(3.0) * F.col("mad"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+#: Winsorization clip quantiles as integer per-mille ranks (exact).
+WINSOR_LO_PM = 50
+WINSOR_HI_PM = 950
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH s AS (SELECT event_type, list_sort(list(value)) AS vs, COUNT(*) AS n
+               FROM events GROUP BY 1),
+    b AS (SELECT event_type, n,
+                 vs[CAST((n - 1) * {WINSOR_LO_PM} // 1000 AS INT) + 1] AS lo,
+                 vs[CAST((n - 1) * {WINSOR_HI_PM} // 1000 AS INT) + 1] AS hi
+          FROM s)
+    SELECT e.event_type, MAX(b.lo) AS lo, MAX(b.hi) AS hi, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean_raw,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean_winsorized
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    tier="B",
+    doc=f"Winsorized mean per group: values clipped into the "
+    f"[p{WINSOR_LO_PM/10:.0f}, p{WINSOR_HI_PM/10:.0f}] band before "
+    "averaging — the tail-robust aggregate a feature pipeline uses "
+    "where a trimmed mean would discard rows. Clip bounds are exact "
+    "order statistics at integer per-mille ranks ((n−1)·k div 1000 — "
+    "pure integer arithmetic, no interpolation), so both engines clip "
+    "with identical bounds; clipped values are actual data values with "
+    "2-decimal expansions, so the winsorized decimal sum is exact and "
+    "reduction-order-free like every dsum. One sort-within-group "
+    "aggregate for the bounds (broadcast back), one clipped decimal "
+    "aggregate; raw and winsorized means emitted side-by-side for the "
+    "shift diagnostic.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vs = F.array_sort(F.collect_list("value"))
+    n = F.count("*")
+    b = ev.groupBy("event_type").agg(
+        F.element_at(
+            vs, (((n - 1) * WINSOR_LO_PM) / 1000).cast("int") + 1
+        ).alias("lo"),
+        F.element_at(
+            vs, (((n - 1) * WINSOR_HI_PM) / 1000).cast("int") + 1
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_raw"),
+            (
+                F.sum(clipped.cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_winsorized"),
+        )
+    )
