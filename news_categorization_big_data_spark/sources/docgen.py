@@ -15,10 +15,18 @@ oracle-checkable: id, shard = id % shards, payload = 'doc_<id>', and
 h = (id·1103515245 + 12345) mod 2³¹ — an LCG step in BIGINT-safe
 range, reproducible in any engine.
 
+The same source also registers a STREAMING reader (Spark 4
+``simpleStreamReader``): offsets are row ids, micro-batches emit
+``rowsPerBatch`` rows, and because rows are a pure function of id,
+``readBetweenOffsets`` replays any committed range bit-identically —
+the property exactly-once recovery needs (stream == batch is asserted
+in tests/test_streaming.py).
+
 Usage::
 
     spark.dataSource.register(DocGenDataSource)
     spark.read.format("docgen").option("rows", 10000).load()
+    spark.readStream.format("docgen").option("rows", 10000).load()
 """
 
 from __future__ import annotations
@@ -32,6 +40,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: LCG constants (glibc rand): BIGINT-safe for id < 2^32.
@@ -95,3 +104,48 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "DocGenStreamReader":
+        return DocGenStreamReader(self.options)
+
+
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic row function.
+
+    Offsets are row ids (``{"id": n}``): ``read(start)`` emits
+    ``rowsPerBatch`` rows and advances; ``readBetweenOffsets`` replays
+    any committed range bit-identically (rows are a pure function of
+    id — the property that makes exactly-once recovery trivial: a
+    failed micro-batch re-reads the SAME rows, so the sink's
+    idempotence story composes). The stream is bounded by ``rows`` so
+    ``processAllAvailable`` terminates in tests; production feeds drop
+    the bound and the offset grows forever, checkpointed by Spark.
+    """
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.shards = int(options.get("shards", 8))
+        self.batch = int(options.get("rowsPerBatch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def _gen(self, start: int, end: int) -> Iterator[tuple]:
+        # A list_iterator, not a generator: the simple-reader protocol
+        # prefetches driver-side and PICKLES the iterator for executor
+        # replay — generators can't pickle, lists aren't iterators;
+        # iter(list) is both.
+        return iter(
+            [
+                (i, i % self.shards, f"doc_{i}", (i * LCG_A + LCG_C) % LCG_M)
+                for i in range(start, end)
+            ]
+        )
+
+    def read(self, start: dict):
+        s = int(start["id"])
+        e = min(s + self.batch, self.rows)
+        return self._gen(s, e), {"id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._gen(int(start["id"]), int(end["id"]))

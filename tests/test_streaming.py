@@ -702,3 +702,37 @@ def test_batch_stream_parity_ohlc(spark, tmp_path):
     # the tie at 00:00:05 resolves by event_id: open = value of id 0
     a_bar = next(r for r in batch.collect() if r.event_type == "a" and r.bucket.hour == 0)
     assert a_bar.open == 11.0 and a_bar.close == 20.0
+
+
+def test_docgen_stream_matches_batch(spark, tmp_path):
+    """The custom Python Data Source's STREAMING reader must deliver
+    exactly the batch reader's rows — the stream-equals-batch contract
+    that makes the connector's exactly-once story checkable: rows are a
+    pure function of the offset range, so any replayed micro-batch is
+    bit-identical."""
+    from news_categorization_big_data_spark.sources.docgen import (
+        DocGenDataSource,
+    )
+
+    spark.dataSource.register(DocGenDataSource)
+    opts = {"rows": "1000", "shards": "8", "rowsPerBatch": "130"}
+    stream = spark.readStream.format("docgen").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docgen_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM docgen_stream_sink").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("docgen").options(**opts).load().collect()
+    )
+    assert len(got) == 1000
+    assert got == want
