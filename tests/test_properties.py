@@ -146,3 +146,101 @@ def test_grouped_mode_matches_python_counter(spark, rows):
         top = min(v for v, n in c.items() if n == c.most_common(1)[0][1])
         expected[k] = (top, c[top])
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_containment_matches_brute_force(spark, docs):
+    """The asymmetric containment operator ≙ the Python |A∩B|/|A|
+    ground truth on every ORDERED pair — the prefix-probe/full-index
+    asymmetry and the integer threshold must lose nothing (tiny
+    vocabulary ⇒ heavy shingle overlap, the adversarial regime)."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    pct = 50
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(sdf, pct, max_df=None).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i == j:
+                continue
+            sa, sb = shingles(a), shingles(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * 100 >= len(sa) * pct:
+                want[(i, j)] = round(inter / len(sa), 4)
+
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_bfs(spark, raw_edges):
+    """connected_components (which takes the driver union-find path at
+    this size) ≙ a Python BFS ground truth with min-id labels, on
+    arbitrary random graphs (self-loops dropped, duplicates and both
+    orientations allowed)."""
+    from collections import defaultdict, deque
+
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.component) for r in connected_components(pairs).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want, seen = set(), set()
+    for v in adj:
+        if v in seen:
+            continue
+        comp, q = [], deque([v])
+        seen.add(v)
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        lbl = min(comp)
+        want |= {(x, lbl) for x in comp}
+
+    assert got == want
