@@ -136,3 +136,67 @@ def salted_sum(
         .agg(F.sum(value).alias("_partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns.
+
+    Bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1 — the
+    resulting key linearizes the 2-D space so that sorting by it keeps
+    points close in BOTH dimensions close in the file order. That is
+    the property multi-dimensional range pruning needs: after
+    ``zorder_write``, every parquet row group's (min, max) stats cover
+    a bounded box in both columns, so range predicates on EITHER
+    column prune files — where a single-column sort gives perfect
+    pruning on that column and NONE on the other (its min/max per file
+    spans the whole domain). The per-file box AREA equals the stripe
+    layout's (an aligned curve segment of 4^k cells is a square) — the
+    win is pruning on every z-ordered dimension, not a smaller
+    footprint. This is the layout step behind
+    Delta/Iceberg `OPTIMIZE ZORDER BY`, expressed with plain column
+    arithmetic (shifts and masks, whole-stage codegen — no UDF).
+
+    Inputs must fit ``bits`` bits (caller rescales/quantizes first —
+    same contract as Delta, which z-orders on range-partition ids).
+    """
+    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out along the (col_a, col_b)
+    Z-curve: split into ``files`` ALIGNED curve segments (the top
+    log2(files) bits of the Morton key — each segment is then an exact
+    power-of-two box in (a, b), which is what makes the per-file
+    min/max stats tight; a sampled range split would cut mid-segment
+    and one ragged file's box can span most of both domains), sort
+    within each, drop the key. Readers need no special support —
+    parquet row-group min/max stats on the ORIGINAL columns do the
+    pruning; the curve only decides which rows share a file."""
+    seg_bits = max(1, (files - 1).bit_length())
+    keyed = df.withColumn("_z", zorder_key(col_a, col_b, bits)).withColumn(
+        "_zseg", F.shiftright(F.col("_z"), 2 * bits - seg_bits)
+    )
+    (
+        keyed.repartition(files, "_zseg")
+        .sortWithinPartitions("_zseg", "_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("_zseg")
+        .parquet(path)
+    )

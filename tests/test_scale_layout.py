@@ -148,3 +148,69 @@ def test_map_only_queries_have_no_exchange(spark, sf_dir):
     ]:
         plan = _plan(REGISTRY[name].builder(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} is no longer map-only:\n{plan}"
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort, measured on the stats a reader
+    prunes with: which files a 1-D range predicate can skip. The
+    x-sorted layout prunes x-predicates perfectly and y-predicates NOT
+    AT ALL (every file's y-range spans the domain); the Z-curve layout
+    prunes BOTH — each file covers a bounded box in x AND y. That
+    both-dimensions property, not a smaller per-file footprint (an
+    aligned curve segment's box area equals a stripe's), is what
+    `OPTIMIZE ZORDER` buys at 100 TB: one layout serves every
+    filter-dimension workload. Row contents are identical in both
+    layouts (the curve only reorders)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from news_categorization_big_data_spark.functions.scale import zorder_write
+
+    n, side = 4096, 64  # (x, y) grid, both uniform in [0, side)
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 2654435761) % side).alias("y"),  # decorrelated
+    )
+    flat, zord = str(tmp_path / "flat"), str(tmp_path / "zord")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(flat)
+    zorder_write(df, zord, "x", "y", bits=6, files=8)
+
+    def boxes(path: str) -> list[dict]:
+        out = []
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(
+                        rg
+                    ).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                out.append(
+                    {c: (cols[c].min, cols[c].max) for c in ("x", "y")}
+                )
+        return out
+
+    def files_matching(bxs: list[dict], col: str, lo: int, hi: int) -> int:
+        return sum(1 for b in bxs if not (b[col][1] < lo or b[col][0] > hi))
+
+    fb, zb = boxes(flat), boxes(zord)
+    # x-predicate: flat prunes perfectly; z must still prune most files.
+    assert files_matching(fb, "x", 8, 15) <= 2
+    assert files_matching(zb, "x", 8, 15) <= len(zb) // 2
+    # y-predicate: flat prunes NOTHING; z must prune at least half.
+    assert files_matching(fb, "y", 8, 15) == len(fb)
+    assert files_matching(zb, "y", 8, 15) <= len(zb) // 2
+
+    # correctness: a 2-D box predicate reads identical rows either way
+    box = "x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15"
+    a = sorted(
+        map(tuple, spark.read.parquet(flat).where(box).select("x", "y").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(zord).where(box).select("x", "y").collect())
+    )
+    assert a == b and a
