@@ -250,6 +250,7 @@ _DRIVER_ORDER = [
     "q_bitmap_distinct",
     "q_mad_outliers",
     "q_winsorize",
+    "q_scan_zorder",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -273,7 +274,7 @@ REGISTRY.update(_reordered)
 #: first official row. tests/test_driver_contract.py allows exactly
 #: this set to sit outside the window row-less.
 ROTATION_PENDING: frozenset[str] = frozenset(
-    {"q_bitmap_distinct", "q_mad_outliers", "q_winsorize"}
+    {"q_bitmap_distinct", "q_mad_outliers", "q_winsorize", "q_scan_zorder"}
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

@@ -308,3 +308,47 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "q_scan_zorder",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 160
+      AND CAST(floor(value) AS INT) BETWEEN 100 AND 240
+    GROUP BY 1
+    """,
+    tier="B",
+    doc="Z-order (Morton) layout round-trip: events rewritten along the "
+    "(user_id, floor(value)) Z-curve in aligned power-of-two curve "
+    "segments (functions/scale.py:zorder_write), then read back with a "
+    "2-D box predicate and aggregated. Each file's parquet min/max "
+    "stats cover a bounded box in BOTH columns, so the box predicate "
+    "prunes files on both dimensions — a single-column sort prunes one "
+    "and none of the other (per-file stats asserted in "
+    "tests/test_scale_layout.py). The oracle recomputes from the raw "
+    "table, proving the curve only reorders rows. This is the "
+    "`OPTIMIZE ZORDER BY` layout step for 100-TB stores with "
+    "multi-dimensional filter workloads.",
+)
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.scale import zorder_write
+
+    z_dir = _fixture_dir(spark, sf_dir, "zorder_events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.floor("value").cast("int").alias("vb")
+    )
+    zorder_write(ev, z_dir, "user_id", "vb", bits=10, files=8)
+    return (
+        spark.read.parquet(z_dir)
+        .where(F.col("user_id").between(100, 160) & F.col("vb").between(100, 240))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
