@@ -251,6 +251,7 @@ _DRIVER_ORDER = [
     "q_mad_outliers",
     "q_winsorize",
     "q_scan_zorder",
+    "q_regex_extract",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -274,7 +275,13 @@ REGISTRY.update(_reordered)
 #: first official row. tests/test_driver_contract.py allows exactly
 #: this set to sit outside the window row-less.
 ROTATION_PENDING: frozenset[str] = frozenset(
-    {"q_bitmap_distinct", "q_mad_outliers", "q_winsorize", "q_scan_zorder"}
+    {
+        "q_bitmap_distinct",
+        "q_mad_outliers",
+        "q_winsorize",
+        "q_scan_zorder",
+        "q_regex_extract",
+    }
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

@@ -345,3 +345,43 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.ks[1]", "long").alias("vk2"),
         F.try_variant_get(v, "$.missing", "long").alias("vmissing"),
     )
+
+
+@register(
+    "q_regex_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           COALESCE(array_to_string(regexp_extract_all(text, 's[a-z]+'), ','),
+                    '') AS s_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{4,}')) AS INT)
+             AS n_long_words,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+    FROM documents WHERE text <> ''
+    """,
+    tier="B",
+    doc="Structured regex extraction — the pattern-mining scalar tier a "
+    "curation pipeline runs per document (pull identifiers, count "
+    "pattern hits, mask digits for dedup-normalization): first capture "
+    "group via regexp_extract, ALL matches via regexp_extract_all "
+    "(comma-serialized — raw arrays crash the driver's canon), match "
+    "counting, and global regexp_replace masking (DuckDB needs the "
+    "explicit 'g' flag to match Spark's replace-all default — the "
+    "SKILL.md gotcha, load-bearing here). Map-only, whole-stage "
+    "codegen, zero shuffle: regex throughput is per-core work that "
+    "scales linearly with executors; anchored character classes only, "
+    "no catastrophic backtracking.",
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.array_join(F.regexp_extract_all("text", F.lit(r"s[a-z]+"), 0), ",").alias(
+            "s_words"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]{4,}"), 0)).alias(
+            "n_long_words"
+        ),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
+    )
