@@ -252,6 +252,7 @@ _DRIVER_ORDER = [
     "q_winsorize",
     "q_scan_zorder",
     "q_regex_extract",
+    "q_collocations",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -281,6 +282,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_winsorize",
         "q_scan_zorder",
         "q_regex_extract",
+        "q_collocations",
     }
 )
 

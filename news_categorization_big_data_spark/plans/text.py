@@ -555,3 +555,79 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+#: Collocation mining: minimum pair support and result size.
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+@register(
+    "q_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT regexp_split_to_array(text, '\\s+') AS t
+                  FROM documents WHERE text <> ''),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM uni),
+    big AS (SELECT unnest(list_transform(range(1, len(t)),
+                          i -> array_to_string(t[i:i+1], ' '))) AS pair
+            FROM toks),
+    bcnt AS (SELECT pair, COUNT(*) AS n_ab FROM big GROUP BY 1
+             HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+    j AS (SELECT b.pair, b.n_ab, ua.n AS n_a, ub.n AS n_b, tot.n_tot
+          FROM bcnt b
+          JOIN ucnt ua ON split_part(b.pair, ' ', 1) = ua.w
+          JOIN ucnt ub ON split_part(b.pair, ' ', 2) = ub.w, tot)
+    SELECT pair, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_ab AS DOUBLE) * n_tot / (CAST(n_a AS DOUBLE) * n_b) AS lift
+    FROM j ORDER BY lift DESC, pair LIMIT {COLLOC_TOP_K}
+    """,
+    tier="C",
+    doc=f"Collocation mining (phrase detection for tokenizer/vocab "
+    "curation): adjacent pairs scored by LIFT = P(ab)/(P(a)·P(b)) — "
+    "the monotone transform of PMI that needs NO log, because "
+    "transcendentals are not hash-stable across engines while this "
+    "ratio is a division of exact integer counts (every product stays "
+    "under 2^53 → bit-identical doubles). Pairs with support ≥ "
+    f"{COLLOC_MIN_COUNT} rank by lift (tie-broken by pair for a total "
+    f"order), top {COLLOC_TOP_K} via TakeOrderedAndProject. Plan: one "
+    "bigram-count shuffle, one unigram-count shuffle, marginals joined "
+    "back on the token key (dimension-sized vs the corpus — broadcast "
+    "under AQE), grand total as a one-row cross join. The classic "
+    "next step — merge winners into single tokens and re-run — is the "
+    "same plan per round (see q_bpe_pair_counts).",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    uni = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("n_tot"))
+    bcnt = (
+        docs.select(F.explode(word_ngrams("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= COLLOC_MIN_COUNT)
+    )
+    ua = ucnt.select(F.col("w").alias("_wa"), F.col("n").alias("n_a"))
+    ub = ucnt.select(F.col("w").alias("_wb"), F.col("n").alias("n_b"))
+    j = (
+        bcnt.withColumn("_wa", F.split("pair", " ").getItem(0))
+        .withColumn("_wb", F.split("pair", " ").getItem(1))
+        .join(ua, "_wa")
+        .join(ub, "_wb")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_tot")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        j.select("pair", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "pair")
+        .limit(COLLOC_TOP_K)
+    )
