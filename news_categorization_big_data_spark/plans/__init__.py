@@ -253,6 +253,8 @@ _DRIVER_ORDER = [
     "q_scan_zorder",
     "q_regex_extract",
     "q_collocations",
+    "q_rate_anomaly",
+    "q_seasonality",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -283,6 +285,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_scan_zorder",
         "q_regex_extract",
         "q_collocations",
+        "q_rate_anomaly",
+        "q_seasonality",
     }
 )
 

@@ -302,3 +302,102 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id",
         tolerance_seconds=ASOF_TOLERANCE_S,
     ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
+
+
+#: Rate-anomaly flag: day error-share must exceed the trailing-week
+#: share by this integer factor, with minimum daily support.
+RATE_SPIKE_FACTOR = 2
+RATE_MIN_EVENTS = 20
+
+
+@register(
+    "q_rate_anomaly",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      COUNT(*) AS n,
+                      CAST(count_if(event_type = 'error') AS BIGINT) AS n_err
+               FROM events GROUP BY 1),
+    w AS (SELECT day, n, n_err,
+                 CAST(SUM(n) OVER t AS BIGINT) AS n_prev,
+                 CAST(SUM(n_err) OVER t AS BIGINT) AS err_prev
+          FROM d
+          WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, n_err, n_prev, err_prev,
+           (n >= {RATE_MIN_EVENTS} AND err_prev > 0
+            AND n_err * n_prev > {RATE_SPIKE_FACTOR} * err_prev * n)
+             AS is_spike
+    FROM w
+    """,
+    tier="B",
+    doc="Error-rate spike detection: each day's error share compared to "
+    "its trailing 7-day share, flagged when it exceeds "
+    f"{RATE_SPIKE_FACTOR}× with ≥ {RATE_MIN_EVENTS} events of support "
+    "— the drift/incident monitor a pipeline runs over every quality "
+    "metric it tracks. The comparison is pure INTEGER cross-"
+    "multiplication (n_err·n_prev > k·err_prev·n — no rate division, "
+    "no float boundary can flip a flag; products stay far under 2^53 "
+    "because both sides are day-level counts). Plan: one day-grain "
+    "aggregate shuffle, then the trailing window runs over |days| "
+    "rows — dimension-sized at any corpus scale. The day renders as "
+    "an ISO string (DATE output columns are driver-canon-hostile).",
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_err"),
+    )
+    t = Window.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "n",
+        "n_err",
+        F.sum("n").over(t).cast("long").alias("n_prev"),
+        F.sum("n_err").over(t).cast("long").alias("err_prev"),
+    )
+    is_spike = (
+        (F.col("n") >= RATE_MIN_EVENTS)
+        & (F.col("err_prev") > 0)
+        & (
+            F.col("n_err") * F.col("n_prev")
+            > F.lit(RATE_SPIKE_FACTOR) * F.col("err_prev") * F.col("n")
+        )
+    )
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "n_err",
+        "n_prev",
+        "err_prev",
+        is_spike.alias("is_spike"),
+    )
+
+
+@register(
+    "q_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    tier="B",
+    doc="Seasonality profile: the (day-of-week × hour-of-day) activity "
+    "heat map — the load-shaping / staleness-tolerance input every "
+    "time-partitioned store sizes its compaction and retention "
+    "schedules from. Single partial-aggregating shuffle onto a "
+    "≤ 7×24-row grid; Spark's dayofweek is Sunday=1 while DuckDB's is "
+    "Sunday=0 (the oracle adds 1), hour is session-UTC on both. At "
+    "100 TB the grid is the same 168 rows — the reduction is entirely "
+    "map-side.",
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
