@@ -255,6 +255,7 @@ _DRIVER_ORDER = [
     "q_collocations",
     "q_rate_anomaly",
     "q_seasonality",
+    "q_growth_accounting",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -287,6 +288,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_collocations",
         "q_rate_anomaly",
         "q_seasonality",
+        "q_growth_accounting",
     }
 )
 

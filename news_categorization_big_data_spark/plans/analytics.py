@@ -881,3 +881,86 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    lab AS (SELECT user_id, day,
+                   MIN(day) OVER (PARTITION BY user_id) AS first_day,
+                   LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                     AS prev_day
+            FROM act),
+    today AS (SELECT day,
+                     CAST(count_if(day = first_day) AS BIGINT) AS new_users,
+                     CAST(count_if(day <> first_day
+                                   AND prev_day = day - 1) AS BIGINT)
+                       AS retained,
+                     CAST(count_if(day <> first_day
+                                   AND prev_day < day - 1) AS BIGINT)
+                       AS resurrected
+              FROM lab GROUP BY day),
+    churn AS (SELECT day + 1 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS active_prev
+              FROM act GROUP BY 1)
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           t.new_users, t.retained, t.resurrected,
+           CAST(COALESCE(c.active_prev, 0) - t.retained AS BIGINT)
+             AS churned
+    FROM today t LEFT JOIN churn c ON t.day = c.day
+    """,
+    tier="B",
+    doc="Growth accounting (the DAU ledger): every active (user, day) "
+    "labeled NEW (first activity), RETAINED (also active the previous "
+    "day) or RESURRECTED (returning after a gap); CHURNED = yesterday's "
+    "actives that did not retain (yesterday_active − retained — an "
+    "identity over exact integer counts, so no second self-join is "
+    "needed). All from ONE distinct-activity table and ONE "
+    "user-partitioned window (first_day + prev_day in the same pass), "
+    "then a day-grain aggregate — the window runs over (user, day) "
+    "distinct rows, not raw events, and day math is integer date "
+    "arithmetic. Day renders as an ISO string (DATE output columns "
+    "are driver-canon-hostile).",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    lab = act.select(
+        "user_id",
+        "day",
+        F.min("day").over(w_all).alias("first_day"),
+        F.lag("day").over(w_ord).alias("prev_day"),
+    )
+    today = lab.groupBy("day").agg(
+        F.count_if(F.col("day") == F.col("first_day"))
+        .cast("long")
+        .alias("new_users"),
+        F.count_if(
+            (F.col("day") != F.col("first_day"))
+            & (F.col("prev_day") == F.date_sub("day", 1))
+        )
+        .cast("long")
+        .alias("retained"),
+        F.count_if(
+            (F.col("day") != F.col("first_day"))
+            & (F.col("prev_day") < F.date_sub("day", 1))
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    churn = act.groupBy(F.date_add("day", 1).alias("day")).agg(
+        F.count("*").cast("long").alias("active_prev")
+    )
+    return today.join(churn, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "retained",
+        "resurrected",
+        (F.coalesce("active_prev", F.lit(0)) - F.col("retained"))
+        .cast("long")
+        .alias("churned"),
+    )
