@@ -256,6 +256,7 @@ _DRIVER_ORDER = [
     "q_rate_anomaly",
     "q_seasonality",
     "q_growth_accounting",
+    "q_graph_pagerank",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -289,6 +290,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_rate_anomaly",
         "q_seasonality",
         "q_growth_accounting",
+        "q_graph_pagerank",
     }
 )
 

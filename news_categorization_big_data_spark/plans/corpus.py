@@ -323,3 +323,88 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= CHI2_TOP_K)
         .drop("rn")
     )
+
+
+#: PageRank: damping factor split into exact literals, fixed iterations.
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    it = """
+    it{K} AS (SELECT ed.dst AS doc_id, r.n_v,
+                     CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(38,12)))
+                          AS DOUBLE) AS s
+              FROM ed JOIN r{P} r ON ed.src = r.doc_id
+              JOIN dg ON ed.src = dg.src
+              GROUP BY 1, 2),
+    r{K} AS (SELECT doc_id, n_v, 0.15e0 / n_v + 0.85e0 * s AS rank
+             FROM it{K})"""
+    steps = ",".join(it.format(K=k, P=k - 1) for k in range(1, PR_ITERS + 1))
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+           UNION ALL SELECT doc_b, doc_a FROM cand),
+    v AS (SELECT DISTINCT src AS doc_id FROM ed),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v FROM v),
+    dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+    r0 AS (SELECT doc_id, n_v, 1.0e0 / n_v AS rank FROM v, nv),
+    {steps}
+    SELECT doc_id, rank FROM r{PR_ITERS}
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tier="C",
+    doc=f"PageRank ({PR_ITERS} statically-unrolled power iterations, "
+    "d=0.85) on the banded-LSH near-duplicate pair graph — the "
+    "centrality score that ranks boilerplate hubs (one template "
+    "near-duplicating hundreds of pages) above ordinary duplicate "
+    "pairs. FULLY oracle-checked, unlike typical iterative algorithms: "
+    "each neighbor contribution rank/deg is an identical IEEE double "
+    "on both engines (arithmetic only, by induction over iterations), "
+    "quantized to a 10⁻¹² decimal grid so the per-vertex sum is "
+    "reduction-order-free, and the damping literals are e0-typed so "
+    "neither engine parses them as DECIMAL. The undirected pair graph "
+    "has no dangling vertices by construction (every endpoint has "
+    "degree ≥ 1). Spark side builds one lazy plan with the loop "
+    "unrolled — no driver actions, no caching; at 100 TB the "
+    "convergence-checked variant swaps in the connected_components "
+    "loop skeleton (persist + aggregate per round) over the same "
+    "edge/degree tables. Oracle reuses the SAME candidate CTE chain "
+    "as q_dedup_near/q_graph_triangles, so the graphs cannot drift.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    ed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    v = ed.select(F.col("src").alias("doc_id")).distinct()
+    nv = v.agg(F.count("*").alias("n_v"))
+    dg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    r = v.crossJoin(F.broadcast(nv)).select(
+        "doc_id", "n_v", (F.lit(1.0) / F.col("n_v")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(r, ed["src"] == r["doc_id"])
+            .join(dg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                "n_v",
+                (F.col("rank") / F.col("deg")).cast("decimal(38,12)").alias("c"),
+            )
+        )
+        s = contrib.groupBy("doc_id", "n_v").agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        r = s.select(
+            "doc_id",
+            "n_v",
+            (F.lit(0.15) / F.col("n_v") + F.lit(0.85) * F.col("s")).alias("rank"),
+        )
+    return r.select("doc_id", "rank")
