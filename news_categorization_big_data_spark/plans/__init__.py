@@ -257,6 +257,7 @@ _DRIVER_ORDER = [
     "q_seasonality",
     "q_growth_accounting",
     "q_graph_pagerank",
+    "q_table_profile",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -291,6 +292,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_seasonality",
         "q_growth_accounting",
         "q_graph_pagerank",
+        "q_table_profile",
     }
 )
 

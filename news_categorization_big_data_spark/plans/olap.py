@@ -601,3 +601,73 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("_bmp")).alias("n_users"),
         F.sum("_n").alias("n_events"),
     )
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+    WITH s AS (SELECT COUNT(*) AS n,
+                      CAST(count_if(o_custkey IS NULL) AS BIGINT) AS nn_ck,
+                      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+                      CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck,
+                      CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
+                      CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS nn_tp,
+                      CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+                      MIN(o_totalprice) AS mn_tp,
+                      MAX(o_totalprice) AS mx_tp,
+                      CAST(count_if(o_orderstatus IS NULL) AS BIGINT) AS nn_os,
+                      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_os
+               FROM orders)
+    SELECT 'o_custkey' AS col, n, nn_ck AS n_null, nd_ck AS n_distinct,
+           mn_ck AS min_num, mx_ck AS max_num FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n, nn_os, nd_os,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+    """,
+    tier="B",
+    doc="Table profiling (the ANALYZE/data-quality sweep): per-column "
+    "row count, null count, exact distinct count, and numeric min/max "
+    "— computed in ONE scan with every aggregate evaluated "
+    "side-by-side, then reshaped to a column-per-row report (the "
+    "operational layout a catalog stores). Multiple COUNT(DISTINCT) "
+    "columns make Spark plan one Expand over the scan — still a "
+    "single pass of the fact; at 100 TB the exact distincts swap to "
+    "approx_count_distinct (HLL, q_group_approx's machinery) or the "
+    "bitmap path (q_bitmap_distinct) with the same report shape. "
+    "Min/max render as doubles so the three branches of the union "
+    "share one schema; the string column's numeric slots are typed "
+    "NULL on both sides.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_custkey").isNull()).cast("long").alias("nn_ck"),
+        F.countDistinct("o_custkey").cast("long").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count_if(F.col("o_totalprice").isNull()).cast("long").alias("nn_tp"),
+        F.countDistinct("o_totalprice").cast("long").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+        F.count_if(F.col("o_orderstatus").isNull()).cast("long").alias("nn_os"),
+        F.countDistinct("o_orderstatus").cast("long").alias("nd_os"),
+    )
+
+    def row(col: str, nn: str, nd: str, mn, mx):
+        return s.select(
+            F.lit(col).alias("col"),
+            "n",
+            F.col(nn).alias("n_null"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(mx) if mx else F.lit(None).cast("double")).alias("max_num"),
+        )
+
+    return (
+        row("o_custkey", "nn_ck", "nd_ck", "mn_ck", "mx_ck")
+        .unionAll(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
+        .unionAll(row("o_orderstatus", "nn_os", "nd_os", None, None))
+    )
