@@ -736,3 +736,56 @@ def test_docgen_stream_matches_batch(spark, tmp_path):
     )
     assert len(got) == 1000
     assert got == want
+
+
+def test_docgen_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a restart: run the docgen stream briefly,
+    stop it mid-corpus, restart against the SAME checkpoint, and drain.
+    The union of both runs must be exactly the 1000 distinct batch rows
+    — no gaps (offsets resumed, not reset) and no duplicates (committed
+    micro-batches not re-emitted into the sink). This is the recovery
+    contract readStream sources must honor and the reason
+    readBetweenOffsets exists."""
+    import time as _time
+
+    from news_categorization_big_data_spark.sources.docgen import (
+        DocGenDataSource,
+    )
+
+    spark.dataSource.register(DocGenDataSource)
+    opts = {"rows": "1000", "shards": "8", "rowsPerBatch": "100"}
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("docgen")
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        # wait for at least one committed micro-batch, then kill early
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if any(p.get("numInputRows", 0) > 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["id"] for r in rows)
+    assert len(rows) == 1000, f"dupes or gaps: {len(rows)} rows"
+    assert ids == list(range(1000))
