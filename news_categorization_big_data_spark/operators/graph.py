@@ -39,10 +39,14 @@ CC_LOCAL_THRESHOLD = 200_000
 
 
 def _local_components(
-    rows: list, id_out: str, component_out: str, spark
+    rows: list, id_out: str, component_out: str, spark, id_type
 ) -> DataFrame:
     """Driver-side union-find over collected (src, dst) pairs; returns
-    the same (id, min-id component) table the distributed loop yields."""
+    the same (id, min-id component) table the distributed loop yields.
+    ``id_type`` is the input's vertex id DataType — the output schema is
+    derived from it, never hardcoded, so string/int ids get the same
+    schema from this path as from the distributed loop (which preserves
+    the input type naturally)."""
     parent: dict = {}
 
     def find(x):
@@ -66,7 +70,15 @@ def _local_components(
         if m is None or v < m:
             comp_min[r] = v
     out = [(v, comp_min[find(v)]) for v in parent]
-    return spark.createDataFrame(out, f"{id_out} long, {component_out} long")
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_out, id_type, nullable=False),
+            StructField(component_out, id_type, nullable=False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -89,8 +101,11 @@ def connected_components(
     (default 200k edges) collect to the driver once and solve with
     union-find — identical output, none of the per-round scheduling
     latency; larger graphs run the distributed min-label loop below.
-    The materializing action is the same either way (the pair lineage
-    is computed exactly once).
+    The pair lineage is computed once either way: ``pairs`` is persisted
+    BEFORE the size probe, so an over-threshold graph hands its cached
+    partitions to the distributed loop instead of recomputing the
+    (potentially expensive LSH) lineage — and the loop's two-direction
+    edge union reads the cache twice rather than the lineage twice.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (a
     diameter-25 near-dup cluster means the candidate generator is
@@ -103,15 +118,43 @@ def connected_components(
         )
     except Exception:  # pragma: no cover - static conf stores
         threshold = CC_LOCAL_THRESHOLD
-    if threshold > 0:
-        # limit(threshold+1) bounds the driver transfer: if the graph is
-        # over-threshold we learn that from ONE extra row, not by
-        # pulling the whole edge list.
-        head = pairs.select(src, dst).limit(threshold + 1).collect()
-        if len(head) <= threshold:
-            return _local_components(
-                [(r[0], r[1]) for r in head], id_out, component_out, spark
-            )
+    id_type = pairs.schema[src].dataType
+    # Persist BEFORE the size probe: the probe's limit(threshold+1)
+    # computes (part of) the pair lineage, and without a cache an
+    # over-threshold graph would throw that work away and recompute the
+    # full lineage in the loop below — a wasted pass exactly where the
+    # lineage is most expensive. The probe still bounds the DRIVER
+    # transfer to threshold+1 rows; persist only changes where the
+    # computed partitions live.
+    pairs = pairs.select(src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if threshold > 0:
+            head = pairs.limit(threshold + 1).collect()
+            if len(head) <= threshold:
+                return _local_components(
+                    [(r[0], r[1]) for r in head],
+                    id_out,
+                    component_out,
+                    spark,
+                    id_type,
+                )
+        return _distributed_components(
+            pairs, src, dst, id_out, component_out, max_iter
+        )
+    finally:
+        pairs.unpersist()
+
+
+def _distributed_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    id_out: str,
+    component_out: str,
+    max_iter: int,
+) -> DataFrame:
+    """Min-label propagation loop for graphs over the local threshold;
+    ``pairs`` arrives persisted (see connected_components)."""
     # The pair graph is orders of magnitude smaller than whatever corpus
     # produced it, but its lineage (e.g. an LSH distinct) can carry
     # hundreds of shuffle partitions. Coalesce the cached tables to the

@@ -6,26 +6,26 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-Round-4 window composition, in priority order:
+Round-5 window composition, in priority order:
 
-1. q_embedding_quantize — round 3's only red row (the driver's pandas
-   canon crashed on its raw array column; now comma-serialized), re-run
-   through the real driver as the proof.
-2. The 19 queries registered after round 3's window froze
+1. The 11 queries registered after round 4's window froze
    (ROTATION_PENDING last round), rotated in for their first official
-   row: the TPC-H completion set + the OLAP/corpus batch.
-3. The 10 queries NEW this round: rollup/argmax/percent-change/
-   multi-grain/heavy-hitter OLAP, the deterministic grouped-statistics
-   tier (regression, entropy, HHI, moments), and containment dedup.
-4. Regression canaries green in rounds 1-3: q_group_stats, q_scan_json,
-   q_udf_scalar.
-5. Timestamp-flavor re-proofs: the round-4 testdata regenerated every
-   timestamp column as µs/isAdjustedToUTC=false parquet (rounds 1-3
-   wrote events.ts as INT64 NANOS), so the loader's NTZ normalization
-   is new code — the timestamp-heavy families re-earn official rows.
+   row: bitmap/MAD/winsorize/zorder/regex/collocations/anomaly/
+   seasonality/growth/pagerank/profile. After these go green, every
+   query registered through round 4 has an official driver row.
+2. q_quantile_sketch — round 4's only red row (its array<double>
+   output column crashed the driver's pandas canon on the rows-only
+   path; now unpacked into scalar p50/p95/p99), re-run through the
+   real driver as the proof.
+3. Regression canaries: q_group_stats, q_scan_json, q_udf_scalar,
+   plus q_udaf_grouped (round-4 logs recorded one non-reproducible
+   worker flake — an official green row settles it).
+4. Queries NEW in round 5, inserted here as they are written.
+5. Filler re-proofs of high-value rounds-1/2 rows (dedup + curation +
+   TPC-H core), displaced rightward as new round-5 queries land.
 
 The tail (positions 51+) holds queries with official rows from rounds
-1–3, prior relative order preserved. Tail queries remain registered,
+1–4, prior relative order preserved. Tail queries remain registered,
 runnable, and pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
@@ -60,12 +60,68 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-4 WINDOW (first 50 = the driver's correctness window) ----
-    # -- re-proof: round 3's only red row (driver's pandas canon crashed
-    # on the raw array column; qvec is now comma-serialized on both sides).
+    # ---- ROUND-5 WINDOW (first 50 = the driver's correctness window) ----
+    # -- first official row: the 11 ROTATION_PENDING queries registered
+    # after round 4's window froze.
+    "q_bitmap_distinct",
+    "q_mad_outliers",
+    "q_winsorize",
+    "q_scan_zorder",
+    "q_regex_extract",
+    "q_collocations",
+    "q_rate_anomaly",
+    "q_seasonality",
+    "q_growth_accounting",
+    "q_graph_pagerank",
+    "q_table_profile",
+    # -- re-proof: round 4's only red row (array<double> output crashed
+    # the driver's pandas canon; now scalar p50/p95/p99 columns).
+    "q_quantile_sketch",
+    # -- regression canaries + the q_udaf_grouped flake-watch.
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    # -- NEW round-5 queries are inserted here as they are written,
+    # displacing filler re-proofs below rightward out of the window.
+    # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
+    # + ANN + TPC-H core) re-earning fresh official rows.
+    "q_pipeline_curate",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_exact",
+    "q_dedup_cluster",
+    "q_sim_search",
+    "q_sim_ann_ivf",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_topk_per_group",
+    "q_grouping_sets",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_split_train_eval",
+    "q_sample_stratified",
+    "q_quality_filter",
+    "q_mix_sources",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_pack_sequences",
+    "q_batch_assign",
+    "q_pipeline_digest",
+    "q_summarize_extractive",
+    "q_classify_keywords",
+    "q_join_salted",
+    # ---- driver's 50-entry window ends here ----
     "q_embedding_quantize",
-    # -- first official row: the 19 ROTATION_PENDING queries registered
-    # after round 3's window froze (TPC-H completion + OLAP/corpus batch).
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",
@@ -82,13 +138,8 @@ _DRIVER_ORDER = [
     "q_hll_distinct",
     "q_graph_triangles",
     "q_incremental_agg",
-    "q_quantile_sketch",
     "q_chi2_terms",
     "q_join_interval_overlap",
-    # -- NEW round-4 queries (no official row yet): rollup/argmax/
-    # period-over-period/multi-grain/heavy-hitter OLAP, deterministic
-    # grouped statistics (regression, entropy, HHI, moments), and
-    # asymmetric containment dedup.
     "q_rollup",
     "q_argmax_join",
     "q_percent_change",
@@ -99,15 +150,6 @@ _DRIVER_ORDER = [
     "q_hhi_concentration",
     "q_grouped_moments",
     "q_dedup_containment",
-    # -- regression canaries (green r01-r03).
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    # -- timestamp-flavor re-proofs: the round-4 testdata regenerated all
-    # timestamp columns as µs/isAdjustedToUTC=false (rounds 1-3: events.ts
-    # was INT64 TIMESTAMP(NANOS)); the loader's NTZ→UTC normalization is
-    # new code, so every timestamp-heavy family re-earns an official row
-    # through the real driver this round.
     "q_sessionize",
     "q_funnel",
     "q_retention_cohort",
@@ -125,26 +167,16 @@ _DRIVER_ORDER = [
     "q_tpch_q15",
     "q_scan_partitioned",
     "q_stream_session",
-    # ---- driver's 50-entry window ends here ----
-    # Tail: queries with official rows from rounds 1-3, prior relative
-    # order preserved; all remain registered, runnable, and
-    # pytest/driver_sim-verified every round.
     "q_agg_filtered",
     "q_pivot_wide",
-    "q_batch_assign",
-    "q_pack_sequences",
-    "q_pipeline_curate",
     "q_join_full_outer",
-    "q_tpch_q6",
     "q_sql_correlated",
-    "q_tpch_q18",
     "q_bpe_pair_counts",
     "q_doc_commonness",
     "q_dedup_keep_best",
     "q_cube",
     "q_value_histogram",
     "q_zscore_outliers",
-    "q_join_salted",
     "q_scan_orc",
     "q_scan_pyds",
     "q_variant_json",
@@ -158,40 +190,14 @@ _DRIVER_ORDER = [
     "q_join_bucketed",
     "q_vocab_coverage",
     "q_dedup_fuzzy",
-    "q_udaf_grouped",
     "q_udtf_chunks",
-    "q_text_stats",
-    "q_lang_id",
-    "q_quality_score",
-    "q_token_count",
-    "q_doc_fingerprint",
     "q_multimodal_cols",
     "q_multimodal_binary",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_sim_search",
     "q_knn_label",
-    "q_sim_ann_ivf",
-    "q_dedup_embedding",
-    "q_summarize_extractive",
-    "q_classify_keywords",
-    "q_pipeline_digest",
-    "q_split_train_eval",
-    "q_sample_stratified",
-    "q_quality_filter",
-    "q_mix_sources",
     "q_group_quantiles",
     "q_top_terms_per_doc",
-    "q_decontaminate",
     "q_repetition_stats",
-    "q_dedup_cluster",
-    "q_pii_scrub",
     "q_unpivot_long",
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
     "q_window_distribution",
     "q_array_hof",
     "q_scan_csv",
@@ -200,7 +206,6 @@ _DRIVER_ORDER = [
     "q_ml_classify",
     "q_ml_kmeans",
     "q_join_multiway",
-    "q_dedup_exact",
     "q_scan_parquet",
     "q_window_rank",
     "q_scan_range_pred",
@@ -213,9 +218,7 @@ _DRIVER_ORDER = [
     "q_join_theta_range",
     "q_group_collect",
     "q_group_approx",
-    "q_grouping_sets",
     "q_window_frame",
-    "q_topk_per_group",
     "q_sort_limit",
     "q_set_except",
     "q_stream_tumbling",
@@ -246,18 +249,6 @@ _DRIVER_ORDER = [
     "q_stream_dedup",
     "q_text_clean",
     "q_text_tokens",
-    # -- registered after the round-4 window froze (ROTATION_PENDING).
-    "q_bitmap_distinct",
-    "q_mad_outliers",
-    "q_winsorize",
-    "q_scan_zorder",
-    "q_regex_extract",
-    "q_collocations",
-    "q_rate_anomaly",
-    "q_seasonality",
-    "q_growth_accounting",
-    "q_graph_pagerank",
-    "q_table_profile",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -273,27 +264,12 @@ _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
-#: Queries registered AFTER the current round's window froze. The
-#: round-4 window was committed to the 19 round-3 rotations, the 10 new
-#: round-4 queries, the q_embedding_quantize re-proof, canaries, and
-#: timestamp re-proofs before these were written; they run in pytest +
-#: driver_sim every round and rotate into the round-5 window for their
-#: first official row. tests/test_driver_contract.py allows exactly
-#: this set to sit outside the window row-less.
-ROTATION_PENDING: frozenset[str] = frozenset(
-    {
-        "q_bitmap_distinct",
-        "q_mad_outliers",
-        "q_winsorize",
-        "q_scan_zorder",
-        "q_regex_extract",
-        "q_collocations",
-        "q_rate_anomaly",
-        "q_seasonality",
-        "q_growth_accounting",
-        "q_graph_pagerank",
-        "q_table_profile",
-    }
-)
+#: Queries registered AFTER the current round's window froze. Empty at
+#: the start of round 5 — every round-4 pending rotated into the window
+#: above; round-5 queries that can no longer fit in the 50-entry window
+#: are added here for the round-6 rotation.
+#: tests/test_driver_contract.py allows exactly this set to sit outside
+#: the window row-less.
+ROTATION_PENDING: frozenset[str] = frozenset()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

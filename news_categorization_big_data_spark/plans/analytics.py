@@ -491,11 +491,15 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM part GROUP BY p_brand)
     SELECT p_brand, n_parts,
            (n_parts * sxy - sx * sy)
-             / sqrt((n_parts * sxx - sx * sx) * (n_parts * syy - sy * sy))
+             / NULLIF(sqrt(GREATEST((n_parts * sxx - sx * sx)
+                                    * (n_parts * syy - sy * sy), 0e0)), 0e0)
              AS corr_size_price,
-           (sxy - sx * sy / n_parts) / (n_parts - 1) AS covar_size_price,
-           (n_parts * sxy - sx * sy) / (n_parts * sxx - sx * sx) AS slope,
-           (sy - (n_parts * sxy - sx * sy) / (n_parts * sxx - sx * sx) * sx)
+           (sxy - sx * sy / n_parts) / NULLIF(n_parts - 1, 0)
+             AS covar_size_price,
+           (n_parts * sxy - sx * sy) / NULLIF(n_parts * sxx - sx * sx, 0e0)
+             AS slope,
+           (sy - (n_parts * sxy - sx * sy)
+                   / NULLIF(n_parts * sxx - sx * sx, 0e0) * sx)
              / n_parts AS intercept
     FROM s
     """,
@@ -513,7 +517,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounding needed. The builtin corr()/regr_slope() aggregates sum "
     "raw doubles in shuffle order and cannot hash-match across "
     "engines; this moment-sum form is how a warehouse makes grouped "
-    "statistics reproducible.",
+    "statistics reproducible. Degenerate groups (constant x, n=1) "
+    "yield NULL statistics SYMMETRICALLY: Spark 4's ANSI default "
+    "RAISES on double÷0 while DuckDB returns NULL, so every "
+    "denominator is nullif-guarded on both sides (and the corr "
+    "radicand is clamped ≥0 — DuckDB sqrt(negative) is a hard error, "
+    "reachable via float rounding when x is near-constant).",
 )
 def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -530,15 +539,21 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_parts")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_x = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / F.nullif(var_x, F.lit(0.0))
     return s.select(
         "p_brand",
         "n_parts",
         (
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.nullif(
+                F.sqrt(F.greatest(var_x * (n * syy - sy * sy), F.lit(0.0))),
+                F.lit(0.0),
+            )
         ).alias("corr_size_price"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_size_price"),
+        ((sxy - sx * sy / n) / F.nullif(n - 1, F.lit(0))).alias(
+            "covar_size_price"
+        ),
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
@@ -567,15 +582,22 @@ _LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
     WITH lut(n, l2) AS (VALUES {_LOG2_VALUES_SQL}),
     c AS (SELECT user_id, event_type, COUNT(*) AS n
           FROM events GROUP BY 1, 2),
-    j AS (SELECT c.user_id, c.n, lut.l2 FROM c JOIN lut ON c.n = lut.n),
+    j AS (SELECT c.user_id, c.n,
+                 COALESCE(lut.l2,
+                          error('q_group_entropy: count exceeds log2 '
+                                'lookup bound {LOG2_TABLE_MAX}')) AS l2
+          FROM c LEFT JOIN lut ON c.n = lut.n),
     s AS (SELECT user_id,
                  CAST(SUM(n) AS BIGINT) AS n_events,
                  CAST(SUM(CAST(n * l2 AS DECIMAL(30,9))) AS DOUBLE)
                    AS s_nlogn
           FROM j GROUP BY 1)
     SELECT s.user_id, s.n_events,
-           lut.l2 - s_nlogn / s.n_events AS entropy_bits
-    FROM s JOIN lut ON s.n_events = lut.n
+           COALESCE(lut.l2,
+                    error('q_group_entropy: total exceeds log2 '
+                          'lookup bound {LOG2_TABLE_MAX}'))
+             - s_nlogn / s.n_events AS entropy_bits
+    FROM s LEFT JOIN lut ON s.n_events = lut.n
     """,
     tier="C",
     doc="Per-user Shannon entropy of the event-type distribution (in "
@@ -592,7 +614,8 @@ _LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
     "directly and reach DuckDB as shortest-round-trip repr() literals "
     "— the identical double by construction. The lookup is "
     f"{LOG2_TABLE_MAX} rows — a broadcast dimension at any corpus "
-    "scale (the inner join also bounds the domain explicitly). "
+    "scale; counts beyond the bound FAIL FAST on both engines (LEFT "
+    "join + lazily-raised error) rather than silently dropping terms. "
     "nᵢ·log2(nᵢ) terms quantize to a 10⁻⁹ grid for the exact decimal "
     "sum — reduction-order-free, grid point identical on both engines "
     "(an exact half-way would require a non-dyadic double). Two "
@@ -601,8 +624,19 @@ _LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
 def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     lut = spark.createDataFrame(_LOG2_ROWS, "n bigint, l2 double")
+    # LEFT join + lazily-raised error (COALESCE/raise_error short-circuit
+    # in both engines): a count beyond the lookup bound FAILS LOUDLY
+    # instead of silently dropping the (user, type) term — or the whole
+    # user — from the entropy sum. Both engines raise the same way, so
+    # the green hash keeps meaning "identical results", never "identical
+    # silent truncation".
+    oob = F.raise_error(
+        F.lit(f"q_group_entropy: count exceeds log2 lookup bound {LOG2_TABLE_MAX}")
+    ).cast("double")
     c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    j = c.join(F.broadcast(lut), "n")
+    j = c.join(F.broadcast(lut), "n", "left").withColumn(
+        "l2", F.coalesce(F.col("l2"), oob)
+    )
     s = j.groupBy("user_id").agg(
         F.sum("n").alias("n_events"),
         F.sum((F.col("n") * F.col("l2")).cast("decimal(30,9)"))
@@ -612,12 +646,16 @@ def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_n = F.broadcast(
         lut.select(F.col("n").alias("n_events"), F.col("l2").alias("_l2n"))
     )
-    return s.join(lut_n, "n_events").select(
+    oob_total = F.raise_error(
+        F.lit(f"q_group_entropy: total exceeds log2 lookup bound {LOG2_TABLE_MAX}")
+    ).cast("double")
+    return s.join(lut_n, "n_events", "left").select(
         "user_id",
         "n_events",
-        (F.col("_l2n") - F.col("s_nlogn") / F.col("n_events")).alias(
-            "entropy_bits"
-        ),
+        (
+            F.coalesce(F.col("_l2n"), oob_total)
+            - F.col("s_nlogn") / F.col("n_events")
+        ).alias("entropy_bits"),
     )
 
 
@@ -689,7 +727,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
            FROM s),
     z AS (SELECT e.event_type, st.n, st.mean, st.std,
-                 (e.value - st.mean) / st.std AS t
+                 (e.value - st.mean) / NULLIF(st.std, 0e0) AS t
           FROM events e JOIN st ON e.event_type = st.event_type)
     SELECT event_type,
            MAX(n) AS n, MAX(mean) AS mean, MAX(std) AS std,
@@ -710,7 +748,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines, quantized to a 10⁻⁹ grid (|t| ≤ ~5 ⇒ t⁴ ≤ 10³, 10⁶ "
     "rows/group at sf1 → scaled ≤ 10¹⁸·10⁻⁹·10³ ≈ 10¹² ≪ 2^53) for "
     "the reduction-order-free sum. Two shuffles on the 5-value type "
-    "key; stats side broadcast.",
+    "key; stats side broadcast. A constant-valued group (std = 0) "
+    "yields NULL shape stats SYMMETRICALLY via the nullif guard — "
+    "without it Spark's ANSI double÷0 raises while DuckDB nulls.",
 )
 def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -729,7 +769,7 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
         ).alias("std"),
     )
-    t = (F.col("value") - F.col("mean")) / F.col("std")
+    t = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return (
         ev.join(F.broadcast(st), "event_type")
         .groupBy("event_type")

@@ -256,12 +256,27 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merges map-side, and bounds rank error by the accuracy parameter "
     "(10000 → ~0.01%% rank error). Estimates are engine-specific → "
     "rows-only driver check; pytest asserts each estimate lands "
-    "within the exact group's [p-ε, p+ε] rank neighborhood.",
+    "within the exact group's [p-ε, p+ε] rank neighborhood. Output is "
+    "three SCALAR columns (p50/p95/p99) unpacked from one shared "
+    "sketch — the driver's pandas canon runs on rows-only results too "
+    "and crashes on array cells (the r03 q_embedding_quantize / r04 "
+    "q_quantile_sketch failure mode).",
 )
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    # One sketch per group, three rank probes — NOT three separate
+    # percentile_approx aggregates (each would build its own sketch).
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pcts")
+        )
+        .select(
+            "event_type",
+            F.element_at("_pcts", 1).alias("p50"),
+            F.element_at("_pcts", 2).alias("p95"),
+            F.element_at("_pcts", 3).alias("p99"),
+        )
     )
 
 

@@ -190,3 +190,25 @@ def test_merge_upsert_actions_partition_the_keyspace(spark, sf_dir):
     # keys are unique after the merge — it IS an upsert
     keys = [r["user_id"] for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_group_entropy_fails_loudly_beyond_lut_bound(spark, tmp_path):
+    """A (user, type) count beyond the log2 lookup bound must RAISE, not
+    silently drop the term (the lookup is left-joined with a lazily
+    raised error on both engines). Build an events table where one user
+    has LOG2_TABLE_MAX+1 identical events and assert the loud failure."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.plans import REGISTRY
+    from news_categorization_big_data_spark.plans.analytics import LOG2_TABLE_MAX
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    one = load_table(spark, "/root/testdata/sf0.001", "events").limit(1)
+    big = one.select(
+        F.explode(F.sequence(F.lit(1), F.lit(LOG2_TABLE_MAX + 1))).alias("_i"),
+        *[c for c in one.columns],
+    ).drop("_i")
+    big.write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="log2 lookup bound"):
+        REGISTRY["q_group_entropy"].builder(spark, str(tmp_path)).collect()

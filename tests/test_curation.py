@@ -265,3 +265,33 @@ def test_dedup_fuzzy_blocks_before_levenshtein(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0  # the planted near-dups are found
     assert all(r["edit_dist"] <= 20 for r in rows)
+
+
+def test_connected_components_string_ids_same_schema_both_paths(spark):
+    """Vertex-id dtype is PRESERVED by both solve paths: the local
+    union-find derives its output schema from the input (it used to
+    hardcode long, so string ids crashed only on the small-graph path
+    while the distributed loop preserved them — schema then changed
+    with graph SIZE)."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    local = connected_components(pairs)
+    assert [f.dataType.simpleString() for f in local.schema.fields] == [
+        "string",
+        "string",
+    ]
+    got_local = {(r["doc_id"], r["component"]) for r in local.collect()}
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        dist = connected_components(pairs)
+        assert [f.dataType.simpleString() for f in dist.schema.fields] == [
+            "string",
+            "string",
+        ]
+        got_dist = {(r["doc_id"], r["component"]) for r in dist.collect()}
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+    assert got_local == got_dist
+    assert got_local == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }

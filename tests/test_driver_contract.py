@@ -32,52 +32,40 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round4_priorities():
+def test_registry_window_contains_round5_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-4 window must hold: the q_embedding_quantize re-proof (round
-    3's only red — the driver's pandas canon crashed on its raw array
-    column), every round-3 ROTATION_PENDING query (first official row),
-    the new round-4 queries, and the regression canaries."""
+    round-5 window must hold: every round-4 ROTATION_PENDING query
+    (first official row), the q_quantile_sketch re-proof (round 4's
+    only red — array<double> output crashed the driver's pandas canon
+    on the rows-only path), and the regression canaries including the
+    q_udaf_grouped flake-watch."""
     window = list(REGISTRY)[:50]
     for name in [
-        # r03 red re-proof (array column now serialized)
-        "q_embedding_quantize",
-        # first official row (registered after the r03 window froze)
-        "q_tpch_q2",
-        "q_tpch_q9",
-        "q_tpch_q21",
-        "q_group_mode",
-        "q_skyline",
-        "q_hll_distinct",
+        # first official row (registered after the r04 window froze)
+        "q_bitmap_distinct",
+        "q_mad_outliers",
+        "q_winsorize",
+        "q_scan_zorder",
+        "q_regex_extract",
+        "q_collocations",
+        "q_rate_anomaly",
+        "q_seasonality",
+        "q_growth_accounting",
+        "q_graph_pagerank",
+        "q_table_profile",
+        # r04 red re-proof (array output now scalar p50/p95/p99)
         "q_quantile_sketch",
-        "q_join_interval_overlap",
-        # new round-4 queries
-        "q_rollup",
-        "q_argmax_join",
-        "q_percent_change",
-        "q_time_rollup_multi",
-        "q_heavy_hitters",
-        "q_grouped_regression",
-        "q_group_entropy",
-        "q_hhi_concentration",
-        "q_grouped_moments",
-        "q_dedup_containment",
-        # canaries
+        # canaries (+ the round-4 one-off q_udaf_grouped worker flake)
         "q_group_stats",
         "q_scan_json",
         "q_udf_scalar",
-        # timestamp-flavor re-proofs (round-4 testdata regenerated all
-        # timestamp columns as µs NTZ; the loader normalization is new)
-        "q_sessionize",
-        "q_asof_tolerance",
-        "q_decay_agg",
-        "q_gap_fill",
+        "q_udaf_grouped",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-3
+    """Every query without an official CORRECTNESS row from rounds 1-4
     (i.e. anything registered this round) must sit inside the 50-entry
     window — or be explicitly declared ROTATION_PENDING (registered
     after the window's 50 slots were already committed)."""
@@ -92,6 +80,7 @@ def test_registry_window_covers_all_unofficial_queries():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         with open(repo / rnd) as f:
             official |= set(json.load(f))

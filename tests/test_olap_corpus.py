@@ -239,7 +239,7 @@ def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
     }
     for r in rows:
         los, his = envelope[r.event_type]
-        for approx, lo_v, hi_v in zip(r.approx_pcts, los, his):
+        for approx, lo_v, hi_v in zip((r.p50, r.p95, r.p99), los, his):
             assert lo_v - 1e-9 <= approx <= hi_v + 1e-9, (r, los, his)
 
 

@@ -86,12 +86,18 @@ def test_spark_side_emits_only_scalar_columns(spark):
     the driver sorts the Spark result through the same pandas canon, so
     an ArrayType/MapType/StructType output column red-errors the row
     even when the oracle side is serialized (schema_match compares
-    column NAMES only, not types — it would not catch the divergence)."""
+    column NAMES only, not types — it would not catch the divergence).
+
+    Sweeps ALL registered queries, not just oracle-bearing ones: the
+    driver canonicalizes rows-only (oracle=None) results through the
+    SAME pandas sort, so an array column reds the row either way —
+    q_quantile_sketch escaped the oracle-only sweep and redded the
+    official round-4 run exactly this way (CORRECTNESS_r04)."""
     from pyspark.sql.types import ArrayType, DateType, MapType, StructType
 
     sf_dir = "/root/testdata/sf0.001"
     bad = {}
-    for name in ORACLE_QUERIES:
+    for name in REGISTRY:
         df = REGISTRY[name].builder(spark, sf_dir)
         offending = [
             (f.name, f.dataType.simpleString())

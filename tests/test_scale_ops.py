@@ -139,3 +139,34 @@ def test_hll_error_bound(spark, sf_dir):
     for key, exact_n in exact.items():
         rel_err = abs(approx[key] - exact_n) / max(exact_n, 1)
         assert rel_err < 0.05, f"{key}: HLL rel err {rel_err:.3f}"
+
+
+def test_jaccard_persist_sets_path_output_identical(spark, sf_dir):
+    """The documented 100-TB parameterization ``persist_sets=True``
+    (materialize the (id, sz, sorted-hash-set) table once instead of
+    recomputing it for the prefix-explode and both verify sides) must be
+    a pure physical choice: byte-identical pairs to the default path."""
+    docs = _docs(spark, sf_dir)
+    default = {tuple(r) for r in jaccard_pairs(docs, 0.8).collect()}
+    persisted = {
+        tuple(r) for r in jaccard_pairs(docs, 0.8, persist_sets=True).collect()
+    }
+    assert default == persisted
+    assert default, "testdata should contain planted near-duplicates"
+
+
+def test_registered_cc_distributed_path_output_identical(spark, sf_dir):
+    """Force the REGISTERED near-dup cluster query through the
+    distributed min-label loop (spark.graft.cc.localThreshold=0) and
+    assert the exact same clusters as the default driver union-find
+    path — the scale path must be a physical choice, not a semantic
+    one, on the real LSH pair lineage (not just synthetic edges)."""
+    build = REGISTRY["q_dedup_near"].builder
+    default = {tuple(r) for r in build(spark, sf_dir).collect()}
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        distributed = {tuple(r) for r in build(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+    assert default == distributed
+    assert default

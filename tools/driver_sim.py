@@ -108,6 +108,9 @@ for pos, (name, fn) in enumerate(queries.items(), 1):
             ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
             status = "MATCH" if (ok_rows and ok_schema and ok_hash) else f"MISMATCH rows={ok_rows} schema={ok_schema} hash={ok_hash}"
         else:
+            # the REAL driver canonicalizes rows-only results through the
+            # same pandas sort (q_quantile_sketch redded r04 there)
+            driver_canon_probe(srows, scols)
             status = f"ROWS_ONLY n={len(srows)}"
         results[name] = status
     except Exception as ex:

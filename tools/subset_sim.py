@@ -89,6 +89,9 @@ for name in names:
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name not in oracles:
+            # the REAL driver canonicalizes rows-only results through the
+            # same pandas sort (q_quantile_sketch redded r04 there)
+            driver_canon_probe(srows, scols)
             print(f"  {name}: ROWS_ONLY n={len(srows)} ({time.time() - t0:.1f}s)")
             continue
         res = con.execute(oracles[name])
