@@ -84,6 +84,7 @@ _DRIVER_ORDER = [
     "q_udaf_grouped",
     # -- NEW round-5 queries are inserted here as they are written,
     # displacing filler re-proofs below rightward out of the window.
+    "q_multimodal_decode",
     # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
     # + ANN + TPC-H core) re-earning fresh official rows.
     "q_pipeline_curate",
