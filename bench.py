@@ -40,6 +40,11 @@ HEADLINE = [
     # exact-distinct bitmap path.
     "q_grouped_regression",  # 5 moment sums -> corr/covar/OLS, one shuffle
     "q_bitmap_distinct",     # exact distinct via mergeable bitmaps
+    # -- appended round 5: the sliding-window hard op, the ordered-window
+    # statistics tier, and the Python/Arrow media boundary.
+    "q_sliding_distinct",    # 7-day sliding EXACT distinct (explode+distinct)
+    "q_cusum_changepoint",   # decimal running-sum windows + argmax
+    "q_multimodal_decode",   # real PNG encode/decode through mapInPandas
 ]
 
 

@@ -54,6 +54,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     mutation,
     olap,
     corpus,
+    warehouse,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -85,6 +86,16 @@ _DRIVER_ORDER = [
     # -- NEW round-5 queries are inserted here as they are written,
     # displacing filler re-proofs below rightward out of the window.
     "q_multimodal_decode",
+    "q_graph_degree_dist",
+    "q_minhash_jaccard_est",
+    "q_sliding_distinct",
+    "q_cusum_changepoint",
+    "q_scd2_intervals",
+    "q_ks_drift",
+    "q_semi_additive",
+    "q_embedding_norms",
+    "q_feature_hash",
+    "q_sink_partitioned_roundtrip",
     # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
     # + ANN + TPC-H core) re-earning fresh official rows.
     "q_pipeline_curate",

@@ -408,3 +408,56 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) / F.col("n_v") + F.lit(0.85) * F.col("s")).alias("rank"),
         )
     return r.select("doc_id", "rank")
+
+
+#: Hashing-trick dimensionality: tokens hash into this many feature
+#: buckets (the HashingTF pattern — fixed-width features, no vocab).
+FEATURE_BUCKETS = 256
+
+
+@register(
+    "q_feature_hash",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                            x -> x <> '')) AS tok
+                  FROM documents WHERE text <> ''),
+    b AS (SELECT ('0x' || substr(md5('feat:' || tok), 1, 15))::BIGINT
+                   % {FEATURE_BUCKETS} AS bucket,
+                 tok
+          FROM toks)
+    SELECT bucket, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_terms
+    FROM b GROUP BY bucket
+    """,
+    tier="C",
+    doc=f"Hashing-trick featurization (the HashingTF pattern): every "
+    f"token maps to one of {FEATURE_BUCKETS} fixed buckets by md5 hash "
+    "— no vocabulary to build, no dictionary to broadcast, which is "
+    "why the trick survives 100 TB (vocab grows with the corpus; the "
+    "bucket space doesn't). Output is the global feature table: "
+    "per-bucket token mass and distinct-term count — the collision "
+    "profile that tells you whether the bucket count is too small "
+    "for the corpus. One explode + one partial-aggregating shuffle "
+    "on a small integer key. The md5-derived bucket (not Spark's "
+    "murmur3 hashingTF) is what makes the oracle able to reproduce "
+    "the assignment exactly (functions/hashing.py rationale).",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+    from news_categorization_big_data_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = docs.select(
+        F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("tok")
+    )
+    return (
+        toks.select(
+            hash_bucket(F.col("tok"), "feat", FEATURE_BUCKETS).alias("bucket"),
+            "tok",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+    )

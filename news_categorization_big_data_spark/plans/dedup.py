@@ -465,3 +465,90 @@ CONTAIN_MAX_DF = 1000
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     return containment_pairs(docs, CONTAIN_PCT, max_df=CONTAIN_MAX_DF)
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()},
+    deg AS (SELECT id, COUNT(*) AS degree
+            FROM (SELECT doc_a AS id FROM cand
+                  UNION ALL
+                  SELECT doc_b AS id FROM cand)
+            GROUP BY id)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           COUNT(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+    tier="C",
+    doc="Degree distribution of the near-duplicate candidate graph — "
+    "the shape diagnostic a dedup pass reads BEFORE clustering: a "
+    "heavy right tail means a stopword-ish band key is bucketing "
+    "unrelated docs together (fix the banding or cap df) and the CC "
+    "stage is about to inherit a quadratic cluster. Two partial-"
+    "aggregating shuffles over the (tiny) pair list: degrees, then "
+    "the histogram; the corpus itself is touched only by the shared "
+    "signature lineage. Oracle rides the same candidate CTE as "
+    "q_dedup_near, so the graph being profiled is provably the same "
+    "graph.",
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_minhash_jaccard_est",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({" + ".join(f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K))}) AS BIGINT)
+             AS n_agree,
+           CAST(({" + ".join(f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K))}) AS DOUBLE)
+             / {MINHASH_K} AS jaccard_est
+    FROM cand c
+    JOIN mh a ON a.doc_id = c.doc_a
+    JOIN mh b ON b.doc_id = c.doc_b
+    """,
+    tier="C",
+    doc=f"Sketch-space Jaccard estimation: for every banded-LSH candidate "
+    "pair, the fraction of agreeing minhash coordinates — an unbiased "
+    f"estimator of true Jaccard (E[agree/k] = J), here k={MINHASH_K}. "
+    "This is the triage step between candidate generation and exact "
+    "verification at corpus scale: ranking/thresholding on the "
+    "signatures costs O(k) per pair on fixed-size sketches ALREADY in "
+    "hand, with no second pass over document text (the exact verify "
+    "re-reads both shingle sets). Plan: signature table computed once, "
+    "joined to both pair sides; agreement count is integer-exact, and "
+    "the estimate is one division of identical integers on both "
+    "engines. The oracle recomputes signatures through the shared "
+    "double-hash CTE, so estimator and candidate graph provably match "
+    "the Spark operators'.",
+)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    agree = sum(
+        F.when(F.col(f"_a.mh{j}") == F.col(f"_b.mh{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    sa = sig.alias("_a")
+    sb = sig.alias("_b")
+    return (
+        pairs.join(sa, pairs["doc_a"] == F.col("_a.doc_id"))
+        .join(sb, pairs["doc_b"] == F.col("_b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_agree"),
+            (agree.cast("double") / F.lit(MINHASH_K)).alias("jaccard_est"),
+        )
+    )

@@ -280,3 +280,52 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("qvec"),
     )
+
+
+#: Top-k for the norm profile; L2 norms feed normalization decisions
+#: (an un-normalized outlier distorts cosine ANN buckets).
+NORM_TOP_K = 20
+
+
+@register(
+    "q_embedding_norms",
+    oracle=f"""
+    WITH s AS (SELECT vec_id,
+                      CAST(list_sum(list_transform(embedding,
+                               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                         AS DECIMAL(20,12)))) AS DOUBLE) AS ss
+               FROM embeddings)
+    SELECT vec_id, sqrt(ss) AS l2_norm
+    FROM s ORDER BY sqrt(ss) DESC, vec_id LIMIT {NORM_TOP_K}
+    """,
+    tier="C",
+    doc=f"Embedding L2-norm profile (top-{NORM_TOP_K} by norm): the "
+    "sanity pass a vector pipeline runs before cosine ANN — "
+    "un-normalized outliers dominate dot products and skew IVF "
+    "centroids, so norms get checked (and vectors re-scaled) first. "
+    "MAP-ONLY: the squared norm is a higher-order `aggregate` fold "
+    "over the array column — no explode, no shuffle; the only "
+    "exchange is the TakeOrderedAndProject top-k. Determinism: each "
+    "x² term (float32→double exact, product identical) is DECIMAL-"
+    "quantized at 10⁻¹², so the fold is exact and order-free on both "
+    "engines; precisions are chosen (32,12)+(20,12) so Spark's "
+    "decimal-addition precision cap can NEVER rescale mid-fold "
+    "(38-cap would silently truncate scale to 11 and red-hash — "
+    "measured), and the scaled magnitude stays ≪ 2^53 so the final "
+    "decimal→double cast is exact. sqrt of identical doubles is "
+    "correctly rounded (IEEE) — identical.",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(32,12)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(20,12)")
+        ).cast("decimal(32,12)"),
+    ).cast("double")
+    return (
+        emb.select("vec_id", F.sqrt(ss).alias("l2_norm"))
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(NORM_TOP_K)
+    )

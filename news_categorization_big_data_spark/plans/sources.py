@@ -352,3 +352,44 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_sink_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tier="B",
+    doc="Hive-partitioned parquet SINK round-trip: events written with "
+    "write.partitionBy(event_type) — one directory per partition "
+    "value, the layout every downstream reader partition-prunes on — "
+    "then read back through the partition-discovering reader and "
+    "aggregated. The oracle aggregates the ORIGINAL table, so the "
+    "green hash proves the sink wrote every row exactly once and the "
+    "partition column round-trips losslessly through the directory "
+    "encoding (q_scan_partitioned proves the read/prune side; this "
+    "proves the write side). Scale posture: partitionBy keys a "
+    "task-side dynamic-partition write — at 100 TB you bound "
+    "files-per-partition with a pre-write repartition on the "
+    "partition column (documented, not needed at test scale) and "
+    "pick LOW-cardinality columns only (5 types here; a high-card "
+    "key would fan out into millions of directories).",
+)
+def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink_dir = _fixture_dir(spark, sf_dir, "sink_roundtrip")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(sink_dir)
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

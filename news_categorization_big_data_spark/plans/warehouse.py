@@ -1,0 +1,309 @@
+"""Warehouse-tier temporal operators (round 5): sliding exact distinct,
+CUSUM changepoint detection, SCD2 interval reconstruction, two-sample
+Kolmogorov-Smirnov drift, and semi-additive (balance) aggregation.
+
+These are the time-shaped analytics a production warehouse layers over
+an event stream; none are expressible as a plain groupBy, all are
+expressible as compositions of Spark windows/joins/aggregates — no
+Python anywhere. Every oracle follows the module-header determinism
+rules of plans/analytics.py: decimal-quantized double sums (reduction-
+order-free), integer cross-multiplication instead of float thresholds,
+date strings instead of DATE outputs, counts cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Sliding-window width in days for the exact distinct-user count.
+SLIDE_DAYS = 7
+
+#: Month-half boundary for the KS drift comparison (events span 2024-01).
+KS_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_sliding_distinct",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events),
+    w AS (SELECT user_id,
+                 strftime(d - i * INTERVAL '1 day', '%Y-%m-%d') AS win_start
+          FROM ud, range({SLIDE_DAYS}) t(i))
+    SELECT win_start, COUNT(DISTINCT user_id) AS n_users
+    FROM w GROUP BY win_start
+    """,
+    tier="B",
+    doc=f"EXACT distinct users per {SLIDE_DAYS}-day sliding window (daily "
+    "slide) — the rolling-reach metric. Sliding distinct is the "
+    "classic hard case: COUNT(DISTINCT) is not associative across "
+    "overlapping windows, so no window-function frame computes it. "
+    "The scale shape used here: dedup to (user, day) FIRST (the only "
+    "pass over raw events), then explode each surviving row into the "
+    f"{SLIDE_DAYS} windows it contributes to, then one distinct-"
+    "aggregate on (window, user). Shuffle volume is "
+    f"{SLIDE_DAYS}×|user-days| — independent of raw event count, the "
+    "term that dominates at 100 TB. The windows-ending-in-the-future "
+    "tail (first/last 6 days) is emitted as-is; callers trim to the "
+    "observed range. Alternative at extreme scale: per-day HLL "
+    "sketches merged across the window (q_hll_distinct machinery) — "
+    "this query is the exact oracle-checkable variant.",
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.date_sub("d", SLIDE_DAYS - 1), F.col("d"))
+        ).alias("w"),
+    )
+    return (
+        win.groupBy(F.date_format("w", "yyyy-MM-dd").alias("win_start"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT event_type,
+                          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS tot,
+                  COUNT(*) AS n_days
+           FROM daily GROUP BY 1),
+    c AS (SELECT d.event_type, d.day, st.n_days,
+                 CAST(SUM(CAST(d.v - st.tot / st.n_days AS DECIMAL(30,6)))
+                          OVER (PARTITION BY d.event_type ORDER BY d.day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS cusum
+          FROM daily d JOIN st ON d.event_type = st.event_type),
+    r AS (SELECT event_type, day, n_days, abs(cusum) AS a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cusum) DESC, day) AS rn
+          FROM c)
+    SELECT event_type, day AS change_day, a AS max_abs_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1
+    """,
+    tier="B",
+    doc="CUSUM changepoint detection per event type: the day where the "
+    "cumulative deviation of the daily value-sum from the type's mean "
+    "peaks in magnitude — the standard Page/CUSUM location estimate "
+    "for a single level shift. Plan: one shuffle to daily grains, a "
+    "broadcast of the 5-row per-type stats, one ordered window for "
+    "the running sum, one for the argmax — the raw event table is "
+    "touched once. Determinism: the running sum is over DECIMAL-"
+    "quantized deviations, so it is exact and reduction-order-free "
+    "(a raw double running sum could diverge between engines if one "
+    "combines window partials pairwise); deviations themselves are "
+    "arithmetic on bit-identical doubles. Ties on |cusum| break by "
+    "earliest day. At 100 TB the daily grain table is tiny; the "
+    "window partitions by type — bounded state per group.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v"))
+    st = daily.groupBy("event_type").agg(
+        F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("tot"),
+        F.count("*").alias("n_days"),
+    )
+    dev = (F.col("v") - F.col("tot") / F.col("n_days")).cast("decimal(30,6)")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        daily.join(F.broadcast(st), "event_type")
+        .withColumn("cusum", F.sum(dev).over(wrun).cast("double"))
+        .withColumn("a", F.abs("cusum"))
+    )
+    wpick = Window.partitionBy("event_type").orderBy(F.desc("a"), "day")
+    return (
+        c.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("a").alias("max_abs_cusum"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    chg AS (SELECT user_id, event_type AS state, ts AS valid_from
+            FROM o WHERE prev IS NULL OR prev <> event_type),
+    iv AS (SELECT user_id, state, valid_from,
+                  LEAD(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from) AS valid_to
+           FROM chg)
+    SELECT user_id, state, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM iv
+    """,
+    tier="B",
+    doc="Slowly-changing-dimension (type 2) reconstruction from an event "
+    "log: collapse each user's event-type stream into validity "
+    "intervals [valid_from, valid_to) that change only when the state "
+    "changes — the standard history-table build (Kimball SCD2) that "
+    "turns an append-only log into an as-of-joinable dimension "
+    "(pair with q_asof_join to enrich facts with the state in force "
+    "at fact time). Two windows over the same user partitioning — "
+    "Catalyst reuses ONE sort+shuffle for the lag and the lead since "
+    "both key by user — and a filter between them; the log is read "
+    "once. Ties at identical timestamps order by event_id, making "
+    "the interval set deterministic. TIMESTAMP outputs render "
+    "symmetrically across engines (DATE would not).",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev", F.lag("event_type").over(wlag))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    wlead = Window.partitionBy("user_id").orderBy("valid_from")
+    return chg.withColumn(
+        "valid_to", F.lead("valid_from").over(wlead)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""
+    WITH g AS (SELECT event_type, value,
+                      CAST(count_if(ts <  TIMESTAMP '{KS_CUT}') AS BIGINT) AS c1,
+                      CAST(count_if(ts >= TIMESTAMP '{KS_CUT}') AS BIGINT) AS c2
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2
+          FROM g GROUP BY 1),
+    c AS (SELECT g.event_type, t.n1, t.n2,
+                 SUM(g.c1) OVER w AS cc1, SUM(g.c2) OVER w AS cc2
+          FROM g JOIN t ON g.event_type = t.event_type
+          WINDOW w AS (PARTITION BY g.event_type ORDER BY g.value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           CAST(MAX(abs(cc1 * n2 - cc2 * n1)) AS BIGINT) AS d_scaled,
+           CAST(MAX(abs(cc1 * n2 - cc2 * n1)) AS DOUBLE) / (MAX(n1) * MAX(n2))
+             AS ks_stat,
+           MAX(n1) AS n_first, MAX(n2) AS n_second
+    FROM c GROUP BY event_type
+    """,
+    tier="B",
+    doc="Two-sample Kolmogorov-Smirnov drift per event type: the max "
+    "gap between the empirical CDFs of `value` in the first vs second "
+    "half of the month — the distribution-shift alarm a data-quality "
+    "monitor runs per feature per period (did this column's "
+    "distribution move?). ALL-INTEGER core: per distinct value the "
+    "two cumulative counts are integers, and the CDF gap is compared "
+    "as |cc1·n2 − cc2·n1| (the cross-multiplied form), so the max is "
+    "exact on both engines; the reported ks_stat is ONE division of "
+    "identical integers. Scaled magnitude n1·n2 ≤ ~10¹² at sf1 — "
+    "inside 2^53. Plan: one shuffle to (type, value) grains with "
+    "map-side conditional counts, broadcast totals, one ordered "
+    "window for the running CDFs, final max — events scanned once. "
+    "Window state is one row per distinct value per type, bounded.",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(KS_CUT).cast("timestamp")
+    g = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("c2"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        g.join(F.broadcast(t), "event_type")
+        .withColumn("cc1", F.sum("c1").over(w))
+        .withColumn("cc2", F.sum("c2").over(w))
+    )
+    d = F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max(d).cast("bigint").alias("d_scaled"),
+            (
+                F.max(d).cast("double") / (F.max("n1") * F.max("n2"))
+            ).alias("ks_stat"),
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+        )
+    )
+
+
+@register(
+    "q_semi_additive",
+    oracle="""
+    WITH r AS (SELECT user_id, value,
+                      strftime(ts, '%Y-%m') AS month,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m')
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events),
+    last AS (SELECT user_id, month, value FROM r WHERE rn = 1)
+    SELECT month,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+    FROM last GROUP BY month
+    """,
+    tier="B",
+    doc="Semi-additive aggregation (balance semantics): `value` is "
+    "treated as an account balance — additive across USERS, not "
+    "across TIME — so the month total is the sum of each user's LAST "
+    "observation in the month, not the sum of all observations (the "
+    "textbook semi-additive-measure pattern for balances/inventory "
+    "levels). Plan: one window per (user, month) picks the closing "
+    "row (ties at the same timestamp break by event_id), one shuffle "
+    "aggregates the survivors; the closing-balance sum is DECIMAL-"
+    "quantized → reduction-order-free and engine-identical. The "
+    "window partitions by (user, month) — state bounded by one "
+    "user-month, embarrassingly parallel at 100 TB.",
+)
+def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    w = Window.partitionBy("user_id", "month").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = (
+        ev.select("user_id", "value", "ts", "event_id", month)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return last.groupBy("month").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
