@@ -96,6 +96,9 @@ _DRIVER_ORDER = [
     "q_embedding_norms",
     "q_feature_hash",
     "q_sink_partitioned_roundtrip",
+    "q_itemset_pairs",
+    "q_event_trigrams",
+    "q_tokenizer_fertility",
     # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
     # + ANN + TPC-H core) re-earning fresh official rows.
     "q_pipeline_curate",

@@ -705,3 +705,43 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "pair")
         .limit(COLLOC_TOP_K)
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH d AS (SELECT lang,
+                      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                           x -> x <> '')) AS BIGINT) AS n_tok,
+                      n_chars
+               FROM documents WHERE text <> '')
+    SELECT lang,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+             AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+    tier="C",
+    doc="Tokenizer fertility per language: characters per token — the "
+    "budget planner's constant (how many bytes of corpus buy one "
+    "training token?) and the per-language skew check that decides "
+    "sampling weights before a multilingual training mix is frozen. "
+    "Pure column expressions feeding one partial-aggregating shuffle "
+    "on the 4-value lang key; the ratio is one division of identical "
+    "integer-derived doubles. Same whitespace tokenizer as the whole "
+    "text tier (functions/text_exprs.py tokens).",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    n_tok = F.size(F.filter(tokens("text"), lambda t: t != "")).cast("long")
+    d = docs.select("lang", n_tok.alias("n_tok"), "n_chars")
+    return d.groupBy("lang").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_tok").cast("double")
+        ).alias("chars_per_token"),
+    )

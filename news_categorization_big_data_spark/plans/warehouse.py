@@ -307,3 +307,93 @@ def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_balance"),
     )
+
+
+#: Minimum users sharing a pair for it to count as frequent.
+ITEMSET_MIN_SUPPORT = 2
+
+#: Top-k for the trigram path mining.
+TRIGRAM_TOP_K = 25
+
+
+@register(
+    "q_itemset_pairs",
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (SELECT a.user_id, a.event_type AS item_a, b.event_type AS item_b
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type)
+    SELECT item_a, item_b, COUNT(*) AS support
+    FROM p GROUP BY item_a, item_b
+    HAVING COUNT(*) >= {ITEMSET_MIN_SUPPORT}
+    """,
+    tier="B",
+    doc="Frequent-itemset pairs (the A-Priori L2 step): for every pair "
+    "of event types, how many users exhibit BOTH — the co-occurrence "
+    "support driving market-basket / feature-co-usage analyses. Scale "
+    "shape: dedup to distinct (user, item) FIRST (the only pass over "
+    "raw events), then a self-equi-join on user generates each user's "
+    "item pairs — per-user work is |items|², bounded by the ITEM "
+    "DOMAIN (5 types here), never by event count; the pair aggregate "
+    "shuffles a domain²-bounded key space. The support threshold "
+    "prunes the long tail exactly like A-Priori's min-support. A "
+    "high-cardinality item domain would switch to the PCY bucket-"
+    "hash variant — same plan with a hashed pair key.",
+)
+def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("item_a"))
+    b = ut.select("user_id", F.col("event_type").alias("item_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= ITEMSET_MIN_SUPPORT)
+    )
+
+
+@register(
+    "q_event_trigrams",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      LEAD(event_type, 1) OVER w AS nxt1,
+                      LEAD(event_type, 2) OVER w AS nxt2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS trigram,
+           COUNT(*) AS n
+    FROM o WHERE nxt2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT {TRIGRAM_TOP_K}
+    """,
+    tier="B",
+    doc=f"Top-{TRIGRAM_TOP_K} behavioral trigrams: the most common "
+    "3-step event-type sequences across user streams — sequential "
+    "pattern mining's unit query (what paths do users actually "
+    "take?), generalizing q_event_transitions' bigram matrix. One "
+    "window sort per user (two LEADs share it — one shuffle), then a "
+    "partial-aggregating shuffle on the trigram string and a "
+    "TakeOrderedAndProject; the per-user window state is one row. "
+    "Ties break lexicographically for a total order.",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        o.where(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(TRIGRAM_TOP_K)
+    )

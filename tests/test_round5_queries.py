@@ -240,3 +240,59 @@ def test_sink_roundtrip_writes_one_dir_per_type(spark, sf_dir):
         .collect()
     )
     assert parts == types
+
+
+# -- q_itemset_pairs / q_event_trigrams / q_tokenizer_fertility -------------
+
+
+def test_itemset_pairs_support_bounds(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.warehouse import (
+        ITEMSET_MIN_SUPPORT,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rows = REGISTRY["q_itemset_pairs"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.item_a < r.item_b  # canonical ordering, no mirrored dupes
+        assert ITEMSET_MIN_SUPPORT <= r.support <= n_users
+
+
+def test_event_trigrams_counts_match_total(spark, sf_dir):
+    """Total trigram occurrences = Σ per-user max(0, n_events - 2); the
+    top-k must be a subset of that multiset with the right counts for
+    the head element."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").count().collect()
+    total = sum(max(0, r["count"] - 2) for r in per_user)
+    rows = REGISTRY["q_event_trigrams"].builder(spark, sf_dir).collect()
+    assert rows and sum(r.n for r in rows) <= total
+    # head count verified independently
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("t"),
+        F.lead("event_type", 2).over(w).alias("ok"),
+    ).where(F.col("ok").isNotNull())
+    head = rows[0] if rows[0].n >= max(r.n for r in rows) else None
+    assert head is not None
+    got = o.where(F.col("t") == head.trigram).count()
+    assert got == head.n
+
+
+def test_tokenizer_fertility_consistent_with_text_stats(spark, sf_dir):
+    rows = {
+        r.lang: r
+        for r in REGISTRY["q_tokenizer_fertility"].builder(spark, sf_dir).collect()
+    }
+    assert rows
+    for lang, r in rows.items():
+        assert r.total_tokens > 0 and r.total_chars > 0
+        assert abs(r.chars_per_token - r.total_chars / r.total_tokens) < 1e-12
