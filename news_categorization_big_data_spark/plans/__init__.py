@@ -99,6 +99,8 @@ _DRIVER_ORDER = [
     "q_itemset_pairs",
     "q_event_trigrams",
     "q_tokenizer_fertility",
+    "q_conversion_latency",
+    "q_component_sizes",
     # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
     # + ANN + TPC-H core) re-earning fresh official rows.
     "q_pipeline_curate",

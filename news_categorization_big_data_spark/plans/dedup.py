@@ -552,3 +552,44 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(MINHASH_K)).alias("jaccard_est"),
         )
     )
+
+
+@register(
+    "q_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_cand_ctes()},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM cc GROUP BY component)
+    SELECT CAST(csize AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY csize
+    """,
+    tier="C",
+    doc="Near-duplicate cluster-size histogram: how many clusters of "
+    "each size the LSH pair graph collapses into — the number a "
+    "curation run reports next to its dedup rate (many 2-clusters = "
+    "routine near-dups; one giant component = a banding bug or "
+    "boilerplate storm, and the CC loop's convergence bound is about "
+    "to matter). Two dimension-sized aggregates over the connected-"
+    "components output; the corpus is touched only by the shared "
+    "signature lineage. Oracle: recursive-CTE min-label reachability "
+    "over the same candidate CTE as q_dedup_cluster.",
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))

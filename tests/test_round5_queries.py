@@ -81,10 +81,13 @@ def test_scd2_reuses_one_sort_for_both_windows(spark, sf_dir):
 # -- q_cusum_changepoint ----------------------------------------------------
 
 
-def test_cusum_changepoint_stats_are_broadcast(spark, sf_dir):
+def test_cusum_changepoint_is_joinless_single_grain_exchange(spark, sf_dir):
+    """Mean/running-sum/argmax all run as windows over the daily grain,
+    sharing the event_type partitioning — no join anywhere, and only
+    the grain groupBy plus the (reused) window exchange."""
     plan = _plan(REGISTRY["q_cusum_changepoint"].builder(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
 
 
 def test_cusum_final_day_sums_to_zero(spark, sf_dir):
@@ -296,3 +299,53 @@ def test_tokenizer_fertility_consistent_with_text_stats(spark, sf_dir):
     for lang, r in rows.items():
         assert r.total_tokens > 0 and r.total_chars > 0
         assert abs(r.chars_per_token - r.total_chars / r.total_tokens) < 1e-12
+
+
+# -- q_conversion_latency / q_component_sizes -------------------------------
+
+
+def test_conversion_latency_percentiles_are_real_latencies(spark, sf_dir):
+    """p50 ≤ p90, every reported stat positive, and the count matches an
+    independent count of purchases with a preceding view/click."""
+    rows = REGISTRY["q_conversion_latency"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.p50_latency_s <= r.p90_latency_s, r
+        assert r.mean_latency_s > 0 and r.n_conversions > 0, r
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    n = (
+        ev.withColumn("src", src)
+        .where((F.col("event_type") == "purchase") & F.col("src").isNotNull())
+        .count()
+    )
+    assert sum(r.n_conversions for r in rows) == n
+
+
+def test_component_sizes_account_for_every_clustered_doc(spark, sf_dir):
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    cc_n = connected_components(
+        lsh_candidate_pairs(minhash_signatures(docs))
+    ).count()
+    rows = REGISTRY["q_component_sizes"].builder(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == cc_n
+    assert all(r.cluster_size >= 2 for r in rows)  # singletons not emitted
