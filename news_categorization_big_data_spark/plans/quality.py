@@ -1,0 +1,391 @@
+"""Data-quality and experiment-analytics tier (round 5): expectation
+suites, referential-integrity sweeps, A/B t-tests, equi-depth
+histograms, and exponential-decay smoothing.
+
+These are the checks a production pipeline runs BEFORE training data or
+dashboards consume a table (the Deequ / Great Expectations surface) plus
+two statistics a warehouse layers over event streams. House determinism
+rules (plans/analytics.py): exact DECIMAL sums where reduction order
+could matter, integer-exact counts, division/sqrt chains written with
+IDENTICAL association on both engines (IEEE 754 ops on bit-identical
+inputs are bit-identical), date strings not DATE outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Allowed order-status domain for the q_dq_checks domain expectation.
+DQ_STATUS_DOMAIN = ("F", "O", "P")
+
+
+@register(
+    "q_dq_checks",
+    oracle=f"""
+    WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(o_custkey) AS BIGINT) AS n_ck,
+                      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_uk,
+                      CAST(COUNT(CASE WHEN o_orderstatus IN
+                             ('{DQ_STATUS_DOMAIN[0]}', '{DQ_STATUS_DOMAIN[1]}',
+                              '{DQ_STATUS_DOMAIN[2]}') THEN 1 END) AS BIGINT) AS n_dom,
+                      MIN(o_totalprice) AS min_price
+               FROM orders),
+    r AS (SELECT CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+                      AS BIGINT) AS n_orph
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT * FROM (
+      SELECT 'row_count' AS check_name,
+             CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM a
+      UNION ALL
+      SELECT 'completeness_custkey', CAST(n_ck AS DOUBLE) / n, n_ck = n FROM a
+      UNION ALL
+      SELECT 'uniqueness_orderkey', CAST(n_uk AS DOUBLE) / n, n_uk = n FROM a
+      UNION ALL
+      SELECT 'domain_orderstatus', CAST(n_dom AS DOUBLE) / n, n_dom = n FROM a
+      UNION ALL
+      SELECT 'min_totalprice_positive', min_price, min_price > 0 FROM a
+      UNION ALL
+      SELECT 'referential_custkey',
+             1.0 - CAST(n_orph AS DOUBLE) / (SELECT n FROM a),
+             n_orph = 0 FROM r
+    )
+    """,
+    tier="C",
+    doc="Data-quality expectation suite over `orders` (the Deequ / Great "
+    "Expectations pattern): row count, column completeness, key "
+    "uniqueness, value-domain conformance, range sanity, and "
+    "referential integrity against `customer`, emitted as one "
+    "(check_name, metric, passed) report. Plan: every single-table "
+    "metric comes from ONE conditional-aggregate scan (no per-check "
+    "passes — at 100 TB you cannot afford six scans), the referential "
+    "check is a key-projected left join (AQE broadcasts the dimension "
+    "side), and the six report rows are dimension-sized selects over "
+    "those two 1-row aggregates. Determinism: every metric is a ratio "
+    "of exact BIGINT counts (single division → bit-identical doubles) "
+    "or a MIN over identical doubles; `passed` compares integers. "
+    "Scale: metric state is O(1) per check; COUNT(DISTINCT) is the one "
+    "two-phase term (documented swap: HLL/bitmap sketch — "
+    "q_hll_distinct / q_bitmap_distinct machinery — when the exact "
+    "distinct shuffle dominates).",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    a = orders.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("n_ck"),
+        F.countDistinct("o_orderkey").alias("n_uk"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin(*DQ_STATUS_DOMAIN), 1)
+        ).alias("n_dom"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    r = (
+        orders.select("o_custkey")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .agg(F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orph"))
+    )
+    # Six dimension-sized report rows over the two 1-row aggregates.
+    ar = a.crossJoin(F.broadcast(r))
+    n = F.col("n").cast("double")
+    rows = [
+        ("row_count", n, F.col("n") > 0),
+        ("completeness_custkey", F.col("n_ck").cast("double") / F.col("n"), F.col("n_ck") == F.col("n")),
+        ("uniqueness_orderkey", F.col("n_uk").cast("double") / F.col("n"), F.col("n_uk") == F.col("n")),
+        ("domain_orderstatus", F.col("n_dom").cast("double") / F.col("n"), F.col("n_dom") == F.col("n")),
+        ("min_totalprice_positive", F.col("min_price"), F.col("min_price") > 0),
+        ("referential_custkey", F.lit(1.0) - F.col("n_orph").cast("double") / F.col("n"), F.col("n_orph") == 0),
+    ]
+    out = None
+    for name, metric, passed in rows:
+        sel = ar.select(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+        out = sel if out is None else out.unionAll(sel)
+    return out
+
+
+#: Foreign-key sweep relations: (label, child table, child key,
+#: parent table, parent key).
+FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+@register(
+    "q_orphan_refs",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN p.{pk} IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+    FROM {child} ch LEFT JOIN {parent} p ON ch.{ck} = p.{pk}
+    """
+        for label, child, ck, parent, pk in FK_RELATIONS
+    ),
+    tier="C",
+    doc="Referential-integrity sweep across the star schema: for every "
+    "declared foreign key, the child row count and the orphan count "
+    "(child rows whose parent key does not exist) — the constraint "
+    "check engines without enforced FKs (Spark, most lakehouses) must "
+    "run as a query. Plan per relation: project BOTH sides to the key "
+    "column only, LEFT join, conditional count — never an anti-join "
+    "plus a second scan for the total. No broadcast hint: AQE picks "
+    "broadcast for dimension parents (part/supplier/customer) and a "
+    "key-only sort-merge join for the fact-fact lineitem→orders edge — "
+    "which is exactly the right physical split at 100 TB, where orders "
+    "keys do NOT fit in an executor. Keys are primary keys by schema "
+    "contract (join cannot fan out). Output is 4 rows; all counts "
+    "exact BIGINTs.",
+)
+def q_orphan_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, ck, parent, pk in FK_RELATIONS:
+        ch = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        row = (
+            ch.join(p, ch[ck] == p[pk], "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            )
+            .select(
+                F.lit(label).alias("fk"),
+                F.col("n_child"),
+                F.col("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "q_ab_ttest",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+                      CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+                      CAST(SUM(CASE WHEN user_id % 2 = 0
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+                      CAST(SUM(CASE WHEN user_id % 2 = 1
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+                      CAST(SUM(CASE WHEN user_id % 2 = 0
+                               THEN CAST(value AS DECIMAL(18,2))
+                                    * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qa,
+                      CAST(SUM(CASE WHEN user_id % 2 = 1
+                               THEN CAST(value AS DECIMAL(18,2))
+                                    * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qb
+               FROM events GROUP BY event_type),
+    m AS (SELECT event_type, n_a, n_b,
+                 sa / n_a AS mean_a, sb / n_b AS mean_b,
+                 ((qa - sa * sa / n_a) / (n_a - 1)) / n_a AS va_n,
+                 ((qb - sb * sb / n_b) / (n_b - 1)) / n_b AS vb_n
+          FROM s)
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(va_n + vb_n) AS t_stat,
+           ((va_n + vb_n) * (va_n + vb_n))
+             / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)) AS df_welch
+    FROM m
+    """,
+    tier="B",
+    doc="Welch's two-sample t-test per event type (the A/B experiment "
+    "readout): arms assigned by user_id parity, per-arm mean, t "
+    "statistic, and Welch–Satterthwaite degrees of freedom. Plan: ONE "
+    "conditional-aggregate shuffle computes all six per-arm moment "
+    "sums side-by-side (never one pass per arm); the closed forms run "
+    "on the 5-row aggregate. Determinism: count/sum/sum-of-squares "
+    "accumulate as exact DECIMAL(18,2)/(37,4) — the data's true 2-dp "
+    "granularity, sized so every scaled sum stays under 2^53, where "
+    "decimal→double conversion is correctly rounded in BOTH engines "
+    "(see EWMA_HORIZON note) — "
+    "the mean/variance/t/df chains are division, multiplication and "
+    "sqrt on bit-identical doubles with the association order written "
+    "IDENTICALLY in both engines — IEEE 754 basic ops and sqrt are "
+    "correctly rounded, so the results match to the last ulp. Scale: "
+    "per-group state is six numbers; the aggregate is map-side "
+    "partial — this is the canonical 100-TB-safe experiment readout.",
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    arm_a, arm_b = F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1
+    s = ev.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(arm_b, 1)).alias("n_b"),
+        F.sum(F.when(arm_a, dec)).cast("double").alias("sa"),
+        F.sum(F.when(arm_b, dec)).cast("double").alias("sb"),
+        F.sum(F.when(arm_a, dec * dec)).cast("double").alias("qa"),
+        F.sum(F.when(arm_b, dec * dec)).cast("double").alias("qb"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m = s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("sa") / n_a).alias("mean_a"),
+        (F.col("sb") / n_b).alias("mean_b"),
+        (((F.col("qa") - F.col("sa") * F.col("sa") / n_a) / (n_a - F.lit(1))) / n_a).alias("va_n"),
+        (((F.col("qb") - F.col("sb") * F.col("sb") / n_b) / (n_b - F.lit(1))) / n_b).alias("vb_n"),
+    )
+    va_n, vb_n = F.col("va_n"), F.col("vb_n")
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n)).alias("t_stat"),
+        (
+            ((va_n + vb_n) * (va_n + vb_n))
+            / (va_n * va_n / (n_a - F.lit(1)) + vb_n * vb_n / (n_b - F.lit(1)))
+        ).alias("df_welch"),
+    )
+
+
+#: Equi-depth bucket count for q_equidepth_histogram.
+EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (SELECT event_type, value,
+                      ntile({EQUIDEPTH_BUCKETS}) OVER
+                        (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bucket
+               FROM events)
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM t GROUP BY event_type, bucket
+    """,
+    tier="B",
+    doc=f"Equi-DEPTH histogram ({EQUIDEPTH_BUCKETS} equal-count buckets) "
+    "of `value` per event type — the optimizer-statistics / "
+    "data-profiling companion to q_value_histogram's equi-WIDTH "
+    "buckets (equi-depth adapts bucket bounds to the distribution; "
+    "equi-width can put 99% of rows in one bucket). Plan: one ntile "
+    "window per type partition, then a (type, bucket) aggregate — the "
+    "aggregate input is already reduced to one integer per row, and "
+    "AQE coalesces the tiny second exchange. Determinism: ntile is "
+    "fully determined by the total order; (value, event_id) is a "
+    "unique sort key, so bucket assignment is identical across "
+    "engines; bounds/counts exact. Scale: an exact ntile needs a "
+    "per-type sort — fine while a type's rows fit a spillable sort; "
+    "the documented planet-scale swap is approx_percentile bucket "
+    "BOUNDS (mergeable KLL sketch, q_quantile_sketch machinery) "
+    "followed by a map-only bucket lookup, trading exact equal counts "
+    "for zero sort.",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("bucket", F.ntile(EQUIDEPTH_BUCKETS).over(w))
+        .groupBy("event_type", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+#: EWMA horizon (days) and binary-exact weights: a day d contributes to
+#: day d+k (k in 0..HORIZON-1) with integer weight 2^(HORIZON-1-k); the
+#: normalizer is their sum 2^HORIZON - 1. alpha = 1/2 decay, truncated.
+#: The horizon and the DECIMAL scale (2 — the data's actual value
+#: granularity) are chosen together so the weighted sum's scaled
+#: integer stays under 2^53 through sf1: above that, DuckDB's
+#: int128/10^scale decimal→double conversion and Spark's BigDecimal
+#: conversion can disagree in the last ulp (two roundings vs one).
+EWMA_HORIZON = 24
+EWMA_NORM = (1 << EWMA_HORIZON) - 1
+
+
+@register(
+    "q_ewma_smooth",
+    oracle=f"""
+    WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS d,
+                          CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS v
+                   FROM events GROUP BY 1, 2),
+    contrib AS (SELECT event_type,
+                       d + k * INTERVAL '1 day' AS target,
+                       CAST(v * (1::BIGINT << ({EWMA_HORIZON} - 1 - k))
+                            AS DECIMAL(38,2)) AS wv
+                FROM daily, range({EWMA_HORIZON}) t(k)),
+    s AS (SELECT c.event_type, c.target,
+                 CAST(SUM(c.wv) AS DOUBLE) AS num
+          FROM contrib c
+          JOIN daily o ON o.event_type = c.event_type AND o.d = c.target
+          GROUP BY 1, 2)
+    SELECT event_type, strftime(target, '%Y-%m-%d') AS day,
+           num / {EWMA_NORM}.0 AS ewma
+    FROM s
+    """,
+    tier="B",
+    doc=f"Exponential-decay smoothing (alpha=1/2, {EWMA_HORIZON}-day "
+    "truncated horizon) of the daily value-sum per event type — the "
+    "trend line a monitoring warehouse keeps next to every raw daily "
+    "series. EWMA's textbook form is a RECURSION (s_t = αx_t + "
+    "(1-α)s_{t-1}), which no distributed window computes; the "
+    f"truncated form re-expresses it as a fixed {EWMA_HORIZON}-term "
+    "weighted sum, which distributes: each daily grain EXPLODES into "
+    f"the {EWMA_HORIZON} future days it contributes to with integer "
+    f"weight 2^({EWMA_HORIZON - 1}-k) (the q_sliding_distinct shape), "
+    "one aggregate sums contributions per target day, and an inner "
+    "join back to the observed day spine drops targets past the "
+    f"series end. Shuffle volume is {EWMA_HORIZON}×|day grains| — "
+    "independent of raw event count. Determinism: weights are exact "
+    "powers of two, the weighted sums accumulate as exact "
+    "DECIMAL(38,2) — the data's true 2-dp granularity, with horizon × "
+    "scale sized so the scaled integer stays under 2^53 (see "
+    "EWMA_HORIZON note) — and the single final "
+    f"division by the constant normalizer {EWMA_NORM} happens in "
+    "doubles on both engines. Missing days contribute zero (calendar "
+    "decay, not row decay), matching monitoring semantics.",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(20,2)"))
+        .cast("decimal(20,2)")
+        .alias("v")
+    )
+    contrib = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON - 1))).alias("k"),
+    ).select(
+        "event_type",
+        F.date_add("d", F.col("k")).alias("target"),
+        (F.col("v") * F.expr(f"shiftleft(1L, {EWMA_HORIZON - 1} - k)"))
+        .cast("decimal(38,2)")
+        .alias("wv"),
+    )
+    spine = daily.select("event_type", F.col("d").alias("target"))
+    s = (
+        contrib.join(spine, ["event_type", "target"])
+        .groupBy("event_type", "target")
+        .agg(F.sum("wv").cast("double").alias("num"))
+    )
+    return s.select(
+        "event_type",
+        F.date_format("target", "yyyy-MM-dd").alias("day"),
+        (F.col("num") / F.lit(float(EWMA_NORM))).alias("ewma"),
+    )
