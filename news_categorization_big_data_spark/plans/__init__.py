@@ -56,6 +56,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     corpus,
     warehouse,
     quality,
+    retrieval,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -107,6 +108,9 @@ _DRIVER_ORDER = [
     "q_ab_ttest",
     "q_equidepth_histogram",
     "q_ewma_smooth",
+    "q_bm25_rank",
+    "q_semantic_dedup",
+    "q_pq_assign",
     # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
     # + ANN + TPC-H core) re-earning fresh official rows.
     "q_pipeline_curate",
@@ -119,13 +123,13 @@ _DRIVER_ORDER = [
     "q_sim_ann_ivf",
     "q_dedup_embedding",
     "q_dedup_simhash",
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
     # ---- driver's 50-entry window ends here ----
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q18",
     "q_topk_per_group",

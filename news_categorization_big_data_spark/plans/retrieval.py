@@ -1,0 +1,372 @@
+"""Retrieval tier (round 5): BM25 keyword ranking over the document
+corpus, SemDeDup-style semantic deduplication over embeddings, and
+product-quantization (PQ) code assignment — the three operators that
+turn the corpus + embedding tables into a searchable/curatable index.
+
+House determinism rules apply (plans/analytics.py): exact integer
+counts, division chains written with identical association on both
+engines, per-term double scores quantized to a decimal grid before any
+cross-term sum (double addition is not associative; decimal addition
+is), md5-derived orderings for any data-derived "random" choice so the
+DuckDB oracle can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.text_exprs import tokens
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+#: The fixed keyword query for q_bm25_rank (terms present in the corpus
+#: with distinct document frequencies — a frequent, a mid, a rare-ish).
+BM25_TERMS = ("customer", "slow", "merge")
+
+#: Okapi BM25 parameters. K1P1 is precomputed HOST-side so both engines
+#: receive the same double literal (folding 1.2 + 1.0 inside each engine
+#: could round differently from parsing "2.2").
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = BM25_K1 + 1.0
+
+
+@register(
+    "q_bm25_rank",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+                  FROM documents WHERE text <> ''),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_dl
+               FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+           WHERE token IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+           GROUP BY doc_id, token),
+    dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(((CAST(corpus.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+                  * ((CAST(tf.tf AS DOUBLE) * {BM25_K1P1!r})
+                     / (CAST(tf.tf AS DOUBLE)
+                        + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                           + {BM25_B!r} * (CAST(dl.dl AS DOUBLE)
+                              / (CAST(corpus.total_dl AS DOUBLE)
+                                 / CAST(corpus.n_docs AS DOUBLE))))))
+                  AS DECIMAL(28,9)) AS term_score
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), corpus),
+    ranked AS (SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+               FROM scored GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM ranked ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tier="C",
+    doc="Okapi BM25 top-20 for a fixed keyword query — the lexical "
+    "retrieval baseline every RAG/search stack keeps next to its "
+    "vector index. The idf factor uses the log-free monotone surrogate "
+    "(N-df+0.5)/(df+0.5) (same rank order as Robertson idf; native log "
+    "differs cross-engine in the last ulp — the q_collocations "
+    "lift-not-PMI precedent). Plan: doc length is map-only size(); "
+    "tokens are FILTERED to the query terms BEFORE the (doc,term) "
+    "count, so the shuffle carries only query-term postings — at "
+    "100 TB the tf aggregate is |postings|, not |tokens|; df (3 rows) "
+    "and the corpus stats (1 row) broadcast back. Determinism: tf/df/"
+    "dl/N are exact integers; each term score is one identical IEEE "
+    "division/multiply chain on bit-identical doubles, quantized to a "
+    "10⁻⁹ DECIMAL grid before the per-doc sum (double addition across "
+    "shuffle order is not associative; decimal addition is). Top-20 "
+    "via TakeOrderedAndProject with doc_id tie-break.",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select("doc_id", tokens("text").alias("toks"))
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .where(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (idf * ((tf_d * F.lit(BM25_K1P1)) / (tf_d + norm))).cast(
+        "decimal(28,9)"
+    )
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("score")
+    )
+    top = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # 20 rows — safe
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) + product quantization
+# --------------------------------------------------------------------------
+
+#: Number of semantic-dedup clusters and the within-cluster cosine
+#: threshold (matches the SRP near-dup threshold in plans/similarity.py
+#: so the two operators agree on what "near-duplicate" means).
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.35
+
+
+def _o_dot(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (mirrors operators/similarity
+    `dot`: same element order → bit-identical doubles)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def _o_cos(a: str, b: str) -> str:
+    return f"({_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
+
+
+def _pivot_sql(k: int) -> str:
+    """The k md5-smallest vectors, ranked — the deterministic
+    'random sample' both engines can reproduce."""
+    return f"""(SELECT vec_id AS pid, embedding AS pemb,
+                       CAST(row_number() OVER (
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                            AS INT) AS prank
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT {k}))"""
+
+
+def _pivots(emb: DataFrame, k: int) -> DataFrame:
+    """Spark side of _pivot_sql: TakeOrderedAndProject for the k-head
+    (scalable — never a global window over the corpus), then a
+    row_number over the k-row result."""
+    head = (
+        emb.select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("pemb"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "pid")
+        .limit(k)
+    )
+    w = Window.orderBy("_h", "pid")  # k rows only — safe
+    return head.select(
+        "pid", "pemb", F.row_number().over(w).cast("int").alias("prank")
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH pivots AS {_pivot_sql(SEMDEDUP_K)},
+    assign AS (
+      SELECT vec_id, cluster, c_cos FROM (
+        SELECT e.vec_id, p.prank AS cluster,
+               {_o_cos('e.embedding', 'p.pemb')} AS c_cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_cos('e.embedding', 'p.pemb')} DESC,
+                                           p.prank) AS rn
+        FROM embeddings e, pivots p) WHERE rn = 1),
+    ranked AS (SELECT a.*, e.embedding,
+                      row_number() OVER (PARTITION BY cluster
+                                         ORDER BY c_cos DESC, vec_id) AS krank
+               FROM assign a JOIN embeddings e USING (vec_id)),
+    dups AS (SELECT DISTINCT b.vec_id
+             FROM ranked a JOIN ranked b
+               ON a.cluster = b.cluster AND a.krank < b.krank
+             WHERE {_o_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU!r})
+    SELECT r.vec_id, CAST(r.cluster AS INT) AS cluster,
+           d.vec_id IS NOT NULL AS is_dup
+    FROM ranked r LEFT JOIN dups d ON r.vec_id = d.vec_id
+    """,
+    tier="C",
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): cluster the embedding space, then mark as "
+    "duplicates the within-cluster vectors that sit above a cosine "
+    "threshold to a better-ranked member (keeper rank = closer to the "
+    "centroid, ties to smaller id) — the curation step that removes "
+    "semantically redundant training documents exact/MinHash dedup "
+    "cannot see. Centroids here are the K md5-smallest vectors "
+    "(deterministic, oracle-reproducible; production would k-means "
+    "them — q_ml_kmeans — which changes the centroids, not the "
+    "pipeline shape). Plan: assignment is a broadcast of K pivot rows "
+    "against the corpus (map-only + one per-vec_id argmax window on "
+    "K rows); the pairwise stage joins each cluster only against "
+    "itself — never all-pairs — and compares ranked-worse members "
+    "against ranked-better ones. Scale: SemDeDup fixes EXPECTED "
+    "CLUSTER SIZE (K grows with N), so within-cluster work stays "
+    "linear in N; the assignment stage is embarrassingly parallel. "
+    "Determinism: cosine folds are element-ordered (bit-identical "
+    "doubles), ranks break ties on vec_id, and the threshold compare "
+    "uses the same double literal on both engines.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pivots = _pivots(emb, SEMDEDUP_K)
+
+    c = cosine("embedding", "pemb")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
+    assign = (
+        emb.crossJoin(F.broadcast(pivots))
+        .select("vec_id", "embedding", F.col("prank").alias("cluster"), c.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_keep = Window.partitionBy("cluster").orderBy(F.desc("c_cos"), F.asc("vec_id"))
+    ranked = assign.withColumn("krank", F.row_number().over(w_keep))
+
+    a = ranked.select(
+        F.col("cluster").alias("a_cluster"),
+        F.col("krank").alias("a_krank"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = ranked.select("vec_id", "cluster", "krank", "embedding")
+    dups = (
+        b.join(
+            a,
+            (F.col("cluster") == F.col("a_cluster"))
+            & (F.col("a_krank") < F.col("krank")),
+        )
+        .where(cosine("a_emb", "embedding") >= F.lit(SEMDEDUP_TAU))
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        ranked.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+#: PQ geometry: M subspaces of SUBDIM dims each (M × SUBDIM = 64, the
+#: embedding width), K codes per subspace. The codebook is the
+#: md5-smallest PQ_CODES vectors' subvectors — deterministic, so the
+#: oracle reproduces it (production trains per-subspace k-means).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_CODES = 16
+
+
+@register(
+    "q_pq_assign",
+    oracle=f"""
+    WITH pivots AS {_pivot_sql(PQ_CODES)},
+    subs AS (SELECT s FROM range({PQ_M}) t(s)),
+    book AS (SELECT s, prank - 1 AS code,
+                    pemb[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cvec
+             FROM pivots, subs),
+    vsub AS (SELECT vec_id, s,
+                    embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS vvec
+             FROM embeddings, subs),
+    dist AS (SELECT v.vec_id, v.s, b.code,
+                    list_sum(list_transform(list_zip(v.vvec, b.cvec),
+                      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+             FROM vsub v JOIN book b USING (s)),
+    best AS (SELECT vec_id, s, code, d2 FROM (
+               SELECT vec_id, s, code, d2,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, code) AS rn
+               FROM dist) WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
+           CAST(SUM(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+    tier="C",
+    doc=f"Product-quantization code assignment (Jégou et al. 2011): "
+    f"each 64-d embedding splits into {PQ_M} subvectors of "
+    f"{PQ_SUBDIM} dims; each subvector is replaced by the index of "
+    f"its nearest of {PQ_CODES} codebook entries — 64 floats become "
+    f"{PQ_M} nibbles, the memory step that makes billion-scale ANN "
+    "(IVF-PQ) fit in RAM. Codebook = subvectors of the md5-smallest "
+    f"{PQ_CODES} vectors (deterministic; production k-means trains "
+    "it, same assignment plan). Plan: the codebook "
+    f"({PQ_M}×{PQ_CODES} rows) broadcasts; assignment is map-shaped "
+    "work per vector (explode to subvectors, join broadcast book, "
+    "argmin window on K rows per (vec,subspace)) — zero corpus "
+    "shuffle except the final per-vec regroup, which carries one "
+    "integer code per subspace, not the floats. Determinism: L2² "
+    "folds are element-ordered (bit-identical doubles), argmin ties "
+    "break on code index, codes reassemble ORDERED BY subspace, and "
+    "the reconstruction error sums on a 10⁻⁹ decimal grid.",
+)
+def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pivots = _pivots(emb, PQ_CODES)
+
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    book = pivots.crossJoin(F.broadcast(subs)).select(
+        "s",
+        (F.col("prank") - 1).alias("code"),
+        F.slice("pemb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cvec"),
+    )
+    vsub = emb.crossJoin(F.broadcast(subs)).select(
+        "vec_id",
+        "s",
+        F.slice("embedding", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("vvec"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "vvec",
+            "cvec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dist = vsub.join(F.broadcast(book), "s").select(
+        "vec_id", "s", "code", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    best = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    packed = best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("recon_err"),
+    )
+    return packed
