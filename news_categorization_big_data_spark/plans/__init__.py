@@ -57,6 +57,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     warehouse,
     quality,
     retrieval,
+    lakehouse,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -124,6 +125,15 @@ _DRIVER_ORDER = [
     "q_dedup_embedding",
     "q_dedup_simhash",
     # ---- driver's 50-entry window ends here ----
+    # -- ROTATION_PENDING: registered after the round-5 window froze;
+    # first official row comes in the round-6 rotation (pytest- and
+    # driver_sim-proven this round).
+    "q_sql_recursive",
+    "q_bloom_join",
+    "q_cdc_apply",
+    "q_zone_map",
+    "q_interval_coverage",
+    "q_date_dim",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -294,12 +304,21 @@ _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
-#: Queries registered AFTER the current round's window froze. Empty at
-#: the start of round 5 — every round-4 pending rotated into the window
-#: above; round-5 queries that can no longer fit in the 50-entry window
-#: are added here for the round-6 rotation.
+#: Queries registered AFTER the current round's window froze. Every
+#: round-4 pending rotated into the window above; round-5 queries that
+#: can no longer fit in the 50-entry window are added here for the
+#: round-6 rotation.
 #: tests/test_driver_contract.py allows exactly this set to sit outside
 #: the window row-less.
-ROTATION_PENDING: frozenset[str] = frozenset()
+ROTATION_PENDING: frozenset[str] = frozenset(
+    {
+        "q_sql_recursive",
+        "q_bloom_join",
+        "q_cdc_apply",
+        "q_zone_map",
+        "q_interval_coverage",
+        "q_date_dim",
+    }
+)
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

@@ -1,0 +1,465 @@
+"""Lakehouse / table-maintenance tier (round 5): the operations a
+Spark-backed table format (Delta/Iceberg-shaped) layers over raw
+relational work — recursive hierarchy traversal, Bloom-filtered joins
+(Spark's own runtime row-level filtering, made explicit), CDC log
+application, zone-map data skipping, interval-union coverage, and
+calendar-dimension generation.
+
+Generalizes the reference's storage surface (database_storage.py:16-32
+is a Mongo DAO with insert / full scan / range scan) to the maintenance
+queries a lakehouse actually runs around those scans. House determinism
+rules (plans/analytics.py): integer/exact-decimal arithmetic wherever
+reduction order could matter, timestamps rendered as strings, division
+chains associated identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Recursive CTE hierarchy
+# ---------------------------------------------------------------------------
+
+#: Synthetic part hierarchy: parent(k) = k DIV 10, roots are keys < 10.
+#: Both engines derive the DAG from the key itself, so the recursion is
+#: purely data-parallel and the fixpoint is reached in ~log10(maxkey)
+#: rounds (4 at sf0.01, 5 at sf1).
+RECURSIVE_FANOUT = 10
+
+
+@register(
+    "q_sql_recursive",
+    oracle=f"""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+        UNION ALL
+        SELECT part, node // {RECURSIVE_FANOUT}, depth + 1
+        FROM anc WHERE node >= {RECURSIVE_FANOUT}
+    )
+    SELECT part AS p_partkey, node AS root, CAST(depth AS INT) AS depth
+    FROM anc WHERE node < {RECURSIVE_FANOUT}
+    """,
+    tier="B",
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4's recursive-CTE support) "
+    f"resolving every part's root ancestor and depth in the synthetic "
+    f"parent(k) = k DIV {RECURSIVE_FANOUT} hierarchy — the org-chart / "
+    "BOM-rollup query shape relational engines historically could not "
+    "express and Spark now runs natively. Plan: each recursion round is "
+    "one map-only projection + filter over the previous frontier (the "
+    "step derives the parent arithmetically — no join), the frontier "
+    "SHRINKS monotonically (rows retire into the answer as they reach "
+    "a root), and the fixpoint arrives in ceil(log10(max key)) rounds "
+    "— 4 at sf0.01. With a real edge table the step becomes an equi-"
+    "join against a (broadcastable) parent map: the same round "
+    "structure the distributed connected-components loop in "
+    "operators/graph.py uses. Determinism: pure integer arithmetic; "
+    "depth exact. Scale: rounds grow logarithmically with key range, "
+    "each round is shuffle-free here (and one hash join in the edge-"
+    "table form) — the canonical iterative-relational shape at 100 TB.",
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+            UNION ALL
+            SELECT part, node DIV {RECURSIVE_FANOUT}, depth + 1
+            FROM anc WHERE node >= {RECURSIVE_FANOUT}
+        )
+        SELECT part AS p_partkey, node AS root, CAST(depth AS INT) AS depth
+        FROM anc WHERE node < {RECURSIVE_FANOUT}
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered semi join
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 2^16 bits packed into 1024 longs, 3 probes per key.
+#: At sf0.1's ~15k filtered keys the false-positive rate is ~(1-e^(-3n/m))^3
+#: ≈ 12% — the pre-filter still drops ~88% of non-matching fact rows
+#: before the exact join. Scale m with the dim cardinality in production.
+BLOOM_BITS = 1 << 16
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_PROBES = 3
+#: Dim-side predicate: high-value orders (~10% of orders).
+BLOOM_MIN_TOTALPRICE = 450000.0
+
+
+@register(
+    "q_bloom_join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > {BLOOM_MIN_TOTALPRICE})
+    GROUP BY l.l_returnflag
+    """,
+    tier="B",
+    doc="Bloom-filtered semi join — Spark's runtime row-level filtering "
+    "(InjectRuntimeFilter) built explicitly as a first-class operator: "
+    "the filtered dim keys (high-value orders) are folded into a "
+    f"{BLOOM_BITS}-bit Bloom filter ({BLOOM_PROBES} double-hashed "
+    "probes per key, bits packed into bit_or-aggregated longs), the "
+    f"fact side pre-filters through the {BLOOM_WORDS}-row broadcast "
+    "bitmap with THREE map-only broadcast joins (one per probe — no "
+    "shuffle, no explode), and only the surviving ~12%-FP candidate "
+    "set pays the exact semi join that removes false positives. The "
+    "oracle is the PLAIN semi join: the hash match proves the Bloom "
+    "pre-filter is lossless (no false negatives — every inserted key's "
+    "bits are set by construction). Determinism: bitmap content is a "
+    "bit_or of md5-derived masks (order-free); final aggregates are "
+    "exact counts + DECIMAL sums. Scale: this is THE shuffle-volume "
+    "lever for selective fact-dim joins at 100 TB — the Bloom bitmap "
+    "is O(bits) broadcast state however large the fact side, and the "
+    "exact join's shuffle carries only pre-filter survivors.",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60_pair
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > BLOOM_MIN_TOTALPRICE)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+
+    def probe_positions(key_col):
+        h1, h2 = hash60_pair(F.concat(F.lit("bloom:"), key_col.cast("string")))
+        return [
+            ((h1 + F.lit(i) * h2) % F.lit(BLOOM_BITS)).alias(f"_pos{i}")
+            for i in range(BLOOM_PROBES)
+        ]
+
+    # Build: explode each key into its probe bit positions, bit_or the
+    # masks per 64-bit word — a tiny (≤1024-row) aggregate.
+    probes = keys.select(
+        F.explode(F.array(*probe_positions(F.col("o_orderkey")))).alias("_pos")
+    )
+    bloom = probes.groupBy((F.col("_pos") / 64).cast("long").alias("_w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))").alias("_bits")
+    )
+    # Probe: three map-only broadcast joins; a row survives only if all
+    # three of its bits are set (a missing word ⇒ bloom miss ⇒ join drop).
+    cand = li.select("*", *probe_positions(F.col("l_orderkey")))
+    for i in range(BLOOM_PROBES):
+        b = F.broadcast(
+            bloom.select(F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}"))
+        )
+        pos = F.col(f"_pos{i}")
+        mask = F.expr(f"shiftleft(1L, CAST(_pos{i} % 64 AS INT))")
+        cand = cand.join(
+            b,
+            ((pos / 64).cast("long") == F.col(f"_w{i}"))
+            & (F.col(f"_b{i}").bitwiseAND(mask) == mask),
+        )
+    # Exact verify: semi join removes Bloom false positives.
+    verified = cand.select("l_orderkey", "l_returnflag", "l_extendedprice").join(
+        keys, cand["l_orderkey"] == keys["o_orderkey"], "semi"
+    )
+    return verified.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC log application
+# ---------------------------------------------------------------------------
+
+#: Event-type → CDC op mapping: signup inserts, engagement events
+#: upsert the running value, error tombstones the key.
+CDC_DELETE_TYPE = "error"
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        FROM events
+    )
+    SELECT user_id, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+    """,
+    tier="B",
+    doc="CDC change-log application: the events stream read as an "
+    "ordered changelog on user_id (engagement events upsert the "
+    f"running value; '{CDC_DELETE_TYPE}' is a delete tombstone) and "
+    "collapsed to the final snapshot — last writer wins by (ts, "
+    "event_id), keys whose LAST op is a tombstone vanish. This is the "
+    "Debezium/Delta MERGE 'apply changes' semantics as one query, and "
+    "the batch analog of streaming dedup-with-deletes. Plan: one "
+    "row_number + count window per key partition, filter rn=1 — a "
+    "single shuffle on the key, no join (q_merge_upsert merges two "
+    "STATIC tables; this collapses an ordered op LOG). Determinism: "
+    "(ts, event_id) is a unique total order per key, so the surviving "
+    "row is exact; ts rendered as a string. Scale: state per key is "
+    "one row; at 100 TB the same query shape runs per partition of a "
+    "date-bucketed log and the per-key window never materializes the "
+    "log in memory (sort-based window).",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_ops"),
+        )
+        .where((F.col("rn") == 1) & (F.col("event_type") != CDC_DELETE_TYPE))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_ops",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping
+# ---------------------------------------------------------------------------
+
+#: Rows-per-block granularity for the synthetic zone map (by order key
+#: range — the key the fact table would be written clustered on).
+ZONE_BLOCK_KEYS = 256
+#: The range predicate whose skipping potential the zone map reports.
+ZONE_PRED_LO = "1997-01-01"
+ZONE_PRED_HI = "1997-12-31"
+
+
+@register(
+    "q_zone_map",
+    oracle=f"""
+    SELECT l_orderkey // {ZONE_BLOCK_KEYS} AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+           (MAX(l_shipdate) >= TIMESTAMP '{ZONE_PRED_LO} 00:00:00' AND
+            MIN(l_shipdate) <= TIMESTAMP '{ZONE_PRED_HI} 00:00:00') AS would_scan
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tier="B",
+    doc="Zone-map (min/max data-skipping statistics) build + pruning "
+    f"report: lineitem blocked into {ZONE_BLOCK_KEYS}-key ranges of its "
+    "write-cluster key, per-block row count and l_shipdate min/max, "
+    "and the boolean verdict of whether a given ship-date range "
+    "predicate could SKIP the block entirely — exactly the per-file "
+    "footer stats Parquet/Delta/Iceberg keep and the pruning decision "
+    "their scan planners make (and what q_scan_zorder's Morton layout "
+    "optimizes for two dimensions at once). Plan: one groupBy on an "
+    "arithmetic block id — a single map-side-combinable aggregate; the "
+    "predicate check is a scalar expression over the 1-row-per-block "
+    "aggregate. Determinism: integer block ids, exact counts, min/max "
+    "of identical timestamps rendered as strings. Scale: zone-map "
+    "state is O(blocks) not O(rows) — this query IS the metadata table "
+    "a 100-TB lakehouse consults before touching data; an unclustered "
+    "key would show would_scan=true everywhere, which is the signal to "
+    "re-cluster (q_scan_zorder).",
+)
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.col("l_orderkey") / ZONE_BLOCK_KEYS).cast("long").alias("block_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("_min_ts"),
+            F.max("l_shipdate").alias("_max_ts"),
+        )
+        .select(
+            "block_id",
+            "n_rows",
+            F.date_format("_min_ts", "yyyy-MM-dd").alias("min_ship"),
+            F.date_format("_max_ts", "yyyy-MM-dd").alias("max_ship"),
+            (
+                (F.col("_max_ts") >= F.lit(f"{ZONE_PRED_LO} 00:00:00").cast("timestamp"))
+                & (F.col("_min_ts") <= F.lit(f"{ZONE_PRED_HI} 00:00:00").cast("timestamp"))
+            ).alias("would_scan"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage
+# ---------------------------------------------------------------------------
+
+#: Each event opens a fixed activity window; coverage = measure of the
+#: UNION of those (overlapping) intervals per user, in microseconds.
+COVERAGE_WINDOW_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "q_interval_coverage",
+    oracle=f"""
+    WITH iv AS (SELECT user_id,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts) + {COVERAGE_WINDOW_US} AS e,
+                       event_id
+                FROM events),
+    marked AS (SELECT user_id, s, e,
+                      CASE WHEN s > COALESCE(MAX(e) OVER (
+                             PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1)
+                           THEN 1 ELSE 0 END AS new_island
+               FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id
+                                         ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS island
+            FROM marked),
+    per_island AS (SELECT user_id, island,
+                          MAX(e) - MIN(s) AS covered
+                   FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(covered) AS BIGINT) AS covered_us,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM per_island GROUP BY user_id
+    """,
+    tier="B",
+    doc="Interval-union coverage per user: every event opens a 5-minute "
+    "activity window; the query reports the exact measure of the UNION "
+    "of those overlapping intervals (total active microseconds) and "
+    "the number of disjoint activity islands — the SLA-uptime / "
+    "sensor-coverage / ad-exposure computation, and the measure-valued "
+    "complement of q_sessionize (which clusters EVENTS by gap; this "
+    "measures covered TIME, which gap clustering does not yield). "
+    "Plan: the classic sweep — one window pass marks island starts "
+    "(interval start beyond the running max end), a second running sum "
+    "numbers islands, one aggregate per island then per user; all "
+    "three shuffles are on user_id and AQE collapses the aggregate "
+    "exchanges into the window's partitioning. Determinism: pure "
+    "BIGINT microsecond arithmetic ((ts, event_id) breaks start ties; "
+    "the island running-max is order-insensitive past the unique "
+    "sort). Scale: per-user sort is the only super-linear term — "
+    "bounded by per-key cardinality, spillable, and at 100 TB the log "
+    "is date-partitioned so each partition sweeps independently with "
+    "boundary islands merged by a second tiny pass.",
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COVERAGE_WINDOW_US)).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("covered").cast("long").alias("covered_us"),
+        F.count("*").alias("n_islands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension generation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_date_dim",
+    oracle="""
+    WITH span AS (SELECT CAST(MIN(l_shipdate) AS DATE) AS lo,
+                         CAST(MAX(l_shipdate) AS DATE) AS hi
+                  FROM lineitem),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+             FROM span)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS INT) AS yr,
+           CAST(quarter(d) AS INT) AS qtr,
+           CAST(month(d) AS INT) AS mth,
+           CAST((datediff('day', DATE '1970-01-01', CAST(d AS DATE)) + 4) % 7
+                AS INT) AS dow,
+           ((datediff('day', DATE '1970-01-01', CAST(d AS DATE)) + 4) % 7)
+             IN (0, 6) AS is_weekend
+    FROM days
+    """,
+    tier="B",
+    doc="Calendar-dimension generation over the fact table's date span: "
+    "one row per day between min and max l_shipdate with year / "
+    "quarter / month / day-of-week / weekend attributes — the date "
+    "dimension every warehouse joins its facts to, generated rather "
+    "than maintained. Plan: a 1-row min/max aggregate, then "
+    "sequence() + explode generates the spine with NO source rows "
+    "read again — a generator source (the same shape gap-filling and "
+    "backfill scaffolds use, q_gap_fill). Determinism: day-of-week is "
+    "computed ARITHMETICALLY ((days-since-epoch + 4) mod 7, 0 = "
+    "Sunday) rather than via locale-dependent day-name functions or "
+    "the engines' off-by-one dayofweek conventions; all other "
+    "attributes are exact integer date parts; dates render as "
+    "strings. Scale: output is O(span days) regardless of fact "
+    "cardinality — the aggregate is the only distributed work.",
+)
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    span = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("lo"),
+        F.max(F.col("l_shipdate").cast("date")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dow = (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").alias("yr"),
+        F.quarter("d").alias("qtr"),
+        F.month("d").alias("mth"),
+        dow.cast("int").alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
