@@ -404,3 +404,53 @@ def containment_pairs(
             F.round(inter.cast("double") / F.col("_sza"), 4).alias("containment"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    sketches: DataFrame,
+    max_distance: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-distance join over SimHash sketches: (doc_a, doc_b,
+    hamming) for every pair with popcount(xor) ≤ ``max_distance``.
+
+    Candidate generation is the Manku/Jain/Sarma pigeonhole banding
+    (WWW'07 "Detecting Near-Duplicates for Web Crawling"): the sketch
+    splits into ``bands`` equal bit-blocks; flipping ≤ max_distance
+    bits can dirty at most max_distance blocks, so any qualifying pair
+    agrees EXACTLY on ≥1 block whenever ``bands > max_distance``
+    (asserted). Pairs are generated only inside (band_idx, band_value)
+    buckets — banded_pairs, the same skeleton as MinHash/SRP banding —
+    then verified exactly with one bit_count(xor) per candidate, so
+    recall is total and every reported distance is true.
+
+    Scale: bucket sizes are n / 2^(bits/bands) in expectation; the
+    production parameterization grows the sketch so block width tracks
+    log2(n) — Manku's crawl config is 64-bit sketches, 4×16-bit blocks
+    at d≤3. The 16-bit default matches the engine's q_dedup_simhash
+    sketch for the testdata corpus.
+    """
+    if bands <= max_distance:
+        raise ValueError(
+            f"pigeonhole needs bands > max_distance; got {bands} <= {max_distance}"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    band_keys = [
+        F.shiftright(F.col(sketch_col), b * width).bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(bands)
+    ]
+    cand = banded_pairs(sketches, band_keys, id_col, "doc_a", "doc_b")
+    sa = sketches.select(F.col(id_col).alias("doc_a"), F.col(sketch_col).alias("_ska"))
+    sb = sketches.select(F.col(id_col).alias("doc_b"), F.col(sketch_col).alias("_skb"))
+    hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )

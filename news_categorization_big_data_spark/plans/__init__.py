@@ -58,6 +58,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     quality,
     retrieval,
     lakehouse,
+    robust,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -134,6 +135,9 @@ _DRIVER_ORDER = [
     "q_zone_map",
     "q_interval_coverage",
     "q_date_dim",
+    "q_simhash_hamming",
+    "q_weighted_median",
+    "q_rolling_median",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -318,6 +322,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_zone_map",
         "q_interval_coverage",
         "q_date_dim",
+        "q_simhash_hamming",
+        "q_weighted_median",
+        "q_rolling_median",
     }
 )
 

@@ -21,6 +21,7 @@ from news_categorization_big_data_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    simhash_hamming_pairs,
 )
 
 #: DuckDB mirror of the double-hashed MinHash family in
@@ -593,3 +594,60 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+def _simhash_sketch_ctes(bits: int = 16) -> str:
+    """The tok/lanes/sk CTE chain computing the SimHash sketch in DuckDB
+    — shared by q_dedup_simhash's oracle (via _simhash_oracle) and
+    q_simhash_hamming's, same bit-lane construction, can't drift."""
+    lanes = ",\n             ".join(
+        f"SUM(CASE WHEN (('0x' || substr(md5(token), 1, 4))::BIGINT & {1 << b}) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS token
+            FROM documents WHERE text <> ''),
+    lanes AS (SELECT doc_id,
+             {lanes}
+              FROM tok WHERE token <> '' GROUP BY doc_id),
+    sk AS (SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM lanes)
+    """
+
+
+#: Hamming radius for q_simhash_hamming (pigeonhole-banded, 4 blocks).
+SIMHASH_HAMMING_D = 3
+
+
+@register(
+    "q_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash_sketch_ctes()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_D}
+    """,
+    tier="C",
+    doc="Hamming-distance self-join over SimHash sketches: every document "
+    f"pair within Hamming distance {SIMHASH_HAMMING_D} of each other's "
+    "16-bit sketch, with the exact distance — the Manku/Jain/Sarma "
+    "(WWW'07) near-duplicate web-crawl operator. Candidates come from "
+    "PIGEONHOLE BANDING (operators/dedup.py:simhash_hamming_pairs): 4 "
+    f"bit-blocks, so ≤{SIMHASH_HAMMING_D} flips must leave ≥1 block "
+    "intact — pairs are generated only inside (block, value) buckets "
+    "and verified with one bit_count(xor); the oracle is the BRUTE-"
+    "FORCE all-pairs join, so the hash match proves the banding is "
+    "lossless at this radius. Scale: bucket width is n/2^(bits/bands) "
+    "— production grows the sketch so block width tracks log2(n) "
+    "(Manku's crawl setting: 64-bit sketches, 4×16-bit blocks, d≤3); "
+    "the 16-bit sketch here matches q_dedup_simhash's testdata "
+    "parameterization. Determinism: integer sketches, integer "
+    "distances; the only float anywhere is the ±1 vote sums' sign.",
+)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    return simhash_hamming_pairs(simhash(docs), max_distance=SIMHASH_HAMMING_D)
