@@ -138,6 +138,8 @@ _DRIVER_ORDER = [
     "q_simhash_hamming",
     "q_weighted_median",
     "q_rolling_median",
+    "q_snapshot_diff",
+    "q_sequence_gaps",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -325,6 +327,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_simhash_hamming",
         "q_weighted_median",
         "q_rolling_median",
+        "q_snapshot_diff",
+        "q_sequence_gaps",
     }
 )
 

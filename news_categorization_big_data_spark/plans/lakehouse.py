@@ -463,3 +463,137 @@ def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.cast("int").alias("dow"),
         dow.isin(0, 6).alias("is_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (time travel)
+# ---------------------------------------------------------------------------
+
+#: The two table-version cutoffs being diffed (order date strictly
+#: before each): "as of T1" vs "as of T2" on an append-only fact.
+SNAPSHOT_T1 = "1999-01-01"
+SNAPSHOT_T2 = "2000-01-01"
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS (SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS spend
+                FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_T1} 00:00:00'
+                GROUP BY o_custkey),
+    s2 AS (SELECT o_custkey,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS spend
+           FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_T2} 00:00:00'
+           GROUP BY o_custkey)
+    SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS o_custkey,
+           CASE WHEN s1.o_custkey IS NULL THEN 'added'
+                WHEN s1.n_orders <> s2.n_orders THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           s1.n_orders AS old_n, s2.n_orders AS new_n,
+           s1.spend AS old_spend, s2.spend AS new_spend
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    """,
+    tier="B",
+    doc="Snapshot diff (time travel): the per-customer order-count / "
+    "spend rollup 'as of' two table versions, full-outer joined into an "
+    "added / changed / unchanged change report — the audit query a "
+    "lakehouse answers from Delta/Iceberg snapshot metadata, computed "
+    "here from the append-only fact itself (an append-only log IS its "
+    "own version history; 'removed' is impossible by construction and "
+    "correctly never appears). Plan: ONE scan serves both snapshots "
+    "(two conditional aggregates over the shared shuffle would also "
+    "work; Catalyst instead reuses the exchange for the two grouped "
+    "aggregates via AQE), then a key-partitioned full outer join of "
+    "two already-aggregated (small) sides. Determinism: exact counts, "
+    "DECIMAL-accumulated spend cast to double once; the status CASE "
+    "compares integers. Scale: diff state is per-key aggregates, not "
+    "row pairs — at 100 TB both snapshot aggregates shuffle the SAME "
+    "key, so the join is co-partitioned with zero extra exchange.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            orders.where(
+                F.col("o_orderdate") < F.lit(f"{cutoff} 00:00:00").cast("timestamp")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("spend"),
+            )
+        )
+
+    s1 = snap(SNAPSHOT_T1).select(
+        F.col("o_custkey").alias("_k1"),
+        F.col("n_orders").alias("old_n"),
+        F.col("spend").alias("old_spend"),
+    )
+    s2 = snap(SNAPSHOT_T2).select(
+        F.col("o_custkey").alias("_k2"),
+        F.col("n_orders").alias("new_n"),
+        F.col("spend").alias("new_spend"),
+    )
+    j = s1.join(s2, s1["_k1"] == s2["_k2"], "full_outer")
+    return j.select(
+        F.coalesce("_k1", "_k2").alias("o_custkey"),
+        F.when(F.col("_k1").isNull(), "added")
+        .when(F.col("old_n") != F.col("new_n"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "old_n",
+        "new_n",
+        "old_spend",
+        "new_spend",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+    WITH ids AS (SELECT event_id,
+                        LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+                 FROM events WHERE event_type = 'click')
+    SELECT prev_id + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS gap_len
+    FROM ids WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+    tier="B",
+    doc="Sequence-gap detection over an integer id domain: the missing "
+    "event_id ranges within the 'click' sub-stream — the completeness "
+    "audit for any ingest that promises dense sequence numbers "
+    "(Kafka offsets, CDC LSNs, invoice numbers); each output row is "
+    "one contiguous hole with its bounds and length. Plan: one global "
+    "lag window over the filtered ids — the gaps-and-islands lag "
+    "formulation (q_sessionize's shape on an integer domain, emitting "
+    "the HOLES instead of the islands). The single-partition window "
+    "is exact and fine at dimension scale; the documented planet-"
+    "scale form range-partitions the ids and checks partition "
+    "boundaries with a second tiny pass — same output, no global "
+    "sort. Determinism: pure integer arithmetic on distinct ids.",
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.orderBy("event_id")
+    ids = ev.select("event_id", F.lag("event_id").over(w).alias("prev_id"))
+    return ids.where(
+        F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
+    ).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).cast("long").alias("gap_len"),
+    )

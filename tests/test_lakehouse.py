@@ -187,3 +187,54 @@ def test_date_dim_spine_complete_and_dow_consistent(spark, sf_dir):
         assert r.is_weekend == (r.dow in (0, 6))
         assert (r.yr, r.mth) == (d.year, d.month)
         assert r.qtr == (d.month - 1) // 3 + 1
+
+
+# -- q_snapshot_diff --------------------------------------------------------
+
+
+def test_snapshot_diff_statuses_consistent_with_append_only(spark, sf_dir):
+    """Append-only source: no key may ever be 'removed' (old without
+    new); changed keys must strictly grow; unchanged keys must match on
+    both metrics."""
+    rows = REGISTRY["q_snapshot_diff"].builder(spark, sf_dir).collect()
+    assert all(r.new_n is not None for r in rows), "append-only ⇒ no removals"
+    for r in rows:
+        if r.status == "added":
+            assert r.old_n is None
+        elif r.status == "changed":
+            assert r.new_n > r.old_n
+        else:
+            assert r.status == "unchanged"
+            assert (r.old_n, r.old_spend) == (r.new_n, r.new_spend)
+    from news_categorization_big_data_spark.plans.lakehouse import SNAPSHOT_T2
+
+    o = load_table(spark, sf_dir, "orders")
+    n_keys_t2 = (
+        o.where(F.col("o_orderdate") < F.lit(f"{SNAPSHOT_T2} 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_keys_t2
+
+
+# -- q_sequence_gaps --------------------------------------------------------
+
+
+def test_sequence_gaps_partition_the_missing_ids(spark, sf_dir):
+    """The reported gap ranges must exactly equal the set of absent ids
+    between the filtered stream's min and max id."""
+    gaps = REGISTRY["q_sequence_gaps"].builder(spark, sf_dir).collect()
+    present = sorted(
+        r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("event_id")
+        .collect()
+    )
+    missing = set(range(present[0], present[-1] + 1)) - set(present)
+    reported = set()
+    for g in gaps:
+        assert g.gap_len == g.gap_end - g.gap_start + 1 > 0
+        reported |= set(range(g.gap_start, g.gap_end + 1))
+    assert reported == missing
