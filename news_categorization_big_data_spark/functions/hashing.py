@@ -45,10 +45,22 @@ def hash60_pair(col: Column | str) -> tuple[Column, Column]:
     )
 
 
+def hash_bits(col: Column | str, nbits: int) -> Column:
+    """``nbits``-bit integer from the first nbits/4 hex chars of md5
+    (SimHash lanes at any sketch width). nbits must be a multiple of 4
+    (hex granularity) and ≤ 60 (overflow-safe BIGINT parse).
+
+    DuckDB mirror: ``('0x' || substr(md5(expr), 1, nbits/4))::BIGINT``.
+    """
+    if nbits % 4 or not 0 < nbits <= 60:
+        raise ValueError(f"nbits must be a multiple of 4 in (0, 60]; got {nbits}")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, nbits // 4), 16, 10).cast("long")
+
+
 def hash_bits16(col: Column | str) -> Column:
     """16-bit integer from the first 4 hex chars of md5 (SimHash lanes).
 
     DuckDB mirror: ``('0x' || substr(md5(expr), 1, 4))::BIGINT``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long")
+    return hash_bits(col, 16)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from news_categorization_big_data_spark.functions.hashing import (
     hash60,
     hash60_pair,
-    hash_bits16,
+    hash_bits,
 )
 from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import word_shingles
@@ -313,7 +313,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     toks = fan_out(docs).select(
         id_col, F.explode(F.array_distinct(F.split(text_col, r"\s+"))).alias("token")
     ).where(F.col("token") != "")
-    h = hash_bits16("token")
+    h = hash_bits("token", bits)
     lane_sums = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)).alias(f"_s{b}")
         for b in range(bits)

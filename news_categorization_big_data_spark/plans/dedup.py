@@ -598,11 +598,13 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sketch_ctes(bits: int = 16) -> str:
     """The tok/lanes/sk CTE chain computing the SimHash sketch in DuckDB
-    — shared by q_dedup_simhash's oracle (via _simhash_oracle) and
-    q_simhash_hamming's, same bit-lane construction, can't drift."""
+    — the same bit-lane construction as q_dedup_simhash's oracle
+    (_simhash_oracle), parameterized by sketch width: lane b reads bit
+    b of the first bits/4 md5 hex chars (functions/hashing.py
+    hash_bits), so the two engines cannot drift at any width."""
     lanes = ",\n             ".join(
-        f"SUM(CASE WHEN (('0x' || substr(md5(token), 1, 4))::BIGINT & {1 << b}) > 0 "
-        f"THEN 1 ELSE -1 END) AS s{b}"
+        f"SUM(CASE WHEN (('0x' || substr(md5(token), 1, {bits // 4}))::BIGINT"
+        f" & {1 << b}) > 0 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
     )
     sketch = " + ".join(
@@ -620,12 +622,18 @@ def _simhash_sketch_ctes(bits: int = 16) -> str:
 
 #: Hamming radius for q_simhash_hamming (pigeonhole-banded, 4 blocks).
 SIMHASH_HAMMING_D = 3
+#: Sketch width for the Hamming join: wider than q_dedup_simhash's
+#: 16-bit profile sketch because BANDED candidate generation needs
+#: block width ≈ log2(corpus): 8-bit blocks keep expected bucket sizes
+#: at n/256 (16-bit sketches put every doc in one of 16 buckets per
+#: block — measured 112M candidate pairs at sf0.1 vs ~0.5M here).
+SIMHASH_HAMMING_BITS = 32
 
 
 @register(
     "q_simhash_hamming",
     oracle=f"""
-    WITH {_simhash_sketch_ctes()}
+    WITH {_simhash_sketch_ctes(SIMHASH_HAMMING_BITS)}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sk a JOIN sk b ON a.doc_id < b.doc_id
@@ -634,20 +642,26 @@ SIMHASH_HAMMING_D = 3
     tier="C",
     doc="Hamming-distance self-join over SimHash sketches: every document "
     f"pair within Hamming distance {SIMHASH_HAMMING_D} of each other's "
-    "16-bit sketch, with the exact distance — the Manku/Jain/Sarma "
-    "(WWW'07) near-duplicate web-crawl operator. Candidates come from "
-    "PIGEONHOLE BANDING (operators/dedup.py:simhash_hamming_pairs): 4 "
-    f"bit-blocks, so ≤{SIMHASH_HAMMING_D} flips must leave ≥1 block "
-    "intact — pairs are generated only inside (block, value) buckets "
-    "and verified with one bit_count(xor); the oracle is the BRUTE-"
-    "FORCE all-pairs join, so the hash match proves the banding is "
-    "lossless at this radius. Scale: bucket width is n/2^(bits/bands) "
-    "— production grows the sketch so block width tracks log2(n) "
-    "(Manku's crawl setting: 64-bit sketches, 4×16-bit blocks, d≤3); "
-    "the 16-bit sketch here matches q_dedup_simhash's testdata "
-    "parameterization. Determinism: integer sketches, integer "
-    "distances; the only float anywhere is the ±1 vote sums' sign.",
+    f"{SIMHASH_HAMMING_BITS}-bit sketch, with the exact distance — the "
+    "Manku/Jain/Sarma (WWW'07) near-duplicate web-crawl operator. "
+    "Candidates come from PIGEONHOLE BANDING "
+    "(operators/dedup.py:simhash_hamming_pairs): 4 bit-blocks, so "
+    f"≤{SIMHASH_HAMMING_D} flips must leave ≥1 block intact — pairs "
+    "are generated only inside (block, value) buckets and verified "
+    "with one bit_count(xor); the oracle is the BRUTE-FORCE all-pairs "
+    "join, so the hash match proves the banding is lossless at this "
+    "radius. Scale: expected bucket width is n/2^(bits/bands) — block "
+    "width must track log2(corpus), which is why this sketch is wider "
+    "than q_dedup_simhash's 16-bit profile sketch (SIMHASH_HAMMING_BITS "
+    "note) and why Manku's crawl setting is 64-bit sketches with "
+    "4×16-bit blocks at the same d≤3. Determinism: integer sketches, "
+    "integer distances; the only float anywhere is the ±1 vote sums' "
+    "sign.",
 )
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    return simhash_hamming_pairs(simhash(docs), max_distance=SIMHASH_HAMMING_D)
+    return simhash_hamming_pairs(
+        simhash(docs, bits=SIMHASH_HAMMING_BITS),
+        max_distance=SIMHASH_HAMMING_D,
+        bits=SIMHASH_HAMMING_BITS,
+    )

@@ -119,15 +119,15 @@ BLOOM_MIN_TOTALPRICE = 450000.0
     "oracle is the PLAIN semi join: the hash match proves the Bloom "
     "pre-filter is lossless (no false negatives — every inserted key's "
     "bits are set by construction). Determinism: bitmap content is a "
-    "bit_or of md5-derived masks (order-free); final aggregates are "
+    "bit_or of xxhash64-derived masks (order-free; the family needs no "
+    "DuckDB mirror — the oracle checks the final answer, not the "
+    "bitmap); final aggregates are "
     "exact counts + DECIMAL sums. Scale: this is THE shuffle-volume "
     "lever for selective fact-dim joins at 100 TB — the Bloom bitmap "
     "is O(bits) broadcast state however large the fact side, and the "
     "exact join's shuffle carries only pre-filter survivors.",
 )
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_categorization_big_data_spark.functions.hashing import hash60_pair
-
     keys = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_totalprice") > BLOOM_MIN_TOTALPRICE)
@@ -137,24 +137,48 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
 
-    def probe_positions(key_col):
-        h1, h2 = hash60_pair(F.concat(F.lit("bloom:"), key_col.cast("string")))
-        return [
-            ((h1 + F.lit(i) * h2) % F.lit(BLOOM_BITS)).alias(f"_pos{i}")
-            for i in range(BLOOM_PROBES)
-        ]
+    def with_probes(df, key_col):
+        # Kirsch-Mitzenberger double hashing over xxhash64 — the
+        # engine-internal hash is the right tool here BECAUSE the
+        # oracle never reproduces the bitmap (losslessness is
+        # structural, whatever the family): native, ~50× cheaper per
+        # row than an md5+conv chain, and NON-NULLABLE. Nullability is
+        # load-bearing, not cosmetic: with a nullable probe expression
+        # (any md5/conv chain), the probe joins' null-intolerant keys
+        # make InferFiltersFromConstraints synthesize isnotnull(pos_i)
+        # predicates below this projection, re-deriving the whole hash
+        # chain once per probe per row inside a Filter node — measured
+        # 4.5 s of the query's 5.6 s at sf0.1 before this form.
+        # Both hashes are reduced into the bit-space BEFORE the probe
+        # arithmetic so h1 + i·h2 stays < 3·2^16 — ANSI mode (Spark 4
+        # default) hard-errors on long overflow, and raw xxhash64
+        # values would overflow the multiply.
+        h1 = F.pmod(F.xxhash64(key_col), F.lit(BLOOM_BITS))
+        h2 = F.pmod(F.xxhash64(key_col, F.lit(1)), F.lit(BLOOM_BITS))
+        hashed = df.select("*", h1.alias("_h1"), h2.alias("_h2"))
+        return hashed.select(
+            "*",
+            *[
+                F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(BLOOM_BITS)).alias(
+                    f"_pos{i}"
+                )
+                for i in range(BLOOM_PROBES)
+            ],
+        ).drop("_h1", "_h2")
 
     # Build: explode each key into its probe bit positions, bit_or the
     # masks per 64-bit word — a tiny (≤1024-row) aggregate.
-    probes = keys.select(
-        F.explode(F.array(*probe_positions(F.col("o_orderkey")))).alias("_pos")
+    probes = with_probes(keys, F.col("o_orderkey")).select(
+        F.explode(F.array(*[F.col(f"_pos{i}") for i in range(BLOOM_PROBES)])).alias(
+            "_pos"
+        )
     )
     bloom = probes.groupBy((F.col("_pos") / 64).cast("long").alias("_w")).agg(
         F.expr("bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))").alias("_bits")
     )
     # Probe: three map-only broadcast joins; a row survives only if all
     # three of its bits are set (a missing word ⇒ bloom miss ⇒ join drop).
-    cand = li.select("*", *probe_positions(F.col("l_orderkey")))
+    cand = with_probes(li, F.col("l_orderkey"))
     for i in range(BLOOM_PROBES):
         b = F.broadcast(
             bloom.select(F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}"))
@@ -166,9 +190,13 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((pos / 64).cast("long") == F.col(f"_w{i}"))
             & (F.col(f"_b{i}").bitwiseAND(mask) == mask),
         )
-    # Exact verify: semi join removes Bloom false positives.
+    # Exact verify removes Bloom false positives. An INNER join against
+    # the (primary-key-unique) key set is semantically the semi join —
+    # and unlike a LeftSemi it is NOT subject to PushDownLeftSemiAntiJoin,
+    # which would reorder the exact join BELOW the Bloom probes and
+    # invert the operator's whole point (prefilter first, verify last).
     verified = cand.select("l_orderkey", "l_returnflag", "l_extendedprice").join(
-        keys, cand["l_orderkey"] == keys["o_orderkey"], "semi"
+        keys, cand["l_orderkey"] == keys["o_orderkey"], "inner"
     )
     return verified.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),

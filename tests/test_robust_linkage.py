@@ -98,9 +98,13 @@ def test_simhash_hamming_matches_bruteforce(spark, sf_dir):
     """Pigeonhole banding must be LOSSLESS at radius d: the banded +
     verified pairs equal the brute-force all-pairs answer."""
     from news_categorization_big_data_spark.operators.dedup import simhash
+    from news_categorization_big_data_spark.plans.dedup import SIMHASH_HAMMING_BITS
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    sketches = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    sketches = {
+        r.doc_id: r.simhash
+        for r in simhash(docs, bits=SIMHASH_HAMMING_BITS).collect()
+    }
     ids = sorted(sketches)
     brute = {
         (a, b): bin(sketches[a] ^ sketches[b]).count("1")
