@@ -45,6 +45,10 @@ HEADLINE = [
     "q_sliding_distinct",    # 7-day sliding EXACT distinct (explode+distinct)
     "q_cusum_changepoint",   # decimal running-sum windows + argmax
     "q_multimodal_decode",   # real PNG encode/decode through mapInPandas
+    # -- appended round 5 (late): the runtime-filter join and the
+    # interval-union sweep.
+    "q_bloom_join",          # Bloom prefilter (3 bcast probes) + exact verify
+    "q_interval_coverage",   # gaps-and-islands interval-union measure
 ]
 
 
