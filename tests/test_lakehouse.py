@@ -238,3 +238,28 @@ def test_sequence_gaps_partition_the_missing_ids(spark, sf_dir):
         assert g.gap_len == g.gap_end - g.gap_start + 1 > 0
         reported |= set(range(g.gap_start, g.gap_end + 1))
     assert reported == missing
+
+
+# -- physical-plan pins for the round-5 lakehouse tier ----------------------
+
+
+def test_lakehouse_tier_exchange_counts_pinned(spark, sf_dir):
+    """Shuffle budgets the tier's docs claim, pinned: CDC and the
+    interval sweep ride ONE key exchange (windows + aggregates share the
+    partitioning); the sequence-gap lag is one global-window exchange;
+    the snapshot diff pays exactly its two grouped aggregates (the
+    full-outer join is co-partitioned and adds none)."""
+    import re
+
+    budgets = {
+        "q_interval_coverage": 1,
+        "q_cdc_apply": 1,
+        "q_sequence_gaps": 1,
+        "q_snapshot_diff": 2,
+    }
+    for name, max_exchanges in budgets.items():
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.count()  # let AQE finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = len(re.findall(r"\+- Exchange", plan))
+        assert got <= max_exchanges, f"{name}: {got} exchanges > {max_exchanges}"
