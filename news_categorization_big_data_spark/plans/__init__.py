@@ -140,6 +140,10 @@ _DRIVER_ORDER = [
     "q_rolling_median",
     "q_snapshot_diff",
     "q_sequence_gaps",
+    "q_date_arith",
+    "q_null_semantics",
+    "q_audio_decode",
+    "q_sql_udf",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -329,6 +333,10 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_rolling_median",
         "q_snapshot_diff",
         "q_sequence_gaps",
+        "q_date_arith",
+        "q_null_semantics",
+        "q_audio_decode",
+        "q_sql_udf",
     }
 )
 

@@ -389,3 +389,72 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("target", "yyyy-MM-dd").alias("day"),
         (F.col("num") / F.lit(float(EWMA_NORM))).alias("ewma"),
     )
+
+
+#: Threshold below which `value` is nulled to synthesize a deterministic
+#: null population for the conformance check (the testdata itself is
+#: null-free).
+NULL_SEMANTICS_CUTOFF = 5.0
+
+
+@register(
+    "q_null_semantics",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CASE WHEN value < {NULL_SEMANTICS_CUTOFF} THEN NULL
+                           ELSE value END AS v
+               FROM events),
+    r AS (SELECT event_type, event_id, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v ASC NULLS LAST, event_id) AS rn
+          FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS avg_nonnull,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           MAX(CASE WHEN rn = 1 THEN event_id END) AS first_id_nulls_last
+    FROM r GROUP BY event_type
+    """,
+    tier="B",
+    doc="NULL-semantics conformance sweep — the cross-engine trap "
+    "catalog as one query, over a deterministically synthesized null "
+    "population (values below a cutoff nulled; the testdata is "
+    "null-free): COUNT(*) vs COUNT(col) (nulls counted vs skipped), "
+    "COUNT(DISTINCT) ignoring nulls, SUM/AVG null-skip with the "
+    "decimal-exact sum divided by the NON-NULL count, MIN/MAX "
+    "null-skip, and — the one that actually differs between engines — "
+    "sort placement of nulls: Spark defaults NULLS FIRST on ASC, "
+    "DuckDB defaults NULLS LAST, so the ranked window spells ASC "
+    "NULLS LAST explicitly on both sides (the portability rule this "
+    "query exists to pin: never let an engine's default null order "
+    "into a deterministic plan). One window + one aggregate on the "
+    "same event_type partitioning. Scale: per-group state is a "
+    "handful of scalars; the window sort is the only per-group cost.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < NULL_SEMANTICS_CUTOFF, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    e = ev.select("event_id", "event_type", v.alias("v"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc_nulls_last(), "event_id"
+    )
+    r = e.select("event_type", "event_id", "v", F.row_number().over(w).alias("rn"))
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        (
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count("v")
+        ).alias("avg_nonnull"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "first_id_nulls_last"
+        ),
+    )

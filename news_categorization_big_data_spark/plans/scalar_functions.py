@@ -385,3 +385,100 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
     )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_in_month,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INT) AS age_days
+    FROM orders
+    """,
+    tier="B",
+    doc="Calendar arithmetic catalog (≙ the reference's timestamp "
+    "handling, news_summarization_batch.py:118 parameterized "
+    "timestamps, generalized): add_months with end-of-month clamping "
+    "(Jan 31 + 3 months = Apr 30 in BOTH engines — the clamp "
+    "convention is the cross-engine trap this query pins), last_day, "
+    "days-in-month, quarter truncation, and day-difference age against "
+    "a fixed reference date. Map-only column expressions in "
+    "whole-stage codegen; every output is a rendered date string or an "
+    "exact integer (the q_date_dim discipline: no DATE-typed outputs, "
+    "which render asymmetrically across driver fetch paths). Scale: "
+    "zero shuffle — per-core scalar throughput.",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("int").alias("days_in_month"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("int").alias("age_days"),
+    )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="B",
+    doc="SQL scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN — the "
+    "catalog-function surface): the discounted-revenue formula and a "
+    "bulk-line predicate are DECLARED once as named SQL functions and "
+    "used in a grouped aggregate. Unlike a Python UDF, a SQL UDF "
+    "INLINES into Catalyst at analysis time — the executed plan has no "
+    "Python evaluation node and stays inside whole-stage codegen "
+    "(asserted in tests/test_robust_linkage.py), so the abstraction "
+    "costs nothing at 100 TB; it is the mechanism for sharing exact "
+    "money-math conventions (the plans/tpch.py dprice discipline) "
+    "across a team's queries without copy-paste drift. The oracle "
+    "inlines the same expressions directly. Determinism: the UDF body "
+    "is the house exact-decimal revenue form; counts are integers.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(37,4)
+        RETURN CAST(p AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE)
+        RETURNS INT RETURN CASE WHEN q >= 30 THEN 1 ELSE 0 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue,
+               CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -745,3 +745,84 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_tok").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+#: Audio parameter formulas for the synthetic WAVs in q_audio_decode —
+#: shared by the Spark encode stage and the DuckDB oracle (the
+#: q_multimodal_decode pattern for the audio codec).
+MM_RATE_BASE, MM_RATE_STEP, MM_RATE_MOD = 8000, 2000, 5
+
+
+@register(
+    "q_audio_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({MM_RATE_BASE} + (doc_id % {MM_RATE_MOD}) * {MM_RATE_STEP}
+                AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           true AS ok
+    FROM documents
+    """,
+    tier="C",
+    doc="REAL audio decode end-to-end — the WAV twin of "
+    "q_multimodal_decode: every document gets an actual RIFF/WAV "
+    "payload (stdlib `wave` encoder; rate and channel count derived "
+    "from doc_id, 16-bit LCG samples), and the decode stage — the same "
+    "Arrow-batched mapInPandas plumbing as every multimodal op — "
+    "parses the REAL bytes back with the stdlib reader "
+    "(operators/codecs.py wav_dims). The oracle recomputes the "
+    "parameters from doc_id directly, so the green hash proves the "
+    "audio round-trip is exact. Scale shape: both stages map-only, "
+    "payload bytes never enter a shuffle; in production the encode "
+    "stage is replaced by reading real recordings and the decode side "
+    "runs unchanged.",
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import wave as wave_mod
+
+    import pandas as pd
+
+    from news_categorization_big_data_spark.operators.codecs import wav_dims
+    from news_categorization_big_data_spark.operators.multimodal import (
+        decode_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                rate = MM_RATE_BASE + (int(doc_id) % MM_RATE_MOD) * MM_RATE_STEP
+                channels = 1 + int(doc_id) % 2
+                n_frames = 50 + int(doc_id) % 100
+                seed, pcm = int(doc_id) * 2654435761 % 2**32, bytearray()
+                for _ in range(n_frames * channels * 2):
+                    seed = (seed * 1103515245 + 12345) % 2**31
+                    pcm.append(seed & 0xFF)
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(bytes(pcm))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(batch),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    packed = docs.mapInPandas(
+        encode_batches, "doc_id long, payload binary, mime string, n_bytes int"
+    )
+    return decode_payloads(packed, codec=wav_dims).select(
+        "doc_id",
+        F.col("width").cast("int").alias("sample_rate"),
+        F.col("height").cast("int").alias("n_channels"),
+        "ok",
+    )

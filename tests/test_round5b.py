@@ -1,0 +1,101 @@
+"""Property tests for the late round-5 additions: date-arithmetic clamp
+conventions, NULL-semantics invariants, the real WAV decode round-trip,
+and the SQL-UDF inlining guarantee. Hash parity runs in
+test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans import REGISTRY
+from news_categorization_big_data_spark.plans.quality import NULL_SEMANTICS_CUTOFF
+from news_categorization_big_data_spark.plans.text import (
+    MM_RATE_BASE,
+    MM_RATE_MOD,
+    MM_RATE_STEP,
+)
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+# -- q_date_arith -----------------------------------------------------------
+
+
+def test_date_arith_matches_python_calendar(spark, sf_dir):
+    """add_months clamps to month end; last_day/quarter/age agree with
+    Python's calendar for a sample of rows."""
+    rows = REGISTRY["q_date_arith"].builder(spark, sf_dir).collect()
+    src = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    import calendar
+
+    for r in rows[:: max(1, len(rows) // 40)]:
+        d = src[r.o_orderkey].date()
+        # add_months with end-of-month clamp
+        m = d.month - 1 + 3
+        y, m = d.year + m // 12, m % 12 + 1
+        dim = calendar.monthrange(y, m)[1]
+        assert r.due_date == datetime.date(y, m, min(d.day, dim)).isoformat()
+        dim_cur = calendar.monthrange(d.year, d.month)[1]
+        assert r.month_end == datetime.date(d.year, d.month, dim_cur).isoformat()
+        assert r.days_in_month == dim_cur
+        q_start_month = (d.month - 1) // 3 * 3 + 1
+        assert r.quarter_start == datetime.date(d.year, q_start_month, 1).isoformat()
+        assert r.age_days == (datetime.date(2002, 1, 1) - d).days
+
+
+# -- q_null_semantics -------------------------------------------------------
+
+
+def test_null_semantics_invariants(spark, sf_dir):
+    """Counts must satisfy the null-skip identities, and the ranked-first
+    id must belong to the per-type minimum NON-null value (NULLS LAST)."""
+    rows = REGISTRY["q_null_semantics"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    per_type: dict = {}
+    for r in ev.collect():
+        per_type.setdefault(r.event_type, []).append(r)
+    for row in rows:
+        recs = per_type[row.event_type]
+        nonnull = [r for r in recs if r.value >= NULL_SEMANTICS_CUTOFF]
+        assert row.n_rows == len(recs)
+        assert row.n_nonnull == len(nonnull)
+        assert row.n_null == len(recs) - len(nonnull)
+        assert row.n_rows == row.n_nonnull + row.n_null
+        assert row.n_distinct == len({r.value for r in nonnull})
+        assert row.min_v == min(r.value for r in nonnull)
+        assert row.max_v == max(r.value for r in nonnull)
+        best = min(nonnull, key=lambda r: (r.value, r.event_id))
+        assert row.first_id_nulls_last == best.event_id, row.event_type
+
+
+# -- q_audio_decode ---------------------------------------------------------
+
+
+def test_audio_decode_all_ok_and_params_derived(spark, sf_dir):
+    rows = REGISTRY["q_audio_decode"].builder(spark, sf_dir).collect()
+    assert rows and all(r.ok for r in rows)
+    for r in rows[:: max(1, len(rows) // 25)]:
+        assert r.sample_rate == MM_RATE_BASE + (r.doc_id % MM_RATE_MOD) * MM_RATE_STEP
+        assert r.n_channels == 1 + r.doc_id % 2
+
+
+# -- q_sql_udf --------------------------------------------------------------
+
+
+def test_sql_udf_inlines_no_python_node(spark, sf_dir):
+    """A SQL UDF must inline into Catalyst: the executed plan may not
+    contain any Python evaluation operator, and the aggregate must stay
+    a plain two-phase hash aggregate over the scan."""
+    df = REGISTRY["q_sql_udf"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert node not in plan, f"SQL UDF failed to inline: found {node}"
+    assert "HashAggregate" in plan
