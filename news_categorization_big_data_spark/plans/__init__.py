@@ -144,6 +144,7 @@ _DRIVER_ORDER = [
     "q_null_semantics",
     "q_audio_decode",
     "q_sql_udf",
+    "q_geo_grid_join",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -337,6 +338,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_null_semantics",
         "q_audio_decode",
         "q_sql_udf",
+        "q_geo_grid_join",
     }
 )
 

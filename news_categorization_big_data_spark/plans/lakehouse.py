@@ -625,3 +625,105 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).cast("long").alias("gap_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial proximity join (grid-bucketed)
+# ---------------------------------------------------------------------------
+
+#: Synthetic plane: md5-derived integer coordinates in tenths, 0..9999
+#: (a 1000×1000 unit plane at 0.1 resolution — both engines derive the
+#: same points from event_id, house-style).
+GEO_COORD_MOD = 10_000
+#: Proximity radius in tenths (5.0 units) — also the grid cell width,
+#: the standard choice that caps candidate search at the 3×3 neighbor
+#: block.
+GEO_RADIUS_TENTHS = 50
+#: Point population: one event type keeps the testdata output readable.
+GEO_POINT_TYPE = "purchase"
+
+
+@register(
+    "q_geo_grid_join",
+    oracle=f"""
+    WITH pts AS (SELECT event_id,
+                        ('0x' || substr(md5('gx:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                          % {GEO_COORD_MOD} AS x,
+                        ('0x' || substr(md5('gy:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                          % {GEO_COORD_MOD} AS y
+                 FROM events WHERE event_type = '{GEO_POINT_TYPE}')
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.event_id < b.event_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {GEO_RADIUS_TENTHS * GEO_RADIUS_TENTHS}
+    """,
+    tier="B",
+    doc="Spatial proximity self-join: all point pairs within radius r on "
+    "a plane (points md5-derived from event ids so both engines see "
+    "identical coordinates), via GRID BUCKETING — the spatial analog "
+    "of the LSH-banding pattern and the third member of the engine's "
+    "multi-dimensional family (q_scan_zorder curves the STORAGE, "
+    "q_join_interval_overlap buckets ONE dimension, this buckets two): "
+    "cell width = r, each point probes its 3×3 neighbor block (a "
+    "9-way explode), candidates meet by cell-key equi-join, and one "
+    "exact integer distance² compare verifies. Lossless by geometry: "
+    "a pair within r differs by ≤1 cell per axis, so the probe block "
+    "always covers the partner's home cell — and the BRUTE-FORCE "
+    "all-pairs oracle proves it. Each qualifying pair emerges exactly "
+    "once (the a<b orientation finds b's unique home cell in a's "
+    "block), so no distinct is needed. Determinism: integer-tenth "
+    "coordinates make the radius boundary an exact integer compare — "
+    "no float can flip a pair at distance exactly r. Scale: shuffle "
+    "is 9×|points| cell keys; cell occupancy bounds every reducer "
+    "(skewed hotspots → smaller cells + a df-cap, the jaccard_pairs "
+    "discipline); this is how Sedona/Magellan-class systems shape "
+    "distance joins.",
+)
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    r = GEO_RADIUS_TENTHS
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == GEO_POINT_TYPE)
+        .select(
+            "event_id",
+            (hash60(F.col("event_id").cast("string"), seed="gx") % GEO_COORD_MOD).alias("x"),
+            (hash60(F.col("event_id").cast("string"), seed="gy") % GEO_COORD_MOD).alias("y"),
+        )
+    )
+    probe = pts.select(
+        F.col("event_id").alias("event_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("x") / r).cast("long") + dx).alias("cx"),
+                        ((F.col("y") / r).cast("long") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("event_a", "xa", "ya", "_cell.cx", "_cell.cy")
+    home = pts.select(
+        F.col("event_id").alias("event_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        (F.col("x") / r).cast("long").alias("cx"),
+        (F.col("y") / r).cast("long").alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("event_a") < F.col("event_b"))
+        .where(d2 <= F.lit(r * r))
+        .select("event_a", "event_b", d2.cast("long").alias("dist2"))
+    )

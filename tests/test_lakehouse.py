@@ -263,3 +263,42 @@ def test_lakehouse_tier_exchange_counts_pinned(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         got = len(re.findall(r"\+- Exchange", plan))
         assert got <= max_exchanges, f"{name}: {got} exchanges > {max_exchanges}"
+
+
+# -- q_geo_grid_join --------------------------------------------------------
+
+
+def test_geo_grid_join_matches_bruteforce(spark, sf_dir):
+    """Grid bucketing must be lossless: the 3x3-block candidates +
+    exact verify equal the brute-force all-pairs distance join, with
+    each pair reported exactly once."""
+    from news_categorization_big_data_spark.functions.hashing import hash60
+    from news_categorization_big_data_spark.plans.lakehouse import (
+        GEO_COORD_MOD,
+        GEO_POINT_TYPE,
+        GEO_RADIUS_TENTHS,
+    )
+
+    pts = {
+        r.event_id: (r.x, r.y)
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == GEO_POINT_TYPE)
+        .select(
+            "event_id",
+            (hash60(F.col("event_id").cast("string"), seed="gx") % GEO_COORD_MOD).alias("x"),
+            (hash60(F.col("event_id").cast("string"), seed="gy") % GEO_COORD_MOD).alias("y"),
+        )
+        .collect()
+    }
+    ids = sorted(pts)
+    r2 = GEO_RADIUS_TENTHS * GEO_RADIUS_TENTHS
+    brute = {
+        (a, b): (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= r2
+    }
+    rows = REGISTRY["q_geo_grid_join"].builder(spark, sf_dir).collect()
+    got = {(r.event_a, r.event_b): r.dist2 for r in rows}
+    assert len(rows) == len(got), "a pair was emitted more than once"
+    assert got == brute
