@@ -483,3 +483,62 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lat_us").cast("double") / F.count("*") / F.lit(1000000)
         ).alias("mean_latency_s"),
     )
+
+
+#: Snapshot cutover for the incremental view maintenance demo: orders
+#: before this date are the materialized base; the rest is the delta.
+IVM_CUTOVER = "2000-06-01"
+
+
+@register(
+    "q_ivm_join_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tier="B",
+    doc="Incremental maintenance of a JOIN-AGGREGATE materialized view "
+    "(revenue per market segment over orders ⋈ customer) — the classic "
+    "IVM result for insert-only deltas: ΔV = γ(ΔR ⋈ S), so the engine "
+    "computes merge(partial(base ⋈ customer), partial(delta ⋈ "
+    "customer)) with orders split at a date cutover, while the oracle "
+    "recomputes the view in one pass over everything. The green hash "
+    "is the machine-checked proof of the maintenance identity — the "
+    "property that lets a 100-TB nightly view absorb one day of "
+    "orders joined to the (slowly-changing) dimension instead of "
+    "re-joining years of history. Extends q_incremental_agg (single-"
+    "table partial-state merge) with the join: the DELTA side re-joins "
+    "only its own rows to the broadcast dimension. Determinism: "
+    "DECIMAL partial sums merged before the single double cast. Both "
+    "order scans prune to their half via pushed date predicates; AQE "
+    "broadcasts the dimension into both joins.",
+)
+def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(f"{IVM_CUTOVER} 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(cust, df["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sv"),
+            )
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cut))
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum("_sv").cast("double").alias("revenue"),
+        )
+    )

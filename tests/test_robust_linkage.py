@@ -132,3 +132,22 @@ def test_simhash_hamming_rejects_unsound_banding():
         simhash_hamming_pairs(None, max_distance=4, bands=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_hamming_pairs(None, max_distance=2, bands=5, bits=16)
+
+
+def test_weighted_median_twopass_output_identical(spark, sf_dir):
+    """The documented planet-scale histogram path must produce the
+    EXACT same (flag, wmedian, total_weight) rows as the single-sort
+    registered query — including at a non-default bucket count, so the
+    equality is structural, not a bucketing accident."""
+    from news_categorization_big_data_spark.plans.robust import (
+        weighted_median_twopass,
+    )
+
+    exact = {
+        tuple(r)
+        for r in REGISTRY["q_weighted_median"].builder(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for n_buckets in (64, 7):
+        two = {tuple(r) for r in weighted_median_twopass(li, n_buckets).collect()}
+        assert two == exact, f"n_buckets={n_buckets}"
