@@ -146,6 +146,7 @@ _DRIVER_ORDER = [
     "q_sql_udf",
     "q_geo_grid_join",
     "q_ivm_join_agg",
+    "q_cms_counts",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -341,6 +342,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_sql_udf",
         "q_geo_grid_join",
         "q_ivm_join_agg",
+        "q_cms_counts",
     }
 )
 

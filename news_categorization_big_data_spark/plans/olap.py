@@ -686,3 +686,102 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
         .unionAll(row("o_orderstatus", "nn_os", "nd_os", None, None))
     )
+
+
+#: Count-min geometry: 4 hash rows × 1024 counters. Width is sized so
+#: the expected per-probe collision mass at the testdata's scale
+#: (10k-100k events over ≤1024·ε keys) keeps estimates within a few
+#: counts of exact — and the d=4 min cuts the tail.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket_sql(j: str) -> str:
+    """DuckDB mirror of the engine's per-row CMS bucket: row j's bucket
+    for a key is md5('cms<j>:'||key) reduced mod the width — the same
+    seeded-md5 family as functions/hashing.py hash60(seed=...)."""
+    return (
+        f"('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || ':' || "
+        f"CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "q_cms_counts",
+    oracle=f"""
+    WITH occ AS (SELECT user_id FROM events),
+    probes AS (SELECT user_id, j, {_cms_bucket_sql('j')} AS bucket
+               FROM occ, range({CMS_DEPTH}) t(j)),
+    sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM probes GROUP BY j, bucket),
+    keys AS (SELECT DISTINCT user_id FROM occ),
+    est AS (SELECT k.user_id, MIN(s.c) AS cms_est
+            FROM keys k, range({CMS_DEPTH}) t(j)
+            JOIN sketch s ON s.j = t.j AND s.bucket = {_cms_bucket_sql('t.j')}
+            GROUP BY k.user_id),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM occ GROUP BY user_id)
+    SELECT e.user_id, x.exact_n, e.cms_est
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    """,
+    tier="B",
+    doc=f"Count-min sketch frequency estimation ({CMS_DEPTH}×{CMS_WIDTH} "
+    "counters, Cormode-Muthukrishnan) with a FULL value-hash oracle — "
+    "normally a sketch gets only a rows-only check, but the md5-seeded "
+    "bucket family is engine-reproducible, so DuckDB builds the "
+    "IDENTICAL sketch and the green hash proves build AND probe "
+    "exactly (the q_graph_pagerank strategy applied to sketch state). "
+    "Output: every key's exact count beside its CMS estimate — "
+    "est ≥ exact always (counters only ever over-count; pytest pins "
+    "the one-sided bound and the error tail). Build: each occurrence "
+    f"explodes into {CMS_DEPTH} (row, bucket) increments, ONE "
+    "map-side-combinable groupBy — the sketch is "
+    f"{CMS_DEPTH}×{CMS_WIDTH} mergeable integers regardless of stream "
+    "size, which is the whole point: at 100 TB the per-partition "
+    "partial sketches merge by cell-wise addition (Spark's partial "
+    "aggregation does exactly this), and the probe side is a "
+    "broadcast join against 4 KB of state. The mergeable-sketch trio "
+    "is now complete: HLL (distinct), KLL (quantiles), CMS "
+    "(frequencies), plus exact bitmaps.",
+)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    occ = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j):
+        return (
+            hash60(F.col("user_id").cast("string"), seed=f"cms{j}") % CMS_WIDTH
+        ).alias("bucket")
+
+    probes = occ.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_p"),
+    ).select("user_id", "_p.j", "_p.bucket")
+    sketch = probes.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    keys = occ.distinct()
+    key_probes = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_p"),
+    ).select("user_id", "_p.j", "_p.bucket")
+    est = (
+        key_probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = occ.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return est.join(exact, "user_id").select("user_id", "exact_n", "cms_est")

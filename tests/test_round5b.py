@@ -99,3 +99,24 @@ def test_sql_udf_inlines_no_python_node(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert node not in plan, f"SQL UDF failed to inline: found {node}"
     assert "HashAggregate" in plan
+
+
+# -- q_cms_counts -----------------------------------------------------------
+
+
+def test_cms_one_sided_bound_and_error_tail(spark, sf_dir):
+    """CMS never under-counts (counters only increment), and at this
+    width the collision mass must keep most estimates exact."""
+    rows = REGISTRY["q_cms_counts"].builder(spark, sf_dir).collect()
+    assert rows
+    assert all(r.cms_est >= r.exact_n for r in rows), "CMS under-counted"
+    n_total = sum(r.exact_n for r in rows)
+    # standard CMS guarantee: err ≤ e/width · N per probe with prob
+    # 1 - e^-depth; assert the generous version of the bound holds
+    # for EVERY key (depth-4 min over 1024 buckets at testdata scale).
+    import math
+
+    bound = math.e / 1024 * n_total + 1
+    assert all(r.cms_est - r.exact_n <= bound for r in rows)
+    exact_share = sum(1 for r in rows if r.cms_est == r.exact_n) / len(rows)
+    assert exact_share >= 0.5, f"only {exact_share:.0%} of estimates exact"
