@@ -244,3 +244,99 @@ def test_connected_components_matches_bfs(spark, raw_edges):
         want |= {(x, lbl) for x in comp}
 
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_simhash_hamming_banding_lossless(spark, sketches, d):
+    """Pigeonhole banding over ARBITRARY 32-bit sketches (including
+    duplicates and pairs at exactly distance d and d+1) must equal the
+    brute-force Hamming join at every radius 0..3."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, s) for i, s in enumerate(sketches)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(df, max_distance=d, bits=32).collect()
+    }
+    brute = {
+        (rows[i][0], rows[j][0]): bin(rows[i][1] ^ rows[j][1]).count("1")
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if bin(rows[i][1] ^ rows[j][1]).count("1") <= d
+    }
+    assert got == brute
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_grid_join_covers_exact_radius_boundary(spark, coords):
+    """The 3×3 grid probe must find every pair within r — including
+    pairs at EXACTLY distance r and co-located duplicate points — and
+    emit each exactly once. Mirrors q_geo_grid_join's shape on
+    generated coordinates (cell width = r = 50)."""
+    r = 50
+    pts = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    df = spark.createDataFrame(pts, "event_id long, x long, y long")
+    probe = df.select(
+        F.col("event_id").alias("event_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("x") / r).cast("long") + dx).alias("cx"),
+                        ((F.col("y") / r).cast("long") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("_c"),
+    ).select("event_a", "xa", "ya", "_c.cx", "_c.cy")
+    home = df.select(
+        F.col("event_id").alias("event_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        (F.col("x") / r).cast("long").alias("cx"),
+        (F.col("y") / r).cast("long").alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    rows = (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("event_a") < F.col("event_b"))
+        .where(d2 <= F.lit(r * r))
+        .select("event_a", "event_b", d2.alias("dist2"))
+        .collect()
+    )
+    got = {(r_.event_a, r_.event_b): r_.dist2 for r_ in rows}
+    assert len(rows) == len(got), "pair emitted more than once"
+    brute = {
+        (a, b): (xa - xb) ** 2 + (ya - yb) ** 2
+        for (a, xa, ya) in pts
+        for (b, xb, yb) in pts
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    }
+    assert got == brute
