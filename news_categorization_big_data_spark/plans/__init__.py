@@ -147,6 +147,7 @@ _DRIVER_ORDER = [
     "q_geo_grid_join",
     "q_ivm_join_agg",
     "q_cms_counts",
+    "q_bitmap_setops",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -343,6 +344,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_geo_grid_join",
         "q_ivm_join_agg",
         "q_cms_counts",
+        "q_bitmap_setops",
     }
 )
 

@@ -785,3 +785,87 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = occ.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     return est.join(exact, "user_id").select("user_id", "exact_n", "cms_est")
+
+
+@register(
+    "q_bitmap_setops",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM t a JOIN t b ON a.event_type < b.event_type),
+    u AS (SELECT DISTINCT event_type, user_id FROM events),
+    cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+    uni AS (SELECT p.type_a, p.type_b,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_union
+            FROM p JOIN u ON u.event_type IN (p.type_a, p.type_b)
+            GROUP BY 1, 2)
+    SELECT uni.type_a, uni.type_b, ca.n AS n_a, cb.n AS n_b, uni.n_union,
+           ca.n + cb.n - uni.n_union AS n_intersect,
+           ca.n - (ca.n + cb.n - uni.n_union) AS n_only_a
+    FROM uni
+    JOIN cnt ca ON ca.event_type = uni.type_a
+    JOIN cnt cb ON cb.event_type = uni.type_b
+    """,
+    tier="B",
+    doc="EXACT audience set operations over every event-type pair — "
+    "distinct-user union, intersection, and difference — via bitmap "
+    "algebra (the roaring-bitmap segmentation workload): per-(type, "
+    "bucket) bitmaps built once (q_bitmap_distinct machinery), each "
+    "pair's union re-aggregated with bitmap_or_agg over the PAIR's "
+    "two bitmap rows per bucket, and the intersection recovered "
+    "exactly by inclusion-exclusion |A∩B| = |A|+|B|−|A∪B| — which is "
+    "the trick that makes this work with OR as the only bitmap "
+    "combinator Spark ships (no bitmap AND exists). Work after the "
+    "first aggregation is O(types² × buckets) over 4KB bitmaps — "
+    "INDEPENDENT of event count; the raw stream is scanned once. At "
+    "100 TB this is how audience-overlap matrices are actually "
+    "computed: per-segment bitmap state maintained incrementally "
+    "(mergeable), pairwise popcounts over the state, never a "
+    "self-join of raw events. The COUNT(DISTINCT)-based oracle's "
+    "green hash proves all three set cardinalities exact.",
+)
+def q_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tb = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bmp"))
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    cnt = tb.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("_bmp")).alias("n")
+    )
+    uni = (
+        tb.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "_bucket")
+        .agg(F.expr("bitmap_or_agg(_bmp)").alias("_u"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.bitmap_count("_u")).alias("n_union"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        uni.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_intersect"),
+            (
+                F.col("n_a")
+                - (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            ).alias("n_only_a"),
+        )
+    )

@@ -120,3 +120,26 @@ def test_cms_one_sided_bound_and_error_tail(spark, sf_dir):
     assert all(r.cms_est - r.exact_n <= bound for r in rows)
     exact_share = sum(1 for r in rows if r.cms_est == r.exact_n) / len(rows)
     assert exact_share >= 0.5, f"only {exact_share:.0%} of estimates exact"
+
+
+# -- q_bitmap_setops --------------------------------------------------------
+
+
+def test_bitmap_setops_match_python_sets(spark, sf_dir):
+    rows = REGISTRY["q_bitmap_setops"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    users: dict = {}
+    for r in ev.collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    import itertools
+
+    expect_pairs = {
+        tuple(sorted(p)) for p in itertools.combinations(users, 2)
+    }
+    assert {(r.type_a, r.type_b) for r in rows} == expect_pairs
+    for r in rows:
+        a, b = users[r.type_a], users[r.type_b]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.n_union == len(a | b)
+        assert r.n_intersect == len(a & b)
+        assert r.n_only_a == len(a - b)
