@@ -227,3 +227,64 @@ def _distributed_components(
     finally:
         edges.unpersist()
         cached.unpersist()
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_out: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of the undirected pair graph: the maximal subgraph in
+    which every surviving vertex keeps degree ≥ k, as (id, core degree)
+    rows — iterative PEELING (repeatedly drop sub-k vertices and their
+    edges) run to its fixpoint.
+
+    Each round is one degree aggregate + two semi-joins against the
+    surviving vertex set — the same join-per-round shape as the
+    distributed connected-components loop above, with the same
+    persist/convergence-count discipline (one tiny count action per
+    round; previous round's cache released eagerly). Rounds are bounded
+    by the graph's degeneracy ordering depth — small for LSH pair
+    graphs, whose clusters are dense by construction and whose pendants
+    peel in the first rounds. Peeling is monotone (the survivor set
+    only shrinks) and idempotent at the fixpoint, which is what lets a
+    fixed-depth unrolled oracle (plans/dedup.py q_graph_kcore) match
+    the run-to-convergence loop exactly.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(pairs.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_prev = None
+        for _ in range(max_iter):
+            deg = edges.groupBy("_s").agg(F.count("*").alias("_deg"))
+            keep = deg.where(F.col("_deg") >= k).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            n_keep = keep.count()
+            if n_prev is not None and n_keep == n_prev:
+                result = keep.select(
+                    F.col("_s").alias(id_out), F.col("_deg").alias("degree")
+                ).localCheckpoint(eager=True)
+                keep.unpersist()
+                return result
+            n_prev = n_keep
+            new_edges = (
+                edges.join(keep.select("_s"), "_s", "semi")
+                .join(
+                    keep.select(F.col("_s").alias("_d")), "_d", "semi"
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            new_edges.count()  # materialize before releasing the parent
+            edges.unpersist()
+            edges = new_edges
+            keep.unpersist()
+        raise RuntimeError(f"kcore(k={k}) did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()

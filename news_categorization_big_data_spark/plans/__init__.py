@@ -148,6 +148,7 @@ _DRIVER_ORDER = [
     "q_ivm_join_agg",
     "q_cms_counts",
     "q_bitmap_setops",
+    "q_graph_kcore",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -345,6 +346,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_ivm_join_agg",
         "q_cms_counts",
         "q_bitmap_setops",
+        "q_graph_kcore",
     }
 )
 

@@ -665,3 +665,74 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=SIMHASH_HAMMING_D,
         bits=SIMHASH_HAMMING_BITS,
     )
+
+
+#: k for the q_graph_kcore decomposition and the oracle's unroll depth.
+#: Peeling is idempotent at its fixpoint, so the unroll only needs to
+#: be ≥ the true convergence depth (asserted ≤ KCORE_UNROLL in
+#: tests/test_robust_linkage.py); extra unrolled rounds are no-ops.
+KCORE_K = 2
+KCORE_UNROLL = 10
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_UNROLL) -> str:
+    """Fixed-depth unrolled peeling over the shared LSH candidate CTE
+    chain — the q_graph_pagerank strategy (unroll the iteration into
+    SQL) applied to a NON-MONOTONE fixpoint: each round recomputes
+    degrees over the previous round's edge set and drops sub-k
+    vertices."""
+    # AS MATERIALIZED is load-bearing: every round references the
+    # previous edge CTE three times (the join source and both sides of
+    # the survivor filter), so DuckDB's default CTE INLINING would
+    # expand e0 ~3^rounds times — observed as "Too many open files"
+    # from tens of thousands of parquet re-opens. Materializing each
+    # round evaluates it once, mirroring the engine's per-round persist.
+    parts = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM cand "
+        "UNION ALL SELECT doc_b AS s, doc_a AS d FROM cand)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT s FROM (SELECT s, COUNT(*) AS c "
+            f"FROM e{i-1} GROUP BY s) WHERE c >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.s, e.d FROM e{i-1} e "
+            f"JOIN k{i} a ON e.s = a.s JOIN k{i} b ON e.d = b.s)"
+        )
+    return (
+        f"WITH {_lsh_cand_ctes()},\n"
+        + ",\n    ".join(parts)
+        + f"\n    SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM e{rounds} GROUP BY s"
+    )
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    tier="C",
+    doc=f"k-core decomposition (k={KCORE_K}) of the near-dup pair graph: "
+    "the maximal subgraph where every vertex keeps degree ≥ k, with "
+    "each survivor's core degree — the graph-robustness cut that "
+    "separates genuinely dense duplicate clusters from pendant "
+    "chance-collision edges (a vertex pair-connected once peels off; "
+    "a clique member stays). Iterative PEELING run to its fixpoint "
+    "(operators/graph.py kcore): per round one degree aggregate + two "
+    "semi-joins against the shrinking survivor set, the distributed-CC "
+    "loop's persist/convergence discipline. The oracle UNROLLS "
+    f"{KCORE_UNROLL} peeling rounds over the same shared candidate CTE "
+    "chain — sound because peeling is monotone-shrinking and idempotent "
+    "at the fixpoint, so any unroll ≥ the true depth (asserted in "
+    "tests) yields the identical core; the green hash thus proves the "
+    "run-to-convergence loop against a closed-form SQL derivation of "
+    "a NON-monotone iterative algorithm. Scale: rounds ≈ degeneracy "
+    "depth (small for LSH graphs); each round's joins shuffle the "
+    "(tiny) pair graph, never the corpus.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return kcore(pairs, k=KCORE_K)

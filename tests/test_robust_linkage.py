@@ -151,3 +151,58 @@ def test_weighted_median_twopass_output_identical(spark, sf_dir):
     for n_buckets in (64, 7):
         two = {tuple(r) for r in weighted_median_twopass(li, n_buckets).collect()}
         assert two == exact, f"n_buckets={n_buckets}"
+
+
+# -- q_graph_kcore ----------------------------------------------------------
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """The run-to-convergence loop must equal brute-force Python
+    peeling, and must converge within the oracle's unroll depth."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.plans.dedup import KCORE_K, KCORE_UNROLL
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rounds = 0
+    while True:
+        drop = {v for v, ns in adj.items() if len(ns) < KCORE_K}
+        if not drop:
+            break
+        rounds += 1
+        for v in drop:
+            for n in adj.get(v, ()):  # pragma: no branch
+                adj[n].discard(v)
+            del adj[v]
+        adj = {v: ns for v, ns in adj.items() if True}
+    assert rounds <= KCORE_UNROLL, "oracle unroll depth too shallow"
+    expect = {v: len(ns) for v, ns in adj.items()}
+    got = {
+        r.doc_id: r.degree
+        for r in REGISTRY["q_graph_kcore"].builder(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_kcore_generated_graphs_match_bruteforce(spark):
+    """kcore on hand-built graphs: a triangle with a pendant tail keeps
+    exactly the triangle at k=2; a path graph peels to nothing."""
+    from news_categorization_big_data_spark.operators.graph import kcore
+
+    tri_tail = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(tri_tail, "doc_a long, doc_b long")
+    got = {(r.doc_id, r.degree) for r in kcore(df, 2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    path = [(1, 2), (2, 3), (3, 4)]
+    df2 = spark.createDataFrame(path, "doc_a long, doc_b long")
+    assert kcore(df2, 2).count() == 0
