@@ -149,6 +149,7 @@ _DRIVER_ORDER = [
     "q_cms_counts",
     "q_bitmap_setops",
     "q_graph_kcore",
+    "q_scan_evolved",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -347,6 +348,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_cms_counts",
         "q_bitmap_setops",
         "q_graph_kcore",
+        "q_scan_evolved",
     }
 )
 

@@ -393,3 +393,49 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "q_scan_evolved",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id < 250 THEN 0 ELSE n_chars END) AS BIGINT)
+             AS sum_chars_v2,
+           CAST(COUNT(CASE WHEN doc_id < 250 THEN 1 END) AS BIGINT) AS n_v1
+    FROM documents WHERE doc_id < 500
+    GROUP BY lang
+    """,
+    tier="B",
+    doc="Schema evolution round-trip (the lakehouse ADD COLUMN "
+    "contract): batch v1 of the corpus is written WITHOUT the n_chars "
+    "column, batch v2 adds it; the read unifies both generations via "
+    "mergeSchema, v1 rows surface the added column as NULL, and the "
+    "aggregate applies the default (0) explicitly — the exact life "
+    "cycle of every evolving 100-TB table, where old files are never "
+    "rewritten for a new column. The oracle recomputes from the "
+    "unevolved source with the same generation split, so a dropped "
+    "row, a misaligned column, or a default leaking into v2 rows all "
+    "break the hash. Schema merge cost is per-FILE footer metadata — "
+    "no data rewrite; at catalog scale the merged schema comes from "
+    "the table format's metadata instead of file-footer union, same "
+    "read semantics.",
+)
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evo_dir = _fixture_dir(spark, sf_dir, "evolved_docs")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    # Generation 1: schema (doc_id, lang). Generation 2 adds n_chars.
+    docs.where(F.col("doc_id") < 250).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(evo_dir, "g=1"))
+    docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(evo_dir, "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(evo_dir, "g=1"), os.path.join(evo_dir, "g=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_v2"),
+        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_v1"),
+    )

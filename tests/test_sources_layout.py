@@ -4,6 +4,8 @@ store. Value parity is covered by tests/test_oracle_parity.py."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from news_categorization_big_data_spark.plans import REGISTRY
 
 
@@ -83,3 +85,21 @@ def test_pyds_filtered_scan_matches_generator(spark):
     assert set(rows) == set(range(2, 1000, 8))
     for i in (2, 10, 994):
         assert rows[i] == (f"doc_{i}", (i * LCG_A + LCG_C) % LCG_M)
+
+
+def test_scan_evolved_v1_rows_surface_null_added_column(spark, sf_dir):
+    """mergeSchema must align generations by NAME: every generation-1
+    row reads NULL for the added column, every generation-2 row keeps
+    its real value, and no row is lost across the merge."""
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_scan_evolved"].builder(spark, sf_dir).collect()
+    src = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    n_total = src.count()
+    n_v1 = src.where(F.col("doc_id") < 250).count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert sum(r.n_v1 for r in rows) == n_v1
+    true_chars = (
+        src.where(F.col("doc_id") >= 250).agg(F.sum("n_chars")).collect()[0][0]
+    )
+    assert sum(r.sum_chars_v2 for r in rows) == true_chars
