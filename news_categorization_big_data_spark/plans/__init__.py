@@ -150,6 +150,7 @@ _DRIVER_ORDER = [
     "q_bitmap_setops",
     "q_graph_kcore",
     "q_scan_evolved",
+    "q_udtf_table_arg",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -349,6 +350,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_bitmap_setops",
         "q_graph_kcore",
         "q_scan_evolved",
+        "q_udtf_table_arg",
     }
 )
 

@@ -138,3 +138,88 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, g.pos, g.w1, g.w2, g.w3 "
         f"FROM _udtf_poly_docs d, LATERAL poly_ngrams(d.text, {POLY_NGRAM_K}) g"
     )
+
+
+@udtf(returnType="event_type string, n_rows long, n_up_steps long, longest_up_run long")
+class RunStats:
+    """Per-partition sequential state over ordered rows: strictly-
+    increasing run tracking for one event-type series. The TABLE(...)
+    PARTITION BY / ORDER BY contract delivers each partition's rows to
+    ONE instance in order; terminate() emits the partition summary."""
+
+    def __init__(self) -> None:
+        self._type = None
+        self._prev = None
+        self._n = 0
+        self._up = 0
+        self._run = 0
+        self._best = 0
+
+    def eval(self, row) -> None:  # noqa: D102 - UDTF contract
+        self._type = row["event_type"]
+        self._n += 1
+        if self._prev is not None and row["value"] > self._prev:
+            self._up += 1
+            self._run += 1
+        else:
+            self._run = 1
+        self._best = max(self._best, self._run)
+        self._prev = row["value"]
+
+    def terminate(self):  # noqa: D102 - UDTF contract
+        if self._n:
+            yield self._type, self._n, self._up, self._best
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH s AS (SELECT event_type, value,
+                      LAG(value) OVER w AS pv,
+                      ROW_NUMBER() OVER w AS rn
+               FROM events
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    f AS (SELECT event_type, rn,
+                 CASE WHEN pv IS NOT NULL AND value > pv THEN 1 ELSE 0 END AS up
+          FROM s),
+    g AS (SELECT event_type, rn, up,
+                 SUM(1 - up) OVER (PARTITION BY event_type ORDER BY rn) AS grp
+          FROM f),
+    runs AS (SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS run_rows
+             FROM g GROUP BY event_type, grp)
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(up) AS BIGINT) AS n_up_steps,
+           MAX(r.longest) AS longest_up_run
+    FROM f
+    JOIN (SELECT event_type, MAX(run_rows) AS longest
+          FROM runs GROUP BY event_type) r USING (event_type)
+    GROUP BY f.event_type
+    """,
+    tier="B",
+    doc="Spark 4 UDTF with a TABLE argument (SQL-invoked table-valued "
+    "function over PARTITION BY event_type ORDER BY ts, event_id): a "
+    "stateful Python generator receives each series' rows IN ORDER on "
+    "one instance and emits per-partition run statistics — row count, "
+    "strictly-increasing steps, and the longest increasing run. This "
+    "is the API surface for sequential per-group logic that windows "
+    "express awkwardly (parsers, legacy sessionizers, protocol "
+    "decoders); the oracle recomputes the same statistics relationally "
+    "(gaps-and-islands over a lag flag), so the green hash proves the "
+    "partitioning contract delivered every row exactly once and in "
+    "order. Scale: parallelism = partition count (like any grouped "
+    "map); per-row Python cost applies — the relational form wins "
+    "whenever it exists, which is exactly what the paired oracle "
+    "demonstrates. Unique (ts, event_id) order makes runs exact.",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("run_stats_tvf", RunStats)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT * FROM run_stats_tvf(
+            TABLE(SELECT event_type, value, ts, event_id FROM events)
+            PARTITION BY event_type ORDER BY (ts, event_id)
+        )
+        """
+    )
