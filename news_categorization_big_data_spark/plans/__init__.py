@@ -29,6 +29,13 @@ The tail (positions 51+) holds queries with official rows from rounds
 runnable, and pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
+
+Round-6 window plan (for the next session): rotate the ROTATION_PENDING
+set below (the late-round-5 lakehouse / order-statistics / sketch /
+graph / API-surface tier — all pytest- and driver_sim-green this round)
+into the first window slots, keep 3-4 canaries, and fill the remainder
+with high-value re-proofs, exactly as this round did for round 4's
+pendings.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
