@@ -158,6 +158,7 @@ _DRIVER_ORDER = [
     "q_graph_kcore",
     "q_scan_evolved",
     "q_udtf_table_arg",
+    "q_ml_auc",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -358,6 +359,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_graph_kcore",
         "q_scan_evolved",
         "q_udtf_table_arg",
+        "q_ml_auc",
     }
 )
 

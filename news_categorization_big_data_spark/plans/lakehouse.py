@@ -353,7 +353,7 @@ COVERAGE_WINDOW_US = 300_000_000  # 5 minutes
                        epoch_us(ts) + {COVERAGE_WINDOW_US} AS e,
                        event_id
                 FROM events),
-    marked AS (SELECT user_id, s, e,
+    marked AS (SELECT user_id, s, e, event_id,
                       CASE WHEN s > COALESCE(MAX(e) OVER (
                              PARTITION BY user_id ORDER BY s, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -362,7 +362,7 @@ COVERAGE_WINDOW_US = 300_000_000  # 5 minutes
                FROM iv),
     isl AS (SELECT user_id, s, e,
                    SUM(new_island) OVER (PARTITION BY user_id
-                                         ORDER BY s, e
+                                         ORDER BY s, event_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) AS island
             FROM marked),
@@ -411,15 +411,21 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(
             F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
         )
         .otherwise(0)
         .alias("new_island"),
     )
+    # BOTH windows order by the UNIQUE (s, event_id) key: ordering the
+    # island cumsum by the non-unique (s, e) would let two events at
+    # the same timestamp swap across the island boundary the marking
+    # pass chose — a latent nondeterminism even though the current
+    # testdata's µs timestamps never collide.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     isl = marked.select(

@@ -255,3 +255,85 @@ def q_pipeline_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+#: Positive-class label for q_ml_auc: does the event's value "score"
+#: predict a purchase?
+AUC_POSITIVE_TYPE = "purchase"
+
+
+@register(
+    "q_ml_auc",
+    oracle=f"""
+    WITH s AS (SELECT value AS score,
+                      CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
+                           THEN 1 ELSE 0 END AS label
+               FROM events),
+    r AS (SELECT label,
+                 RANK() OVER (ORDER BY score) AS r_lo,
+                 CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS ties
+          FROM s),
+    a AS (SELECT CAST(SUM(CASE WHEN label = 1
+                               THEN 2 * r_lo + ties - 1 END) AS BIGINT)
+                   AS sum_ar2,
+                 CAST(SUM(label) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+          FROM r)
+    SELECT n_pos, n_neg,
+           CAST(sum_ar2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * n_neg) AS auc
+    FROM a
+    """,
+    tier="C",
+    doc="Exact ROC-AUC of `value` as a purchase-propensity score — the "
+    "model-evaluation primitive every training pipeline runs, computed "
+    "via the Mann-Whitney U identity (AUC = U / (n_pos · n_neg)) with "
+    "EXACT tie handling: ties at a score share the average rank, "
+    "carried as the INTEGER 2·rank_lo + ties − 1 (twice the average), "
+    "so the whole statistic stays in integers until the single final "
+    "division — no per-threshold ROC sweep, no float accumulation, "
+    "engine-identical by construction. Plan: one rank window + one "
+    "tie-count window over the same global score order (Catalyst "
+    "shares the sort), one aggregate. The global sort is the "
+    "documented cost: per-GROUP AUC (the production shape — per "
+    "segment / per model version) partitions the same plan by the "
+    "group key, and at planet scale the sort swaps for a bucketed "
+    "score histogram (trapezoidal AUC over bucket counts, the "
+    "q_weighted_median histogram discipline). Label skew does not "
+    "shuffle anything extra: labels ride the score sort.",
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    r = s.select(
+        "label",
+        F.rank().over(Window.orderBy("score")).alias("r_lo"),
+        F.count("*").over(Window.partitionBy("score")).alias("ties"),
+    )
+    a = r.agg(
+        F.sum(
+            F.when(
+                F.col("label") == 1,
+                F.lit(2) * F.col("r_lo") + F.col("ties") - F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("sum_ar2"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    return a.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("sum_ar2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.plans import REGISTRY
@@ -302,3 +303,62 @@ def test_geo_grid_join_matches_bruteforce(spark, sf_dir):
     got = {(r.event_a, r.event_b): r.dist2 for r in rows}
     assert len(rows) == len(got), "a pair was emitted more than once"
     assert got == brute
+
+
+def test_interval_sweep_handles_duplicate_timestamps(spark):
+    """The island sweep must stay correct when two events share a
+    timestamp (the non-unique (s, e) ordering hazard): co-timed
+    intervals belong to ONE island, and coverage is the merged union —
+    exercised on a hand-built log the testdata's µs timestamps never
+    produce."""
+    from news_categorization_big_data_spark.plans.lakehouse import (
+        COVERAGE_WINDOW_US,
+    )
+
+    w = COVERAGE_WINDOW_US
+    rows = [
+        # user 1: twin events at t=0, a bridged event, then a gap
+        (1, 0, 10),
+        (1, 0, 11),
+        (1, w // 2, 12),
+        (1, 3 * w, 13),
+        # user 2: three co-timed twins only
+        (2, 5, 20),
+        (2, 5, 21),
+        (2, 5, 22),
+    ]
+    iv = spark.createDataFrame(
+        [(u, s, s + w, eid) for u, s, eid in rows],
+        "user_id long, s long, e long, event_id long",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    got = {
+        r.user_id: (r.covered, r.n)
+        for r in isl.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("covered"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {1: (w + w // 2 + w, 2), 2: (w, 1)}

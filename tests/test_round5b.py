@@ -143,3 +143,71 @@ def test_bitmap_setops_match_python_sets(spark, sf_dir):
         assert r.n_union == len(a | b)
         assert r.n_intersect == len(a & b)
         assert r.n_only_a == len(a - b)
+
+
+# -- q_ml_auc ---------------------------------------------------------------
+
+
+def test_auc_matches_sklearn_free_python(spark, sf_dir):
+    """The Mann-Whitney form must equal a direct Python AUC (probability
+    a random positive outranks a random negative, ties = 1/2)."""
+    row = REGISTRY["q_ml_auc"].builder(spark, sf_dir).collect()[0]
+    from news_categorization_big_data_spark.plans.ml import AUC_POSITIVE_TYPE
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    pos = sorted(r.value for r in ev if r.event_type == AUC_POSITIVE_TYPE)
+    neg = sorted(r.value for r in ev if r.event_type != AUC_POSITIVE_TYPE)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    import bisect
+
+    # For each positive: #neg below + 0.5 * #neg tied, via bisect.
+    wins = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo + 0.5 * (hi - lo)
+    assert abs(row.auc - wins / (len(pos) * len(neg))) < 1e-12
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_auc_perfect_and_random_separation(spark):
+    """Hand-built sanity: perfectly separated scores give AUC 1.0;
+    identical scores give exactly 0.5 (tie handling)."""
+    from news_categorization_big_data_spark.plans.ml import AUC_POSITIVE_TYPE
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        df.createOrReplaceTempView("events_auc_test")
+        # reuse the registered expression shape inline
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        s = df.select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1)
+            .otherwise(0)
+            .alias("label"),
+        )
+        r = s.select(
+            "label",
+            F.rank().over(Window.orderBy("score")).alias("r_lo"),
+            F.count("*").over(Window.partitionBy("score")).alias("ties"),
+        )
+        a = r.agg(
+            F.sum(
+                F.when(
+                    F.col("label") == 1,
+                    F.lit(2) * F.col("r_lo") + F.col("ties") - F.lit(1),
+                )
+            )
+            .cast("long")
+            .alias("s2"),
+            F.sum("label").cast("long").alias("np"),
+            (F.count("*") - F.sum("label")).cast("long").alias("nn"),
+        ).collect()[0]
+        return (a.s2 - a.np * (a.np + 1)) / (2 * a.np * a.nn)
+
+    perfect = [("view", 1.0), ("view", 2.0), ("purchase", 3.0), ("purchase", 4.0)]
+    assert run(perfect) == 1.0
+    all_tied = [("view", 7.0), ("view", 7.0), ("purchase", 7.0), ("purchase", 7.0)]
+    assert run(all_tied) == 0.5
