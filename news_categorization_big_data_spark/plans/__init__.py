@@ -159,6 +159,7 @@ _DRIVER_ORDER = [
     "q_scan_evolved",
     "q_udtf_table_arg",
     "q_ml_auc",
+    "q_ml_eval",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -360,6 +361,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_scan_evolved",
         "q_udtf_table_arg",
         "q_ml_auc",
+        "q_ml_eval",
     }
 )
 

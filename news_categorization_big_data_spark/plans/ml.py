@@ -337,3 +337,63 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
     )
+
+
+#: Decision threshold for q_ml_eval's value→purchase predictor (the
+#: operating point; AUC above is the threshold-free view).
+EVAL_THRESHOLD = 10.0
+
+
+@register(
+    "q_ml_eval",
+    oracle=f"""
+    WITH s AS (SELECT CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
+                           THEN 1 ELSE 0 END AS label,
+                      CASE WHEN value >= {EVAL_THRESHOLD} THEN 1 ELSE 0 END
+                        AS pred
+               FROM events),
+    c AS (SELECT CAST(SUM(label * pred) AS BIGINT) AS tp,
+                 CAST(SUM((1 - label) * pred) AS BIGINT) AS fp,
+                 CAST(SUM(label * (1 - pred)) AS BIGINT) AS fn,
+                 CAST(SUM((1 - label) * (1 - pred)) AS BIGINT) AS tn
+          FROM s)
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+    FROM c
+    """,
+    tier="C",
+    doc="Classifier evaluation at an operating point — confusion matrix "
+    "plus precision / recall / F1 for the thresholded value→purchase "
+    "predictor (the fixed-threshold companion to q_ml_auc's "
+    "threshold-free ranking view; together they are the evaluation "
+    "readout every model-training pipeline emits). Plan: ONE "
+    "conditional-aggregate scan produces all four exact integer cells "
+    "— never one pass per cell — and each metric is a single division "
+    "of integers (F1 computed directly as 2tp/(2tp+fp+fn), not from "
+    "the already-divided precision/recall, so there is exactly one "
+    "rounding per metric, identical in both engines). Scale: state is "
+    "four counters, map-side combinable; the per-segment variant "
+    "groups the same scan by the segment key.",
+)
+def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    label = F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0)
+    pred = F.when(F.col("value") >= EVAL_THRESHOLD, 1).otherwise(0)
+    c = ev.select(label.alias("label"), pred.alias("pred")).agg(
+        F.sum(F.col("label") * F.col("pred")).cast("long").alias("tp"),
+        F.sum((1 - F.col("label")) * F.col("pred")).cast("long").alias("fp"),
+        F.sum(F.col("label") * (1 - F.col("pred"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("label")) * (1 - F.col("pred"))).cast("long").alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp.cast("double") / (tp + fp)).alias("precision_"),
+        (tp.cast("double") / (tp + fn)).alias("recall_"),
+        ((F.lit(2) * tp).cast("double") / (F.lit(2) * tp + fp + fn)).alias("f1"),
+    )

@@ -211,3 +211,24 @@ def test_auc_perfect_and_random_separation(spark):
     assert run(perfect) == 1.0
     all_tied = [("view", 7.0), ("view", 7.0), ("purchase", 7.0), ("purchase", 7.0)]
     assert run(all_tied) == 0.5
+
+
+# -- q_ml_eval --------------------------------------------------------------
+
+
+def test_ml_eval_matches_python_confusion(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.ml import (
+        AUC_POSITIVE_TYPE,
+        EVAL_THRESHOLD,
+    )
+
+    row = REGISTRY["q_ml_eval"].builder(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    tp = sum(1 for r in ev if r.event_type == AUC_POSITIVE_TYPE and r.value >= EVAL_THRESHOLD)
+    fp = sum(1 for r in ev if r.event_type != AUC_POSITIVE_TYPE and r.value >= EVAL_THRESHOLD)
+    fn = sum(1 for r in ev if r.event_type == AUC_POSITIVE_TYPE and r.value < EVAL_THRESHOLD)
+    tn = len(ev) - tp - fp - fn
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    assert row.precision_ == tp / (tp + fp)
+    assert row.recall_ == tp / (tp + fn)
+    assert row.f1 == 2 * tp / (2 * tp + fp + fn)
