@@ -66,6 +66,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     retrieval,
     lakehouse,
     robust,
+    features,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -160,6 +161,14 @@ _DRIVER_ORDER = [
     "q_udtf_table_arg",
     "q_ml_auc",
     "q_ml_eval",
+    "q_target_encode",
+    "q_lift_bands",
+    "q_graph_bfs",
+    "q_tfidf_pairs",
+    "q_corr_matrix",
+    "q_benford_digits",
+    "q_alloc_budget",
+    "q_salted_agg",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -362,6 +371,14 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_udtf_table_arg",
         "q_ml_auc",
         "q_ml_eval",
+        "q_target_encode",
+        "q_lift_bands",
+        "q_graph_bfs",
+        "q_tfidf_pairs",
+        "q_corr_matrix",
+        "q_benford_digits",
+        "q_alloc_budget",
+        "q_salted_agg",
     }
 )
 

@@ -1,0 +1,697 @@
+"""Feature-engineering & model-evaluation tier (round 5, late batch 2).
+
+The operators a training-data platform runs between "curated corpus"
+and "model": leakage-free target encoding, score-band lift/capture
+tables, TF-IDF pairwise similarity, a one-pass correlation matrix,
+Benford first-digit data-quality profiling, exact largest-remainder
+budget allocation, multi-source BFS over the near-duplicate graph, and
+a salted two-phase aggregation that demonstrates the skew-mitigation
+rewrite is result-identical.
+
+House determinism rules (plans/analytics.py / plans/registry.py):
+exact integer counts everywhere they fit; double chains written with
+identical association on both engines; every cross-row double sum
+quantized to a decimal grid first (decimal addition is associative,
+double addition is not); md5-derived orderings for data-derived
+"random" choices; ties broken on ids.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Out-of-fold target encoding
+# --------------------------------------------------------------------------
+
+#: K folds for out-of-fold encoding and the Laplace smoothing weight
+#: pulling small categories toward the global prior.
+TE_FOLDS = 5
+TE_ALPHA = 10.0
+
+
+@register(
+    "q_target_encode",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderpriority AS category,
+             ('0x' || substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               % {TE_FOLDS} AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    cf AS (SELECT category, fold,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(label) AS BIGINT) AS pos
+           FROM lab GROUP BY category, fold),
+    tot AS (SELECT *,
+                   SUM(n) OVER (PARTITION BY category) AS n_c,
+                   SUM(pos) OVER (PARTITION BY category) AS pos_c,
+                   SUM(n) OVER () AS n_g,
+                   SUM(pos) OVER () AS pos_g
+            FROM cf)
+    SELECT category, CAST(fold AS INT) AS fold, n,
+           (CAST(pos_c - pos AS DOUBLE)
+              + {TE_ALPHA!r} * (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+             / (CAST(n_c - n AS DOUBLE) + {TE_ALPHA!r}) AS te
+    FROM tot
+    """,
+    tier="C",
+    doc=f"Leakage-free out-of-fold target encoding — the standard way "
+    "to turn a high-cardinality categorical into a numeric feature "
+    "without letting a row see its own label: rows in fold f of "
+    "category c receive the smoothed positive rate of c computed from "
+    f"the OTHER {TE_FOLDS - 1} folds (Laplace weight {TE_ALPHA} toward "
+    "the global prior, the Micci-Barreca 2001 scheme). Fold "
+    "assignment is the engine's portable md5 hash — identical to the "
+    "q_split_train_eval machinery, so folds are stable across runs "
+    "and engines. Plan: one partial-aggregating shuffle to "
+    "(category, fold) cells, then window sums over the CELL table "
+    "(|categories|x|folds| rows — tiny at any corpus size; the raw "
+    "rows are never windowed). Determinism: counts are exact "
+    "integers; the encoding is one identical IEEE divide/multiply "
+    "chain per cell on both engines.",
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (hash60(F.col("o_orderkey").cast("string"), seed="fold") % TE_FOLDS).alias(
+            "fold"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    cf = lab.groupBy("category", "fold").agg(
+        F.count("*").alias("n"), F.sum("label").cast("long").alias("pos")
+    )
+    w_c = Window.partitionBy("category")
+    w_g = Window.partitionBy()
+    tot = cf.select(
+        "category",
+        "fold",
+        "n",
+        "pos",
+        F.sum("n").over(w_c).alias("n_c"),
+        F.sum("pos").over(w_c).alias("pos_c"),
+        F.sum("n").over(w_g).alias("n_g"),
+        F.sum("pos").over(w_g).alias("pos_g"),
+    )
+    prior = F.col("pos_g").cast("double") / F.col("n_g").cast("double")
+    te = (
+        (F.col("pos_c") - F.col("pos")).cast("double") + F.lit(TE_ALPHA) * prior
+    ) / ((F.col("n_c") - F.col("n")).cast("double") + F.lit(TE_ALPHA))
+    return tot.select(
+        "category", F.col("fold").cast("int").alias("fold"), "n", te.alias("te")
+    )
+
+
+# --------------------------------------------------------------------------
+# Score-band lift / capture table
+# --------------------------------------------------------------------------
+
+#: Number of score bands and the positive-class event type (shared with
+#: q_ml_auc so the two evaluation queries grade the same "model").
+LIFT_BANDS = 10
+LIFT_POSITIVE_TYPE = "purchase"
+
+
+@register(
+    "q_lift_bands",
+    oracle=f"""
+    WITH s AS (SELECT value AS score,
+                      CASE WHEN event_type = '{LIFT_POSITIVE_TYPE}'
+                           THEN 1 ELSE 0 END AS label
+               FROM events),
+    by_score AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(label) AS BIGINT) AS pos
+                 FROM s GROUP BY score),
+    cum AS (SELECT *,
+                   SUM(n) OVER (ORDER BY score DESC) AS cum_n,
+                   SUM(n) OVER () AS n_g,
+                   SUM(pos) OVER () AS pos_g
+            FROM by_score),
+    banded AS (SELECT ({LIFT_BANDS} * cum_n + n_g - 1) // n_g AS band,
+                      n, pos, n_g, pos_g
+               FROM cum),
+    per_band AS (SELECT band, n_g, pos_g,
+                        CAST(SUM(n) AS BIGINT) AS n,
+                        CAST(SUM(pos) AS BIGINT) AS positives
+                 FROM banded GROUP BY band, n_g, pos_g)
+    SELECT CAST(band AS INT) AS band, n, positives,
+           CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate,
+           (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS lift,
+           CAST(SUM(positives) OVER (ORDER BY band) AS DOUBLE)
+             / CAST(pos_g AS DOUBLE) AS cum_capture
+    FROM per_band
+    """,
+    tier="C",
+    doc=f"Score-band lift/capture table — the campaign-targeting twin "
+    "of q_ml_auc: rank the population by model score, cut it into "
+    f"{LIFT_BANDS} equal-population bands (ties stay together: a "
+    "band boundary never splits rows with identical scores, so the "
+    "table is deterministic under any sort order), and report each "
+    "band's response rate, lift over the base rate, and cumulative "
+    "capture of all positives. Band id is pure integer arithmetic "
+    "ceil(B*cum_n/N) via (B*cum_n + N - 1) DIV N — no float "
+    "boundary can misplace a row. Plan (the q_ml_auc shape): "
+    "aggregate to DISTINCT SCORES first — the only ordered window "
+    "runs over the distinct-score table, which is orders of "
+    "magnitude smaller than the events and bounded in practice by "
+    "score quantization, not corpus size; the band regroup is "
+    f"{LIFT_BANDS} rows. Determinism: counts exact integers; rates "
+    "are identical IEEE division chains.",
+)
+def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == LIFT_POSITIVE_TYPE, 1).otherwise(0).alias("label"),
+    )
+    by_score = s.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("label").cast("long").alias("pos")
+    )
+    w_ord = Window.orderBy(F.desc("score"))
+    w_all = Window.partitionBy()
+    cum = by_score.select(
+        "n",
+        "pos",
+        F.sum("n").over(w_ord).alias("cum_n"),
+        F.sum("n").over(w_all).alias("n_g"),
+        F.sum("pos").over(w_all).alias("pos_g"),
+    )
+    banded = cum.select(
+        F.expr(f"({LIFT_BANDS} * cum_n + n_g - 1) div n_g").alias("band"),
+        "n",
+        "pos",
+        "n_g",
+        "pos_g",
+    )
+    per_band = banded.groupBy("band", "n_g", "pos_g").agg(
+        F.sum("n").alias("n"), F.sum("pos").alias("positives")
+    )
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    base = F.col("pos_g").cast("double") / F.col("n_g").cast("double")
+    w_band = Window.orderBy("band")
+    return per_band.select(
+        F.col("band").cast("int").alias("band"),
+        "n",
+        "positives",
+        rate.alias("resp_rate"),
+        (rate / base).alias("lift"),
+        (
+            F.sum("positives").over(w_band).cast("double")
+            / F.col("pos_g").cast("double")
+        ).alias("cum_capture"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS over the near-duplicate pair graph
+# --------------------------------------------------------------------------
+
+#: BFS depth (statically unrolled — both engines run the identical
+#: K rounds) and seed count (md5-smallest vertices: deterministic).
+BFS_HOPS = 4
+BFS_SEEDS = 3
+
+
+def _bfs_oracle() -> str:
+    from news_categorization_big_data_spark.plans.dedup import _lsh_cand_ctes
+
+    step = """
+    d{K} AS (SELECT doc_id, MIN(hop) AS hop FROM (
+               SELECT doc_id, hop FROM d{P}
+               UNION ALL
+               SELECT e.dst AS doc_id, d.hop + 1 AS hop
+               FROM d{P} d JOIN ed e ON e.src = d.doc_id)
+             GROUP BY doc_id)"""
+    steps = ",".join(step.format(K=k, P=k - 1) for k in range(1, BFS_HOPS + 1))
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+           UNION ALL SELECT doc_b, doc_a FROM cand),
+    seeds AS (SELECT s AS doc_id FROM (SELECT DISTINCT src AS s FROM ed)
+              ORDER BY md5(CAST(s AS VARCHAR)), s LIMIT {BFS_SEEDS}),
+    d0 AS (SELECT doc_id, 0 AS hop FROM seeds),
+    {steps}
+    SELECT doc_id, CAST(hop AS INT) AS hops FROM d{BFS_HOPS}
+    """
+
+
+@register(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    tier="C",
+    doc=f"Multi-source BFS hop distance (≤{BFS_HOPS} hops, statically "
+    f"unrolled) from the {BFS_SEEDS} md5-smallest vertices of the "
+    "banded-LSH near-duplicate pair graph — the reachability "
+    "primitive behind contamination tracing ('which documents are "
+    "within k near-dup hops of a known bad seed?'). Each round is "
+    "frontier-join + min-hop regroup over the DISTANCE TABLE, never "
+    "path enumeration — intermediate cardinality is bounded by |E| "
+    "per round regardless of how many paths exist (a clique explodes "
+    "path counts but not the distance table), which is what makes "
+    "the unrolled plan safe on boilerplate hub clusters. Oracle "
+    "reuses the SAME candidate CTE chain as q_dedup_near/"
+    "q_graph_pagerank, so the graphs cannot drift. All-integer "
+    "arithmetic — exact on both engines. At 100 TB the unrolled lazy "
+    "plan swaps into the connected_components persist-per-round loop "
+    "skeleton (operators/graph.py) unchanged.",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    ed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    verts = ed.select(F.col("src").alias("doc_id")).distinct()
+    seeds = (
+        verts.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(BFS_SEEDS)
+        .select("doc_id", F.lit(0).alias("hop"))
+    )
+    dist = seeds
+    for _ in range(BFS_HOPS):
+        nxt = dist.join(ed, dist["doc_id"] == ed["src"]).select(
+            F.col("dst").alias("doc_id"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = dist.unionAll(nxt).groupBy("doc_id").agg(F.min("hop").alias("hop"))
+    return dist.select("doc_id", F.col("hop").cast("int").alias("hops"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF pairwise cosine (sparse, postings-join)
+# --------------------------------------------------------------------------
+
+#: Stop-term cut: terms present in more than 1/TFIDF_DF_FRAC of the
+#: corpus are dropped from the vector space (their idf weight is ~0
+#: anyway, and their postings lists are what makes a term join
+#: quadratic). Integer compare df * TFIDF_DF_FRAC <= N on both engines.
+TFIDF_DF_FRAC = 10
+TFIDF_TOP_PAIRS = 20
+
+
+@register(
+    "q_tfidf_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                  FROM documents WHERE text <> ''),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents WHERE text <> ''),
+    dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    post AS (SELECT tf.doc_id, tf.tok,
+                    CAST(tf.tf AS DOUBLE)
+                      * ((CAST(n.n - dft.df AS DOUBLE) + 0.5)
+                         / (CAST(dft.df AS DOUBLE) + 0.5)) AS w
+             FROM tf JOIN dft USING (tok), n_docs n
+             WHERE dft.df * {TFIDF_DF_FRAC} <= n.n),
+    nrm AS (SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,9))) AS DOUBLE)) AS nn
+            FROM post GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,9))) AS DOUBLE) AS dot
+             FROM post a JOIN post b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, cos FROM (
+      SELECT d.doc_a, d.doc_b, d.dot / (na.nn * nb.nn) AS cos
+      FROM dots d JOIN nrm na ON d.doc_a = na.doc_id
+                  JOIN nrm nb ON d.doc_b = nb.doc_id)
+    ORDER BY cos DESC, doc_a, doc_b LIMIT {TFIDF_TOP_PAIRS}
+    """,
+    tier="C",
+    doc=f"Sparse TF-IDF pairwise cosine, top-{TFIDF_TOP_PAIRS} most "
+    "similar document pairs — the lexical-vector complement to the "
+    "shingle-Jaccard and embedding near-dup families (catches "
+    "paraphrase-by-reordering that ordered shingles miss, without "
+    "needing embeddings). Idf uses the log-free monotone surrogate "
+    "(N-df+0.5)/(df+0.5) (the q_bm25_rank precedent — native log "
+    "differs cross-engine in the last ulp). Scale shape: pairs come "
+    "ONLY from the term-postings self-join, and terms appearing in "
+    f"more than 1/{TFIDF_DF_FRAC} of the corpus are cut from the "
+    "vector space first (integer compare df*K<=N) — the stop-term "
+    "cut that bounds postings-list length, so the join is "
+    "sum-of-df², never |docs|²; norms are computed over the same "
+    "cut vocabulary, so the cosine is exact IN that space, not an "
+    "approximation of the uncut one. Determinism: tf/df/N exact "
+    "integers; weights are identical IEEE chains; every cross-term "
+    "sum (norms and dots) quantizes to a 10⁻⁹ decimal grid first; "
+    "top-k ties break on (doc_a, doc_b).",
+)
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.text_exprs import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select("doc_id", tokens("text").alias("toks"))
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    post = (
+        tf.join(dft, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * TFIDF_DF_FRAC <= F.col("n"))
+        .select("doc_id", "tok", (F.col("tf").cast("double") * idf).alias("w"))
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")).cast("double")
+        ).alias("nn")
+    )
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+        .orderBy(F.desc("cos"), "doc_a", "doc_b")
+        .limit(TFIDF_TOP_PAIRS)
+    )
+
+
+# --------------------------------------------------------------------------
+# One-pass correlation matrix
+# --------------------------------------------------------------------------
+
+#: The lineitem measure columns correlated pairwise.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}_{c}"
+        )
+    pairs = []
+    for i, x in enumerate(CORR_COLS):
+        for y in CORR_COLS[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,6))) AS DOUBLE) AS s_{x}_{y}"
+            )
+            pairs.append(
+                f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+                 (n * s_{x}_{y} - s_{x} * s_{y})
+                   / nullif(sqrt(n * s_{x}_{x} - s_{x} * s_{x})
+                            * sqrt(n * s_{y}_{y} - s_{y} * s_{y}), 0.0) AS corr
+                 FROM m"""
+            )
+    union = " UNION ALL ".join(pairs)
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) {union}"
+
+
+@register(
+    "q_corr_matrix",
+    oracle=_corr_oracle(),
+    tier="C",
+    doc=f"Pairwise Pearson correlation matrix of the {len(CORR_COLS)} "
+    "lineitem measures in ONE pass (long format, upper triangle) — "
+    "the feature-selection screen run before training ('which "
+    "columns are redundant?'). A naive engine runs corr() once per "
+    "pair = C(k,2) scans; here every moment (k sums, k sums of "
+    "squares, C(k,2) cross-products) accumulates in a single "
+    "partial-aggregating pass over the table, and the matrix "
+    "assembles from the 1-row moment tuple — the only shuffle "
+    "carries ~k² doubles. Determinism: each moment quantizes "
+    "per-row to a 10⁻⁶ decimal grid (per-row products are exact "
+    "IEEE doubles, identical on both engines) so reduction order "
+    "cannot perturb it; the corr formula is one identical "
+    "multiply/divide/sqrt chain (sqrt is exactly rounded per "
+    "IEEE 754), degenerate zero-variance columns nullif-guarded "
+    "symmetrically.",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(30,6)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(30,6)"))
+            .cast("double")
+            .alias(f"s_{c}_{c}")
+        )
+    pair_names = []
+    for i, x in enumerate(CORR_COLS):
+        for y in CORR_COLS[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(x) * F.col(y)).cast("decimal(30,6)"))
+                .cast("double")
+                .alias(f"s_{x}_{y}")
+            )
+            pair_names.append((x, y))
+    m = li.agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        den = F.sqrt(
+            F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        ) * F.sqrt(
+            F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        )
+        return num / F.nullif(den, F.lit(0.0))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                corr_expr(x, y).alias("corr"),
+            )
+            for x, y in pair_names
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.col_x", "r.col_y", "r.corr")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit data-quality profile
+# --------------------------------------------------------------------------
+
+#: Benford expected first-digit shares log10(1 + 1/d), precomputed
+#: HOST-side so both engines parse the same double literals (native
+#: log10 differs cross-engine in the last ulp).
+BENFORD_EXPECTED = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def _benford_case(col: str) -> str:
+    # e0-typed literals so DuckDB parses DOUBLE, not DECIMAL(18,17)
+    # (the q_graph_pagerank precedent); repr() of these magnitudes never
+    # contains an exponent, so the suffix is well-formed.
+    assert all("e" not in repr(v) for v in BENFORD_EXPECTED)
+    arms = " ".join(
+        f"WHEN {d} THEN {BENFORD_EXPECTED[d - 1]!r}e0" for d in range(1, 10)
+    )
+    return f"CASE {col} {arms} END"
+
+
+@register(
+    "q_benford_digits",
+    oracle=f"""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM orders),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(COUNT(*)) OVER () AS n_g
+          FROM d GROUP BY digit)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE) AS obs_share,
+           {_benford_case('digit')} AS exp_share,
+           abs(CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)
+               - {_benford_case('digit')}) AS abs_dev
+    FROM c
+    """,
+    tier="C",
+    doc="Benford's-law first-digit profile of the order totals — the "
+    "classic data-quality screen for fabricated or truncated numeric "
+    "columns (natural multi-scale amounts follow P(d)=log10(1+1/d); "
+    "uniform synthetic data, capped fields, or unit-conversion bugs "
+    "show up as flat or spiked digit histograms). First digit is "
+    "extracted via EXACT integer arithmetic: cents = round(x*100) as "
+    "BIGINT, then the first character of the INTEGER's string form — "
+    "never double-to-string formatting (engine-dependent) and never "
+    "log10 binning (ulp-dependent); the expected shares are host-"
+    "precomputed double literals, identical to both engines. "
+    "Map-only + one 9-group aggregate: trivially 100-TB-safe.",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    c = c.withColumn("n_g", F.sum("n").over(w))
+    exp_share = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_EXPECTED]), F.col("digit")
+    )
+    obs = F.col("n").cast("double") / F.col("n_g").cast("double")
+    return c.select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.abs(obs - exp_share).alias("abs_dev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder budget allocation
+# --------------------------------------------------------------------------
+
+#: Total sampling budget allocated across nations proportional to
+#: customer counts (the Hamilton / largest-remainder method).
+ALLOC_BUDGET = 1000
+
+
+@register(
+    "q_alloc_budget",
+    oracle=f"""
+    WITH c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                      SUM(COUNT(*)) OVER () AS n_g
+               FROM customer GROUP BY c_nationkey),
+    q AS (SELECT c_nationkey, n_customers,
+                 ({ALLOC_BUDGET} * n_customers) // n_g AS base,
+                 ({ALLOC_BUDGET} * n_customers) % n_g AS rem,
+                 {ALLOC_BUDGET} - SUM(({ALLOC_BUDGET} * n_customers) // n_g)
+                                    OVER () AS extra
+          FROM c),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+          FROM q)
+    SELECT c_nationkey, n_customers,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r
+    """,
+    tier="C",
+    doc=f"Exact largest-remainder (Hamilton) allocation of a fixed "
+    f"sampling budget ({ALLOC_BUDGET}) across strata proportional to "
+    "their sizes — the curation step that turns 'sample 0.1% "
+    "stratified' into INTEGER per-stratum quotas that provably sum "
+    "to the budget (floor everyone's exact quota, then hand the "
+    "leftover units to the largest fractional remainders; ties break "
+    "on stratum id). Pure integer arithmetic throughout — B*n is "
+    "exact BIGINT, quotient/remainder via integer DIV/% — so no "
+    "float rounding can make the quotas sum to B±1, the classic bug "
+    "in naive round(B*share) allocators. Plan: one count aggregate, "
+    "then windows over the STRATUM table (|strata| rows — tiny); at "
+    "100 TB the raw table is touched once.",
+)
+def q_alloc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w_all = Window.partitionBy()
+    c = c.withColumn("n_g", F.sum("n_customers").over(w_all))
+    q = c.select(
+        "c_nationkey",
+        "n_customers",
+        F.expr(f"({ALLOC_BUDGET} * n_customers) div n_g").alias("base"),
+        (F.lit(ALLOC_BUDGET) * F.col("n_customers") % F.col("n_g")).alias("rem"),
+    ).withColumn("extra", F.lit(ALLOC_BUDGET) - F.sum("base").over(w_all))
+    w_rk = Window.orderBy(F.desc("rem"), F.asc("c_nationkey"))
+    r = q.withColumn("rk", F.row_number().over(w_rk))
+    return r.select(
+        "c_nationkey",
+        "n_customers",
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation
+# --------------------------------------------------------------------------
+
+#: Salt fan-out for the skew-mitigation rewrite.
+SALT_BUCKETS = 16
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tier="C",
+    doc=f"Salted two-phase aggregation, PROVEN result-identical to the "
+    "plain GROUP BY by the oracle hash: phase 1 groups by "
+    f"(event_type, xxhash64(event_id) % {SALT_BUCKETS}) so one hot "
+    "key's rows land on up to 16 reducers; phase 2 merges the "
+    "per-salt partials. This is the skew-mitigation rewrite for the "
+    "case AQE skew-join handling cannot reach (a single hot GROUP BY "
+    "key inside one partition), and the query exists to pin the "
+    "invariant that makes it legal: the partial states must be "
+    "MERGEABLE EXACTLY — counts are integers, and the value sum "
+    "stays DECIMAL through both phases (decimal addition is "
+    "associative; casting partials to double between phases would "
+    "reintroduce order dependence across the 16 merges). The salt "
+    "uses Spark-native xxhash64 — no md5 parity needed, since the "
+    "salt cancels out of the result by construction. Note Spark's "
+    "hash aggregate already does map-side partials for sum/count; "
+    "the explicit salt matters for the operators partial-agg can't "
+    "split (collect_list, exact distinct) and is demonstrated here "
+    "on the cheapest possible carrier.",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.select(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+            F.col("value").cast("decimal(30,6)").alias("v"),
+        )
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
