@@ -169,6 +169,10 @@ _DRIVER_ORDER = [
     "q_benford_digits",
     "q_alloc_budget",
     "q_salted_agg",
+    "q_rrf_fusion",
+    "q_attrib_channel",
+    "q_table_checksum",
+    "q_k_anonymity",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -379,6 +383,10 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_benford_digits",
         "q_alloc_budget",
         "q_salted_agg",
+        "q_rrf_fusion",
+        "q_attrib_channel",
+        "q_table_checksum",
+        "q_k_anonymity",
     }
 )
 

@@ -458,3 +458,136 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_id_nulls_last"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table content fingerprint
+# --------------------------------------------------------------------------
+
+#: Per-row hash is folded two ways: full-width XOR (order-insensitive,
+#: full entropy, but blind to duplicate-row pairs) and a SUM of the
+#: low 20 bits (duplicate-sensitive; 20 bits keeps the sum within
+#: BIGINT on BOTH engines at 10^12 rows — DuckDB promotes BIGINT sums
+#: to HUGEINT while Spark wraps, so the summand must be small enough
+#: that neither path ever exceeds int64).
+CHECKSUM_SUM_BITS = 20
+
+
+def cksum_row_hash() -> "F.Column":
+    """The customer-row canonical hash (shared with tests, which prove
+    the xor/sum fold pair detects single-row edits AND duplications)."""
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    return hash60(canon, seed="cksum")
+
+
+def cksum_agg(rows: DataFrame) -> DataFrame:
+    h = rows.select(cksum_row_hash().alias("h"), "c_custkey")
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.bit_xor("h").alias("xor_fp"),
+        F.sum(F.col("h") % (2 ** CHECKSUM_SUM_BITS)).alias("sum_fp"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    oracle=f"""
+    WITH h AS (SELECT ('0x' || substr(md5('cksum:' ||
+                      concat_ws('|',
+                        CAST(c_custkey AS VARCHAR), c_name,
+                        CAST(c_nationkey AS VARCHAR),
+                        CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+                        c_mktsegment)), 1, 15))::BIGINT AS h,
+                      c_custkey
+               FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+           CAST(SUM(h % {2 ** CHECKSUM_SUM_BITS}) AS BIGINT) AS sum_fp
+    FROM h
+    """,
+    tier="C",
+    doc="Order-insensitive table content fingerprint — the replica-"
+    "comparison / migration-audit primitive ('does the copied table "
+    "hold exactly the same rows?') that never needs a sort or a "
+    "row-level diff join: one map-side-combinable aggregate emits "
+    "row count, key count, a full-width XOR of per-row md5-derived "
+    "hashes, and a duplicate-sensitive 20-bit SUM fold (XOR alone "
+    "cancels identical-row PAIRS; the sum catches them — together "
+    "they detect any single-row change, insert, or duplication with "
+    "~2⁻⁶⁰ false-match odds). The fingerprint SPEC is part of the "
+    "operator: numerics canonicalize to fixed-point integers "
+    "(cents), never engine-formatted doubles, and fields join with "
+    "an unambiguous separator — which is exactly what makes the "
+    "DuckDB oracle reproduce it bit-for-bit. Commutative+associative "
+    "folds mean partial aggregation on every node and a "
+    "constant-size merge: the 100 TB cost is one scan.",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cksum_agg(load_table(spark, sf_dir, "customer"))
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit
+# --------------------------------------------------------------------------
+
+#: Minimum acceptable quasi-identifier group size.
+KANON_K = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(COUNT(*) AS BIGINT) AS k
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(COUNT(CASE WHEN k < {KANON_K} THEN 1 END) AS BIGINT)
+             AS n_groups_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN k < {KANON_K} THEN k END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN k < {KANON_K} THEN k END), 0) AS DOUBLE)
+             / CAST(SUM(k) AS DOUBLE) AS risk_share
+    FROM g
+    """,
+    tier="C",
+    doc=f"k-anonymity audit over the (nation, market-segment) quasi-"
+    "identifier pair: how many QI groups exist, the smallest group "
+    f"size, and how many groups/rows fall below k={KANON_K} — the "
+    "privacy screen run before releasing or training on a table "
+    "whose column combinations could re-identify individuals "
+    "(Sweeney 2002). Two nested aggregates: the QI group count "
+    "(partial-aggregating, the only data-sized shuffle) and a "
+    "constant-size summary over the GROUP table — at 100 TB the "
+    "second stage touches |QI-combinations| rows, not the corpus. "
+    "All-integer outputs except the final risk share, one division "
+    "of exact counts.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("k"))
+    )
+    at_risk = F.when(F.col("k") < KANON_K, F.col("k"))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("k").alias("min_k"),
+        F.count(at_risk).alias("n_groups_at_risk"),
+        F.coalesce(F.sum(at_risk), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        (
+            F.coalesce(F.sum(at_risk), F.lit(0)).cast("double")
+            / F.sum("k").cast("double")
+        ).alias("risk_share"),
+    )

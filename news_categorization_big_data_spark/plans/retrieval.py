@@ -370,3 +370,105 @@ def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("recon_err"),
     )
     return packed
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack et al. 2009 use 60) and result size.
+RRF_K = 60
+RRF_TOP = 20
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                  FROM documents WHERE text <> ''),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks
+           WHERE tok IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+           GROUP BY doc_id, tok),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents WHERE text <> ''),
+    dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (SELECT tf.doc_id,
+                      CAST(SUM(CAST(CAST(tf.tf AS DOUBLE)
+                                    * ((CAST(n.n - dft.df AS DOUBLE) + 0.5)
+                                       / (CAST(dft.df AS DOUBLE) + 0.5))
+                                    AS DECIMAL(30,9))) AS DOUBLE) AS score_a
+               FROM tf JOIN dft USING (tok), n_docs n
+               GROUP BY tf.doc_id),
+    cand AS (SELECT s.doc_id, s.score_a, d.n_chars
+             FROM scored s JOIN documents d USING (doc_id)),
+    ranked AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score_a DESC, doc_id)
+                           AS INT) AS rank_a,
+                      CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                           AS INT) AS rank_b
+               FROM cand)
+    SELECT doc_id, rank_a, rank_b,
+           1.0 / ({RRF_K}.0 + CAST(rank_a AS DOUBLE))
+             + 1.0 / ({RRF_K}.0 + CAST(rank_b AS DOUBLE)) AS rrf
+    FROM ranked ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+    tier="C",
+    doc=f"Reciprocal-rank fusion (Cormack et al. SIGIR 2009, k={RRF_K}) "
+    "of two retrieval signals over the SAME candidate set: an "
+    "idf-weighted lexical score (the q_bm25_rank term machinery) and "
+    "a brevity prior (n_chars ascending) — the standard way a RAG "
+    "stack merges rankers with incomparable score scales, since RRF "
+    "consumes only RANKS. Scale shape: the candidate set is the "
+    "POSTINGS of the query terms (never the corpus), so the two rank "
+    "windows sort |candidates| rows — bounded by document frequency, "
+    "not corpus size; the per-term scores quantize to a 10⁻⁹ decimal "
+    "grid before the per-doc sum. The fused score is a fixed-order "
+    "two-term IEEE sum of exact integer-rank reciprocals — "
+    "bit-identical cross-engine; ranks and the final top-"
+    f"{RRF_TOP} break ties on doc_id.",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (F.col("tf").cast("double") * idf).cast("decimal(30,9)").alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("double").alias("score_a"))
+    )
+    cand = scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w_a = Window.orderBy(F.desc("score_a"), F.asc("doc_id"))
+    w_b = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked = cand.select(
+        "doc_id",
+        F.row_number().over(w_a).cast("int").alias("rank_a"),
+        F.row_number().over(w_b).cast("int").alias("rank_b"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_a").cast("double"))
+        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_b").cast("double"))
+    )
+    return (
+        ranked.select("doc_id", "rank_a", "rank_b", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOP)
+    )

@@ -542,3 +542,90 @@ def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_sv").cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch channel attribution
+# --------------------------------------------------------------------------
+
+#: Attribution lookback: a purchase credits its most recent preceding
+#: non-purchase touch only if it happened within this many seconds.
+ATTRIB_LOOKBACK_S = 3600
+
+
+@register(
+    "q_attrib_channel",
+    oracle=f"""
+    WITH o AS (SELECT event_type, ts, value,
+                      last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                        OVER w AS src_type,
+                      last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN epoch_us(ts) END IGNORE NULLS)
+                        OVER w AS src_us
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (SELECT CASE WHEN src_us IS NULL THEN 'none'
+                      WHEN epoch_us(ts) - src_us > {ATTRIB_LOOKBACK_S * 1000000}
+                        THEN 'stale'
+                      ELSE src_type END AS channel,
+                 value
+          FROM o WHERE event_type = 'purchase')
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_value
+    FROM p GROUP BY channel
+    """,
+    tier="B",
+    doc="Last-touch channel revenue attribution: every purchase credits "
+    "its value to the user's most recent PRECEDING non-purchase touch "
+    "(view/click/signup/error), downgraded to 'stale' outside the "
+    f"{ATTRIB_LOOKBACK_S}s lookback and 'none' when no touch precedes "
+    "— the marketing-mix report behind channel budgets, and the "
+    "VALUE-attribution sibling of q_conversion_latency's timing "
+    "report. The source type and source timestamp carry through TWO "
+    "IGNORE-NULLS last_value windows with the IDENTICAL predicate, "
+    "frame, and sort — Catalyst collapses them into one Window node "
+    "over one user-keyed sort, and identical predicates guarantee "
+    "both pick the same source row (no self-join, no per-purchase "
+    "as-of probe). Attribution classification is integer-microsecond "
+    "arithmetic; revenue sums on the decimal grid. One user-window "
+    "pass + one channel-keyed aggregate.",
+)
+def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wsrc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    src_type = F.last(
+        F.when(non_purchase, F.col("event_type")), ignorenulls=True
+    ).over(wsrc)
+    src_us = F.last(
+        F.when(non_purchase, F.unix_micros("ts")), ignorenulls=True
+    ).over(wsrc)
+    p = (
+        ev.withColumn("src_type", src_type)
+        .withColumn("src_us", src_us)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("src_us").isNull(), "none")
+            .when(
+                F.unix_micros("ts") - F.col("src_us")
+                > ATTRIB_LOOKBACK_S * 1_000_000,
+                "stale",
+            )
+            .otherwise(F.col("src_type"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    return p.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

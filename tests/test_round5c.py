@@ -1,0 +1,91 @@
+"""Invariant tests for the round-5c batch (RRF fusion, channel
+attribution, table checksum, k-anonymity) — properties the oracle hash
+can't express: fusion-score reconstruction, purchase conservation, and
+the checksum's edit/duplication sensitivity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.plans import REGISTRY
+from news_categorization_big_data_spark.plans.quality import KANON_K, cksum_agg
+from news_categorization_big_data_spark.plans.retrieval import RRF_K, RRF_TOP
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+def test_rrf_score_reconstructs_from_ranks(spark, sf_dir):
+    rows = REGISTRY["q_rrf_fusion"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOP
+    for r in rows:
+        expect = 1.0 / (RRF_K + float(r["rank_a"])) + 1.0 / (
+            RRF_K + float(r["rank_b"])
+        )
+        assert r["rrf"] == expect, r
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_attrib_conserves_purchases_and_value(spark, sf_dir):
+    rows = REGISTRY["q_attrib_channel"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v"),
+    ).collect()[0]
+    assert sum(r["n_purchases"] for r in rows) == agg["n"]
+    assert math.isclose(
+        sum(r["attributed_value"] for r in rows), agg["v"], rel_tol=1e-12
+    )
+    allowed = {"view", "click", "signup", "error", "none", "stale"}
+    assert {r["channel"] for r in rows} <= allowed
+
+
+def test_checksum_detects_edit_and_duplication(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    base = cksum_agg(cust).collect()[0]
+
+    # single-field edit → xor fingerprint changes
+    edited = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, F.col("c_acctbal") + 0.01).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    e = cksum_agg(edited).collect()[0]
+    assert e["n_rows"] == base["n_rows"]
+    assert e["xor_fp"] != base["xor_fp"]
+
+    # duplicating a row is INVISIBLE to xor (pairs cancel) but caught
+    # by the sum fold — the reason the fingerprint carries both
+    dup = cust.unionAll(cust.where(F.col("c_custkey") == 1))
+    d = cksum_agg(dup).collect()[0]
+    assert d["n_rows"] == base["n_rows"] + 1
+    assert d["xor_fp"] != base["xor_fp"]  # odd count flips parity once
+    dup2 = cust.unionAll(cust.where(F.col("c_custkey") == 1)).unionAll(
+        cust.where(F.col("c_custkey") == 1)
+    )
+    d2 = cksum_agg(dup2).collect()[0]
+    assert d2["xor_fp"] == base["xor_fp"]  # xor blind to the pair...
+    assert d2["sum_fp"] != base["sum_fp"]  # ...the sum fold is not
+
+
+def test_k_anonymity_consistent_with_brute_force(spark, sf_dir):
+    row = REGISTRY["q_k_anonymity"].builder(spark, sf_dir).collect()[0]
+    groups = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .collect()
+    )
+    ks = [g["count"] for g in groups]
+    assert row["n_groups"] == len(ks)
+    assert row["min_k"] == min(ks)
+    assert row["n_rows_at_risk"] == sum(k for k in ks if k < KANON_K)
+    assert math.isclose(
+        row["risk_share"], sum(k for k in ks if k < KANON_K) / sum(ks),
+        rel_tol=1e-12,
+    )
