@@ -288,3 +288,32 @@ def kcore(
         raise RuntimeError(f"kcore(k={k}) did not converge in {max_iter} rounds")
     finally:
         edges.unpersist()
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-source BFS hop distance, statically unrolled to ``hops``
+    rounds (one lazy plan, no driver actions — the q_graph_pagerank
+    shape; loops needing convergence checks use the CC skeleton above).
+
+    ``edges`` must already carry both directions for an undirected
+    graph. ``seeds`` is an (id_col,) frame at distance 0. Each round is
+    frontier-join + MIN-hop regroup over the DISTANCE TABLE, never path
+    enumeration: intermediate cardinality is bounded by |E| per round
+    regardless of how many paths exist, which keeps dense clusters
+    (cliques from banded LSH) safe. Returns (id_col, hop) for every
+    vertex within ``hops`` of a seed. All-integer — oracle-exact.
+    """
+    dist = seeds.select(id_col, F.lit(0).alias("hop"))
+    for _ in range(hops):
+        nxt = dist.join(edges, dist[id_col] == edges[src]).select(
+            F.col(dst).alias(id_col), (F.col("hop") + 1).alias("hop")
+        )
+        dist = dist.unionAll(nxt).groupBy(id_col).agg(F.min("hop").alias("hop"))
+    return dist

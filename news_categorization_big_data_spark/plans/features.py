@@ -287,14 +287,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
         .orderBy("_h", "doc_id")
         .limit(BFS_SEEDS)
-        .select("doc_id", F.lit(0).alias("hop"))
+        .select("doc_id")
     )
-    dist = seeds
-    for _ in range(BFS_HOPS):
-        nxt = dist.join(ed, dist["doc_id"] == ed["src"]).select(
-            F.col("dst").alias("doc_id"), (F.col("hop") + 1).alias("hop")
-        )
-        dist = dist.unionAll(nxt).groupBy("doc_id").agg(F.min("hop").alias("hop"))
+    from news_categorization_big_data_spark.operators.graph import bfs_hops
+
+    dist = bfs_hops(ed, seeds, BFS_HOPS)
     return dist.select("doc_id", F.col("hop").cast("int").alias("hops"))
 
 
@@ -591,6 +588,33 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALLOC_BUDGET = 1000
 
 
+def alloc_largest_remainder(
+    counts: DataFrame, budget: int, key: str, n: str
+) -> DataFrame:
+    """Hamilton allocation over a (key, n) stratum table (shared with
+    the property tests, which brute-force it in Python on generated
+    inputs). Windows run over the stratum table only."""
+    w_all = Window.partitionBy()
+    c = counts.withColumn("n_g", F.sum(n).over(w_all))
+    q = c.select(
+        key,
+        n,
+        F.expr(f"({budget} * {n}) div n_g").alias("base"),
+        (F.lit(budget) * F.col(n) % F.col("n_g")).alias("rem"),
+    ).withColumn("extra", F.lit(budget) - F.sum("base").over(w_all))
+    w_rk = Window.orderBy(F.desc("rem"), F.asc(key))
+    r = q.withColumn("rk", F.row_number().over(w_rk))
+    return r.select(
+        key,
+        n,
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
 @register(
     "q_alloc_budget",
     oracle=f"""
@@ -630,25 +654,7 @@ def q_alloc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_customers"))
     )
-    w_all = Window.partitionBy()
-    c = c.withColumn("n_g", F.sum("n_customers").over(w_all))
-    q = c.select(
-        "c_nationkey",
-        "n_customers",
-        F.expr(f"({ALLOC_BUDGET} * n_customers) div n_g").alias("base"),
-        (F.lit(ALLOC_BUDGET) * F.col("n_customers") % F.col("n_g")).alias("rem"),
-    ).withColumn("extra", F.lit(ALLOC_BUDGET) - F.sum("base").over(w_all))
-    w_rk = Window.orderBy(F.desc("rem"), F.asc("c_nationkey"))
-    r = q.withColumn("rk", F.row_number().over(w_rk))
-    return r.select(
-        "c_nationkey",
-        "n_customers",
-        (
-            F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("alloc"),
-    )
+    return alloc_largest_remainder(c, ALLOC_BUDGET, "c_nationkey", "n_customers")
 
 
 # --------------------------------------------------------------------------

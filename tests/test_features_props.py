@@ -1,0 +1,134 @@
+"""Property-based checks for the feature-engineering tier's extracted
+operators: largest-remainder allocation and multi-source BFS vs Python
+brute force on generated inputs, and the lift-band integer banding
+invariants on generated score/label populations."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.operators.graph import bfs_hops
+from news_categorization_big_data_spark.plans.features import (
+    alloc_largest_remainder,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=200),
+)
+def test_alloc_matches_python_hamilton(spark, counts, budget):
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "k long, n long")
+    got = {
+        r["k"]: r["alloc"]
+        for r in alloc_largest_remainder(df, budget, "k", "n").collect()
+    }
+
+    total = sum(counts)
+    base = {i: (budget * n) // total for i, n in enumerate(counts)}
+    rem = {i: (budget * n) % total for i, n in enumerate(counts)}
+    extra = budget - sum(base.values())
+    order = sorted(range(len(counts)), key=lambda i: (-rem[i], i))
+    want = dict(base)
+    for i in order[:extra]:
+        want[i] += 1
+
+    assert got == want
+    assert sum(got.values()) == budget
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bfs_matches_python_bfs(spark, raw_edges, hops):
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    both = edges + [(b, a) for a, b in edges]
+    ed = spark.createDataFrame(both, "src long, dst long")
+    verts = sorted({v for e in both for v in e})
+    seeds = spark.createDataFrame([(verts[0],), (verts[-1],)], "doc_id long")
+    got = {
+        r["doc_id"]: r["hop"]
+        for r in bfs_hops(ed, seeds, hops).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in both:
+        adj.setdefault(a, set()).add(b)
+    want: dict[int, int] = {}
+    dq = deque()
+    for s in {verts[0], verts[-1]}:
+        want[s] = 0
+        dq.append(s)
+    while dq:
+        v = dq.popleft()
+        if want[v] == hops:
+            continue
+        for u in adj.get(v, ()):
+            if u not in want:
+                want[u] = want[v] + 1
+                dq.append(u)
+
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # score (small domain → ties)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_lift_banding_invariants(spark, pop):
+    """The ceil-division banding must partition the population into at
+    most 10 monotone bands where ties never split, and each band's
+    CUMULATIVE population never exceeds ceil(band * N / 10)."""
+    df = spark.createDataFrame(
+        [(float(s), 1 if l else 0) for s, l in pop], "score double, label int"
+    )
+    by_score = df.groupBy("score").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"))
+    cum = by_score.select(
+        "score",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("n_g"),
+    )
+    banded = cum.select(
+        "score", "n", "cum_n", F.expr("(10 * cum_n + n_g - 1) div n_g").alias("band")
+    ).collect()
+
+    n_g = sum(1 for _ in pop)
+    seen: dict[float, int] = {}
+    rows = sorted(banded, key=lambda r: -r["score"])
+    prev_band = 0
+    for r in rows:
+        assert 1 <= r["band"] <= 10
+        assert r["band"] >= prev_band  # monotone in descending score
+        prev_band = r["band"]
+        # ties (one distinct score) land in exactly one band
+        assert seen.setdefault(r["score"], r["band"]) == r["band"]
+        # cumulative population through this band's last member fits
+        assert r["cum_n"] * 10 <= r["band"] * n_g + (n_g - 1)
+    assert rows[-1]["band"] * n_g >= 10 * n_g - (n_g - 1)  # last band is 10
