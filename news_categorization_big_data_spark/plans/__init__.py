@@ -173,6 +173,8 @@ _DRIVER_ORDER = [
     "q_attrib_channel",
     "q_table_checksum",
     "q_k_anonymity",
+    "q_rfm_segments",
+    "q_peak_concurrency",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -387,6 +389,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_attrib_channel",
         "q_table_checksum",
         "q_k_anonymity",
+        "q_rfm_segments",
+        "q_peak_concurrency",
     }
 )
 

@@ -1004,3 +1004,100 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_peak_concurrency",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+    iv AS (SELECT MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+           FROM s GROUP BY user_id, sid),
+    b AS (SELECT us, delta, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            SELECT s_us AS us, 1 AS delta, COUNT(*) AS cnt FROM iv GROUP BY 1
+            UNION ALL
+            SELECT e_us, -1, COUNT(*) FROM iv GROUP BY 1)
+          GROUP BY us, delta),
+    run AS (SELECT us, delta,
+                   CAST(SUM(delta * n) OVER (ORDER BY us, delta DESC)
+                        AS BIGINT) AS conc
+            FROM b)
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak,
+           CAST(COUNT(CASE WHEN conc = (SELECT MAX(conc) FROM run WHERE delta = 1)
+                           THEN 1 END) AS BIGINT) AS n_at_peak,
+           CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run WHERE delta = 1)
+                         THEN us END) AS BIGINT) AS first_peak_us
+    FROM run WHERE delta = 1
+    """,
+    tier="B",
+    doc="Peak concurrent sessions — the capacity-planning number ('how "
+    "many users were active AT ONCE at the worst moment?'): sessions "
+    "from the q_sessionize gap rule become [start,end] intervals, "
+    "intervals become +1/-1 boundary deltas, and the peak is the max "
+    "of the running delta sum — the classic O(n log n) sweep, never "
+    "an interval self-join. Scale shape: boundaries AGGREGATE to "
+    "distinct (timestamp, delta) rows first (the q_ml_auc "
+    "distinct-value trick), so the one ordered window runs over "
+    "distinct boundary instants, not sessions; with the RANGE "
+    "default frame, peer rows aggregate together, making the "
+    "running sum well-defined under ties. Sessions touching at the "
+    "same instant count as concurrent (+1 sorts before -1). "
+    "All-integer µs arithmetic — oracle-exact; ties at the peak "
+    "resolve by earliest instant.",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > SESSION_GAP_US), 1).otherwise(0)
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        ev.select("user_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+    )
+    starts = (
+        iv.groupBy(F.col("s_us").alias("us"))
+        .agg(F.count("*").alias("n"))
+        .select("us", F.lit(1).alias("delta"), "n")
+    )
+    ends = (
+        iv.groupBy(F.col("e_us").alias("us"))
+        .agg(F.count("*").alias("n"))
+        .select("us", F.lit(-1).alias("delta"), "n")
+    )
+    b = starts.unionAll(ends).groupBy("us", "delta").agg(F.sum("n").alias("n"))
+    w_run = Window.orderBy(F.asc("us"), F.desc("delta"))
+    run = b.select(
+        "us",
+        "delta",
+        F.sum(F.col("delta") * F.col("n")).over(w_run).cast("long").alias("conc"),
+    ).where(F.col("delta") == 1)
+    w_all = Window.partitionBy()
+    peaked = run.withColumn("mx", F.max("conc").over(w_all))
+    return peaked.agg(
+        F.max("conc").alias("peak"),
+        F.count(F.when(F.col("conc") == F.col("mx"), 1)).alias("n_at_peak"),
+        F.min(F.when(F.col("conc") == F.col("mx"), F.col("us"))).alias(
+            "first_peak_us"
+        ),
+    )

@@ -629,3 +629,122 @@ def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+#: Number of bands per RFM dimension (quintiles).
+RFM_BANDS = 5
+
+#: Microseconds per day (integer — recency is exact integer days).
+_US_PER_DAY = 86_400_000_000
+
+
+def _rfm_band_cte(metric_cte: str, col: str) -> str:
+    """Distinct-value quintile banding (the q_lift_bands integer rule):
+    band = ceil(B * cum_n / N) over distinct metric values ascending."""
+    return f"""(SELECT {col} AS v,
+                      ({RFM_BANDS} * SUM(n) OVER (ORDER BY {col})
+                        + SUM(n) OVER () - 1) // SUM(n) OVER () AS band
+               FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM {metric_cte} GROUP BY {col}))"""
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH m AS (SELECT o_custkey,
+                      (SELECT MAX(epoch_us(o_orderdate)) FROM orders) AS ref_us,
+                      MAX(epoch_us(o_orderdate)) AS last_us,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        AS monetary
+               FROM orders GROUP BY o_custkey),
+    u AS (SELECT o_custkey,
+                 (ref_us - last_us) // {_US_PER_DAY} AS recency_days,
+                 n_orders, monetary
+          FROM m),
+    rb AS {_rfm_band_cte('u', 'recency_days')},
+    fb AS {_rfm_band_cte('u', 'n_orders')},
+    mb AS {_rfm_band_cte('u', 'monetary')}
+    SELECT CAST(rb.band AS INT) AS r_band,
+           CAST(fb.band AS INT) AS f_band,
+           CAST(mb.band AS INT) AS m_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(u.monetary AS DECIMAL(30,6))) AS DOUBLE)
+             AS segment_value
+    FROM u JOIN rb ON u.recency_days = rb.v
+           JOIN fb ON u.n_orders = fb.v
+           JOIN mb ON u.monetary = mb.v
+    GROUP BY 1, 2, 3
+    """,
+    tier="B",
+    doc=f"RFM (recency / frequency / monetary) customer segmentation — "
+    "the classic marketing-warehouse cube: per customer, days since "
+    "last order (vs the corpus max date, so the query is "
+    "wall-clock-free), order count, and lifetime spend, each banded "
+    f"into {RFM_BANDS} quintiles by the integer ceil-division rule "
+    "shared with q_lift_bands (band boundaries never split ties, no "
+    "float cutpoints), then rolled up to segment population and "
+    "value. Scale shape: per-customer metrics are one "
+    "partial-aggregating shuffle; each banding window runs over the "
+    "DISTINCT-VALUE table of its metric, not the customer table; "
+    "band assignment joins back ON THE METRIC VALUE (recency and "
+    "frequency tables are near-constant-size and broadcast; the "
+    "monetary join is value-keyed, bounded by |customers|). "
+    "Determinism: recency is integer-µs floor-division; spend sums "
+    "on the exact-cents decimal grid; the final segment regroup "
+    f"carries ≤{RFM_BANDS}³ rows.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    ref = orders.agg(F.max(F.unix_micros("o_orderdate")).alias("ref_us"))
+    u = m.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.expr(f"(ref_us - last_us) div {_US_PER_DAY}").alias("recency_days"),
+        "n_orders",
+        "monetary",
+    )
+
+    def band(col: str) -> DataFrame:
+        vals = u.groupBy(col).agg(F.count("*").alias("n"))
+        w_ord = Window.orderBy(col)
+        w_all = Window.partitionBy()
+        return (
+            vals.select(
+                F.col(col).alias("v"),
+                F.sum("n").over(w_ord).alias("cum_n"),
+                F.sum("n").over(w_all).alias("n_g"),
+            ).select(
+                "v",
+                F.expr(f"({RFM_BANDS} * cum_n + n_g - 1) div n_g").alias("band"),
+            )
+        )
+
+    rb = band("recency_days").withColumnsRenamed({"v": "recency_days", "band": "r_band"})
+    fb = band("n_orders").withColumnsRenamed({"v": "n_orders", "band": "f_band"})
+    mb = band("monetary").withColumnsRenamed({"v": "monetary", "band": "m_band"})
+    seg = (
+        u.join(F.broadcast(rb), "recency_days")
+        .join(F.broadcast(fb), "n_orders")
+        .join(mb, "monetary")
+    )
+    return seg.groupBy(
+        F.col("r_band").cast("int").alias("r_band"),
+        F.col("f_band").cast("int").alias("f_band"),
+        F.col("m_band").cast("int").alias("m_band"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("segment_value"),
+    )

@@ -89,3 +89,38 @@ def test_k_anonymity_consistent_with_brute_force(spark, sf_dir):
         row["risk_share"], sum(k for k in ks if k < KANON_K) / sum(ks),
         rel_tol=1e-12,
     )
+
+
+def test_rfm_conserves_customers_and_value(spark, sf_dir):
+    rows = REGISTRY["q_rfm_segments"].builder(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_band"] <= 5
+        assert 1 <= r["f_band"] <= 5
+        assert 1 <= r["m_band"] <= 5
+    total = (
+        orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("t")
+        ).collect()[0]["t"]
+    )
+    assert math.isclose(
+        sum(r["segment_value"] for r in rows), total, rel_tol=1e-9
+    )
+
+
+def test_peak_concurrency_matches_brute_force(spark, sf_dir):
+    got = REGISTRY["q_peak_concurrency"].builder(spark, sf_dir).collect()[0]
+    sessions = [
+        (r["session_start"], r["session_end"])
+        for r in REGISTRY["q_sessionize"].builder(spark, sf_dir).collect()
+    ]
+    # brute force: concurrency at every session-start instant
+    peak = max(
+        sum(1 for s2, e2 in sessions if s2 <= s <= e2) for s, _ in sessions
+    )
+    assert got["peak"] == peak
+    assert got["n_at_peak"] >= 1
