@@ -303,7 +303,16 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: corpus are dropped from the vector space (their idf weight is ~0
 #: anyway, and their postings lists are what makes a term join
 #: quadratic). Integer compare df * TFIDF_DF_FRAC <= N on both engines.
+#: The RELATIVE cut alone is not enough: a term sitting exactly at the
+#: cap still yields (N/TFIDF_DF_FRAC)² /2 pairs — quadratic in corpus
+#: size (measured: 10x docs → 300x runtime on the synthetic corpus,
+#: whose replica markers land exactly at df = N/10). The ABSOLUTE
+#: bound TFIDF_DF_MAX caps any term's pair fan-out at DF_MAX²/2
+#: independent of N — the AllPairs/PPJoin max_df discipline used by
+#: the jaccard family; lower it for planet-scale corpora (pairing on
+#: rarer terms is also where the cosine signal lives).
 TFIDF_DF_FRAC = 10
+TFIDF_DF_MAX = 1000
 TFIDF_TOP_PAIRS = 20
 
 
@@ -322,7 +331,8 @@ TFIDF_TOP_PAIRS = 20
                       * ((CAST(n.n - dft.df AS DOUBLE) + 0.5)
                          / (CAST(dft.df AS DOUBLE) + 0.5)) AS w
              FROM tf JOIN dft USING (tok), n_docs n
-             WHERE dft.df * {TFIDF_DF_FRAC} <= n.n),
+             WHERE dft.df * {TFIDF_DF_FRAC} <= n.n
+               AND dft.df <= {TFIDF_DF_MAX}),
     nrm AS (SELECT doc_id,
                    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,9))) AS DOUBLE)) AS nn
             FROM post GROUP BY doc_id),
@@ -346,10 +356,14 @@ TFIDF_TOP_PAIRS = 20
     "(N-df+0.5)/(df+0.5) (the q_bm25_rank precedent — native log "
     "differs cross-engine in the last ulp). Scale shape: pairs come "
     "ONLY from the term-postings self-join, and terms appearing in "
-    f"more than 1/{TFIDF_DF_FRAC} of the corpus are cut from the "
-    "vector space first (integer compare df*K<=N) — the stop-term "
-    "cut that bounds postings-list length, so the join is "
-    "sum-of-df², never |docs|²; norms are computed over the same "
+    f"more than 1/{TFIDF_DF_FRAC} of the corpus OR more than "
+    f"{TFIDF_DF_MAX} documents are cut from the vector space first "
+    "(integer compares df*K<=N and df<=MAX) — the relative cut "
+    "drops stop terms, and the ABSOLUTE cap bounds any term's pair "
+    "fan-out at MAX²/2 independent of corpus size (without it a "
+    "term at the relative cap contributes (N/K)² pairs — measured "
+    "quadratic at the 10x point); the join is sum-of-df², never "
+    "|docs|²; norms are computed over the same "
     "cut vocabulary, so the cosine is exact IN that space, not an "
     "approximation of the uncut one. Determinism: tf/df/N exact "
     "integers; weights are identical IEEE chains; every cross-term "
@@ -378,7 +392,10 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (
         tf.join(dft, "tok")
         .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") * TFIDF_DF_FRAC <= F.col("n"))
+        .where(
+            (F.col("df") * TFIDF_DF_FRAC <= F.col("n"))
+            & (F.col("df") <= TFIDF_DF_MAX)
+        )
         .select("doc_id", "tok", (F.col("tf").cast("double") * idf).alias("w"))
     )
     nrm = post.groupBy("doc_id").agg(
@@ -420,20 +437,66 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The lineitem measure columns correlated pairwise.
 CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+#: Exact sums WITHOUT the decimal tax — the limb-split trick. A decimal
+#: aggregate is exact but ~60x slower than a native long sum (measured
+#: at sf1: 35 s vs 0.6 s for these 15 moments). Instead each per-row
+#: moment quantizes to integer MICRO-UNITS (round(e*1e6) as BIGINT —
+#: exact for |e| < 9.2e12, identical on both engines for non-negative
+#: e), splits into three 20-bit limbs, and each limb sums as a plain
+#: long: limb < 2^20 and the hi limb < 2^16 here, so sums stay inside
+#: int64 up to 2^42 (~4.4e12) rows — Spark would wrap and DuckDB would
+#: promote past that, so the bound is part of the contract. The exact
+#: total reassembles in DECIMAL on the 1-ROW result (hi*2^40 +
+#: mid*2^20 + lo, then /1e6) — decimal arithmetic priced per-query,
+#: not per-row. Requires non-negative inputs (shift/mask limbs; a
+#: signed variant offsets per-row and subtracts n*offset at the end).
+_LIMB_MASK = (1 << 20) - 1
+
+
+def _o_limb_sums(expr: str, name: str) -> list[str]:
+    # floor, not round: Spark's round() on doubles allocates a
+    # BigDecimal per row (measured 10x the whole aggregate's cost);
+    # floor is one codegen instruction and IEEE-identical on both
+    # engines. The grid shifts by at most one micro-unit — immaterial,
+    # and identical cross-engine, which is the actual requirement.
+    q = f"CAST(floor(({expr}) * 1000000) AS BIGINT)"
+    return [
+        f"SUM({q} >> 40) AS {name}_hi",
+        f"SUM(({q} >> 20) & {_LIMB_MASK}) AS {name}_mid",
+        f"SUM({q} & {_LIMB_MASK}) AS {name}_lo",
+    ]
+
+
+def _o_limb_total(name: str) -> str:
+    return (
+        f"CAST(CAST({name}_hi AS DECIMAL(38,0)) * 1099511627776"
+        f" + CAST({name}_mid AS DECIMAL(38,0)) * 1048576"
+        f" + CAST({name}_lo AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0"
+    )
+
+
+def _corr_moments() -> list[tuple[str, str]]:
+    """(moment_name, sql_expr) for every needed moment."""
+    out = []
+    for c in CORR_COLS:
+        out.append((f"s_{c}", c))
+        out.append((f"s_{c}_{c}", f"{c} * {c}"))
+    for i, x in enumerate(CORR_COLS):
+        for y in CORR_COLS[i + 1 :]:
+            out.append((f"s_{x}_{y}", f"{x} * {y}"))
+    return out
+
 
 def _corr_oracle() -> str:
-    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
-    for c in CORR_COLS:
-        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}")
-        sums.append(
-            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}_{c}"
-        )
+    moments = _corr_moments()
+    limb_sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    rebuilt = ["n"]
+    for name, expr in moments:
+        limb_sums.extend(_o_limb_sums(expr, name))
+        rebuilt.append(f"{_o_limb_total(name)} AS {name}")
     pairs = []
     for i, x in enumerate(CORR_COLS):
         for y in CORR_COLS[i + 1 :]:
-            sums.append(
-                f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,6))) AS DOUBLE) AS s_{x}_{y}"
-            )
             pairs.append(
                 f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
                  (n * s_{x}_{y} - s_{x} * s_{y})
@@ -442,7 +505,10 @@ def _corr_oracle() -> str:
                  FROM m"""
             )
     union = " UNION ALL ".join(pairs)
-    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) {union}"
+    return (
+        f"WITH m0 AS (SELECT {', '.join(limb_sums)} FROM lineitem), "
+        f"m AS (SELECT {', '.join(rebuilt)} FROM m0) {union}"
+    )
 
 
 @register(
@@ -457,34 +523,37 @@ def _corr_oracle() -> str:
     "squares, C(k,2) cross-products) accumulates in a single "
     "partial-aggregating pass over the table, and the matrix "
     "assembles from the 1-row moment tuple — the only shuffle "
-    "carries ~k² doubles. Determinism: each moment quantizes "
-    "per-row to a 10⁻⁶ decimal grid (per-row products are exact "
-    "IEEE doubles, identical on both engines) so reduction order "
-    "cannot perturb it; the corr formula is one identical "
+    "carries ~3k² longs. Determinism: each moment quantizes "
+    "per-row to integer micro-units and sums via the LIMB-SPLIT "
+    "trick (see _o_limb_sums: three 20-bit limbs summed as plain "
+    "longs, reassembled exactly in decimal on the 1-row result) — "
+    "reduction-order-free like a decimal aggregate but at native "
+    "long-sum speed (measured 35 s → ~1 s for these 15 moments at "
+    "sf1); the corr formula is one identical "
     "multiply/divide/sqrt chain (sqrt is exactly rounded per "
     "IEEE 754), degenerate zero-variance columns nullif-guarded "
     "symmetrically.",
 )
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    moments = _corr_moments()
     aggs = [F.count("*").cast("double").alias("n")]
-    for c in CORR_COLS:
-        aggs.append(F.sum(F.col(c).cast("decimal(30,6)")).cast("double").alias(f"s_{c}"))
+    for name, expr in moments:
+        q = F.floor(F.expr(expr) * 1_000_000).cast("long")
+        aggs.append(F.sum(F.shiftright(q, 40)).alias(f"{name}_hi"))
         aggs.append(
-            F.sum((F.col(c) * F.col(c)).cast("decimal(30,6)"))
-            .cast("double")
-            .alias(f"s_{c}_{c}")
-        )
-    pair_names = []
-    for i, x in enumerate(CORR_COLS):
-        for y in CORR_COLS[i + 1 :]:
-            aggs.append(
-                F.sum((F.col(x) * F.col(y)).cast("decimal(30,6)"))
-                .cast("double")
-                .alias(f"s_{x}_{y}")
+            F.sum(F.shiftright(q, 20).bitwiseAND(F.lit(_LIMB_MASK))).alias(
+                f"{name}_mid"
             )
-            pair_names.append((x, y))
-    m = li.agg(*aggs)
+        )
+        aggs.append(F.sum(q.bitwiseAND(F.lit(_LIMB_MASK))).alias(f"{name}_lo"))
+    m0 = li.agg(*aggs)
+    m = m0.select(
+        "n", *[F.expr(_o_limb_total(name)).alias(name) for name, _ in moments]
+    )
+    pair_names = [
+        (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
+    ]
 
     def corr_expr(x: str, y: str):
         num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
