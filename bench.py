@@ -49,6 +49,11 @@ HEADLINE = [
     # interval-union sweep.
     "q_bloom_join",          # Bloom prefilter (3 bcast probes) + exact verify
     "q_interval_coverage",   # gaps-and-islands interval-union measure
+    # -- appended round 5 (feature tier): the limb-split exact moment
+    # pass and the df-capped postings self-join — both carry measured
+    # decade-point fixes (SCALE.md).
+    "q_corr_matrix",         # 15 exact moments, one pass, limb-split sums
+    "q_tfidf_pairs",         # postings self-join under rel+abs df caps
 ]
 
 
