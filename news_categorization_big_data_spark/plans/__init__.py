@@ -177,6 +177,9 @@ _DRIVER_ORDER = [
     "q_k_anonymity",
     "q_rfm_segments",
     "q_peak_concurrency",
+    "q_ann_recall",
+    "q_curation_funnel",
+    "q_rolling_corr",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -393,6 +396,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_k_anonymity",
         "q_rfm_segments",
         "q_peak_concurrency",
+        "q_ann_recall",
+        "q_curation_funnel",
+        "q_rolling_corr",
     }
 )
 

@@ -9,7 +9,7 @@ is bit-identical in DuckDB, unlike RNG-based ``df.sample``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators.batching import (
@@ -385,3 +385,138 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return assign_batches(docs, id_col="doc_id", text_col="text")
+
+
+# --------------------------------------------------------------------------
+# Curation funnel attribution
+# --------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from news_categorization_big_data_spark.functions.text_exprs import STOPWORDS
+    from news_categorization_big_data_spark.operators.curation import (
+        QUALITY_MAX_CHARS_PER_TOKEN,
+        QUALITY_MIN_CHARS_PER_TOKEN,
+        QUALITY_MIN_DISTINCT_RATIO,
+        QUALITY_MIN_STOPWORD_RATIO,
+        QUALITY_MIN_TOKENS,
+    )
+    from news_categorization_big_data_spark.plans.dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH RECURSIVE
+    raw AS (SELECT doc_id, text, n_chars FROM documents WHERE text <> ''),
+    qs AS (SELECT doc_id, text,
+                  len(t) AS n,
+                  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+                  CAST(len(list_filter(t, x -> x IN {tuple(STOPWORDS)!r})) AS DOUBLE)
+                    / len(t) AS sr,
+                  CAST(n_chars AS DOUBLE) / len(t) AS cpt
+           FROM (SELECT doc_id, text, n_chars,
+                        regexp_split_to_array(text, '\\s+') AS t
+                 FROM raw)),
+    kept AS (SELECT doc_id, text FROM qs
+             WHERE NOT (n < {QUALITY_MIN_TOKENS}
+                        OR dr < {QUALITY_MIN_DISTINCT_RATIO}
+                        OR sr < {QUALITY_MIN_STOPWORD_RATIO}
+                        OR cpt < {QUALITY_MIN_CHARS_PER_TOKEN}
+                        OR cpt > {QUALITY_MAX_CHARS_PER_TOKEN})),
+    src AS (SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text),
+    {_lsh_cand_ctes(src="src")},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    canon AS (SELECT s.doc_id FROM src s LEFT JOIN cc ON cc.id = s.doc_id
+              WHERE cc.id IS NULL OR cc.component = s.doc_id),
+    stages AS (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'quality',
+             CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+      UNION ALL SELECT 2, 'exact_dedup',
+             CAST((SELECT COUNT(*) FROM src) AS BIGINT)
+      UNION ALL SELECT 3, 'near_dedup',
+             CAST((SELECT COUNT(*) FROM canon) AS BIGINT))
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_docs,
+           CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage_idx), n_docs)
+                - n_docs AS BIGINT) AS n_removed,
+           CAST(n_docs AS DOUBLE)
+             / CAST(first_value(n_docs) OVER (ORDER BY stage_idx) AS DOUBLE)
+             AS kept_frac
+    FROM stages
+    """
+
+
+@register(
+    "q_curation_funnel",
+    oracle=_funnel_oracle(),
+    tier="C",
+    doc="Curation funnel attribution — the per-stage accounting report "
+    "next to q_pipeline_curate's final answer: how many documents "
+    "each stage (quality filter → exact dedup → near-dup "
+    "canonicalization) removed, and the cumulative keep fraction. "
+    "This is the report that tells a data team WHICH stage cost the "
+    "corpus (a dedup suddenly eating 40% is a pipeline bug; a "
+    "quality filter eating 40% is a source problem). Every stage "
+    "count reuses the SAME operator machinery and oracle CTE chain "
+    "as q_pipeline_curate (one source of truth per stage — the "
+    "numbers cannot drift from the pipeline they describe); the "
+    "deduped corpus is lazily checkpointed once and the four stage "
+    "counts assemble into a 4-row frame with window lag/first for "
+    "attribution. All-integer counts; one final division per row.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.curation import quality_reasons
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.operators.graph import connected_components
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
+
+    raw = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    kept = raw.where(F.size(quality_reasons("text", "n_chars")) == 0)
+    src = fan_out(
+        kept.groupBy(F.md5("text").alias("_h")).agg(
+            F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+        ),
+        force=True,
+    ).localCheckpoint(eager=False)
+    cc = connected_components(lsh_candidate_pairs(minhash_signatures(src)))
+    canon = src.join(cc, src["doc_id"] == cc["doc_id"], "left").where(
+        cc["doc_id"].isNull() | (F.col("component") == src["doc_id"])
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    stages = (
+        stage(0, "raw", raw)
+        .unionAll(stage(1, "quality", kept))
+        .unionAll(stage(2, "exact_dedup", src))
+        .unionAll(stage(3, "near_dedup", canon))
+    )
+    w = Window.orderBy("stage_idx")
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (
+            F.coalesce(F.lag("n_docs").over(w), F.col("n_docs")) - F.col("n_docs")
+        )
+        .cast("long")
+        .alias("n_removed"),
+        (
+            F.col("n_docs").cast("double")
+            / F.first("n_docs").over(w).cast("double")
+        ).alias("kept_frac"),
+    )

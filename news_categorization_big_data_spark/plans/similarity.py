@@ -329,3 +329,131 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l2_norm"), "vec_id")
         .limit(NORM_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation
+# --------------------------------------------------------------------------
+
+#: Recall@K evaluation: query points, ground-truth depth, and the IVF
+#: geometry (shared with q_sim_ann_ivf: first 8 vectors as centroids).
+RECALL_QUERIES = (0, 1, 2)
+RECALL_K = 10
+RECALL_N_CENTS = 8
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+                  WHERE vec_id < {RECALL_N_CENTS}),
+    assigned AS (SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_cos('e.embedding', 'c.c_emb')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e, cent c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN {RECALL_QUERIES!r}),
+    truth AS (SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_o_cos('e.embedding', 'q.q_emb')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= {RECALL_K}),
+    qc AS (SELECT q.query_id, q.q_emb, a.cent_id AS q_cell
+           FROM q JOIN assigned a ON a.vec_id = q.query_id),
+    cand AS (SELECT qc.query_id, e.vec_id, e.embedding, qc.q_emb
+             FROM embeddings e
+             JOIN assigned a ON a.vec_id = e.vec_id
+             JOIN qc ON a.cent_id = qc.q_cell
+             WHERE e.vec_id <> qc.query_id),
+    annk AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_o_cos('embedding', 'q_emb')} DESC,
+                                           vec_id) AS rn
+        FROM cand) WHERE rn <= {RECALL_K}),
+    ncand AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              FROM cand GROUP BY query_id),
+    hit AS (SELECT t.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+            FROM truth t LEFT JOIN annk a
+              ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+            GROUP BY t.query_id)
+    SELECT h.query_id, n.n_candidates, h.n_hit,
+           CAST(h.n_hit AS DOUBLE) / {RECALL_K}.0 AS recall
+    FROM hit h JOIN ncand n ON h.query_id = n.query_id
+    """,
+    tier="C",
+    doc=f"ANN recall@{RECALL_K} report — the evaluation harness every "
+    "vector index ships with: for each of "
+    f"{len(RECALL_QUERIES)} query points, run BOTH the brute-force "
+    "exact top-k (the q_sim_search path) and the IVF single-cell "
+    "search (the q_sim_ann_ivf path, same first-"
+    f"{RECALL_N_CENTS}-vectors centroid geometry), and report the "
+    "candidate-set size (the cost actually paid) next to the recall "
+    "(the quality actually delivered) — the two numbers that "
+    "calibrate nprobe/cell-count tradeoffs before a config ships. "
+    "Composes the REGISTERED operators' own machinery (assign_cells, "
+    "broadcast query panel, per-query rank windows), so the report "
+    "measures exactly what the production queries run. Scale: "
+    "centroid table broadcasts; the ground-truth pass is the one "
+    "full scan (that is what makes it ground truth — run it on an "
+    "evaluation sample, not the corpus); the ANN pass scans one "
+    "cell per query. Determinism: ranks tie-break on vec_id; "
+    "recall is one exact-integer division.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < RECALL_N_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = assign_cells(emb, centroids).select("vec_id", "cent_id")
+    queries = emb.where(F.col("vec_id").isin(*RECALL_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine("embedding", "q_emb").alias("_c"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("_rn", F.row_number().over(w_q))
+        .where(F.col("_rn") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+
+    qc = queries.join(
+        assigned.withColumnRenamed("vec_id", "query_id"), "query_id"
+    ).select("query_id", "q_emb", F.col("cent_id").alias("q_cell"))
+    cand = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(qc), F.col("cent_id") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", "q_emb")
+    )
+    annk = (
+        cand.select("query_id", "vec_id", cosine("embedding", "q_emb").alias("_c"))
+        .withColumn("_rn", F.row_number().over(w_q))
+        .where(F.col("_rn") <= RECALL_K)
+        .select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    )
+    ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hit = (
+        truth.join(
+            annk,
+            (truth["query_id"] == annk["query_id"])
+            & (truth["vec_id"] == annk["ann_vec_id"]),
+            "left",
+        )
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(F.count("ann_vec_id").alias("n_hit"))
+    )
+    return hit.join(ncand, "query_id").select(
+        "query_id",
+        "n_candidates",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.lit(float(RECALL_K))).alias("recall"),
+    )

@@ -748,3 +748,129 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling window correlation
+# --------------------------------------------------------------------------
+
+#: Rolling-correlation pair (daily value sums of these event types) and
+#: trailing window width in days.
+ROLLCORR_X = "click"
+ROLLCORR_Y = "purchase"
+ROLLCORR_DAYS = 7
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = '{ROLLCORR_X}'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = '{ROLLCORR_Y}'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('{ROLLCORR_X}', '{ROLLCORR_Y}')
+      GROUP BY 1),
+    q AS (SELECT day, x, y,
+                 CAST(floor(x * 1000000) AS BIGINT) AS qx,
+                 CAST(floor(y * 1000000) AS BIGINT) AS qy,
+                 CAST(floor(x * x * 1000000) AS BIGINT) AS qxx,
+                 CAST(floor(y * y * 1000000) AS BIGINT) AS qyy,
+                 CAST(floor(x * y * 1000000) AS BIGINT) AS qxy
+          FROM daily),
+    f AS (SELECT day,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 CAST(SUM(qx) OVER w AS DOUBLE) / 1000000.0 AS sx,
+                 CAST(SUM(qy) OVER w AS DOUBLE) / 1000000.0 AS sy,
+                 CAST(SUM(qxx) OVER w AS DOUBLE) / 1000000.0 AS sxx,
+                 CAST(SUM(qyy) OVER w AS DOUBLE) / 1000000.0 AS syy,
+                 CAST(SUM(qxy) OVER w AS DOUBLE) / 1000000.0 AS sxy
+          FROM q
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN {ROLLCORR_DAYS - 1} PRECEDING AND CURRENT ROW))
+    SELECT day, n AS n_days,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / nullif(sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0))
+                      * sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0.0)),
+                      0.0)
+             AS roll_corr
+    FROM f
+    """,
+    tier="B",
+    doc=f"Trailing {ROLLCORR_DAYS}-day rolling Pearson correlation "
+    f"between the daily {ROLLCORR_X!r} and {ROLLCORR_Y!r} value series "
+    "— the co-movement monitor behind 'did these two metrics "
+    "decouple this week?' alerts. Determinism inside a sliding "
+    "frame is the trap this query pins: engines may fold a frame's "
+    "doubles in different orders (Spark slides incrementally, "
+    "DuckDB may re-fold), so per-day moments quantize to integer "
+    "micro-units FIRST (floor — the q_corr_matrix lesson: never "
+    "round() on doubles in a hot path) and the frame sums run over "
+    "LONGS, which are exact under any accumulation order; the "
+    "micro-unit totals convert back via one exactly-rounded "
+    "division, and the corr chain is the shared nullif-guarded "
+    "formula. Scale: the window rides the DAY-GRAIN table (one "
+    "partial-aggregating shuffle from raw events); at 100 TB the "
+    "pattern partitions by entity (pair/region/tenant) — bounded "
+    "frame state per key either way.",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(ROLLCORR_X, ROLLCORR_Y)
+    )
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == ROLLCORR_X,
+                F.col("value").cast("decimal(30,6)"),
+            )
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == ROLLCORR_Y,
+                F.col("value").cast("decimal(30,6)"),
+            )
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    micro = F.lit(1_000_000)
+    q = daily.select(
+        "day",
+        F.floor(F.col("x") * micro).cast("long").alias("qx"),
+        F.floor(F.col("y") * micro).cast("long").alias("qy"),
+        F.floor(F.col("x") * F.col("x") * micro).cast("long").alias("qxx"),
+        F.floor(F.col("y") * F.col("y") * micro).cast("long").alias("qyy"),
+        F.floor(F.col("x") * F.col("y") * micro).cast("long").alias("qxy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLLCORR_DAYS - 1), Window.currentRow)
+    md = F.lit(1_000_000.0)
+    f = q.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        (F.sum("qx").over(w).cast("double") / md).alias("sx"),
+        (F.sum("qy").over(w).cast("double") / md).alias("sy"),
+        (F.sum("qxx").over(w).cast("double") / md).alias("sxx"),
+        (F.sum("qyy").over(w).cast("double") / md).alias("syy"),
+        (F.sum("qxy").over(w).cast("double") / md).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    # greatest(·, 0): micro-unit flooring can push a true-zero variance
+    # a hair negative (n=1 frames) — clamped IDENTICALLY in the oracle,
+    # where DuckDB's sqrt raises on negatives instead of yielding NaN.
+    den = F.sqrt(
+        F.greatest(n_d * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    ) * F.sqrt(
+        F.greatest(n_d * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    )
+    return f.select(
+        "day",
+        F.col("n").alias("n_days"),
+        (num / F.nullif(den, F.lit(0.0))).alias("roll_corr"),
+    )

@@ -124,3 +124,51 @@ def test_peak_concurrency_matches_brute_force(spark, sf_dir):
     )
     assert got["peak"] == peak
     assert got["n_at_peak"] >= 1
+
+
+def test_ann_recall_report_bounds(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.similarity import (
+        RECALL_K,
+        RECALL_QUERIES,
+    )
+
+    rows = REGISTRY["q_ann_recall"].builder(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert {r["query_id"] for r in rows} == set(RECALL_QUERIES)
+    for r in rows:
+        assert 0 <= r["n_hit"] <= RECALL_K
+        assert r["recall"] == r["n_hit"] / RECALL_K
+        # the IVF scan must touch strictly less than the corpus — the
+        # whole point of the report's cost column
+        assert 0 < r["n_candidates"] < n_emb
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_curation_funnel"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # each stage only removes
+    for prev, r in zip(rows, rows[1:]):
+        assert r["n_removed"] == prev["n_docs"] - r["n_docs"]
+    assert rows[0]["kept_frac"] == 1.0
+    # the funnel's terminal count must equal the pipeline's own corpus
+    pipeline = REGISTRY["q_pipeline_curate"].builder(spark, sf_dir).collect()
+    assert rows[-1]["n_docs"] == sum(r["n_docs"] for r in pipeline)
+
+
+def test_rolling_corr_bounds_and_frames(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_rolling_corr"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    from news_categorization_big_data_spark.plans.warehouse import ROLLCORR_DAYS
+
+    for i, r in enumerate(rows):
+        assert r["n_days"] == min(i + 1, ROLLCORR_DAYS)
+        if r["roll_corr"] is not None:
+            assert abs(r["roll_corr"]) <= 1.0 + 1e-9
