@@ -34,10 +34,10 @@ Round-6 window plan (for the next session): rotate the ROTATION_PENDING
 set below (the late-round-5 lakehouse / order-statistics / sketch /
 graph / API-surface tier plus the feature-engineering/evaluation batch
 — all pytest- and driver_sim-green this round) into the first window
-slots and keep 3-4 canaries. The pending set is 38 names, so with
-canaries it fills the 50-slot window almost exactly (~8 re-proof
-slots remain); do NOT register more than ~8 new queries in round 6
-before its window freezes, or the overflow waits a full extra round.
+slots and keep 3-4 canaries. The pending set is 41 names, so with
+canaries it fills the 50-slot window almost exactly (~5 slots
+remain); do NOT register more than ~5 new queries in round 6 before
+its window freezes, or the overflow waits a full extra round.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
