@@ -757,6 +757,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Rolling-correlation pair (daily value sums of these event types) and
 #: trailing window width in days.
 ROLLCORR_X = "click"
+
+
+def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
+    """Trailing-window Pearson correlation over a (day, x, y) series —
+    the q_rolling_corr core, shared with the property tests (which
+    compare it against numpy on generated series). Frame sums run over
+    floor-quantized longs; see the registered query's doc."""
+    micro = F.lit(1_000_000)
+    q = daily.select(
+        "day",
+        F.floor(F.col("x") * micro).cast("long").alias("qx"),
+        F.floor(F.col("y") * micro).cast("long").alias("qy"),
+        F.floor(F.col("x") * F.col("x") * micro).cast("long").alias("qxx"),
+        F.floor(F.col("y") * F.col("y") * micro).cast("long").alias("qyy"),
+        F.floor(F.col("x") * F.col("y") * micro).cast("long").alias("qxy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(days - 1), Window.currentRow)
+    md = F.lit(1_000_000.0)
+    f = q.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        (F.sum("qx").over(w).cast("double") / md).alias("sx"),
+        (F.sum("qy").over(w).cast("double") / md).alias("sy"),
+        (F.sum("qxx").over(w).cast("double") / md).alias("sxx"),
+        (F.sum("qyy").over(w).cast("double") / md).alias("syy"),
+        (F.sum("qxy").over(w).cast("double") / md).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    # greatest(·, 0): micro-unit flooring can push a true-zero variance
+    # a hair negative (n=1 frames) — clamped IDENTICALLY in the oracle,
+    # where DuckDB's sqrt raises on negatives instead of yielding NaN.
+    den = F.sqrt(
+        F.greatest(n_d * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    ) * F.sqrt(
+        F.greatest(n_d * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    )
+    # n<2 is NULL (a 1-point frame's "variance" is pure quantization
+    # noise, and its num/den ratio is unbounded garbage); the [-1,1]
+    # clamp bounds the residual noise of near-zero-variance frames.
+    corr = F.when(
+        F.col("n") >= 2,
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(-1.0), num / F.nullif(den, F.lit(0.0)))
+        ),
+    )
+    return f.select(
+        "day",
+        F.col("n").alias("n_days"),
+        corr.alias("roll_corr"),
+    )
 ROLLCORR_Y = "purchase"
 ROLLCORR_DAYS = 7
 
@@ -790,11 +841,13 @@ ROLLCORR_DAYS = 7
           WINDOW w AS (ORDER BY day
                        ROWS BETWEEN {ROLLCORR_DAYS - 1} PRECEDING AND CURRENT ROW))
     SELECT day, n AS n_days,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
-             / nullif(sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0))
-                      * sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0.0)),
-                      0.0)
-             AS roll_corr
+           CASE WHEN n >= 2 THEN
+             least(1.0, greatest(-1.0,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / nullif(sqrt(greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0))
+                          * sqrt(greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0.0)),
+                          0.0)))
+           END AS roll_corr
     FROM f
     """,
     tier="B",
@@ -839,38 +892,4 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
-    micro = F.lit(1_000_000)
-    q = daily.select(
-        "day",
-        F.floor(F.col("x") * micro).cast("long").alias("qx"),
-        F.floor(F.col("y") * micro).cast("long").alias("qy"),
-        F.floor(F.col("x") * F.col("x") * micro).cast("long").alias("qxx"),
-        F.floor(F.col("y") * F.col("y") * micro).cast("long").alias("qyy"),
-        F.floor(F.col("x") * F.col("y") * micro).cast("long").alias("qxy"),
-    )
-    w = Window.orderBy("day").rowsBetween(-(ROLLCORR_DAYS - 1), Window.currentRow)
-    md = F.lit(1_000_000.0)
-    f = q.select(
-        "day",
-        F.count("*").over(w).alias("n"),
-        (F.sum("qx").over(w).cast("double") / md).alias("sx"),
-        (F.sum("qy").over(w).cast("double") / md).alias("sy"),
-        (F.sum("qxx").over(w).cast("double") / md).alias("sxx"),
-        (F.sum("qyy").over(w).cast("double") / md).alias("syy"),
-        (F.sum("qxy").over(w).cast("double") / md).alias("sxy"),
-    )
-    n_d = F.col("n").cast("double")
-    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
-    # greatest(·, 0): micro-unit flooring can push a true-zero variance
-    # a hair negative (n=1 frames) — clamped IDENTICALLY in the oracle,
-    # where DuckDB's sqrt raises on negatives instead of yielding NaN.
-    den = F.sqrt(
-        F.greatest(n_d * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
-    ) * F.sqrt(
-        F.greatest(n_d * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
-    )
-    return f.select(
-        "day",
-        F.col("n").alias("n_days"),
-        (num / F.nullif(den, F.lit(0.0))).alias("roll_corr"),
-    )
+    return rolling_corr_frame(daily, ROLLCORR_DAYS)

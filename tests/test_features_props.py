@@ -132,3 +132,60 @@ def test_lift_banding_invariants(spark, pop):
         # cumulative population through this band's last member fits
         assert r["cum_n"] * 10 <= r["band"] * n_g + (n_g - 1)
     assert rows[-1]["band"] * n_g >= 10 * n_g - (n_g - 1)  # last band is 10
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            # the operator's regime: daily value SUMS, i.e. O(1)-O(1e4)
+            # positives (the 1e-6 micro-grid is absolute; feeding it
+            # denormals would measure the grid, not the operator)
+            st.floats(min_value=1.0, max_value=5000.0, allow_nan=False),
+            st.floats(min_value=1.0, max_value=5000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+def test_rolling_corr_matches_numpy(spark, series, days):
+    import math
+
+    from news_categorization_big_data_spark.plans.warehouse import (
+        rolling_corr_frame,
+    )
+
+    rows = [(f"d{i:03d}", float(x), float(y)) for i, (x, y) in enumerate(series)]
+    df = spark.createDataFrame(rows, "day string, x double, y double")
+    got = {
+        r["day"]: r["roll_corr"]
+        for r in rolling_corr_frame(df, days).collect()
+    }
+
+    for i in range(len(rows)):
+        frame = rows[max(0, i - days + 1) : i + 1]
+        xs = [r[1] for r in frame]
+        ys = [r[2] for r in frame]
+        n = len(frame)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den = math.sqrt(max(n * sxx - sx * sx, 0.0)) * math.sqrt(
+            max(n * syy - sy * sy, 0.0)
+        )
+        have = got[rows[i][0]]
+        if n < 2:
+            assert have is None
+            continue
+        if den < 1e-3:
+            # true variance at/near zero: quantization legitimately
+            # lands on either side — NULL or a clamped value both ok
+            assert have is None or abs(have) <= 1.0
+            continue
+        want = (n * sxy - sx * sy) / den
+        assert have is not None, (want, frame)
+        # micro-unit flooring perturbs each moment by <=1e-6; with
+        # inputs >=1 the propagated corr error stays far under this
+        assert abs(have - want) < 1e-2, (have, want, frame)
