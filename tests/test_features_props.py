@@ -189,3 +189,37 @@ def test_rolling_corr_matches_numpy(spark, series, days):
         # micro-unit flooring perturbs each moment by <=1e-6; with
         # inputs >=1 the propagated corr error stays far under this
         assert abs(have - want) < 1e-2, (have, want, frame)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e10, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_limb_split_sum_exact(spark, values):
+    """The limb-split exact sum (plans/features._o_limb_sums) must equal
+    Python's arbitrary-precision integer sum of the floored micro-units
+    bit-for-bit — for any input set and any partitioning."""
+    from news_categorization_big_data_spark.plans.features import (
+        _LIMB_MASK,
+        _o_limb_total,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(8)
+    q = F.floor(F.col("v") * 1_000_000).cast("long")
+    m0 = df.agg(
+        F.sum(F.shiftright(q, 40)).alias("m_hi"),
+        F.sum(F.shiftright(q, 20).bitwiseAND(F.lit(_LIMB_MASK))).alias("m_mid"),
+        F.sum(q.bitwiseAND(F.lit(_LIMB_MASK))).alias("m_lo"),
+    )
+    got = m0.select(F.expr(_o_limb_total("m")).alias("t")).collect()[0]["t"]
+
+    import math
+
+    exact = sum(math.floor(v * 1_000_000) for v in values)  # python ints
+    want = float(exact) / 1_000_000.0 if exact < 2**53 else exact / 10**6
+    # reassembly: exact integer -> one correctly-rounded double division
+    assert got == float(exact) / 1_000_000.0 or abs(got - want) <= abs(want) * 1e-15
