@@ -608,8 +608,9 @@ def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(non_purchase, F.unix_micros("ts")), ignorenulls=True
     ).over(wsrc)
     p = (
-        ev.withColumn("src_type", src_type)
-        .withColumn("src_us", src_us)
+        ev.select(
+            "*", src_type.alias("src_type"), src_us.alias("src_us")
+        )
         .where(F.col("event_type") == "purchase")
         .select(
             F.when(F.col("src_us").isNull(), "none")

@@ -74,3 +74,51 @@ def test_graph_bfs_unrolls_min_regroups_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # one min-hop regroup per unrolled round survives in the plan
     assert plan.count("partial_min") >= BFS_HOPS, plan
+
+
+def test_attrib_channel_one_window_node(spark, sf_dir):
+    """The doc's claim, enforceable: both IGNORE-NULLS carries share one
+    collapsed Window node over one user-keyed sort — a second sort or
+    window would mean the carries could diverge."""
+    plan = _plan(REGISTRY["q_attrib_channel"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_rrf_fusion_postings_bounded_topk(spark, sf_dir):
+    plan = _plan(REGISTRY["q_rrf_fusion"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # dims/stats all broadcast
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_checksum_single_scan_no_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q_table_checksum"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # distinct-agg two-phase
+
+
+def test_k_anonymity_two_level_agg(spark, sf_dir):
+    plan = _plan(REGISTRY["q_k_anonymity"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # QI groups + 1-row summary
+
+
+def test_peak_concurrency_no_interval_self_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q_peak_concurrency"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_rolling_corr_one_window_over_day_grain(spark, sf_dir):
+    plan = _plan(REGISTRY["q_rolling_corr"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Exchange") == 2, plan  # day agg + window singleton
+
+
+def test_rfm_and_ann_recall_never_cartesian(spark, sf_dir):
+    for name in ("q_rfm_segments", "q_ann_recall"):
+        plan = _plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
