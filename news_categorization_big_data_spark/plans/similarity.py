@@ -408,7 +408,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < RECALL_N_CENTS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    assigned = assign_cells(emb, centroids).select("vec_id", "cent_id")
+    # Assignments feed both the query-cell lookup and the candidate
+    # join; the lazy localCheckpoint computes the corpus×centroid argmin
+    # once instead of once per consumer.
+    assigned = (
+        assign_cells(emb, centroids)
+        .select("vec_id", "cent_id")
+        .localCheckpoint(eager=False)
+    )
     queries = emb.where(F.col("vec_id").isin(*RECALL_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

@@ -715,6 +715,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "monetary",
     )
+    # The customer-metric table feeds FOUR consumers (three band value
+    # tables + the final segment join); a lazy localCheckpoint
+    # materializes the orders scan + per-customer aggregate once
+    # instead of once per consumer — at 100 TB that is one fact scan
+    # instead of four.
+    u = u.localCheckpoint(eager=False)
 
     def band(col: str) -> DataFrame:
         vals = u.groupBy(col).agg(F.count("*").alias("n"))
