@@ -223,3 +223,83 @@ def test_limb_split_sum_exact(spark, values):
     want = float(exact) / 1_000_000.0 if exact < 2**53 else exact / 10**6
     # reassembly: exact integer -> one correctly-rounded double division
     assert got == float(exact) / 1_000_000.0 or abs(got - want) <= abs(want) * 1e-15
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=2, max_size=10
+        ).map(" ".join),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_tfidf_postings_join_matches_brute_force(spark, texts):
+    """The postings-join cosine (with both df cuts) must equal a Python
+    brute force over the SAME capped vector space — a candidate lost to
+    the join shape or a weight drifting through the quantized sums
+    would surface here."""
+    import math
+
+    from news_categorization_big_data_spark.plans.features import (
+        TFIDF_DF_FRAC,
+        TFIDF_DF_MAX,
+    )
+
+    # Spark side: run the registered query's exact pipeline on an
+    # injected frame by reusing its module-level constants.
+    from collections import Counter
+
+    n = len(texts)
+    tf = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    df = Counter(tok for c in tf.values() for tok in c)
+    vocab = {
+        t
+        for t, d in df.items()
+        if d * TFIDF_DF_FRAC <= n and d <= TFIDF_DF_MAX
+    }
+    w = {
+        i: {
+            t: c * ((n - df[t] + 0.5) / (df[t] + 0.5))
+            for t, c in cnt.items()
+            if t in vocab
+        }
+        for i, cnt in tf.items()
+    }
+    nrm = {i: math.sqrt(sum(v * v for v in ws.values())) for i, ws in w.items()}
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            shared = set(w[a]) & set(w[b])
+            if not shared or nrm[a] == 0 or nrm[b] == 0:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            want[(a, b)] = dot / (nrm[a] * nrm[b])
+
+    df_s = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df_s.write.parquet(os.path.join(d, "documents.parquet"))
+        # satisfy the loader contract with the one table the query reads
+        from news_categorization_big_data_spark.plans import REGISTRY
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos"]
+            for r in REGISTRY["q_tfidf_pairs"].builder(spark, d).collect()
+        }
+
+    # the query returns the global top-20; every returned pair must
+    # match brute force to quantization precision, and the top pair
+    # must agree
+    for pair, cos in got.items():
+        assert pair in want, (pair, want)
+        assert abs(cos - want[pair]) < 1e-6, (pair, cos, want[pair])
+    if want and got:
+        best = max(want.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+        assert best[0] in got or len(got) == 20
