@@ -34,10 +34,11 @@ Round-6 window plan (for the next session): rotate the ROTATION_PENDING
 set below (the late-round-5 lakehouse / order-statistics / sketch /
 graph / API-surface tier plus the feature-engineering/evaluation batch
 — all pytest- and driver_sim-green this round) into the first window
-slots and keep 3-4 canaries. The pending set is 41 names, so with
-canaries it fills the 50-slot window almost exactly (~5 slots
-remain); do NOT register more than ~5 new queries in round 6 before
-its window freezes, or the overflow waits a full extra round.
+slots and keep 3-4 canaries. The pending set is 44 names, so with
+canaries it fills the 50-slot window almost exactly (~2 slots
+remain); queries registered NEW in round 6 will mostly overflow to
+the round-7 window — plan round 6 as a rotate-and-prove round, not
+a registration round.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -180,6 +181,9 @@ _DRIVER_ORDER = [
     "q_ann_recall",
     "q_curation_funnel",
     "q_rolling_corr",
+    "q_anova_f",
+    "q_gini_spend",
+    "q_calibration_ece",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -399,6 +403,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_ann_recall",
         "q_curation_funnel",
         "q_rolling_corr",
+        "q_anova_f",
+        "q_gini_spend",
+        "q_calibration_ece",
     }
 )
 

@@ -1101,3 +1101,83 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_us"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_gini_spend",
+    oracle="""
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM orders GROUP BY o_custkey),
+    v AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY cents),
+    cumv AS (SELECT cents, c,
+                    SUM(c) OVER (ORDER BY cents) - c AS p,
+                    SUM(c) OVER () AS n
+             FROM v),
+    agg AS (SELECT MAX(n) AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * c) AS t,
+                   SUM(CAST(cents AS DECIMAL(38,0))
+                       * (c * p + (c * (c + 1)) // 2)) AS rs
+            FROM cumv)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS DOUBLE) / 100.0 AS total_spend,
+           CAST(2 * rs - (n + 1) * t AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) AS gini
+    FROM agg
+    """,
+    tier="C",
+    doc="Gini coefficient of per-customer lifetime spend — the "
+    "inequality measure a data platform reports for ANY long-tailed "
+    "distribution (customer revenue, per-domain document counts, "
+    "per-token frequencies: 'how concentrated is this corpus?'). "
+    "EXACT, not trapezoid-approximated: spend canonicalizes to "
+    "integer cents, and the rank sum Σ rank·x over the sorted "
+    "population computes from the DISTINCT-VALUE table (the "
+    "q_lift_bands trick) — a value with count c after p predecessors "
+    "contributes c·p + c(c+1)/2 rank units, so ties are handled "
+    "exactly and the one ordered window runs over distinct spend "
+    "values, not customers. Per-group products go through "
+    "DECIMAL(38,0) (cents × rank-units overflows int64 at corpus "
+    "scale); everything stays integer-exact until the single final "
+    "division. G = (2·Σrank·x − (n+1)·Σx) / (n·Σx), the standard "
+    "mean-difference form.",
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    v = s.groupBy("cents").agg(F.count("*").alias("c"))
+    w_ord = Window.orderBy("cents")
+    w_all = Window.partitionBy()
+    cumv = v.select(
+        "cents",
+        "c",
+        (F.sum("c").over(w_ord) - F.col("c")).alias("p"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    rank_units = F.col("c") * F.col("p") + F.expr("(c * (c + 1)) div 2")
+    agg = cumv.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("c")).alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * rank_units).alias("rs"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("t").cast("double") / F.lit(100.0)).alias("total_spend"),
+        (
+            (F.lit(2) * F.col("rs") - (F.col("n") + 1) * F.col("t")).cast("double")
+            / (F.col("n").cast("double") * F.col("t").cast("double"))
+        ).alias("gini"),
+    )

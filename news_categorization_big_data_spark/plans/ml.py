@@ -397,3 +397,86 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp.cast("double") / (tp + fn)).alias("recall_"),
         ((F.lit(2) * tp).cast("double") / (F.lit(2) * tp + fp + fn)).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Expected calibration error
+# --------------------------------------------------------------------------
+
+#: Fixed-width probability bins for the reliability diagram.
+ECE_BINS = 10
+
+
+@register(
+    "q_calibration_ece",
+    oracle=f"""
+    WITH m AS (SELECT MAX(value) AS vmax FROM events),
+    s AS (SELECT value / m.vmax AS conf,
+                 CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
+                      THEN 1 ELSE 0 END AS label
+          FROM events, m),
+    b AS (SELECT least(CAST(floor(conf * {ECE_BINS}) AS BIGINT),
+                       {ECE_BINS - 1}) AS bin,
+                 conf, label
+          FROM s),
+    g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS pos,
+                 CAST(SUM(CAST(conf AS DECIMAL(30,9))) AS DOUBLE) AS sum_conf,
+                 SUM(COUNT(*)) OVER () AS n_g
+          FROM b GROUP BY bin)
+    SELECT CAST(bin AS INT) AS bin, n,
+           sum_conf / CAST(n AS DOUBLE) AS avg_conf,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+           (CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE))
+             * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   - sum_conf / CAST(n AS DOUBLE)) AS w_abs_gap
+    FROM g
+    """,
+    tier="C",
+    doc=f"Reliability diagram + expected-calibration-error terms for "
+    "the value-score pseudo-model graded by q_ml_auc: scores "
+    f"normalize to [0,1], land in {ECE_BINS} fixed-width bins "
+    "(boundary values clamp into the top bin via integer floor — no "
+    "float bin edges), and each bin reports mean confidence vs "
+    "observed positive rate plus its population-weighted absolute "
+    "gap — ECE is the sum of the w_abs_gap column, the number that "
+    "says whether scores can be TRUSTED as probabilities (AUC alone "
+    "cannot: a perfectly-ranked, badly-calibrated model aces AUC and "
+    "fails here). One pass + one {ECE_BINS}-group aggregate; "
+    "per-row confidences quantize to a 10⁻⁹ decimal grid before the "
+    "bin sum; every rate is one IEEE division on exact integers. "
+    "The normalizing max broadcasts from a 1-row aggregate.",
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.max("value").alias("vmax"))
+    s = ev.crossJoin(F.broadcast(m)).select(
+        (F.col("value") / F.col("vmax")).alias("conf"),
+        F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0).alias("label"),
+    )
+    b = s.select(
+        F.least(
+            F.floor(F.col("conf") * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1)
+        ).alias("bin"),
+        "conf",
+        "label",
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(F.col("conf").cast("decimal(30,9)")).cast("double").alias("sum_conf"),
+    )
+    w_all = Window.partitionBy()
+    g = g.withColumn("n_g", F.sum("n").over(w_all))
+    avg_conf = F.col("sum_conf") / F.col("n").cast("double")
+    obs = F.col("pos").cast("double") / F.col("n").cast("double")
+    return g.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        avg_conf.alias("avg_conf"),
+        obs.alias("obs_rate"),
+        (
+            (F.col("n").cast("double") / F.col("n_g").cast("double"))
+            * F.abs(obs - avg_conf)
+        ).alias("w_abs_gap"),
+    )

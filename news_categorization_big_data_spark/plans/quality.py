@@ -591,3 +591,88 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k").cast("double")
         ).alias("risk_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+    WITH g AS (SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+                      CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                        AS ss
+               FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS s_g,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM g),
+    parts AS (SELECT t.n_g, t.k,
+                     CAST(SUM(CAST(g.n * (g.s / g.n - t.s_g / t.n_g)
+                                   * (g.s / g.n - t.s_g / t.n_g)
+                                   AS DECIMAL(30,9))) AS DOUBLE) AS ssb,
+                     CAST(SUM(CAST(g.ss - g.s * g.s / g.n AS DECIMAL(30,9)))
+                          AS DOUBLE) AS ssw
+              FROM g, tot t GROUP BY t.n_g, t.k)
+    SELECT CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_g - k AS BIGINT) AS df_within,
+           ssb, ssw,
+           (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_g - k AS DOUBLE))
+             AS f_stat
+    FROM parts
+    """,
+    tier="C",
+    doc="One-way ANOVA F-test across the event-type groups — the "
+    "k-group generalization of q_ab_ttest ('do ANY of these variants "
+    "differ?'), run before pairwise comparisons to control the "
+    "multiple-testing budget. One partial-aggregating pass collects "
+    "per-group (n, Σx, Σx²) on the decimal grid; the between/within "
+    "sum-of-squares combine per-GROUP doubles, so each group's term "
+    "is quantized to a 10⁻⁹ decimal grid before the k-row sum "
+    "(reduction order across groups must not matter, even for 5 "
+    "rows). Every mean and the final F are identical IEEE division "
+    "chains. Scale: the only data-sized work is the first aggregate; "
+    "everything after runs on k rows.",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_g"),
+        F.sum(F.col("s").cast("decimal(30,6)")).cast("double").alias("s_g"),
+        F.count("*").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mean_dev = F.col("s") / F.col("n") - F.col("s_g") / F.col("n_g")
+    parts = j.groupBy("n_g", "k").agg(
+        F.sum((F.col("n") * mean_dev * mean_dev).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("ssb"),
+        F.sum(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).cast(
+                "decimal(30,9)"
+            )
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    return parts.select(
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_g") - F.col("k")).cast("long").alias("df_within"),
+        "ssb",
+        "ssw",
+        (
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n_g") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )

@@ -172,3 +172,55 @@ def test_rolling_corr_bounds_and_frames(spark, sf_dir):
         assert r["n_days"] == min(i + 1, ROLLCORR_DAYS)
         if r["roll_corr"] is not None:
             assert abs(r["roll_corr"]) <= 1.0 + 1e-9
+
+
+def test_anova_matches_brute_force(spark, sf_dir):
+    row = REGISTRY["q_anova_f"].builder(spark, sf_dir).collect()[0]
+    data = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for r in data:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["df_between"] == k - 1
+    assert row["df_within"] == n - k
+    assert math.isclose(row["f_stat"], f, rel_tol=1e-6)
+    assert row["f_stat"] >= 0
+
+
+def test_gini_matches_brute_force(spark, sf_dir):
+    row = REGISTRY["q_gini_spend"].builder(spark, sf_dir).collect()[0]
+    spends = sorted(
+        r["cents"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .collect()
+    )
+    n = len(spends)
+    t = sum(spends)
+    rs = sum((i + 1) * x for i, x in enumerate(spends))
+    want = (2 * rs - (n + 1) * t) / (n * t)
+    assert row["n_customers"] == n
+    assert math.isclose(row["gini"], want, rel_tol=1e-9)
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_calibration_ece_partitions_population(spark, sf_dir):
+    rows = REGISTRY["q_calibration_ece"].builder(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_conf"] <= 1.0 + 1e-12
+        assert 0.0 <= r["obs_rate"] <= 1.0
+    ece = sum(r["w_abs_gap"] for r in rows)
+    assert 0.0 <= ece <= 1.0
