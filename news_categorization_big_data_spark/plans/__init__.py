@@ -34,7 +34,7 @@ Round-6 window plan (for the next session): rotate the ROTATION_PENDING
 set below (the late-round-5 lakehouse / order-statistics / sketch /
 graph / API-surface tier plus the feature-engineering/evaluation batch
 — all pytest- and driver_sim-green this round) into the first window
-slots and keep 3-4 canaries. The pending set is 44 names, so with
+slots and keep 3-4 canaries. The pending set is 45 names, so with
 canaries it fills the 50-slot window almost exactly (~2 slots
 remain); queries registered NEW in round 6 will mostly overflow to
 the round-7 window — plan round 6 as a rotate-and-prove round, not
@@ -184,6 +184,7 @@ _DRIVER_ORDER = [
     "q_anova_f",
     "q_gini_spend",
     "q_calibration_ece",
+    "q_seq_cooccur",
     # (fillers below carried official rows from rounds 1-4 already;
     # each new round-5 query above displaces one rightward, which
     # costs nothing — they stay registered and pytest-proven.)
@@ -406,6 +407,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_anova_f",
         "q_gini_spend",
         "q_calibration_ece",
+        "q_seq_cooccur",
     }
 )
 

@@ -1181,3 +1181,78 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("t").cast("double"))
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered co-occurrence support
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_seq_cooccur",
+    oracle="""
+    WITH spans AS (SELECT user_id, event_type,
+                          MIN(epoch_us(ts)) AS first_us,
+                          MAX(epoch_us(ts)) AS last_us
+                   FROM events GROUP BY user_id, event_type),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_support
+              FROM spans a JOIN spans b
+                ON a.user_id = b.user_id
+               AND a.event_type <> b.event_type
+               AND a.first_us < b.last_us
+              GROUP BY 1, 2)
+    SELECT type_a, type_b, n_support,
+           CAST(n_support AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support
+    FROM pairs, nu
+    """,
+    tier="B",
+    doc="Ordered co-occurrence support ('users who do A then later B') "
+    "for every ordered event-type pair — the sequence-mining support "
+    "table behind 'what follows what' product questions, and the "
+    "NON-CONTIGUOUS complement of q_event_trigrams (which counts "
+    "adjacent paths only): here any gap qualifies, via the interval "
+    "test first(A) < last(B) per user, which is exact for existence "
+    "(some A-event precedes some B-event iff the earliest A precedes "
+    "the latest B). Plan: one shuffle to per-(user, type) spans (at "
+    "most |types| rows per user), then a user-local self-join whose "
+    "fan-out is bounded by |types|² per user — never a join over raw "
+    "events; the final regroup carries |types|² rows. All-integer "
+    "µs comparisons; one exact division for the support share.",
+)
+def q_seq_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_us").alias("a_first"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("last_us").alias("b_last"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("a_first") < F.col("b_last"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_support"))
+    )
+    return pairs.crossJoin(F.broadcast(nu)).select(
+        "type_a",
+        "type_b",
+        "n_support",
+        (
+            F.col("n_support").cast("double") / F.col("n_users").cast("double")
+        ).alias("support"),
+    )

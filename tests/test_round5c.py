@@ -224,3 +224,26 @@ def test_calibration_ece_partitions_population(spark, sf_dir):
         assert 0.0 <= r["obs_rate"] <= 1.0
     ece = sum(r["w_abs_gap"] for r in rows)
     assert 0.0 <= ece <= 1.0
+
+
+def test_seq_cooccur_matches_brute_force(spark, sf_dir):
+    rows = REGISTRY["q_seq_cooccur"].builder(spark, sf_dir).collect()
+    data = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    per_user: dict[int, dict[str, list]] = {}
+    for r in data:
+        per_user.setdefault(r["user_id"], {}).setdefault(
+            r["event_type"], []
+        ).append(r["ts"])
+    want: dict[tuple[str, str], int] = {}
+    for types in per_user.values():
+        for a, ats in types.items():
+            for b, bts in types.items():
+                if a != b and min(ats) < max(bts):
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r["type_a"], r["type_b"]): r["n_support"] for r in rows}
+    assert got == want
+    n_users = len(per_user)
+    for r in rows:
+        assert r["support"] == r["n_support"] / n_users

@@ -789,3 +789,57 @@ def test_docgen_stream_resumes_from_checkpoint(spark, tmp_path):
     ids = sorted(r["id"] for r in rows)
     assert len(rows) == 1000, f"dupes or gaps: {len(rows)} rows"
     assert ids == list(range(1000))
+
+
+def test_drop_duplicates_within_watermark_live(spark, tmp_path):
+    """The REAL dropDuplicatesWithinWatermark API (not the batch
+    analog): duplicate event ids arriving within the watermark window —
+    across files and batches — must be emitted exactly once, with
+    dedup state bounded by the watermark instead of growing forever
+    (the difference from plain streaming dropDuplicates)."""
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": ts}
+
+    with open(os.path.join(src, "f0.json"), "w") as f:
+        for row in [
+            ev(1, "2024-01-01 10:00:00"),
+            ev(1, "2024-01-01 10:00:00"),  # in-batch duplicate
+            ev(2, "2024-01-01 10:01:00"),
+        ]:
+            f.write(json.dumps(row) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string")
+        .json(src)
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # second file: a cross-batch duplicate within the watermark plus a
+    # fresh id — only the fresh id may appear again
+    with open(os.path.join(src, "f1.json"), "w") as f:
+        for row in [
+            ev(1, "2024-01-01 10:00:30"),  # duplicate, within watermark
+            ev(3, "2024-01-01 10:02:00"),
+        ]:
+            f.write(json.dumps(row) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids
