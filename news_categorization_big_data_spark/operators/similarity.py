@@ -175,17 +175,32 @@ def embedding_near_dup_pairs(
     cand = srp_candidate_pairs(
         srp_signature(emb, id_col, vec_col, bits, dim), id_col, bits, bands
     )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
-    sim = cosine("emb_a", "emb_b")
+    # Norms precompute once per vector ROW before the pair join, and the
+    # pair cosine assembles as dot/(na*nb) in ONE named column reused by
+    # the filter and the output — `norm` runs the identical fold on the
+    # identical array, so every double matches the inline cosine() form
+    # the oracle mirrors, while each candidate pair folds one array
+    # product instead of three (and not twice for filter + select).
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("emb_a"),
+        norm(vec_col).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("emb_b"),
+        norm(vec_col).alias("_nb"),
+    )
+    sim = dot("emb_a", "emb_b") / (F.col("_na") * F.col("_nb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .where(sim >= threshold)
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= threshold)
         .select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            F.round(sim, 4).alias("cos_sim"),
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
         )
     )
 
