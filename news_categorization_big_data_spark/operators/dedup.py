@@ -313,12 +313,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     toks = fan_out(docs).select(
         id_col, F.explode(F.array_distinct(F.split(text_col, r"\s+"))).alias("token")
     ).where(F.col("token") != "")
-    h = hash_bits("token", bits)
+    # Materialize the md5-derived bit pattern ONCE per token row: the
+    # `bits` lane aggregates each reference it, and Spark's aggregate
+    # codegen does not common-subexpression across aggregate functions
+    # — inlining the hash expression re-ran md5 `bits` times per row
+    # (measured 13.3 s → 2.6 s at sf0.1 for the 32-bit sketch).
+    hashed = toks.select(id_col, hash_bits("token", bits).alias("_h"))
     lane_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)).alias(f"_s{b}")
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+        ).alias(f"_s{b}")
         for b in range(bits)
     ]
-    lanes = toks.groupBy(id_col).agg(*lane_sums)
+    lanes = hashed.groupBy(id_col).agg(*lane_sums)
     sketch = reduce(
         lambda acc, b: acc + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(0),
         range(bits),

@@ -654,7 +654,14 @@ SIMHASH_HAMMING_BITS = 32
     "width must track log2(corpus), which is why this sketch is wider "
     "than q_dedup_simhash's 16-bit profile sketch (SIMHASH_HAMMING_BITS "
     "note) and why Manku's crawl setting is 64-bit sketches with "
-    "4×16-bit blocks at the same d≤3. Determinism: integer sketches, "
+    "4×16-bit blocks at the same d≤3. Runtime on dense corpora is "
+    "OUTPUT-bound, not candidate-bound: the synthetic testdata's "
+    "31-word vocabulary makes sketches cluster, and the TRUE d≤3 "
+    "answer at sf0.1 is ~1.6M pairs from ~9.5M candidates (16% "
+    "precision — banding is doing its job; the answer is just big). "
+    "The consumer that compresses this is connected components "
+    "(q_dedup_cluster), which never materializes all pairs per "
+    "cluster. Determinism: integer sketches, "
     "integer distances; the only float anywhere is the ±1 vote sums' "
     "sign.",
 )
