@@ -13,9 +13,11 @@ per-round action is the *correct* distributed shape (same contract as
 GraphX/GraphFrames connectedComponents or MLlib's iterative solvers):
 the convergence test IS a distributed aggregate, and each round's label
 table is cached so round N+1 reads a materialized RDD instead of an
-ever-deeper lineage. For planet-scale graphs swap in the large-star/
-small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) — same loop skeleton, fewer rounds.
+ever-deeper lineage. For planet-scale graphs, ``connected_components_star``
+below implements the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log² n)
+rounds instead of O(diameter), proven output-identical to this loop in
+tests/test_features_props.py.
 """
 
 from __future__ import annotations
@@ -317,3 +319,108 @@ def bfs_hops(
         )
         dist = dist.unionAll(nxt).groupBy(id_col).agg(F.min("hop").alias("hop"))
     return dist
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_out: str = "doc_id",
+    component_out: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the planet-scale path the min-label loop's docstring
+    points to, now implemented rather than cited. Same contract as
+    :func:`connected_components`: (id, min-id component) for every
+    vertex of the pair graph.
+
+    Why this beats min-label propagation at extreme scale: min-label
+    needs O(diameter) rounds and keeps the full edge set every round;
+    the star operations CONTRACT the graph toward a star per component
+    in O(log² n) rounds (in practice a handful), and each round's edge
+    set only shrinks toward one edge per non-root vertex.
+
+    Round shape (each is one groupBy + one join, all integer):
+    - large-star: every vertex u attaches its LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u})  → edges (v, m) for v ∈ Γ(u), v > u.
+    - small-star: orient edges toward the larger endpoint; every vertex
+      a attaches its smaller neighbors AND itself to the minimum
+      m = min(Γ⁻(a) ∪ {a}) → edges (b, m) and (a, m).
+    Both preserve connectivity exactly (proof in the paper); the
+    fixpoint is a forest of stars rooted at component minima, read out
+    as (child, root) plus (root, root).
+
+    Convergence test = the distributed aggregate (count, xor of edge
+    hashes) going stable. Each round's edge set is EAGERLY
+    localCheckpoint-ed: unlike persist, a checkpoint truncates the
+    LOGICAL plan too — the alternating star rounds otherwise stack two
+    join trees per round and Catalyst's plan-clone recursion overflows
+    after ~3 rounds (measured), long before any data-size limit. All
+    comparisons are on vertex ids: exact for any integral id type.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not e.take(1):
+        schema = f"{id_out} long, {component_out} long"
+        return pairs.sparkSession.createDataFrame([], schema)
+
+    def _sig(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        both = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            both.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        oriented = edges.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        m = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        attach_children = (
+            oriented.join(m, "a").select(F.col("b").alias("u"), F.col("m").alias("v"))
+        )
+        attach_self = m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+        return (
+            attach_children.unionAll(attach_self)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # eager checkpoint: materializes the round AND truncates lineage
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _sig(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+
+    # Fixpoint: a star forest oriented child -> root. Read out every
+    # vertex: children map to their root, roots map to themselves.
+    children = e.select(F.col("u").alias(id_out), F.col("v").alias(component_out))
+    roots = e.select(F.col("v").alias(id_out), F.col("v").alias(component_out))
+    return children.unionAll(roots).groupBy(id_out).agg(
+        F.min(component_out).alias(component_out)
+    )

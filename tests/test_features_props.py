@@ -303,3 +303,92 @@ def test_tfidf_postings_join_matches_brute_force(spark, texts):
     if want and got:
         best = max(want.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
         assert best[0] in got or len(got) == 20
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=18),
+            st.integers(min_value=0, max_value=18),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_star_cc_matches_union_find(spark, raw_edges):
+    """The large-star/small-star components (the planet-scale CC path)
+    must equal a Python union-find ground truth AND the engine's
+    registered min-label/local CC on generated graphs."""
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {v: find(v) for v in verts}
+    # canonicalize to min-of-component labels
+    mins: dict[int, int] = {}
+    for v, r in want.items():
+        mins[r] = min(mins.get(r, v), v)
+    want = {v: mins[find(v)] for v in verts}
+
+    assert got == want
+    ref = {
+        r["doc_id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == ref
+
+
+def test_star_cc_matches_min_label_on_real_pair_graph(spark, sf_dir):
+    """Output-identical on the engine's actual near-dup pair graph, with
+    the distributed min-label loop forced (localThreshold=0) so the two
+    DISTRIBUTED algorithms are compared end to end."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        ml = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+    assert star == ml and star, "star CC diverged from min-label CC"
