@@ -140,6 +140,20 @@ def connected_components(
                     spark,
                     id_type,
                 )
+        # Distributed algorithm choice: ``spark.graft.cc.algorithm`` —
+        # "minlabel" (default; rounds = diameter, right for shallow LSH
+        # cluster graphs) or "star" (large-star/small-star, O(log² n)
+        # rounds — the planet-scale switch; output-identical, proven in
+        # tests/test_features_props.py).
+        algo = str(spark.conf.get("spark.graft.cc.algorithm", "minlabel"))
+        if algo == "star":
+            return connected_components_star(
+                pairs, src, dst, id_out, component_out
+            )
+        if algo != "minlabel":
+            raise ValueError(
+                f"spark.graft.cc.algorithm must be minlabel|star; got {algo!r}"
+            )
         return _distributed_components(
             pairs, src, dst, id_out, component_out, max_iter
         )

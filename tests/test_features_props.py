@@ -392,3 +392,30 @@ def test_star_cc_matches_min_label_on_real_pair_graph(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.cc.localThreshold")
     assert star == ml and star, "star CC diverged from min-label CC"
+
+
+def test_cc_algorithm_conf_switch(spark, sf_dir):
+    """spark.graft.cc.algorithm=star routes the registered curation
+    machinery through the star solver with identical output (and an
+    unknown value fails fast)."""
+    import pytest
+
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try:
+        base = {(r["doc_id"], r["component"]) for r in connected_components(df).collect()}
+        spark.conf.set("spark.graft.cc.algorithm", "star")
+        star = {(r["doc_id"], r["component"]) for r in connected_components(df).collect()}
+        assert star == base
+        spark.conf.set("spark.graft.cc.algorithm", "bogus")
+        with pytest.raises(Exception, match="minlabel|star"):
+            connected_components(df).collect()
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+        spark.conf.unset("spark.graft.cc.algorithm")
