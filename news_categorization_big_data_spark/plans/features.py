@@ -145,9 +145,9 @@ LIFT_POSITIVE_TYPE = "purchase"
     SELECT CAST(band AS INT) AS band, n, positives,
            CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate,
            (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS lift,
+             / nullif(CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE), 0.0) AS lift,
            CAST(SUM(positives) OVER (ORDER BY band) AS DOUBLE)
-             / CAST(pos_g AS DOUBLE) AS cum_capture
+             / nullif(CAST(pos_g AS DOUBLE), 0.0) AS cum_capture
     FROM per_band
     """,
     tier="C",
@@ -195,7 +195,13 @@ def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"), F.sum("pos").alias("positives")
     )
     rate = F.col("positives").cast("double") / F.col("n").cast("double")
-    base = F.col("pos_g").cast("double") / F.col("n_g").cast("double")
+    # nullif-guard the base rate / total positives: a population with
+    # ZERO positives would divide by zero, which Spark (non-ANSI)
+    # renders NULL and DuckDB renders inf — the cross-engine hazard
+    # q_grouped_moments documented; guard BOTH engines to NULL.
+    base = F.nullif(
+        F.col("pos_g").cast("double") / F.col("n_g").cast("double"), F.lit(0.0)
+    )
     w_band = Window.orderBy("band")
     return per_band.select(
         F.col("band").cast("int").alias("band"),
@@ -205,7 +211,7 @@ def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate / base).alias("lift"),
         (
             F.sum("positives").over(w_band).cast("double")
-            / F.col("pos_g").cast("double")
+            / F.nullif(F.col("pos_g").cast("double"), F.lit(0.0))
         ).alias("cum_capture"),
     )
 

@@ -621,8 +621,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(k - 1 AS BIGINT) AS df_between,
            CAST(n_g - k AS BIGINT) AS df_within,
            ssb, ssw,
-           (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_g - k AS DOUBLE))
-             AS f_stat
+           (ssb / CAST(k - 1 AS DOUBLE))
+             / nullif(ssw / CAST(n_g - k AS DOUBLE), 0.0) AS f_stat
     FROM parts
     """,
     tier="C",
@@ -673,6 +673,12 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssw",
         (
             (F.col("ssb") / (F.col("k") - 1).cast("double"))
-            / (F.col("ssw") / (F.col("n_g") - F.col("k")).cast("double"))
+            # nullif-guard: zero within-group variance (all values equal
+            # in every group) would be inf in DuckDB vs NULL in Spark —
+            # both engines yield NULL for the degenerate population.
+            / F.nullif(
+                F.col("ssw") / (F.col("n_g") - F.col("k")).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("f_stat"),
     )
