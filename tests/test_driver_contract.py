@@ -108,3 +108,14 @@ def test_queries_and_oracles_paired():
     assert rows_only == {
         name for name, spec in REGISTRY.items() if spec.oracle is None
     }
+
+
+def test_catalog_in_sync_with_registry():
+    """CATALOG.md is generated from the registry (tools/gen_catalog.py);
+    a registered query missing from the committed catalog means the
+    generator wasn't re-run."""
+    from pathlib import Path
+
+    catalog = (Path(__file__).resolve().parents[1] / "CATALOG.md").read_text()
+    missing = [q for q in REGISTRY if f"| {q} |" not in catalog]
+    assert not missing, f"re-run tools/gen_catalog.py; missing: {missing}"
