@@ -148,7 +148,7 @@ def connected_components(
         algo = str(spark.conf.get("spark.graft.cc.algorithm", "minlabel"))
         if algo == "star":
             return connected_components_star(
-                pairs, src, dst, id_out, component_out
+                pairs, src, dst, id_out, component_out, max_iter=max_iter
             )
         if algo != "minlabel":
             raise ValueError(
@@ -372,7 +372,10 @@ def connected_components_star(
     LOGICAL plan too — the alternating star rounds otherwise stack two
     join trees per round and Catalyst's plan-clone recursion overflows
     after ~3 rounds (measured), long before any data-size limit. All
-    comparisons are on vertex ids: exact for any integral id type.
+    comparisons are on vertex ids: exact for integral ids, and
+    lexicographic for string ids — the same ordering min-label and the
+    local union-find use, so the output-identical contract holds for
+    both id types.
     """
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -380,9 +383,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Vertices appearing ONLY in self-pairs (a,a) carry no real edge but
+    # are still "in pairs" — the minlabel/local paths emit them as
+    # singletons, so this path must too to keep the output-identical
+    # contract across solvers.
+    self_only = (
+        pairs.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias(id_out), F.col(src).alias(component_out))
+        .distinct()
+    )
     if not e.take(1):
-        schema = f"{id_out} long, {component_out} long"
-        return pairs.sparkSession.createDataFrame([], schema)
+        # No real edges: every vertex is a self-pair singleton. The
+        # frame derives its schema from the input id type (long OR
+        # string both supported, matching _local_components).
+        return self_only
 
     def _sig(edges: DataFrame) -> tuple:
         row = edges.agg(
@@ -435,6 +449,11 @@ def connected_components_star(
     # vertex: children map to their root, roots map to themselves.
     children = e.select(F.col("u").alias(id_out), F.col("v").alias(component_out))
     roots = e.select(F.col("v").alias(id_out), F.col("v").alias(component_out))
-    return children.unionAll(roots).groupBy(id_out).agg(
+    solved = children.unionAll(roots).groupBy(id_out).agg(
         F.min(component_out).alias(component_out)
     )
+    # Append self-pair-only vertices as singletons (anti-join is against
+    # the checkpointed fixpoint, so no lineage recompute); a vertex in
+    # both a self-pair and a real edge is already in `solved`.
+    singletons = self_only.join(solved.select(id_out), id_out, "left_anti")
+    return solved.unionAll(singletons)

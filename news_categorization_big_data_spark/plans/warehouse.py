@@ -827,10 +827,10 @@ ROLLCORR_DAYS = 7
     oracle=f"""
     WITH daily AS (
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             CAST(SUM(CASE WHEN event_type = '{ROLLCORR_X}'
-                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS x,
-             CAST(SUM(CASE WHEN event_type = '{ROLLCORR_Y}'
-                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS y
+             COALESCE(CAST(SUM(CASE WHEN event_type = '{ROLLCORR_X}'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS x,
+             COALESCE(CAST(SUM(CASE WHEN event_type = '{ROLLCORR_Y}'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS y
       FROM events WHERE event_type IN ('{ROLLCORR_X}', '{ROLLCORR_Y}')
       GROUP BY 1),
     q AS (SELECT day, x, y,
@@ -885,21 +885,28 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == ROLLCORR_X,
-                F.col("value").cast("decimal(30,6)"),
-            )
-        )
-        .cast("double")
-        .alias("x"),
-        F.sum(
-            F.when(
-                F.col("event_type") == ROLLCORR_Y,
-                F.col("value").cast("decimal(30,6)"),
-            )
-        )
-        .cast("double")
-        .alias("y"),
+        # coalesce(·, 0): a day where only one of the two event types
+        # occurred must contribute value-sum 0 for the missing series,
+        # not NULL — otherwise the frame's COUNT(*) counts the day while
+        # the moment sums skip it and roll_corr is not the Pearson
+        # correlation of any well-defined sample.
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == ROLLCORR_X,
+                    F.col("value").cast("decimal(30,6)"),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == ROLLCORR_Y,
+                    F.col("value").cast("decimal(30,6)"),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
     )
     return rolling_corr_frame(daily, ROLLCORR_DAYS)
