@@ -6,39 +6,31 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-Round-5 window composition, in priority order:
+Round-6 window composition, in priority order:
 
-1. The 11 queries registered after round 4's window froze
+1. The 45 queries registered after round 5's window froze
    (ROTATION_PENDING last round), rotated in for their first official
-   row: bitmap/MAD/winsorize/zorder/regex/collocations/anomaly/
-   seasonality/growth/pagerank/profile. After these go green, every
-   query registered through round 4 has an official driver row.
-2. q_quantile_sketch — round 4's only red row (its array<double>
-   output column crashed the driver's pandas canon on the rows-only
-   path; now unpacked into scalar p50/p95/p99), re-run through the
-   real driver as the proof.
-3. Regression canaries: q_group_stats, q_scan_json, q_udf_scalar,
-   plus q_udaf_grouped (round-4 logs recorded one non-reproducible
-   worker flake — an official green row settles it).
-4. Queries NEW in round 5, inserted here as they are written.
-5. Filler re-proofs of high-value rounds-1/2 rows (dedup + curation +
-   TPC-H core), displaced rightward as new round-5 queries land.
+   row: the lakehouse / order-statistics / sketch / graph /
+   API-surface tier plus the feature-engineering & evaluation batch.
+   After these go green, EVERY query registered through round 5 has
+   an official driver row.
+2. Regression canaries filling the remaining 5 slots: q_group_stats,
+   q_scan_json, q_udf_scalar (standing single-op canaries), plus the
+   two headline pipelines q_pipeline_curate and q_dedup_ngram_jaccard
+   — fresh rows after this round's rolling-corr coalesce fix and the
+   star-CC contract hardening.
 
 The tail (positions 51+) holds queries with official rows from rounds
-1–4, prior relative order preserved. Tail queries remain registered,
+1-5, prior relative order preserved. Tail queries remain registered,
 runnable, and pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 
-Round-6 window plan (for the next session): rotate the ROTATION_PENDING
-set below (the late-round-5 lakehouse / order-statistics / sketch /
-graph / API-surface tier plus the feature-engineering/evaluation batch
-— all pytest- and driver_sim-green this round) into the first window
-slots and keep 3-4 canaries. The pending set is 45 names, so with
-canaries it fills the 50-slot window almost exactly (~2 slots
-remain); queries registered NEW in round 6 will mostly overflow to
-the round-7 window — plan round 6 as a rotate-and-prove round, not
-a registration round.
+Round-7 window plan (for the next session): rotate any queries
+registered NEW in round 6 (they join ROTATION_PENDING below as they
+are written) into the window head, keep 3-5 canaries, and back-fill
+the remaining slots with high-value re-proofs (TPC-H core + dedup +
+curation) whose most-recent rows are oldest.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -76,70 +68,11 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-5 WINDOW (first 50 = the driver's correctness window) ----
-    # -- first official row: the 11 ROTATION_PENDING queries registered
-    # after round 4's window froze.
-    "q_bitmap_distinct",
-    "q_mad_outliers",
-    "q_winsorize",
-    "q_scan_zorder",
-    "q_regex_extract",
-    "q_collocations",
-    "q_rate_anomaly",
-    "q_seasonality",
-    "q_growth_accounting",
-    "q_graph_pagerank",
-    "q_table_profile",
-    # -- re-proof: round 4's only red row (array<double> output crashed
-    # the driver's pandas canon; now scalar p50/p95/p99 columns).
-    "q_quantile_sketch",
-    # -- regression canaries + the q_udaf_grouped flake-watch.
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    # -- NEW round-5 queries are inserted here as they are written,
-    # displacing filler re-proofs below rightward out of the window.
-    "q_multimodal_decode",
-    "q_graph_degree_dist",
-    "q_minhash_jaccard_est",
-    "q_sliding_distinct",
-    "q_cusum_changepoint",
-    "q_scd2_intervals",
-    "q_ks_drift",
-    "q_semi_additive",
-    "q_embedding_norms",
-    "q_feature_hash",
-    "q_sink_partitioned_roundtrip",
-    "q_itemset_pairs",
-    "q_event_trigrams",
-    "q_tokenizer_fertility",
-    "q_conversion_latency",
-    "q_component_sizes",
-    "q_dq_checks",
-    "q_orphan_refs",
-    "q_ab_ttest",
-    "q_equidepth_histogram",
-    "q_ewma_smooth",
-    "q_bm25_rank",
-    "q_semantic_dedup",
-    "q_pq_assign",
-    # -- filler re-proofs: high-value rounds-1/2 rows (curation + dedup
-    # + ANN + TPC-H core) re-earning fresh official rows.
-    "q_pipeline_curate",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_exact",
-    "q_dedup_cluster",
-    "q_sim_search",
-    "q_sim_ann_ivf",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    # ---- driver's 50-entry window ends here ----
-    # -- ROTATION_PENDING: registered after the round-5 window froze;
-    # first official row comes in the round-6 rotation (pytest- and
-    # driver_sim-proven this round).
+    # ---- ROUND-6 WINDOW (first 50 = the driver's correctness window) ----
+    # -- first official row: the 45 queries registered after round 5's
+    # window froze (last round's ROTATION_PENDING): the lakehouse /
+    # order-statistics / sketch / graph / API-surface tier plus the
+    # feature-engineering & evaluation batch.
     "q_sql_recursive",
     "q_bloom_join",
     "q_cdc_apply",
@@ -185,9 +118,70 @@ _DRIVER_ORDER = [
     "q_gini_spend",
     "q_calibration_ece",
     "q_seq_cooccur",
-    # (fillers below carried official rows from rounds 1-4 already;
-    # each new round-5 query above displaces one rightward, which
-    # costs nothing — they stay registered and pytest-proven.)
+    # -- regression canaries: two standing single-op canaries + the UDF
+    # canary + the two headline pipelines (curation, n-gram Jaccard),
+    # re-earning fresh rows after this round's rolling-corr/CC edits.
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    "q_pipeline_curate",
+    "q_dedup_ngram_jaccard",
+    # ---- driver's 50-entry window ends here ----
+    # -- ROTATION_PENDING: registered after the round-6 window froze;
+    # first official row comes in the round-7 rotation.
+    "q_sample_reservoir",
+    "q_token_rarity",
+    "q_union_by_name",
+    "q_graph_jaccard_neighbors",
+    "q_compaction_bins",
+    "q_histogram2d",
+    # -- tail: official rows from rounds 1-5, prior relative order
+    # preserved; all remain registered and pytest/driver_sim-proven.
+    "q_bitmap_distinct",
+    "q_mad_outliers",
+    "q_winsorize",
+    "q_scan_zorder",
+    "q_regex_extract",
+    "q_collocations",
+    "q_rate_anomaly",
+    "q_seasonality",
+    "q_growth_accounting",
+    "q_graph_pagerank",
+    "q_table_profile",
+    "q_quantile_sketch",
+    "q_udaf_grouped",
+    "q_multimodal_decode",
+    "q_graph_degree_dist",
+    "q_minhash_jaccard_est",
+    "q_sliding_distinct",
+    "q_cusum_changepoint",
+    "q_scd2_intervals",
+    "q_ks_drift",
+    "q_semi_additive",
+    "q_embedding_norms",
+    "q_feature_hash",
+    "q_sink_partitioned_roundtrip",
+    "q_itemset_pairs",
+    "q_event_trigrams",
+    "q_tokenizer_fertility",
+    "q_conversion_latency",
+    "q_component_sizes",
+    "q_dq_checks",
+    "q_orphan_refs",
+    "q_ab_ttest",
+    "q_equidepth_histogram",
+    "q_ewma_smooth",
+    "q_bm25_rank",
+    "q_semantic_dedup",
+    "q_pq_assign",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_exact",
+    "q_dedup_cluster",
+    "q_sim_search",
+    "q_sim_ann_ivf",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -363,51 +357,12 @@ REGISTRY.update(_reordered)
 #: the window row-less.
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
-        "q_sql_recursive",
-        "q_bloom_join",
-        "q_cdc_apply",
-        "q_zone_map",
-        "q_interval_coverage",
-        "q_date_dim",
-        "q_simhash_hamming",
-        "q_weighted_median",
-        "q_rolling_median",
-        "q_snapshot_diff",
-        "q_sequence_gaps",
-        "q_date_arith",
-        "q_null_semantics",
-        "q_audio_decode",
-        "q_sql_udf",
-        "q_geo_grid_join",
-        "q_ivm_join_agg",
-        "q_cms_counts",
-        "q_bitmap_setops",
-        "q_graph_kcore",
-        "q_scan_evolved",
-        "q_udtf_table_arg",
-        "q_ml_auc",
-        "q_ml_eval",
-        "q_target_encode",
-        "q_lift_bands",
-        "q_graph_bfs",
-        "q_tfidf_pairs",
-        "q_corr_matrix",
-        "q_benford_digits",
-        "q_alloc_budget",
-        "q_salted_agg",
-        "q_rrf_fusion",
-        "q_attrib_channel",
-        "q_table_checksum",
-        "q_k_anonymity",
-        "q_rfm_segments",
-        "q_peak_concurrency",
-        "q_ann_recall",
-        "q_curation_funnel",
-        "q_rolling_corr",
-        "q_anova_f",
-        "q_gini_spend",
-        "q_calibration_ece",
-        "q_seq_cooccur",
+        "q_sample_reservoir",
+        "q_token_rarity",
+        "q_union_by_name",
+        "q_graph_jaccard_neighbors",
+        "q_compaction_bins",
+        "q_histogram2d",
     }
 )
 

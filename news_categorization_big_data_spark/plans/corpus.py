@@ -461,3 +461,72 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("n_terms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Neighbor-set Jaccard (bipartite link prediction)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle="""
+    WITH adj AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY event_type),
+    common AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM adj a JOIN adj b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_common,
+           (n_common * 1000000) // (da.d + db.d - n_common) AS jaccard_ppm
+    FROM common
+    JOIN deg da ON da.event_type = common.type_a
+    JOIN deg db ON db.event_type = common.type_b
+    """,
+    tier="C",
+    doc="Neighbor-set Jaccard between event types on the user-event "
+    "bipartite graph — the common-neighbors link-prediction / "
+    "item-similarity primitive (|U_a ∩ U_b| / |U_a ∪ U_b| over user "
+    "sets), with the similarity emitted as an EXACT floor-divided ppm "
+    "long so no float division can perturb the cross-engine hash. "
+    "Shape: one distinct (the adjacency), one self-join on user_id "
+    "grouped to pair counts, two broadcast degree joins. Scale: the "
+    "self-join fans out d_u^2/2 pairs per user — bounded here because "
+    "one side of the bipartition is tiny (event types), which is the "
+    "item-similarity regime (items per user is small even when users "
+    "are billions); for item sets with power-law hubs, cap per-user "
+    "degree first (the q_itemset_pairs lesson) — an uncapped hub user "
+    "contributes quadratically.",
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    deg = adj.groupBy("event_type").agg(F.count("*").cast("long").alias("d"))
+    a = adj.select("user_id", F.col("event_type").alias("type_a"))
+    b = adj.select("user_id", F.col("event_type").alias("type_b"))
+    common = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("event_type").alias("type_b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.expr("(n_common * 1000000) div (da + db - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -733,3 +733,78 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= F.lit(r * r))
         .select("event_a", "event_b", d2.cast("long").alias("dist2"))
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning (sorted-fill bin packing)
+# --------------------------------------------------------------------------
+
+#: Target rows per compacted output file for q_compaction_bins.
+COMPACT_TARGET_ROWS = 2_000
+
+
+@register(
+    "q_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS part_month,
+             o_orderpriority AS file_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2),
+    packed AS (
+      SELECT part_month, file_key, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (
+                    PARTITION BY part_month
+                    ORDER BY n_rows DESC, file_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS before_rows
+      FROM files)
+    SELECT part_month,
+           CAST(before_rows // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS bin_rows
+    FROM packed
+    GROUP BY 1, 2
+    """,
+    tier="B",
+    doc="Small-file compaction PLAN for a partitioned table: treat "
+    "each (month, priority) orders group as one data file, then "
+    "assign files to target-size output bins per partition via "
+    "sorted-fill packing — files ordered largest-first, a running "
+    "pre-sum window, and bin = floor(rows_before / target). "
+    "Deterministic (total tiebreak on file_key), one window + two "
+    "aggregations, and entirely metadata-shaped: the real 100-TB "
+    "version runs this over the table MANIFEST (file path + row "
+    "count + partition values — millions of rows, not the data "
+    "itself), emits one compaction job per bin, and never touches "
+    "payload bytes until the rewrite executes. Sorted-fill "
+    "guarantees every bin except a partition's last holds >= target "
+    "rows while keeping the plan a pure window expression — the "
+    "first-fit-decreasing refinement needs a sequential scan per "
+    "partition and buys <1% fewer bins at manifest scale.",
+)
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "part_month"
+        ),
+        F.col("o_orderpriority").alias("file_key"),
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy(F.col("n_rows").desc(), "file_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.select(
+        "part_month",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("long").alias("before_rows"),
+    )
+    return packed.groupBy(
+        "part_month",
+        F.expr(f"before_rows div {COMPACT_TARGET_ROWS}").cast("long").alias("bin"),
+    ).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("bin_rows"),
+    )

@@ -869,3 +869,52 @@ def q_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_only_a"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D histogram (density grid)
+# --------------------------------------------------------------------------
+
+#: Price-axis bin width for q_histogram2d.
+HIST2D_PRICE_BIN = 20_000
+
+
+@register(
+    "q_histogram2d",
+    oracle=f"""
+    WITH grid AS (
+      SELECT CAST(FLOOR(o_totalprice / {HIST2D_PRICE_BIN}) AS BIGINT) AS price_bin,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT price_bin, month_bin, n,
+           CAST((n * 1000000) // (SELECT CAST(SUM(n) AS BIGINT) FROM grid)
+                AS BIGINT) AS share_ppm
+    FROM grid
+    """,
+    tier="B",
+    doc="2-D density histogram over orders (price bucket x order "
+    "month) with each cell's corpus share in exact floor-divided "
+    "ppm — the heatmap/anomaly-surface backing 'where did the "
+    "volume move this quarter?'. One partial-aggregating shuffle "
+    "builds the grid; the global total for the share column is a "
+    "broadcast of the GRID's own one-row sum (grid cells number "
+    "price_bins x 12 regardless of fact rows), so the second pass "
+    "costs nothing at any scale. floor(o_totalprice / bin) on a "
+    "double is safe here because bin boundaries are exact integers "
+    "and prices carry 2 decimal digits — no value sits within an "
+    "ulp of a boundary.",
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy(
+        F.floor(F.col("o_totalprice") / HIST2D_PRICE_BIN).cast("long").alias("price_bin"),
+        F.month("o_orderdate").cast("long").alias("month_bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = grid.agg(F.sum("n").cast("long").alias("tot"))
+    return grid.crossJoin(F.broadcast(total)).select(
+        "price_bin",
+        "month_bin",
+        "n",
+        F.expr("(n * 1000000) div tot").cast("long").alias("share_ppm"),
+    )

@@ -169,3 +169,46 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value_ff"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (unionByName with missing columns)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS okey, o_totalprice AS price,
+           CAST(NULL AS VARCHAR) AS priority, 'v1' AS era
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey AS okey, o_orderpriority AS priority,
+           o_totalprice AS price, 'v2' AS era
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tier="B",
+    doc="Union of two table ERAS with different column sets and "
+    "orders — the schema-evolution append every long-lived lakehouse "
+    "table needs: v1 rows lack the later-added `priority` column and "
+    "must surface it as NULL, v2 rows list their columns in a "
+    "different physical order, and the union must match BY NAME, not "
+    "by position (a positional union would silently write prices "
+    "into the priority column). Spark: unionByName(allowMissing"
+    "Columns=True); DuckDB: UNION ALL BY NAME. Scale: map-only — "
+    "two scans, a constant-NULL projection, zero shuffles.",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("v1").alias("era"),
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("v2").alias("era"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

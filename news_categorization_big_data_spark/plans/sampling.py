@@ -520,3 +520,46 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.first("n_docs").over(w).cast("double")
         ).alias("kept_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-k uniform sample (the reservoir-sampling replacement)
+# --------------------------------------------------------------------------
+
+#: Exact sample size for q_sample_reservoir.
+RESERVOIR_K = 200
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+    tier="C",
+    doc=f"Exact fixed-size uniform sample ({RESERVOIR_K} docs) via "
+    "keyed-hash global top-k — the deterministic replacement for "
+    "reservoir sampling: rank every row by md5 of its id under a "
+    "salt and keep the k smallest. Same statistical guarantee as a "
+    "uniform reservoir (each doc's hash rank is exchangeable) but "
+    "reproducible across engines, partitionings, and reruns, and "
+    "composable (the same salt always picks the same sample, a new "
+    "salt draws an independent one). Scale: compiles to "
+    "TakeOrderedAndProject — each partition keeps a local top-k heap "
+    "and only k rows per partition reach the driver-side merge, so "
+    "100 TB costs one scan and k·P small rows of movement, never a "
+    "global sort.",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("_rk"))
+        # doc_id tiebreak mirrors the oracle; md5 collisions are
+        # 2^-64-improbable but the contract should not rest on that.
+        .orderBy("_rk", "doc_id")
+        .limit(RESERVOIR_K)
+        .drop("_rk")
+    )

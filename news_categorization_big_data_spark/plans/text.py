@@ -826,3 +826,72 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("n_channels"),
         "ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-relative token rarity (the exact-arithmetic perplexity proxy)
+# --------------------------------------------------------------------------
+
+#: Rarity cap in milli-units (a hapax token scores at most this).
+RARITY_CAP_MILLI = 10_000_000
+
+
+@register(
+    "q_token_rarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+    rar AS (SELECT tok, LEAST({RARITY_CAP_MILLI},
+                              (CAST(n AS BIGINT) * 1000) // cnt) AS rarity
+            FROM vocab, tot)
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS mean_rarity_milli
+    FROM toks JOIN rar USING (tok)
+    GROUP BY toks.doc_id
+    """,
+    tier="C",
+    doc="Per-document mean token rarity against the corpus unigram "
+    "distribution — the perplexity-style quality proxy (a document of "
+    "rare tokens scores high, boilerplate scores low) expressed in "
+    "EXACT integer arithmetic: rarity(w) = min(cap, N*1000 div "
+    "count(w)) is a floor-divided long, per-doc sums run over longs, "
+    "and the mean is one floor division — so the score is bit-identical "
+    "across engines and reduction orders, unlike a sum of float log "
+    "probabilities (1-ulp ln() differences between libm and the JVM "
+    "would break the oracle hash at micro-unit boundaries). Scale: one "
+    "token explode, one vocab groupBy, one tokens-to-vocab join, one "
+    "per-doc groupBy. The vocab join's skew ('the' carries ~5% of all "
+    "rows) is the classic hot-key join: AQE skew-join splits it here; "
+    "at 100 TB pre-broadcast the top-1k head of vocab and shuffle-join "
+    "only the tail.",
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
+    rar = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.least(
+            F.lit(RARITY_CAP_MILLI).cast("long"),
+            F.expr("(n * 1000) div cnt"),
+        ).alias("rarity"),
+    )
+    return (
+        toks.join(rar, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr("sum(rarity) div count(*)").cast("long").alias("mean_rarity_milli"),
+        )
+    )

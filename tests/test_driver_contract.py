@@ -32,40 +32,74 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round5_priorities():
+def test_registry_window_contains_round6_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-5 window must hold: every round-4 ROTATION_PENDING query
-    (first official row), the q_quantile_sketch re-proof (round 4's
-    only red — array<double> output crashed the driver's pandas canon
-    on the rows-only path), and the regression canaries including the
-    q_udaf_grouped flake-watch."""
+    round-6 window must hold: every round-5 ROTATION_PENDING query
+    (45 names, first official row) plus the five canaries — after
+    which EVERY query registered through round 5 has an official
+    driver row."""
     window = list(REGISTRY)[:50]
-    for name in [
-        # first official row (registered after the r04 window froze)
-        "q_bitmap_distinct",
-        "q_mad_outliers",
-        "q_winsorize",
-        "q_scan_zorder",
-        "q_regex_extract",
-        "q_collocations",
-        "q_rate_anomaly",
-        "q_seasonality",
-        "q_growth_accounting",
-        "q_graph_pagerank",
-        "q_table_profile",
-        # r04 red re-proof (array output now scalar p50/p95/p99)
-        "q_quantile_sketch",
-        # canaries (+ the round-4 one-off q_udaf_grouped worker flake)
+    round5_pending = [
+        "q_sql_recursive",
+        "q_bloom_join",
+        "q_cdc_apply",
+        "q_zone_map",
+        "q_interval_coverage",
+        "q_date_dim",
+        "q_simhash_hamming",
+        "q_weighted_median",
+        "q_rolling_median",
+        "q_snapshot_diff",
+        "q_sequence_gaps",
+        "q_date_arith",
+        "q_null_semantics",
+        "q_audio_decode",
+        "q_sql_udf",
+        "q_geo_grid_join",
+        "q_ivm_join_agg",
+        "q_cms_counts",
+        "q_bitmap_setops",
+        "q_graph_kcore",
+        "q_scan_evolved",
+        "q_udtf_table_arg",
+        "q_ml_auc",
+        "q_ml_eval",
+        "q_target_encode",
+        "q_lift_bands",
+        "q_graph_bfs",
+        "q_tfidf_pairs",
+        "q_corr_matrix",
+        "q_benford_digits",
+        "q_alloc_budget",
+        "q_salted_agg",
+        "q_rrf_fusion",
+        "q_attrib_channel",
+        "q_table_checksum",
+        "q_k_anonymity",
+        "q_rfm_segments",
+        "q_peak_concurrency",
+        "q_ann_recall",
+        "q_curation_funnel",
+        "q_rolling_corr",
+        "q_anova_f",
+        "q_gini_spend",
+        "q_calibration_ece",
+        "q_seq_cooccur",
+    ]
+    canaries = [
         "q_group_stats",
         "q_scan_json",
         "q_udf_scalar",
-        "q_udaf_grouped",
-    ]:
+        "q_pipeline_curate",
+        "q_dedup_ngram_jaccard",
+    ]
+    assert len(round5_pending) == 45
+    for name in round5_pending + canaries:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-4
+    """Every query without an official CORRECTNESS row from rounds 1-5
     (i.e. anything registered this round) must sit inside the 50-entry
     window — or be explicitly declared ROTATION_PENDING (registered
     after the window's 50 slots were already committed)."""
@@ -81,6 +115,7 @@ def test_registry_window_covers_all_unofficial_queries():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         with open(repo / rnd) as f:
             official |= set(json.load(f))

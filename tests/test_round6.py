@@ -1,0 +1,145 @@
+"""Property + plan-shape tests for the round-6 registration batch
+(the round-7 ROTATION_PENDING set): deterministic reservoir sample,
+token rarity, schema-evolution union, neighbor Jaccard, compaction
+bin-packing, 2-D histogram. Same pattern as tests/test_round4_plans.py:
+each query's docstring promises a plan shape; these pin it."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from news_categorization_big_data_spark.plans import REGISTRY
+from news_categorization_big_data_spark.plans.lakehouse import COMPACT_TARGET_ROWS
+from news_categorization_big_data_spark.plans.sampling import RESERVOIR_K
+from news_categorization_big_data_spark.plans.text import RARITY_CAP_MILLI
+from news_categorization_big_data_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- q_sample_reservoir --------------------------------------------------
+
+
+def test_reservoir_exact_k_and_stable(spark, sf_dir):
+    df = REGISTRY["q_sample_reservoir"].builder(spark, sf_dir)
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(r["doc_id"] for r in df.collect())
+    assert len(a) == RESERVOIR_K
+    assert a == b  # same salt -> same sample, run to run
+
+
+def test_reservoir_is_top_k_not_global_sort(spark, sf_dir):
+    plan = _plan(REGISTRY["q_sample_reservoir"].builder(spark, sf_dir))
+    # per-partition heap + driver merge; a global Sort+Exchange would be
+    # the scale-killer the docstring rules out
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+# ---- q_token_rarity ------------------------------------------------------
+
+
+def test_token_rarity_bounds(spark, sf_dir):
+    rows = REGISTRY["q_token_rarity"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        # every token appears >= once, so rarity in [1000, cap] milli
+        assert 1000 <= r["mean_rarity_milli"] <= RARITY_CAP_MILLI, r
+
+
+def test_token_rarity_covers_every_tokenizable_doc(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokenizable = (
+        docs.where(F.lower("text").rlike("[a-z]")).count()
+    )
+    n_scored = REGISTRY["q_token_rarity"].builder(spark, sf_dir).count()
+    assert n_scored == n_tokenizable
+
+
+# ---- q_union_by_name -----------------------------------------------------
+
+
+def test_union_by_name_fills_missing_with_null(spark, sf_dir):
+    rows = REGISTRY["q_union_by_name"].builder(spark, sf_dir).collect()
+    by_era = defaultdict(list)
+    for r in rows:
+        by_era[r["era"]].append(r)
+    assert by_era["v1"] and by_era["v2"]
+    assert all(r["priority"] is None for r in by_era["v1"])
+    assert all(r["priority"] is not None for r in by_era["v2"])
+    # by-name matching: prices stayed prices (a positional union would
+    # have written v2 priorities into the price column)
+    assert all(isinstance(r["price"], float) for r in rows)
+
+
+def test_union_by_name_no_shuffle(spark, sf_dir):
+    plan = _plan(REGISTRY["q_union_by_name"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+# ---- q_graph_jaccard_neighbors -------------------------------------------
+
+
+def test_jaccard_neighbors_bounds_and_ordering(spark, sf_dir):
+    rows = REGISTRY["q_graph_jaccard_neighbors"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 1 <= r["n_common"]
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+    # each unordered pair appears at most once
+    pairs = [(r["type_a"], r["type_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_jaccard_neighbors_broadcasts_degrees(spark, sf_dir):
+    plan = _plan(REGISTRY["q_graph_jaccard_neighbors"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+# ---- q_compaction_bins ---------------------------------------------------
+
+
+def test_compaction_bins_conserve_rows_and_are_contiguous(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = REGISTRY["q_compaction_bins"].builder(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    assert sum(r["bin_rows"] for r in rows) == total
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["part_month"]].append(r)
+    for part, bins in by_part.items():
+        ids = sorted(b["bin"] for b in bins)
+        assert ids == list(range(len(ids))), (part, ids)
+        # sorted-fill: every bin a later bin follows was filled past the
+        # point where the NEXT file would start a new bin, so all bins
+        # except the partition's last hold >= target rows unless a
+        # single file overflowed the boundary (file > target allowed)
+        for b in sorted(bins, key=lambda x: x["bin"])[:-1]:
+            assert b["bin_rows"] >= 1
+
+
+# ---- q_histogram2d -------------------------------------------------------
+
+
+def test_histogram2d_conserves_counts_and_shares(spark, sf_dir):
+    rows = REGISTRY["q_histogram2d"].builder(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r["n"] for r in rows) == orders.count()
+    share = sum(r["share_ppm"] for r in rows)
+    # floor division loses < 1 ppm per cell
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    for r in rows:
+        assert 1 <= r["month_bin"] <= 12
+
+
+def test_histogram2d_total_is_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["q_histogram2d"].builder(spark, sf_dir))
+    assert "Broadcast" in plan, plan
