@@ -419,3 +419,68 @@ def test_cc_algorithm_conf_switch(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.cc.localThreshold")
         spark.conf.unset("spark.graft.cc.algorithm")
+
+
+def test_star_cc_self_pair_and_string_contracts(spark):
+    """The advisor-flagged contract gaps: vertices appearing ONLY in
+    self-pairs are singletons in every CC path, the empty-edge return
+    derives its schema from the input id type (string ids supported),
+    and connected_components forwards max_iter to the star path."""
+    from news_categorization_big_data_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # self-pairs only: no real edge, both solvers emit singletons
+    selfs = spark.createDataFrame(
+        [(7, 7), (3, 3), (3, 3)], "doc_a long, doc_b long"
+    )
+    star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(selfs).collect()
+    }
+    assert star == {(7, 7), (3, 3)}
+    local = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(selfs).collect()
+    }
+    assert star == local
+
+    # mixed: a self-pair-only vertex rides along a real component
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 5), (9, 9), (1, 1)], "doc_a long, doc_b long"
+    )
+    star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(mixed).collect()
+    }
+    assert star == {(1, 1), (2, 1), (5, 1), (9, 9)}
+
+    # string ids: lexicographic min labels, schema derived from input
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "x")], "doc_a string, doc_b string"
+    )
+    out = connected_components_star(sdf)
+    assert dict(out.dtypes) == {"doc_id": "string", "component": "string"}
+    assert {
+        (r["doc_id"], r["component"]) for r in out.collect()
+    } == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x")}
+
+
+def test_cc_forwards_max_iter_to_star(spark):
+    """max_iter=1 cannot observe a stable signature (the first round
+    has nothing to compare against), so the star path must raise —
+    proving connected_components passes max_iter through."""
+    import pytest
+
+    from news_categorization_big_data_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    spark.conf.set("spark.graft.cc.algorithm", "star")
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=1).collect()
+    finally:
+        spark.conf.unset("spark.graft.cc.localThreshold")
+        spark.conf.unset("spark.graft.cc.algorithm")
