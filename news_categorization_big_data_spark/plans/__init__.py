@@ -135,6 +135,8 @@ _DRIVER_ORDER = [
     "q_graph_jaccard_neighbors",
     "q_compaction_bins",
     "q_histogram2d",
+    "q_dedup_prefix",
+    "q_label_centroids",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -363,6 +365,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_graph_jaccard_neighbors",
         "q_compaction_bins",
         "q_histogram2d",
+        "q_dedup_prefix",
+        "q_label_centroids",
     }
 )
 

@@ -743,3 +743,61 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     return kcore(pairs, k=KCORE_K)
+
+
+# --------------------------------------------------------------------------
+# Prefix-truncation dedup
+# --------------------------------------------------------------------------
+
+#: Normalized-prefix length (chars) for q_dedup_prefix.
+PREFIX_DUP_LEN = 64
+
+
+@register(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        1, {PREFIX_DUP_LEN})) AS pk
+      FROM documents WHERE text <> ''),
+    g AS (SELECT doc_id, pk,
+                 CAST(COUNT(*) OVER (PARTITION BY pk) AS BIGINT) AS group_size,
+                 CAST(MIN(doc_id) OVER (PARTITION BY pk) AS BIGINT) AS canonical_id
+          FROM keyed)
+    SELECT doc_id, canonical_id, group_size
+    FROM g WHERE group_size > 1
+    """,
+    tier="C",
+    doc=f"Prefix-truncation duplicates: documents whose first "
+    f"{PREFIX_DUP_LEN} NORMALIZED characters (lowercased, whitespace "
+    "collapsed) coincide, each tagged with its group's minimum doc_id "
+    "as canonical. Catches the truncation family exact-hash dedup "
+    "misses (the same article cut at different lengths by scrapers "
+    "shares a prefix but not a full-text hash) without the cost of "
+    "the near-dup stack — in a curation DAG this runs between exact "
+    "and MinHash stages. Scale: the shuffle key is a 16-byte md5 of "
+    "a 64-char prefix, never the document; one hash-partitioned "
+    "window, map-side nothing else.",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    pk = F.md5(
+        F.substring(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+            1,
+            PREFIX_DUP_LEN,
+        )
+    )
+    w = Window.partitionBy("pk")
+    return (
+        docs.select("doc_id", pk.alias("pk"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+            F.count("*").over(w).cast("long").alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )

@@ -480,3 +480,56 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.abs(obs - avg_conf)
         ).alias("w_abs_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-label embedding centroids
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH px AS (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings)
+    SELECT label,
+           CAST(pos AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS mean_micro
+    FROM px
+    GROUP BY label, pos
+    """,
+    tier="C",
+    doc="Exact per-label embedding centroid, one row per (label, "
+    "dimension) with the mean component in floor-quantized micro-units "
+    "— the class-prototype table behind nearest-centroid classification "
+    "and per-class drift monitoring. Components quantize to longs "
+    "BEFORE summing (float32 -> double is exact, the double multiply "
+    "is correctly rounded identically in both engines, floor makes it "
+    "an integer), so the mean survives any reduction order — a naive "
+    "float avg() would hash-differ between Spark's tree aggregation "
+    "and DuckDB's sequential fold. Scale: posexplode fans D rows per "
+    "vector but each is 20 bytes; the groupBy carries labels x D cells "
+    "with map-side partial aggregation, so shuffle volume is "
+    "O(partitions x labels x D), independent of corpus size.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr(
+                "sum(cast(floor(cast(val as double) * 1000000) as bigint)) div count(*)"
+            )
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )

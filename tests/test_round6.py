@@ -9,7 +9,6 @@ from __future__ import annotations
 from collections import defaultdict
 
 from news_categorization_big_data_spark.plans import REGISTRY
-from news_categorization_big_data_spark.plans.lakehouse import COMPACT_TARGET_ROWS
 from news_categorization_big_data_spark.plans.sampling import RESERVOIR_K
 from news_categorization_big_data_spark.plans.text import RARITY_CAP_MILLI
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -143,3 +142,54 @@ def test_histogram2d_conserves_counts_and_shares(spark, sf_dir):
 def test_histogram2d_total_is_broadcast(spark, sf_dir):
     plan = _plan(REGISTRY["q_histogram2d"].builder(spark, sf_dir))
     assert "Broadcast" in plan, plan
+
+
+# ---- q_dedup_prefix ------------------------------------------------------
+
+
+def test_dedup_prefix_groups_are_real_dups(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = REGISTRY["q_dedup_prefix"].builder(spark, sf_dir).collect()
+    by_canon = defaultdict(list)
+    for r in rows:
+        assert r["group_size"] >= 2
+        assert r["canonical_id"] <= r["doc_id"]
+        by_canon[r["canonical_id"]].append(r)
+    for canon, members in by_canon.items():
+        # canonical is a member of its own group
+        assert any(r["doc_id"] == canon for r in members)
+        assert all(r["group_size"] == len(members) for r in members)
+    # all grouped docs share the normalized prefix with their canonical
+    if rows:
+        docs = {
+            r["doc_id"]: r["p"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.substring(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 64
+                ).alias("p"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert docs[r["doc_id"]] == docs[r["canonical_id"]]
+
+
+# ---- q_label_centroids ---------------------------------------------------
+
+
+def test_label_centroids_full_grid_and_counts(spark, sf_dir):
+    rows = REGISTRY["q_label_centroids"].builder(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(64))
+    assert len(rows) == n_labels * 64
+    # per-label vector counts are constant across dims and sum to the table
+    by_label = defaultdict(set)
+    for r in rows:
+        by_label[r["label"]].add(r["n_vecs"])
+    assert all(len(v) == 1 for v in by_label.values())
+    assert sum(next(iter(v)) for v in by_label.values()) == emb.count()
