@@ -54,6 +54,10 @@ HEADLINE = [
     # decade-point fixes (SCALE.md).
     "q_corr_matrix",         # 15 exact moments, one pass, limb-split sums
     "q_tfidf_pairs",         # postings self-join under rel+abs df caps
+    # -- appended round 6: the hot-key vocabulary join and the bipartite
+    # self-join — the two new ops whose scale posture is skew-bound.
+    "q_token_rarity",        # explode + vocab join (AQE skew) + per-doc agg
+    "q_graph_jaccard_neighbors",  # adjacency self-join, exact ppm division
 ]
 
 

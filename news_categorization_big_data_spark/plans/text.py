@@ -887,8 +887,13 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000) div cnt"),
         ).alias("rarity"),
     )
+    # shuffle_hash hint: without it Catalyst's size estimate broadcasts
+    # the EXPLODED TOKEN STREAM (BuildLeft — the rar side's cross-join
+    # lineage defeats its stats), which inverts at scale: the stream is
+    # corpus-sized, the vocab is not. ShuffledHashJoin on tok is the
+    # 100-TB shape; AQE's skew-join split absorbs the 'the' hot key.
     return (
-        toks.join(rar, "tok")
+        toks.join(rar.hint("shuffle_hash"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),

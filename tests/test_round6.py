@@ -193,3 +193,14 @@ def test_label_centroids_full_grid_and_counts(spark, sf_dir):
         by_label[r["label"]].add(r["n_vecs"])
     assert all(len(v) == 1 for v in by_label.values())
     assert sum(next(iter(v)) for v in by_label.values()) == emb.count()
+
+
+def test_token_rarity_never_broadcasts_the_token_stream(spark, sf_dir):
+    """Catalyst's default estimate broadcasts the EXPLODED token stream
+    into the vocab join (the rar side's cross-join lineage defeats its
+    stats) — corpus-sized broadcast, the classic scale inversion. The
+    shuffle_hash hint pins the ShuffledHashJoin shape."""
+    plan = _plan(REGISTRY["q_token_rarity"].builder(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    # the only broadcast left is the one-row total joined into vocab
+    assert "BroadcastNestedLoopJoin" in plan, plan
