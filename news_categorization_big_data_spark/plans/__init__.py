@@ -137,6 +137,9 @@ _DRIVER_ORDER = [
     "q_histogram2d",
     "q_dedup_prefix",
     "q_label_centroids",
+    "q_stream_trending",
+    "q_rank_normalize",
+    "q_char_classes",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -367,6 +370,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_histogram2d",
         "q_dedup_prefix",
         "q_label_centroids",
+        "q_stream_trending",
+        "q_rank_normalize",
+        "q_char_classes",
     }
 )
 

@@ -782,3 +782,73 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank (quantile) normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_rank_normalize",
+    oracle="""
+    WITH dv AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, value, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_below,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM dv)
+    SELECT event_type, value, cnt, n_below,
+           CAST(CASE WHEN n > 1 THEN (n_below * 1000000) // (n - 1) ELSE 0 END
+                AS BIGINT) AS norm_ppm
+    FROM rk
+    """,
+    tier="C",
+    doc="Rank (quantile) normalization of a per-group feature: each "
+    "distinct value maps to its group's empirical CDF position in "
+    "exact ppm — the distribution-free standardization robust to "
+    "outliers and scale (z-scores blow up on heavy tails; rank "
+    "normalization is invariant to any monotone transform). The "
+    "q_gini/q_lift distinct-value discipline: the ordered window "
+    "rides the DISTINCT (type, value) table with per-value counts, "
+    "never the raw events, so the sort is bounded by cardinality, "
+    "not corpus size; ties collapse to one row and by construction "
+    "share a rank. norm_ppm = floor(n_below·1e6 / (n−1)) is "
+    "all-integer (min value -> 0, max -> 1e6). Join the output back "
+    "to events on (type, value) to materialize per-row features — "
+    "kept separate here so the oracle pins the rank table itself.",
+)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dv = ev.groupBy("event_type", "value").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    below = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = dv.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(below), F.lit(0)).cast("long").alias("n_below"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    return rk.select(
+        "event_type",
+        "value",
+        "cnt",
+        "n_below",
+        F.when(F.col("n") > 1, F.expr("(n_below * 1000000) div (n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("norm_ppm"),
+    )

@@ -900,3 +900,75 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(rarity) div count(*)").cast("long").alias("mean_rarity_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Character-class profile + Simpson diversity (binary-junk screen)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_char_classes",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(length(text) - length(regexp_replace(text, '[ \\t\\n]', '', 'g'))
+                  AS BIGINT) AS n_space
+      FROM documents WHERE text <> ''),
+    k AS (SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+                 n_chars - n_alpha - n_digit - n_space AS n_other
+          FROM c)
+    SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_other,
+           CAST((n_alpha*n_alpha + n_digit*n_digit + n_space*n_space
+                 + n_other*n_other) * 1000000 // (n_chars*n_chars)
+                AS BIGINT) AS simpson_ppm
+    FROM k
+    """,
+    tier="C",
+    doc="Per-document character-class profile (alpha/digit/space/other "
+    "counts) plus the Simpson concentration index over the classes in "
+    "exact ppm — the cheap binary-junk/gibberish screen a curation "
+    "pipeline runs before tokenization: natural text sits near the "
+    "alpha-dominated Simpson band, base64 blobs and digit dumps spike "
+    "digit/other concentration, whitespace-art spikes space. Class "
+    "counts come from length-minus-stripped-length (one regexp_replace "
+    "per class), NOT a character explode — map-only, zero shuffles, "
+    "zero fan-out, so it costs one scan at any corpus size. "
+    "simpson = sum(class²)·1e6 div total² is all-integer (n_chars "
+    "≤ ~10⁵ keeps the squares far under 2^63).",
+)
+def q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    stripped = lambda pat: F.length("text") - F.length(  # noqa: E731
+        F.regexp_replace("text", pat, "")
+    )
+    k = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        stripped("[a-zA-Z]").cast("long").alias("n_alpha"),
+        stripped("[0-9]").cast("long").alias("n_digit"),
+        stripped("[ \\t\\n]").cast("long").alias("n_space"),
+    ).withColumn(
+        "n_other",
+        (F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"))
+        .cast("long"),
+    )
+    return k.select(
+        "doc_id",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.expr(
+            "(n_alpha*n_alpha + n_digit*n_digit + n_space*n_space"
+            " + n_other*n_other) * 1000000 div (n_chars*n_chars)"
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+    )

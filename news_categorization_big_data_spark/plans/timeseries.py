@@ -401,3 +401,59 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "q_stream_trending",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT window_start, event_type, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY cnt DESC, event_type) AS INT) AS rnk
+      FROM wc)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, cnt, rnk
+    FROM rk WHERE rnk <= 3
+    """,
+    tier="B",
+    doc="Trending items: top-3 event types per tumbling hour — the "
+    "windowed-leaderboard streaming analytic ('what spiked this "
+    "hour'). Batch analog of the live pattern (windowed count -> "
+    "rank), with a total tiebreak (cnt DESC, type) so rank order can "
+    "never differ between engines. Streaming form: the windowed count "
+    "is the watermarked stateful stage; the top-k rank runs per "
+    "CLOSED window downstream (foreachBatch or a second job over the "
+    "window-complete sink) since rank-over-updating-state is not "
+    "monotone. Scale: count state is windows x types (tiny, "
+    "mergeable); the rank window rides the COUNT table, never raw "
+    "events.",
+)
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wc = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    return (
+        wc.select(
+            "window_start",
+            "event_type",
+            "cnt",
+            F.row_number().over(rk).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

@@ -204,3 +204,74 @@ def test_token_rarity_never_broadcasts_the_token_stream(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
     # the only broadcast left is the one-row total joined into vocab
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# ---- q_stream_trending ---------------------------------------------------
+
+
+def test_stream_trending_topk_per_window(spark, sf_dir):
+    rows = REGISTRY["q_stream_trending"].builder(spark, sf_dir).collect()
+    assert rows
+    by_w = defaultdict(list)
+    for r in rows:
+        by_w[r["window_start"]].append(r)
+    for w, items in by_w.items():
+        rnks = sorted(r["rnk"] for r in items)
+        assert rnks == list(range(1, len(rnks) + 1)) and len(rnks) <= 3
+        ordered = sorted(items, key=lambda r: r["rnk"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a["cnt"], b["event_type"]) >= (b["cnt"], a["event_type"])
+
+
+# ---- q_rank_normalize ----------------------------------------------------
+
+
+def test_rank_normalize_cdf_properties(spark, sf_dir):
+    rows = REGISTRY["q_rank_normalize"].builder(spark, sf_dir).collect()
+    by_t = defaultdict(list)
+    for r in rows:
+        by_t[r["event_type"]].append(r)
+    assert set(by_t) == {"click", "purchase"}
+    for t, vals in by_t.items():
+        vals.sort(key=lambda r: r["value"])
+        n = sum(r["cnt"] for r in vals)
+        assert vals[0]["norm_ppm"] == 0
+        assert vals[-1]["norm_ppm"] == ((n - vals[-1]["cnt"]) * 1_000_000) // (n - 1)
+        run = 0
+        for r in vals:
+            assert r["n_below"] == run
+            run += r["cnt"]
+        ppms = [r["norm_ppm"] for r in vals]
+        assert ppms == sorted(ppms)  # monotone in value
+
+
+def test_rank_normalize_window_rides_distinct_values(spark, sf_dir):
+    plan = _plan(REGISTRY["q_rank_normalize"].builder(spark, sf_dir))
+    # the aggregate runs BELOW the window: sort cost is bounded by
+    # distinct-value cardinality, not raw event count
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos > win_pos, plan
+
+
+# ---- q_char_classes ------------------------------------------------------
+
+
+def test_char_classes_partition_and_simpson_bounds(spark, sf_dir):
+    rows = REGISTRY["q_char_classes"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_alpha"] + r["n_digit"] + r["n_space"] + r["n_other"]
+            == r["n_chars"]
+        )
+        assert all(
+            r[c] >= 0 for c in ("n_alpha", "n_digit", "n_space", "n_other")
+        )
+        # Simpson over 4 classes: uniform -> 250000 ppm, pure -> 1e6
+        assert 250_000 <= r["simpson_ppm"] <= 1_000_000
+
+
+def test_char_classes_is_map_only(spark, sf_dir):
+    plan = _plan(REGISTRY["q_char_classes"].builder(spark, sf_dir))
+    assert "Exchange" not in plan and "Generate" not in plan, plan
