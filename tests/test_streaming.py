@@ -843,3 +843,80 @@ def test_drop_duplicates_within_watermark_live(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_stream_trending_topk_in_foreachbatch(spark, tmp_path):
+    """The q_stream_trending pattern LIVE: a watermarked windowed count
+    stream whose foreachBatch ranks the closed windows' counts and
+    keeps top-3 per window — rank-over-updating-state is not monotone,
+    so the leaderboard runs per batch over the emitted window rows
+    (the exact decomposition the registered query's docstring
+    promises). Final leaderboard equals the batch analog's."""
+    from pyspark.sql.window import Window as W
+
+    rows = []
+    for m, t in [
+        (1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"), (7, "d"),
+        (61, "b"), (62, "b"), (63, "c"), (64, "c"), (65, "c"), (66, "a"),
+    ]:
+        rows.append({"ts": f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00", "event_type": t})
+    src = str(tmp_path / "trend_events")
+    _write_jsonl(src, rows)
+
+    def counts(df):
+        typed = df.select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        return (
+            typed.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+
+    out = str(tmp_path / "trend_out")
+    ckpt = str(tmp_path / "trend_ckpt")
+
+    def rank_batch(df, batch_id):
+        rk = W.partitionBy("ws").orderBy(F.col("cnt").desc(), "event_type")
+        (
+            df.select("ws", "event_type", "cnt", F.row_number().over(rk).alias("rnk"))
+            .where(F.col("rnk") <= 3)
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={batch_id}")
+        )
+
+    stream = counts(
+        spark.readStream.schema("ts string, event_type string").json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(rank_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last-write-wins per window across batches = the final leaderboard
+    live = spark.read.parquet(out)
+    last = live.withColumn(
+        "_m", F.row_number().over(
+            W.partitionBy("ws", "rnk").orderBy(F.col("batch_id").desc())
+        )
+    ).where(F.col("_m") == 1)
+    live_rows = sorted(
+        map(str, last.select("ws", "event_type", "cnt", "rnk").collect())
+    )
+
+    batch = counts(spark.read.schema("ts string, event_type string").json(src))
+    rk = W.partitionBy("ws").orderBy(F.col("cnt").desc(), "event_type")
+    batch_rows = sorted(
+        map(
+            str,
+            batch.select(
+                "ws", "event_type", "cnt", F.row_number().over(rk).alias("rnk")
+            )
+            .where(F.col("rnk") <= 3)
+            .collect(),
+        )
+    )
+    assert live_rows == batch_rows
