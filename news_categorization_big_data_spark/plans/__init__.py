@@ -140,6 +140,7 @@ _DRIVER_ORDER = [
     "q_stream_trending",
     "q_rank_normalize",
     "q_char_classes",
+    "q_sink_pyds_roundtrip",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -373,6 +374,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_stream_trending",
         "q_rank_normalize",
         "q_char_classes",
+        "q_sink_pyds_roundtrip",
     }
 )
 

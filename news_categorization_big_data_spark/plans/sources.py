@@ -439,3 +439,49 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_v2"),
         F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_v1"),
     )
+
+
+@register(
+    "q_sink_pyds_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 400
+    GROUP BY lang
+    """,
+    tier="B",
+    doc="Custom Python Data Source SINK round-trip (sources/"
+    "jsonl_sink.py): a slice of documents is written through "
+    "df.write.format('jsonlsink') — tasks stage part files, the "
+    "driver's commit publishes them atomically behind a _SUCCESS "
+    "manifest — then read back through the manifest-honoring reader "
+    "and aggregated. The oracle aggregates the ORIGINAL table, so "
+    "the green hash proves the transactional write path delivered "
+    "every row exactly once (the write side of the custom-source "
+    "story; q_scan_pyds proves the read side). Replayed commits "
+    "publish nothing (manifest guard), so re-running this query in "
+    "one session stays deterministic. Scale: commit messages carry "
+    "file NAMES, never rows — the driver cost is O(tasks), the "
+    "FileOutputCommitter-v1 shape.",
+)
+def q_sink_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource,
+        read_committed,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    sink_dir = _fixture_dir(spark, sf_dir, "pyds_sink")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    docs.select("doc_id", "lang", "n_chars").write.format("jsonlsink").option(
+        "path", sink_dir
+    ).mode("append").save()
+    return (
+        read_committed(spark, sink_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+        )
+    )

@@ -275,3 +275,15 @@ def test_char_classes_partition_and_simpson_bounds(spark, sf_dir):
 def test_char_classes_is_map_only(spark, sf_dir):
     plan = _plan(REGISTRY["q_char_classes"].builder(spark, sf_dir))
     assert "Exchange" not in plan and "Generate" not in plan, plan
+
+
+# ---- q_sink_pyds_roundtrip -----------------------------------------------
+
+
+def test_sink_pyds_roundtrip_rerun_deterministic(spark, sf_dir):
+    """Second run re-stages but the manifest guard publishes nothing —
+    the aggregate must be identical (no doubled rows)."""
+    build = REGISTRY["q_sink_pyds_roundtrip"].builder
+    a = sorted(map(str, build(spark, sf_dir).collect()))
+    b = sorted(map(str, build(spark, sf_dir).collect()))
+    assert a and a == b
