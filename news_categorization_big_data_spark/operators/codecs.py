@@ -1,7 +1,7 @@
 """REAL media codecs built on the Python standard library only.
 
 The sandbox has no PIL/cv2/ffmpeg (imports attempted and documented in
-SCALE.md), but two widely-used container formats are fully decodable
+SCALE.md), but three widely-used container formats are fully decodable
 with stdlib primitives, because their specs are public and simple:
 
 - **PNG** (RFC 2083 / ISO 15948): length-prefixed chunks; IHDR carries
@@ -11,11 +11,15 @@ with stdlib primitives, because their specs are public and simple:
   files, not a deterministic fake.
 - **WAV** (RIFF): plain struct-packed header; ``wave`` in the stdlib
   parses channels/sample-rate/frame-count.
+- **GIF89a** (the video/animation container): logical screen
+  descriptor + color tables + per-frame variable-width LZW index
+  streams — decoded below with a full growing-dictionary LZW.
 
 These plug into the ``operators/multimodal.py`` stages (decode /
 resize / feature-extract), replacing the fake codecs with real ones
-for `image/png` and `audio/wav` payloads while other mimes keep the
-documented stub-or-injected-codec behavior. The encoder side writes
+for `image/png`, `audio/wav`, and `image/gif` (frame-sampling)
+payloads while other mimes keep the documented stub-or-injected-codec
+behavior. The encoder side writes
 valid PNGs (filter 0, fixed zlib level) so round-trip tests need no
 external fixtures.
 
@@ -219,3 +223,209 @@ def wav_dims(payload: bytes) -> tuple[int, int]:
     sample rate, height = channels — typed metadata, same plumbing."""
     channels, rate, _frames = wav_info(payload)
     return rate, channels
+
+
+# ---------------------------------------------------------------------------
+# GIF89a (the video/animation container): pure-stdlib encode + decode
+# ---------------------------------------------------------------------------
+#
+# GIF is the third public-and-simple container (after PNG and WAV) that
+# needs nothing beyond ``struct`` and bit twiddling: a logical screen
+# descriptor, a global color table, and per-frame LZW-compressed index
+# streams in length-prefixed sub-blocks. The DECODER implements the full
+# variable-width LZW (codes grow 3..12 bits, dictionary resets on clear)
+# so it reads real-world non-interlaced GIFs; the ENCODER uses the
+# classic "clear-code-per-literal" technique (emit a clear code after
+# every pixel code so the dictionary never grows) — byte-inefficient
+# but spec-valid, which is all a round-trip fixture needs.
+
+GIF_MAGIC_89 = b"GIF89a"
+GIF_MAGIC_87 = b"GIF87a"
+
+#: Fixed 4-entry palette for encoded fixtures (min LZW code size 2).
+GIF_PALETTE: tuple[tuple[int, int, int], ...] = (
+    (0, 0, 0),
+    (255, 0, 0),
+    (0, 255, 0),
+    (255, 255, 255),
+)
+
+
+def _lzw_encode_flat(indices: bytes, min_code: int) -> bytes:
+    """LZW stream that keeps the dictionary empty: CLEAR after every
+    literal, so code width stays min_code+1 throughout. Valid per the
+    GIF spec (a decoder may receive CLEAR at any time)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i in indices:
+        emit(i)
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """Full variable-width GIF LZW decode (handles growing dictionaries
+    from real encoders, not just this module's flat streams)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    nxt = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc, nbits = 0, 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                nxt, width, prev = end + 1, min_code + 1, None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[nxt] = prev + entry[:1]
+                nxt += 1
+            elif code == nxt:
+                entry = prev + prev[:1]
+                table[nxt] = entry
+                nxt += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            if prev is not None and nxt == (1 << width) and width < 12:
+                width += 1
+            out.extend(entry)
+            prev = entry
+    raise ValueError("LZW stream ended without END code")
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes into GIF's ≤255-byte length-prefixed sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Animated GIF89a from per-frame palette-index buffers (each
+    ``width*height`` bytes of indices < len(GIF_PALETTE))."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame size mismatch")
+        if any(i >= len(GIF_PALETTE) for i in f):
+            raise ValueError("index out of palette")
+    out = bytearray(GIF_MAGIC_89)
+    # logical screen descriptor: GCT present, 2-bit color depth
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)
+    for r, g, b in GIF_PALETTE:
+        out += bytes((r, g, b))
+    min_code = 2
+    for frame in frames:
+        # graphic control extension (zero delay, no transparency)
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([min_code])
+        out += _sub_blocks(_lzw_encode_flat(frame, min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[bytes]]:
+    """(width, height, palette, frames) — frames are palette-index
+    buffers. Raises ValueError on non-GIF, truncated, or interlaced
+    input (the frame stage contains that as ok=False)."""
+    if len(payload) < 13 or payload[:6] not in (GIF_MAGIC_89, GIF_MAGIC_87):
+        raise ValueError("not a GIF payload")
+    try:
+        return _gif_decode_body(payload)
+    except (IndexError, struct.error) as exc:  # ran off the end mid-block
+        raise ValueError(f"truncated GIF: {exc}") from exc
+
+
+def _gif_decode_body(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[bytes]]:
+    width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
+            palette.append((r, g, b))
+        pos += 3 * n
+    frames: list[bytes] = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, fw, fh, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                palette = [
+                    tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+                ]
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(data), min_code)
+            if len(indices) != fw * fh:
+                raise ValueError("frame pixel count mismatch")
+            frames.append(indices)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return width, height, palette, frames
+
+
+def gif_frames_raw(payload: bytes) -> list[bytes]:
+    """FrameCodec contract (operators/multimodal.py): GIF payload →
+    list of per-frame palette-index buffers."""
+    _w, _h, _palette, frames = gif_decode(payload)
+    return frames

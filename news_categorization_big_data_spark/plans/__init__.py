@@ -141,6 +141,7 @@ _DRIVER_ORDER = [
     "q_rank_normalize",
     "q_char_classes",
     "q_sink_pyds_roundtrip",
+    "q_video_frames",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -375,6 +376,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_rank_normalize",
         "q_char_classes",
         "q_sink_pyds_roundtrip",
+        "q_video_frames",
     }
 )
 

@@ -972,3 +972,86 @@ def q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     )
+
+
+#: Synthetic-GIF geometry formulas shared by the encode stage and the
+#: DuckDB oracle (the q_multimodal_decode pattern): frames, width,
+#: height all derive from doc_id.
+VID_F_MOD, VID_W_MOD, VID_H_MOD = 4, 13, 11
+
+
+@register(
+    "q_video_frames",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST((doc_id % {VID_W_MOD} + 1) * (doc_id % {VID_H_MOD} + 1) AS INT)
+             AS n_px,
+           true AS ok
+    FROM (SELECT doc_id, unnest(range(doc_id % {VID_F_MOD} + 1)) AS fi
+          FROM documents WHERE doc_id < 2000)
+    """,
+    tier="C",
+    doc="REAL video-container frame sampling end-to-end: every document "
+    "gets an actual spec-conformant animated GIF89a (stdlib encoder — "
+    "logical screen descriptor, global color table, per-frame LZW "
+    "index streams; frame count and dims derive from doc_id, pixels "
+    "from a per-(doc,frame) LCG), and the frame stage — the "
+    "set-returning Arrow-batched mapInPandas shape "
+    "(operators/multimodal.py:sample_frames) — parses the REAL bytes "
+    "back with the full variable-width LZW decoder "
+    "(operators/codecs.py:gif_decode, validated against an "
+    "independent growing-dictionary encoder). One output row per "
+    "recovered frame with its pixel count; the oracle recomputes "
+    "frames x dims from doc_id directly, so the green hash proves "
+    "count AND geometry round-trip through real container bytes — "
+    "completing the media matrix (PNG image / WAV audio / GIF "
+    "video). Scale: map-only on both sides, payload bytes never "
+    "enter a shuffle; the doc_id<2000 cap bounds fixture cost at "
+    "high sf while every sf0.01 doc participates.",
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from news_categorization_big_data_spark.operators.codecs import gif_encode
+    from news_categorization_big_data_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000
+    ).select("doc_id")
+
+    def encode_batches(batches):
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                k = d % VID_F_MOD + 1
+                w = d % VID_W_MOD + 1
+                h = d % VID_H_MOD + 1
+                frames = []
+                for fi in range(k):
+                    seed = (d * 2654435761 + fi * 97) % 2**32
+                    px = bytearray()
+                    for _ in range(w * h):
+                        seed = (seed * 1103515245 + 12345) % 2**31
+                        px.append(seed % 4)
+                    frames.append(bytes(px))
+                payloads.append(gif_encode(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "payload": payloads,
+                }
+            )
+
+    packed = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    from news_categorization_big_data_spark.operators.codecs import gif_frames_raw
+
+    return sample_frames(packed, codec=gif_frames_raw).select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("int").alias("n_px"),
+        "ok",
+    )
