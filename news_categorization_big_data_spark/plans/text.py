@@ -873,7 +873,12 @@ RARITY_CAP_MILLI = 10_000_000
     "only the tail.",
 )
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity_frame(load_table(spark, sf_dir, "documents"))
+
+
+def token_rarity_frame(docs: DataFrame) -> DataFrame:
+    """The q_token_rarity core over any (doc_id, text) frame — shared
+    with the brute-force property test (tests/test_features_props.py)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),

@@ -484,3 +484,49 @@ def test_cc_forwards_max_iter_to_star(spark):
     finally:
         spark.conf.unset("spark.graft.cc.localThreshold")
         spark.conf.unset("spark.graft.cc.algorithm")
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab cXY9.",  # mixed-case + digits + punctuation: the
+            min_size=0,           # tokenizer must strip all non-[a-z]
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_rarity_matches_python_brute_force(spark, texts):
+    """The shuffle-hash vocab join + integer floor arithmetic must equal
+    a Python brute force over the same corpus: a rarity drifting
+    through the div chain or a token lost to the join would surface."""
+    import re
+    from collections import Counter
+
+    from news_categorization_big_data_spark.plans.text import (
+        RARITY_CAP_MILLI,
+        token_rarity_frame,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_rarity_milli"])
+        for r in token_rarity_frame(df).collect()
+    }
+
+    tok_by_doc = {
+        i: [t for t in re.split(r"[^a-z]+", t.lower()) if t]
+        for i, t in docs
+    }
+    vocab = Counter(t for ts in tok_by_doc.values() for t in ts)
+    n = sum(vocab.values())
+    want = {}
+    for i, ts in tok_by_doc.items():
+        if not ts:
+            continue
+        s = sum(min(RARITY_CAP_MILLI, (n * 1000) // vocab[t]) for t in ts)
+        want[i] = (len(ts), s // len(ts))
+    assert got == want
