@@ -876,9 +876,25 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_rarity_frame(load_table(spark, sf_dir, "documents"))
 
 
-def token_rarity_frame(docs: DataFrame) -> DataFrame:
+def token_rarity_frame(docs: DataFrame, head_k: int | None = None) -> DataFrame:
     """The q_token_rarity core over any (doc_id, text) frame — shared
-    with the brute-force property test (tests/test_features_props.py)."""
+    with the brute-force property test (tests/test_features_props.py).
+
+    ``head_k`` (default: conf ``spark.graft.rarity.headK``, 0 = off) is
+    the documented 100-TB parameterization: the top-K vocab head by
+    document-stream frequency is BROADCAST into a map-side join (the
+    hot tokens — 'the' alone carries ~5% of the stream — never enter a
+    shuffle), and only the long tail shuffle-joins. Output-identical to
+    the plain path (tests/test_features_props.py asserts it): every
+    token takes exactly one of the two joins, and both use the same
+    rarity table."""
+    if head_k is None:
+        try:
+            head_k = int(
+                docs.sparkSession.conf.get("spark.graft.rarity.headK", "0")
+            )
+        except Exception:  # pragma: no cover - static conf stores
+            head_k = 0
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
@@ -897,9 +913,18 @@ def token_rarity_frame(docs: DataFrame) -> DataFrame:
     # lineage defeats its stats), which inverts at scale: the stream is
     # corpus-sized, the vocab is not. ShuffledHashJoin on tok is the
     # 100-TB shape; AQE's skew-join split absorbs the 'the' hot key.
+    if head_k > 0:
+        head_toks = vocab.orderBy(F.col("cnt").desc(), "tok").limit(head_k).select("tok")
+        head_rar = rar.join(F.broadcast(head_toks), "tok")
+        scored = toks.join(F.broadcast(head_rar), "tok").unionByName(
+            toks.join(F.broadcast(head_toks), "tok", "left_anti").join(
+                rar.hint("shuffle_hash"), "tok"
+            )
+        )
+    else:
+        scored = toks.join(rar.hint("shuffle_hash"), "tok")
     return (
-        toks.join(rar.hint("shuffle_hash"), "tok")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.expr("sum(rarity) div count(*)").cast("long").alias("mean_rarity_milli"),
