@@ -142,6 +142,7 @@ _DRIVER_ORDER = [
     "q_char_classes",
     "q_sink_pyds_roundtrip",
     "q_video_frames",
+    "q_pq_search",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -377,6 +378,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_char_classes",
         "q_sink_pyds_roundtrip",
         "q_video_frames",
+        "q_pq_search",
     }
 )
 

@@ -300,6 +300,46 @@ PQ_SUBDIM = 8
 PQ_CODES = 16
 
 
+def _pq_d2(a: str, b: str):
+    """Element-ordered L2² fold between two float-array columns —
+    bit-identical doubles on both engines."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_book_and_best(
+    spark: SparkSession, emb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, per-(vec, subspace) nearest-code assignment) — the
+    shared PQ chain behind q_pq_assign (pack) and q_pq_search (ADC)."""
+    pivots = _pivots(emb, PQ_CODES)
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    book = pivots.crossJoin(F.broadcast(subs)).select(
+        "s",
+        (F.col("prank") - 1).alias("code"),
+        F.slice("pemb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cvec"),
+    )
+    vsub = emb.crossJoin(F.broadcast(subs)).select(
+        "vec_id",
+        "s",
+        F.slice("embedding", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("vvec"),
+    )
+    dist = vsub.join(F.broadcast(book), "s").select(
+        "vec_id", "s", "code", _pq_d2("vvec", "cvec").alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    best = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return book, best
+
+
 @register(
     "q_pq_assign",
     oracle=f"""
@@ -346,34 +386,7 @@ PQ_CODES = 16
 )
 def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pivots = _pivots(emb, PQ_CODES)
-
-    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
-    book = pivots.crossJoin(F.broadcast(subs)).select(
-        "s",
-        (F.col("prank") - 1).alias("code"),
-        F.slice("pemb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cvec"),
-    )
-    vsub = emb.crossJoin(F.broadcast(subs)).select(
-        "vec_id",
-        "s",
-        F.slice("embedding", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("vvec"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            "vvec",
-            "cvec",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dist = vsub.join(F.broadcast(book), "s").select(
-        "vec_id", "s", "code", d2.alias("d2")
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    best = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    _book, best = _pq_book_and_best(spark, emb)
     packed = best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -385,6 +398,90 @@ def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("recon_err"),
     )
     return packed
+
+
+#: ADC top-k size for q_pq_search.
+PQ_TOPK = 10
+
+
+@register(
+    "q_pq_search",
+    oracle=f"""
+    WITH pivots AS {_pivot_sql(PQ_CODES)},
+    subs AS (SELECT s FROM range({PQ_M}) t(s)),
+    book AS (SELECT s, prank - 1 AS code,
+                    pemb[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cvec
+             FROM pivots, subs),
+    qsub AS (SELECT s, pemb[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS qvec
+             FROM pivots, subs WHERE prank = 1),
+    lut AS (SELECT b.s, b.code,
+                   list_sum(list_transform(list_zip(q.qvec, b.cvec),
+                     x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                          * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS qd2
+            FROM book b JOIN qsub q USING (s)),
+    vsub AS (SELECT vec_id, s,
+                    embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS vvec
+             FROM embeddings, subs),
+    dist AS (SELECT v.vec_id, v.s, b.code,
+                    list_sum(list_transform(list_zip(v.vvec, b.cvec),
+                      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+             FROM vsub v JOIN book b USING (s)),
+    best AS (SELECT vec_id, s, code FROM (
+               SELECT vec_id, s, code,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, code) AS rn
+               FROM dist) WHERE rn = 1),
+    adc AS (SELECT best.vec_id,
+                   SUM(CAST(lut.qd2 AS DECIMAL(28,9))) AS adc
+            FROM best JOIN lut USING (s, code)
+            GROUP BY best.vec_id)
+    SELECT vec_id, CAST(adc AS DOUBLE) AS adc_dist
+    FROM adc ORDER BY adc, vec_id LIMIT {PQ_TOPK}
+    """,
+    tier="C",
+    doc=f"PQ asymmetric-distance (ADC) top-{PQ_TOPK} search (Jégou et "
+    "al. 2011) — the QUERY step that completes the IVF-PQ story "
+    "q_pq_assign's codes exist for: the query vector (the "
+    "md5-smallest, i.e. the first deterministic pivot) precomputes "
+    f"an exact {PQ_M}x{PQ_CODES} lookup table of subspace L2² "
+    "distances to every codebook entry, and each database vector's "
+    "approximate distance is just the SUM of its codes' LUT entries "
+    "— no float math ever touches the corpus vectors at query time, "
+    "which is the entire point of PQ at billion scale. Plan: LUT "
+    "and codebook broadcast; per-vector work is a code lookup + an "
+    f"{PQ_M}-term decimal sum; TakeOrdered for the top-{PQ_TOPK} "
+    "with a vec_id tiebreak so the boundary of the k-set is total-"
+    "ordered (hash-safe). Determinism: the LUT folds element-"
+    "ordered, the per-vector sum runs on a 10⁻⁹ decimal grid over "
+    f"exactly {PQ_M} terms, ordering compares the DECIMAL.",
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    book, best = _pq_book_and_best(spark, emb)
+    pivots = _pivots(emb, PQ_CODES)
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    qsub = (
+        pivots.where(F.col("prank") == 1)
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "s",
+            F.slice("pemb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qvec"),
+        )
+    )
+    lut = book.join(F.broadcast(qsub), "s").select(
+        "s", "code", _pq_d2("qvec", "cvec").alias("qd2")
+    )
+    adc = (
+        best.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qd2").cast("decimal(28,9)")).alias("adc"))
+    )
+    return (
+        adc.orderBy("adc", "vec_id")
+        .limit(PQ_TOPK)
+        .select("vec_id", F.col("adc").cast("double").alias("adc_dist"))
+    )
 
 
 # --------------------------------------------------------------------------

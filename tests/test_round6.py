@@ -287,3 +287,23 @@ def test_sink_pyds_roundtrip_rerun_deterministic(spark, sf_dir):
     a = sorted(map(str, build(spark, sf_dir).collect()))
     b = sorted(map(str, build(spark, sf_dir).collect()))
     assert a and a == b
+
+
+# ---- q_pq_search -----------------------------------------------------------
+
+
+def test_pq_search_topk_shape_and_monotone(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.retrieval import PQ_TOPK
+
+    rows = REGISTRY["q_pq_search"].builder(spark, sf_dir).collect()
+    assert len(rows) == PQ_TOPK
+    dists = [(r["adc_dist"], r["vec_id"]) for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0.0 for d, _ in dists)
+
+
+def test_pq_search_lut_and_codebook_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["q_pq_search"].builder(spark, sf_dir))
+    # corpus vectors never join anything non-broadcast at query time
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
