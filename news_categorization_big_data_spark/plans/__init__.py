@@ -143,6 +143,8 @@ _DRIVER_ORDER = [
     "q_sink_pyds_roundtrip",
     "q_video_frames",
     "q_pq_search",
+    "q_grouped_auc",
+    "q_skew_profile",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -379,6 +381,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_sink_pyds_roundtrip",
         "q_video_frames",
         "q_pq_search",
+        "q_grouped_auc",
+        "q_skew_profile",
     }
 )
 

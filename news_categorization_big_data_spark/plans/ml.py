@@ -533,3 +533,88 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_micro"),
         )
     )
+
+
+#: Segment count for the per-slice AUC (q_grouped_auc).
+AUC_SEGMENTS = 4
+
+
+@register(
+    "q_grouped_auc",
+    oracle=f"""
+    WITH s AS (SELECT CAST(user_id % {AUC_SEGMENTS} AS BIGINT) AS segment,
+                      value AS score,
+                      CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
+                           THEN 1 ELSE 0 END AS label
+               FROM events),
+    r AS (SELECT segment, label,
+                 RANK() OVER (PARTITION BY segment ORDER BY score) AS r_lo,
+                 CAST(COUNT(*) OVER (PARTITION BY segment, score) AS BIGINT)
+                   AS ties
+          FROM s),
+    a AS (SELECT segment,
+                 CAST(SUM(CASE WHEN label = 1
+                               THEN 2 * r_lo + ties - 1 END) AS BIGINT)
+                   AS sum_ar2,
+                 CAST(SUM(label) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+          FROM r GROUP BY segment)
+    SELECT segment, n_pos, n_neg,
+           CAST(sum_ar2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / nullif(2 * n_pos * n_neg, 0) AS auc
+    FROM a
+    """,
+    tier="C",
+    doc="Per-slice exact ROC-AUC — the production shape q_ml_auc's "
+    "docstring points to: model quality is never reported as one "
+    "number, it is reported per segment/cohort/model-version, because "
+    "an aggregate AUC hides a slice where the model inverted. Same "
+    "all-integer Mann-Whitney machinery (tie-averaged ranks carried "
+    "as 2·rank_lo + ties − 1), with BOTH windows partitioned by the "
+    "segment key so they share ONE (segment, score) sort and the "
+    "global-sort cost disappears: each slice sorts independently — "
+    "embarrassingly parallel across segments at any scale. Degenerate "
+    "slices (no positives or no negatives) surface as NULL auc via "
+    "nullif, never a division error.",
+)
+def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("user_id") % AUC_SEGMENTS).cast("long").alias("segment"),
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    r = s.select(
+        "segment",
+        "label",
+        F.rank().over(Window.partitionBy("segment").orderBy("score")).alias("r_lo"),
+        F.count("*").over(Window.partitionBy("segment", "score")).alias("ties"),
+    )
+    a = r.groupBy("segment").agg(
+        F.sum(
+            F.when(
+                F.col("label") == 1,
+                F.lit(2) * F.col("r_lo") + F.col("ties") - F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("sum_ar2"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    return a.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("sum_ar2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / F.nullif(
+                (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("auc"),
+    )

@@ -682,3 +682,90 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+    WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM counts),
+    dv AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM counts GROUP BY cnt),
+    cum AS (SELECT cnt, CAST(SUM(nk) OVER (ORDER BY cnt) AS BIGINT) AS c FROM dv)
+    SELECT tot.n_rows, tot.n_keys, tot.max_cnt,
+           CAST(tot.max_cnt * 1000000 // tot.n_rows AS BIGINT) AS max_share_ppm,
+           CAST(MIN(CASE WHEN c * 100 >= 50 * tot.n_keys THEN cnt END) AS BIGINT)
+             AS p50_cnt,
+           CAST(MIN(CASE WHEN c * 100 >= 90 * tot.n_keys THEN cnt END) AS BIGINT)
+             AS p90_cnt,
+           CAST(MIN(CASE WHEN c * 100 >= 99 * tot.n_keys THEN cnt END) AS BIGINT)
+             AS p99_cnt
+    FROM cum, tot
+    GROUP BY tot.n_rows, tot.n_keys, tot.max_cnt
+    """,
+    tier="B",
+    doc="Join-key skew profile of events.user_id: total rows, distinct "
+    "keys, hottest key's row count and corpus share (exact ppm), and "
+    "exact p50/p90/p99 of per-key row counts — the diagnostic a team "
+    "runs BEFORE a big join to decide between plain shuffle, AQE "
+    "skew-split, and salting (q_join_salted / q_salted_agg are the "
+    "treatments; this is the measurement). A p99/p50 ratio near 1 "
+    "means salting is wasted work; a max_share over a few percent "
+    "means one reducer owns the join. Exact order statistics ride "
+    "the DISTINCT count-value table (bounded by distinct COUNT "
+    "values, not keys — the q_gini discipline), so the one ordered "
+    "window is tiny at any corpus size; everything else is two "
+    "partial-agg shuffles and a 1-row broadcast.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    dv = counts.groupBy("cnt").agg(F.count("*").cast("long").alias("nk"))
+    cum = dv.select(
+        "cnt",
+        F.sum("nk").over(Window.orderBy("cnt")).cast("long").alias("c"),
+    )
+
+    def pctl(p: int):
+        return (
+            F.min(
+                F.when(F.col("c") * 100 >= F.lit(p) * F.col("n_keys"), F.col("cnt"))
+            )
+            .cast("long")
+            .alias(f"p{p}_cnt")
+        )
+
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_rows", "n_keys", "max_cnt")
+        .agg(
+            F.first(
+                F.expr("max_cnt * 1000000 div n_rows").cast("long")
+            ).alias("max_share_ppm"),
+            pctl(50),
+            pctl(90),
+            pctl(99),
+        )
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "max_share_ppm",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+        )
+    )

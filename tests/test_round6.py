@@ -307,3 +307,35 @@ def test_pq_search_lut_and_codebook_broadcast(spark, sf_dir):
     # corpus vectors never join anything non-broadcast at query time
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---- q_grouped_auc ---------------------------------------------------------
+
+
+def test_grouped_auc_bounds_and_segments(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.ml import AUC_SEGMENTS
+
+    rows = REGISTRY["q_grouped_auc"].builder(spark, sf_dir).collect()
+    assert {r["segment"] for r in rows} == set(range(AUC_SEGMENTS))
+    for r in rows:
+        if r["n_pos"] and r["n_neg"]:
+            assert 0.0 <= r["auc"] <= 1.0, r
+        else:
+            assert r["auc"] is None
+
+
+# ---- q_skew_profile --------------------------------------------------------
+
+
+def test_skew_profile_invariants(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    [r] = REGISTRY["q_skew_profile"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert r["n_rows"] == ev.count()
+    assert r["n_keys"] == ev.select("user_id").distinct().count()
+    assert r["max_cnt"] == (
+        ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert 1 <= r["p50_cnt"] <= r["p90_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
+    assert r["max_share_ppm"] == r["max_cnt"] * 1_000_000 // r["n_rows"]
