@@ -145,6 +145,7 @@ _DRIVER_ORDER = [
     "q_pq_search",
     "q_grouped_auc",
     "q_skew_profile",
+    "q_lsh_recall",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -383,6 +384,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_pq_search",
         "q_grouped_auc",
         "q_skew_profile",
+        "q_lsh_recall",
     }
 )
 

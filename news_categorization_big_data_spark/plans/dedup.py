@@ -801,3 +801,83 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("group_size") > 1)
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Compose the LSH candidate CTE chain with the exact-Jaccard
+    prefix-filter chain (renamed to avoid CTE collisions) — one source
+    of truth for both sides, the ann_recall pattern for text dedup."""
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    hs2 AS (SELECT doc_id,
+                   list_sort(list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)))
+                     AS hsorted
+            FROM sh GROUP BY doc_id),
+    sized2 AS (SELECT doc_id, len(hsorted) AS sz, hsorted FROM hs2),
+    pref2 AS (SELECT doc_id,
+                     unnest(hsorted[1 : CAST(sz - floor(0.8 * sz) + 1 AS INT)]) AS h
+              FROM sized2),
+    capped2 AS (SELECT h FROM pref2 GROUP BY h HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+    cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM pref2 a JOIN pref2 b USING (h) JOIN capped2 USING (h)
+              WHERE a.doc_id < b.doc_id),
+    truth AS (SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       len(list_intersect(sa.hsorted, sb.hsorted)) AS inter,
+                       sa.sz AS sza, sb.sz AS szb
+                FROM cand2
+                JOIN sized2 sa ON sa.doc_id = cand2.doc_a
+                JOIN sized2 sb ON sb.doc_id = cand2.doc_b)
+              WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8),
+    hit AS (SELECT COUNT(*) AS n_hit
+            FROM truth JOIN cand USING (doc_a, doc_b)),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+                   CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+                   CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit)
+    SELECT n_truth, n_cand, n_hit,
+           CAST(n_hit * 1000000 // nullif(n_truth, 0) AS BIGINT) AS recall_ppm,
+           CAST(n_hit * 1000000 // nullif(n_cand, 0) AS BIGINT) AS precision_ppm
+    FROM tot
+    """
+
+
+@register(
+    "q_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    tier="C",
+    doc="LSH dedup-index quality report: recall and precision of the "
+    "banded-MinHash candidate pairs against the exact n-gram-Jaccard "
+    "ground truth (threshold 0.8, same df cap) — the text-dedup twin "
+    "of q_ann_recall, answering 'is the cheap index actually finding "
+    "the duplicates the exact pass would?'. Both sides are the "
+    "REGISTERED operators' own machinery (lsh_candidate_pairs, "
+    "jaccard_pairs) and the oracle composes both queries' own CTE "
+    "chains, so the report cannot drift from what the pipeline runs. "
+    "Exact integer ppm; degenerate empty sides NULL via nullif. "
+    "Scale: the expensive side is the exact truth pass — which is the "
+    "point: production runs this on a SAMPLE to tune (k, bands), then "
+    "trusts the index.",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF).select(
+        "doc_a", "doc_b"
+    )
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    tot = (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").cast("long").alias("n_cand"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").cast("long").alias("n_hit"))))
+    )
+    return tot.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.expr("n_hit * 1000000 div nullif(n_truth, 0)")
+        .cast("long")
+        .alias("recall_ppm"),
+        F.expr("n_hit * 1000000 div nullif(n_cand, 0)")
+        .cast("long")
+        .alias("precision_ppm"),
+    )

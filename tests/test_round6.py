@@ -339,3 +339,17 @@ def test_skew_profile_invariants(spark, sf_dir):
     )
     assert 1 <= r["p50_cnt"] <= r["p90_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
     assert r["max_share_ppm"] == r["max_cnt"] * 1_000_000 // r["n_rows"]
+
+
+# ---- q_lsh_recall ----------------------------------------------------------
+
+
+def test_lsh_recall_counts_consistent(spark, sf_dir):
+    [r] = REGISTRY["q_lsh_recall"].builder(spark, sf_dir).collect()
+    assert r["n_truth"] > 0  # the testdata plants near-dups
+    assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_cand"])
+    assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // r["n_truth"]
+    assert r["precision_ppm"] == r["n_hit"] * 1_000_000 // r["n_cand"]
+    # at the test (k, bands) setting the planted ~0.98-jaccard dups
+    # should be found essentially always
+    assert r["recall_ppm"] >= 900_000, r
