@@ -146,6 +146,7 @@ _DRIVER_ORDER = [
     "q_grouped_auc",
     "q_skew_profile",
     "q_lsh_recall",
+    "q_split_leakproof",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -385,6 +386,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_grouped_auc",
         "q_skew_profile",
         "q_lsh_recall",
+        "q_split_leakproof",
     }
 )
 

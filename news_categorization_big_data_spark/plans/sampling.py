@@ -563,3 +563,78 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RESERVOIR_K)
         .drop("_rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-proof splitting (split by near-dup cluster, not by document)
+# --------------------------------------------------------------------------
+
+
+def _leakproof_oracle() -> str:
+    from news_categorization_big_data_spark.plans.dedup import _lsh_cand_ctes
+
+    return f"""
+    WITH RECURSIVE {_lsh_cand_ctes()},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM cand),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+    keyed AS (SELECT d.doc_id,
+                     CAST(COALESCE(cc.component, d.doc_id) AS BIGINT) AS split_key
+              FROM (SELECT doc_id FROM documents WHERE text <> '') d
+              LEFT JOIN cc USING (doc_id)),
+    s AS (SELECT doc_id, split_key,
+                 ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 AS b
+          FROM keyed)
+    SELECT doc_id, split_key,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    """
+
+
+@register(
+    "q_split_leakproof",
+    oracle=_leakproof_oracle(),
+    tier="C",
+    doc="Leakage-proof train/val/test assignment: the split hash is "
+    "keyed on the document's NEAR-DUP CLUSTER canonical id (LSH "
+    "candidates → connected components; singletons key on their own "
+    "id), so two near-duplicate documents can never land in "
+    "different splits — the eval-contamination failure q_split_train_"
+    "eval's per-doc hashing cannot prevent (a 0.98-jaccard twin of a "
+    "test doc in train IS the answer key). Same 80/10/10 id-hash "
+    "rule, same operator machinery as q_dedup_cluster, and the "
+    "oracle composes that query's own recursive-CTE chain. Scale: "
+    "adds one broadcast-sized left join to the split pass — the "
+    "cluster table is tiny next to the corpus; the split stays "
+    "map-only per document.",
+)
+def q_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    cc = connected_components(lsh_candidate_pairs(minhash_signatures(docs)))
+    keyed = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("split_key"),
+        )
+    )
+    return assign_split(keyed, id_col="split_key").select(
+        "doc_id", "split_key", "split"
+    )

@@ -353,3 +353,21 @@ def test_lsh_recall_counts_consistent(spark, sf_dir):
     # at the test (k, bands) setting the planted ~0.98-jaccard dups
     # should be found essentially always
     assert r["recall_ppm"] >= 900_000, r
+
+
+# ---- q_split_leakproof -----------------------------------------------------
+
+
+def test_split_leakproof_clusters_never_straddle(spark, sf_dir):
+    rows = REGISTRY["q_split_leakproof"].builder(spark, sf_dir).collect()
+    by_key = defaultdict(set)
+    for r in rows:
+        by_key[r["split_key"]].add(r["split"])
+    # every cluster (shared split_key) lives in exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # near-dups exist in the testdata: at least one multi-doc cluster
+    multi = [k for k, _ in by_key.items()
+             if sum(1 for r in rows if r["split_key"] == k) > 1]
+    assert multi
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
