@@ -147,6 +147,7 @@ _DRIVER_ORDER = [
     "q_skew_profile",
     "q_lsh_recall",
     "q_split_leakproof",
+    "q_bigram_lm",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -387,6 +388,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_skew_profile",
         "q_lsh_recall",
         "q_split_leakproof",
+        "q_bigram_lm",
     }
 )
 

@@ -1085,3 +1085,87 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("int").alias("n_px"),
         "ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram conditional-probability table (the minimal LM surface)
+# --------------------------------------------------------------------------
+
+#: Head-frequency floor and per-head fanout for q_bigram_lm.
+BIGRAM_MIN_HEAD = 10
+BIGRAM_TOPK = 3
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS t
+                  FROM documents WHERE text <> ''),
+    pairs AS (SELECT t[i.i] AS head, t[i.i + 1] AS nxt
+              FROM toks, unnest(range(1, len(t))) AS i(i)
+              WHERE t[i.i] <> '' AND t[i.i + 1] <> ''),
+    c AS (SELECT head, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY head, nxt),
+    h AS (SELECT head, nxt, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY head) AS BIGINT) AS head_total,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY head
+                                         ORDER BY cnt DESC, nxt) AS INT) AS rn
+          FROM c)
+    SELECT head, nxt, cnt, head_total,
+           CAST(cnt * 1000000 // head_total AS BIGINT) AS cond_ppm
+    FROM h
+    WHERE rn <= {BIGRAM_TOPK} AND head_total >= {BIGRAM_MIN_HEAD}
+    """,
+    tier="C",
+    doc=f"Bigram conditional-probability table: for every head word "
+    f"seen >= {BIGRAM_MIN_HEAD} times, its top-{BIGRAM_TOPK} next "
+    "words with P(next | head) in exact floor-divided ppm — the "
+    "minimal language model (next-word table) and the data behind "
+    "autocomplete, boilerplate detection ('click here to' spiking = "
+    "template contamination), and BPE-merge sanity checks. Distinct "
+    "from q_bpe_pair_counts, which counts raw pairs: this NORMALIZES "
+    "per head and ranks within it. Shape: one pair explode, one "
+    "(head,next) partial-agg shuffle; the per-head total and rank "
+    "windows both ride the PAIR-COUNT table on the same head "
+    "partitioning (one sort, bounded by observed-bigram cardinality, "
+    "never by corpus size). All integers until the single ppm "
+    "division.",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    t = F.split(F.lower("text"), r"\s+")
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    pairs = (
+        docs.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.0").alias("head"), F.col("p.1").alias("nxt"))
+        .where((F.col("head") != "") & (F.col("nxt") != ""))
+    )
+    c = pairs.groupBy("head", "nxt").agg(F.count("*").cast("long").alias("cnt"))
+    w_tot = Window.partitionBy("head")
+    w_rank = Window.partitionBy("head").orderBy(F.col("cnt").desc(), "nxt")
+    h = c.select(
+        "head",
+        "nxt",
+        "cnt",
+        F.sum("cnt").over(w_tot).cast("long").alias("head_total"),
+        F.row_number().over(w_rank).cast("int").alias("rn"),
+    )
+    return (
+        h.where(
+            (F.col("rn") <= BIGRAM_TOPK)
+            & (F.col("head_total") >= BIGRAM_MIN_HEAD)
+        )
+        .select(
+            "head",
+            "nxt",
+            "cnt",
+            "head_total",
+            F.expr("cnt * 1000000 div head_total").cast("long").alias("cond_ppm"),
+        )
+    )

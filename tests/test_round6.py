@@ -371,3 +371,28 @@ def test_split_leakproof_clusters_never_straddle(spark, sf_dir):
     assert multi
     splits = {r["split"] for r in rows}
     assert splits == {"train", "val", "test"}
+
+
+# ---- q_bigram_lm -----------------------------------------------------------
+
+
+def test_bigram_lm_conditional_table(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.text import (
+        BIGRAM_MIN_HEAD,
+        BIGRAM_TOPK,
+    )
+
+    rows = REGISTRY["q_bigram_lm"].builder(spark, sf_dir).collect()
+    assert rows
+    by_head = defaultdict(list)
+    for r in rows:
+        assert r["head_total"] >= BIGRAM_MIN_HEAD
+        assert 1 <= r["cnt"] <= r["head_total"]
+        assert r["cond_ppm"] == r["cnt"] * 1_000_000 // r["head_total"]
+        by_head[r["head"]].append(r)
+    for head, nxts in by_head.items():
+        assert len(nxts) <= BIGRAM_TOPK
+        cnts = sorted((r["cnt"] for r in nxts), reverse=True)
+        assert cnts == [r["cnt"] for r in sorted(
+            nxts, key=lambda r: (-r["cnt"], r["nxt"])
+        )]
