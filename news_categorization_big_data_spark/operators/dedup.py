@@ -461,3 +461,55 @@ def simhash_hamming_pairs(
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
+
+
+def lsh_probe_pairs(
+    signatures: DataFrame,
+    probe_col: str = "is_probe",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental-dedup probe: candidate pairs TOUCHING the probe set
+    (new-batch docs vs the whole corpus, including probe-vs-probe) —
+    the production dedup shape: a crawl delta is checked against the
+    stored signature index without regenerating corpus-internal pairs.
+
+    ``signatures`` is the minhash_signatures output plus a boolean
+    ``probe_col``. Band rows for the PROBE side equi-join band rows for
+    the WHOLE index on (band_idx, band_key): work is
+    |probe bands| x bucket width, independent of how many base-base
+    pairs exist — at 100 TB the index side is the persisted signature
+    table and only the delta pays the shingle/minhash cost. Pairs
+    canonicalize (least, greatest) + distinct, so a probe-probe pair
+    found from both sides emits once. Output-equal to filtering the
+    full lsh_candidate_pairs down to rows touching the probe set
+    (the oracle proves it).
+    """
+    rows = k // bands
+    band_keys = [
+        F.concat_ws("-", *[f"mh{j}" for j in range(b * rows, (b + 1) * rows)])
+        for b in range(bands)
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+            for b, key in enumerate(band_keys)
+        ]
+    )
+    banded = signatures.select(
+        id_col, probe_col, F.explode(band_structs).alias("b")
+    ).select(id_col, probe_col, "b.band_idx", "b.band_key")
+    probe = banded.where(F.col(probe_col)).select(
+        F.col(id_col).alias("_p"), "band_idx", "band_key"
+    )
+    index = banded.select(F.col(id_col).alias("_i"), "band_idx", "band_key")
+    return (
+        probe.join(index, ["band_idx", "band_key"])
+        .where(F.col("_p") != F.col("_i"))
+        .select(
+            F.least("_p", "_i").alias("doc_a"),
+            F.greatest("_p", "_i").alias("doc_b"),
+        )
+        .distinct()
+    )

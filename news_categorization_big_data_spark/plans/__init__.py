@@ -148,6 +148,8 @@ _DRIVER_ORDER = [
     "q_lsh_recall",
     "q_split_leakproof",
     "q_bigram_lm",
+    "q_sample_per_group",
+    "q_dedup_incremental",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -389,6 +391,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_lsh_recall",
         "q_split_leakproof",
         "q_bigram_lm",
+        "q_sample_per_group",
+        "q_dedup_incremental",
     }
 )
 

@@ -881,3 +881,38 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("precision_ppm"),
     )
+
+
+#: Probe-set rule for q_dedup_incremental: every 10th doc is the "new
+#: crawl batch" being checked against the corpus.
+INCR_PROBE_MOD = 10
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b FROM cand
+    WHERE doc_a % {INCR_PROBE_MOD} = 0 OR doc_b % {INCR_PROBE_MOD} = 0
+    """,
+    tier="C",
+    doc="Incremental near-dup detection — the PRODUCTION dedup shape: "
+    f"a new crawl batch (every {INCR_PROBE_MOD}th doc here) is probed "
+    "against the WHOLE corpus's banded-LSH signature index, emitting "
+    "only pairs that touch the batch (delta-vs-base and internal "
+    "delta dups), never regenerating corpus-internal pairs. At 100 TB "
+    "the index side is the persisted signature table and only the "
+    "delta pays the shingle/minhash cost; probe work is "
+    "|delta bands| x bucket width regardless of corpus pair count. "
+    "The oracle filters the full-corpus candidate CTE down to "
+    "probe-touching rows, proving the probe join finds EXACTLY the "
+    "pairs a full recompute would.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.dedup import lsh_probe_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    sigs = minhash_signatures(docs).withColumn(
+        "is_probe", F.col("doc_id") % INCR_PROBE_MOD == 0
+    )
+    return lsh_probe_pairs(sigs)

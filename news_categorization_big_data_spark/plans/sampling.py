@@ -638,3 +638,43 @@ def q_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(keyed, id_col="split_key").select(
         "doc_id", "split_key", "split"
     )
+
+
+#: Per-stratum sample size for q_sample_per_group.
+GROUP_RESERVOIR_K = 40
+
+
+@register(
+    "q_sample_per_group",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('grsv:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {GROUP_RESERVOIR_K}
+    """,
+    tier="C",
+    doc=f"Exact fixed-k-PER-GROUP uniform sample ({GROUP_RESERVOIR_K} "
+    "docs per language) — the balanced-eval-set builder: a global "
+    "uniform sample reproduces the corpus's language imbalance, this "
+    "draws the same number from every stratum (strata smaller than k "
+    "contribute everything they have). Same keyed-hash determinism "
+    "as q_sample_reservoir, but the rank runs per group: one "
+    "hash-partitioned window whose per-partition sort is bounded by "
+    "stratum size. At 100 TB with huge strata, swap the full window "
+    "for a per-stratum TakeOrdered loop or an approximate "
+    "hash-threshold prefilter (keep rows with hash below ~k/n_g "
+    "quantile, then exact-rank the survivors) — documented, not "
+    "needed at test scale.",
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("grsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= GROUP_RESERVOIR_K)
+        .drop("_rn")
+    )

@@ -396,3 +396,48 @@ def test_bigram_lm_conditional_table(spark, sf_dir):
         assert cnts == [r["cnt"] for r in sorted(
             nxts, key=lambda r: (-r["cnt"], r["nxt"])
         )]
+
+
+# ---- q_sample_per_group / q_dedup_incremental -------------------------------
+
+
+def test_sample_per_group_balanced_and_stable(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.sampling import GROUP_RESERVOIR_K
+
+    build = REGISTRY["q_sample_per_group"].builder
+    rows = build(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    by_lang = defaultdict(set)
+    for r in rows:
+        by_lang[r["lang"]].add(r["doc_id"])
+    for lang, ids in by_lang.items():
+        assert len(ids) == min(GROUP_RESERVOIR_K, sizes[lang])
+    again = {(r["lang"], r["doc_id"]) for r in build(spark, sf_dir).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in rows}
+
+
+def test_incremental_probe_equals_filtered_full_pairs(spark, sf_dir):
+    """The probe join must find EXACTLY the probe-touching subset of the
+    full candidate pairs — engine-side check of what the oracle proves."""
+    import pyspark.sql.functions as F
+
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from news_categorization_big_data_spark.plans.dedup import INCR_PROBE_MOD
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+        if r["doc_a"] % INCR_PROBE_MOD == 0 or r["doc_b"] % INCR_PROBE_MOD == 0
+    }
+    probe = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["q_dedup_incremental"].builder(spark, sf_dir).collect()
+    }
+    assert probe == full
