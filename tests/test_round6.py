@@ -404,12 +404,15 @@ def test_bigram_lm_conditional_table(spark, sf_dir):
 def test_sample_per_group_balanced_and_stable(spark, sf_dir):
     from news_categorization_big_data_spark.plans.sampling import GROUP_RESERVOIR_K
 
+    import pyspark.sql.functions as F
+
     build = REGISTRY["q_sample_per_group"].builder
     rows = build(spark, sf_dir).collect()
     docs = load_table(spark, sf_dir, "documents")
-    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
-        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
-    ).collect()}
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
     by_lang = defaultdict(set)
     for r in rows:
         by_lang[r["lang"]].add(r["doc_id"])
