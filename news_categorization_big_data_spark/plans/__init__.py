@@ -150,6 +150,7 @@ _DRIVER_ORDER = [
     "q_bigram_lm",
     "q_sample_per_group",
     "q_dedup_incremental",
+    "q_top_paths",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -393,6 +394,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_bigram_lm",
         "q_sample_per_group",
         "q_dedup_incremental",
+        "q_top_paths",
     }
 )
 

@@ -910,3 +910,65 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return rolling_corr_frame(daily, ROLLCORR_DAYS)
+
+
+# --------------------------------------------------------------------------
+# Top user paths
+# --------------------------------------------------------------------------
+
+#: Per-user event cap and result size for q_top_paths.
+PATH_MAX_EVENTS = 8
+PATH_TOPK = 15
+
+
+@register(
+    "q_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= {PATH_MAX_EVENTS}
+      GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATH_TOPK}
+    """,
+    tier="B",
+    doc=f"Top-{PATH_TOPK} user journeys: each user's first "
+    f"{PATH_MAX_EVENTS} events (event-time order, event_id tiebreak) "
+    "concatenated into a path string, counted across users — the "
+    "'what do people actually do' product-analytics staple next to "
+    "q_funnel (which checks ONE prescribed order; this surfaces the "
+    "orders that exist). The per-user cap is the scale guard: an "
+    "uncapped path column is unbounded row width and unbounded "
+    "distinct-path cardinality, so production always reports "
+    "prefix-paths. One user-partitioned window (shared sort), one "
+    "per-user aggregate, one path count, TakeOrdered for the top-k "
+    "with a path tiebreak.",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= PATH_MAX_EVENTS)
+    paths = ordered.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(PATH_TOPK)
+    )

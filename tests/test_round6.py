@@ -444,3 +444,20 @@ def test_incremental_probe_equals_filtered_full_pairs(spark, sf_dir):
         for r in REGISTRY["q_dedup_incremental"].builder(spark, sf_dir).collect()
     }
     assert probe == full
+
+
+# ---- q_top_paths -----------------------------------------------------------
+
+
+def test_top_paths_caps_and_counts(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.warehouse import (
+        PATH_MAX_EVENTS,
+        PATH_TOPK,
+    )
+
+    rows = REGISTRY["q_top_paths"].builder(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= PATH_TOPK
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= PATH_MAX_EVENTS
