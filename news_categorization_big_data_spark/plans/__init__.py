@@ -62,6 +62,7 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
     lakehouse,
     robust,
     features,
+    refinement,
 )
 
 #: Driver-facing evaluation order (see module docstring). Names absent
@@ -151,6 +152,10 @@ _DRIVER_ORDER = [
     "q_sample_per_group",
     "q_dedup_incremental",
     "q_top_paths",
+    "q_doc_fluency",
+    "q_sample_wor",
+    "q_er_blocking",
+    "q_twap",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -395,6 +400,10 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_sample_per_group",
         "q_dedup_incremental",
         "q_top_paths",
+        "q_doc_fluency",
+        "q_sample_wor",
+        "q_er_blocking",
+        "q_twap",
     }
 )
 
