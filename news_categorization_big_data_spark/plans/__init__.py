@@ -156,6 +156,8 @@ _DRIVER_ORDER = [
     "q_sample_wor",
     "q_er_blocking",
     "q_twap",
+    "q_inverted_index",
+    "q_ab_srm",
     # -- tail: official rows from rounds 1-5, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_bitmap_distinct",
@@ -404,6 +406,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "q_sample_wor",
         "q_er_blocking",
         "q_twap",
+        "q_inverted_index",
+        "q_ab_srm",
     }
 )
 

@@ -769,3 +769,68 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_cnt",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail
+# --------------------------------------------------------------------------
+
+#: Planned assignment: hash60 % 4 -> buckets {0,1}=A (50%), {2}=B (25%),
+#: {3}=C (25%). SRM tests the OBSERVED user counts against these.
+SRM_WEIGHTS = {"A": 0.5, "B": 0.25, "C": 0.25}
+
+
+@register(
+    "q_ab_srm",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arm AS (SELECT user_id,
+                   ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 4 AS b
+            FROM u),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(count_if(b <= 1) AS BIGINT) AS n_a,
+                 CAST(count_if(b = 2) AS BIGINT) AS n_b,
+                 CAST(count_if(b = 3) AS BIGINT) AS n_c
+          FROM arm)
+    SELECT n_users, n_a, n_b, n_c,
+           (n_a - n_users * 0.5) * (n_a - n_users * 0.5) / (n_users * 0.5)
+           + (n_b - n_users * 0.25) * (n_b - n_users * 0.25) / (n_users * 0.25)
+           + (n_c - n_users * 0.25) * (n_c - n_users * 0.25) / (n_users * 0.25)
+             AS chi2_srm
+    FROM c
+    """,
+    tier="B",
+    doc="Sample-ratio-mismatch guardrail (the #1 experiment validity "
+    "check): users are assigned to arms A/B/C at planned 50/25/25 by "
+    "the engine's portable md5 hash, and the chi-square statistic of "
+    "observed-vs-planned USER counts is reported — randomization "
+    "units, not events, which is the classic SRM mistake (a heavy "
+    "user in one arm is not a mismatch). chi2 >> 7.8 (df=2, p<.05) "
+    "means broken bucketing/logging and invalidates any readout from "
+    "q_ab_ttest. Plan: one distinct-users aggregate, then ONE "
+    "conditional-count pass; per-arm state is three integers — "
+    "map-side partial, 100-TB-safe. Determinism: observed counts "
+    "exact; expected counts and the chi2 chain are the same "
+    "IEEE-correctly-rounded expression tree on both engines.",
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = u.select(
+        (hash60(F.col("user_id").cast("string"), seed="srm") % 4).alias("b")
+    )
+    c = arm.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count(F.when(F.col("b") <= 1, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("b") == 2, 1)).cast("long").alias("n_b"),
+        F.count(F.when(F.col("b") == 3, 1)).cast("long").alias("n_c"),
+    )
+    n, a, b, cc = (F.col(x).cast("double") for x in ("n_users", "n_a", "n_b", "n_c"))
+    chi2 = (
+        (a - n * 0.5) * (a - n * 0.5) / (n * 0.5)
+        + (b - n * 0.25) * (b - n * 0.25) / (n * 0.25)
+        + (cc - n * 0.25) * (cc - n * 0.25) / (n * 0.25)
+    )
+    return c.select("n_users", "n_a", "n_b", "n_c", chi2.alias("chi2_srm"))

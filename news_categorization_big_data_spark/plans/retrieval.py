@@ -584,3 +584,81 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(RRF_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index materialization
+# --------------------------------------------------------------------------
+
+#: Terms with document frequency above this cap get exact df/tf stats
+#: but NO materialized posting list — at corpus scale a stopword's list
+#: is itself corpus-sized and belongs in a blocked index file, not a
+#: table cell.
+INVIDX_DF_CAP = 8
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                  FROM documents WHERE text <> ''),
+    tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+    per_doc AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk GROUP BY t, doc_id),
+    stats AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(tf) AS BIGINT) AS tf_total
+              FROM per_doc GROUP BY t),
+    post AS (SELECT t, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                      AS postings
+             FROM per_doc
+             WHERE t IN (SELECT t FROM stats WHERE df <= {INVIDX_DF_CAP})
+             GROUP BY t)
+    SELECT s.t AS term, s.df, s.tf_total, p.postings
+    FROM stats s LEFT JOIN post p ON s.t = p.t
+    """,
+    tier="C",
+    doc="Inverted-index materialization with a df gate: exact document "
+    "frequency and total term frequency for EVERY term, plus the "
+    f"doc-id posting list (sorted, comma-joined) only for terms with "
+    f"df <= {INVIDX_DF_CAP}. The gate is applied by a TWO-PASS plan — "
+    "df aggregate first, then a semi-join admits only light terms "
+    "into the collect — never collect-then-null, which would "
+    "materialize a stopword's corpus-sized posting array in executor "
+    "memory before discarding it (the OOM that kills naive index "
+    "builds at 100 TB; heavy terms belong in blocked index files). "
+    "Plan: one token explode, a (term,doc) pre-aggregate that feeds "
+    "BOTH the stats aggregate and the gated collect on the same key "
+    "family, and a term-keyed left join back. Posting lists are "
+    "sorted numerically then serialized, so the cell is "
+    "deterministic and scalar (driver-canon-safe).",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    tk = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .where(F.col("t") != "")
+    )
+    per_doc = tk.groupBy("t", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    stats = per_doc.groupBy("t").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    light = per_doc.join(
+        stats.where(F.col("df") <= INVIDX_DF_CAP).select("t"), "t", "left_semi"
+    )
+    post = light.groupBy("t").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        stats.join(post, "t", "left")
+        .select(F.col("t").alias("term"), "df", "tf_total", "postings")
+    )

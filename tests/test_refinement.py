@@ -148,3 +148,52 @@ def test_twap_differs_from_plain_avg(spark, sf_dir):
         .collect()
     }
     assert any(abs(twap[t] - plain[t]) > 1e-9 for t in twap)
+
+
+# ---- q_inverted_index ----------------------------------------------------
+
+
+def test_inverted_index_gate_and_postings(spark, sf_dir):
+    from news_categorization_big_data_spark.plans.retrieval import INVIDX_DF_CAP
+
+    rows = REGISTRY["q_inverted_index"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["df"] > INVIDX_DF_CAP:
+            assert r["postings"] is None, r  # heavy terms never materialize
+        else:
+            ids = [int(x) for x in r["postings"].split(",")]
+            assert len(ids) == r["df"], r  # one posting per doc
+            assert ids == sorted(ids), r  # numeric ascending
+        assert r["tf_total"] >= r["df"] >= 1
+    # the gate actually bites: the tiny-sf corpus repeats one synthetic
+    # vocabulary, so heavy terms always exist
+    assert any(r["df"] > INVIDX_DF_CAP for r in rows)
+
+
+def test_inverted_index_two_pass_gate_in_plan(spark, sf_dir):
+    # the docstring's scale claim: light terms admitted by a semi-join
+    # BEFORE the collect — never collect-then-null
+    plan = _plan(REGISTRY["q_inverted_index"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+# ---- q_ab_srm ------------------------------------------------------------
+
+
+def test_ab_srm_partition_and_statistic(spark, sf_dir):
+    rows = REGISTRY["q_ab_srm"].builder(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] + r["n_b"] + r["n_c"] == r["n_users"]  # arms partition users
+    # md5 bucketing is uniform: a healthy assignment's chi2 (df=2,
+    # mean 2) stays far below this generous bound at any sf
+    assert 0.0 <= r["chi2_srm"] < 50.0, r
+
+
+def test_ab_srm_counts_users_not_events(spark, sf_dir):
+    r = REGISTRY["q_ab_srm"].builder(spark, sf_dir).first()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r["n_users"] == n_users
