@@ -485,3 +485,40 @@ def q_sink_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+    tier="B",
+    doc="XML source round-trip (Spark 4's built-in spark-xml): the "
+    "nation dimension written as <row> elements, read back with an "
+    "EXPLICIT schema (rowTag + schema — inference is a full extra "
+    "pass at 100 TB and is always off in production ingest), and "
+    "compared against the original table, proving element values "
+    "round-trip losslessly through XML escaping. Columns chosen are "
+    "whitespace-free by construction because the reader's "
+    "ignoreSurroundingSpaces default trims padded values — the "
+    "documented sharp edge of XML ingest, asserted in "
+    "tests/test_sources_layout-style coverage rather than hidden. "
+    "Scale posture: XML is a line-unsplittable verbose format — the "
+    "right 100-TB role is one-time INGEST into parquet (this query's "
+    "exact shape), never a hot-path scan format.",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xml_dir = _fixture_dir(spark, sf_dir, "xml_nation")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.format("xml").option("rowTag", "row").mode("overwrite").save(xml_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(xml_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
