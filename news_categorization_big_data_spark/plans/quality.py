@@ -834,3 +834,118 @@ def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (cc - n * 0.25) * (cc - n * 0.25) / (n * 0.25)
     )
     return c.select("n_users", "n_a", "n_b", "n_c", chi2.alias("chi2_srm"))
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+#: Resample count and the Poisson(1) inverse-CDF thresholds on a 16-bit
+#: grid: a uniform u in [0,65536) maps to weight w = #{t : u >= t}
+#: (floor(CDF(k)*65536) for k=0..6, capping w at 7; the 2^-16
+#: quantization of the CDF is the documented approximation).
+BOOT_B = 40
+BOOT_T = (24109, 48218, 60273, 64291, 65296, 65497, 65530)
+#: Rank-order CI convention: the floor((B+1)*alpha) order statistics —
+#: ranks 1 and 39 of 40 for a 95% interval (Hyndman-Fan type-1 style).
+BOOT_K_LO, BOOT_K_HI = 1, 39
+
+
+def _boot_w_sql(u: str) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in BOOT_T
+    ) + ")"
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH r AS (SELECT event_type, event_id,
+                      CAST(value AS DECIMAL(18,2)) AS v, b.b AS b
+               FROM events, unnest(range({BOOT_B})) AS b(b)
+               WHERE value IS NOT NULL),
+    u AS (SELECT event_type, v, b,
+                 ('0x' || substr(md5('boot' || CAST(b // 8 AS VARCHAR) || ':'
+                       || CAST(event_id AS VARCHAR)),
+                       1 + 4 * (b % 8), 4))::BIGINT AS u16
+          FROM r),
+    res AS (SELECT event_type, b,
+                   CAST(SUM({_boot_w_sql('u16')}) AS BIGINT) AS na,
+                   CAST(SUM({_boot_w_sql('u16')} * v) AS DOUBLE) AS sa
+            FROM u GROUP BY event_type, b),
+    m AS (SELECT event_type, b, sa / na AS mean_b,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY sa / na, b) AS rn
+          FROM res WHERE na > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           MAX(CASE WHEN rn = {BOOT_K_LO} THEN mean_b END) AS boot_lo,
+           MAX(CASE WHEN rn = {BOOT_K_HI} THEN mean_b END) AS boot_hi
+    FROM m GROUP BY event_type
+    """,
+    tier="C",
+    doc=f"95% bootstrap confidence interval for mean(value) per event "
+    f"type via the POISSON bootstrap — the only bootstrap that works "
+    "at 100 TB: classical resampling draws n rows WITH replacement "
+    "(a global operation), while Poisson(1) multiplicities are "
+    "per-row independent, so all "
+    f"{BOOT_B} resamples run in ONE pass with map-side partial "
+    "aggregation (Chamandy et al., 'Estimating Uncertainty for "
+    "Massive Data Streams', Google 2012). Each row's weight for "
+    "resample b is the Poisson(1) inverse CDF evaluated at a 16-bit "
+    "uniform carved from md5(digest b//8, lane b%%8) — deterministic "
+    "across engines, partitionings and reruns, no RNG state. "
+    "Weighted sums accumulate on the DECIMAL(18,2) grid (scaled "
+    "sums stay under 2^53 — the q_ab_ttest bound argument, times "
+    "max weight 7), resample means are identical IEEE divides, and "
+    f"the CI is the rank-{BOOT_K_LO}/rank-{BOOT_K_HI} order "
+    f"statistics of the {BOOT_B} means (floor((B+1)*alpha) "
+    "convention), ranked with ties broken on b. Plan: one "
+    f"{BOOT_B}x map-local explode (never a shuffle of exploded "
+    "rows — partials collapse to types x B cells), a window over "
+    "the CELL table, and a final tiny aggregate.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
+    )
+    u16 = F.conv(
+        F.expr(
+            "substring(md5(concat('boot', cast(b div 8 as string), ':', "
+            "cast(event_id as string))), 1 + 4 * (b % 8), 4)"
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        (u16 >= F.lit(t)).cast("int") for t in BOOT_T
+    )
+    res = (
+        ev.select("event_type", "b", w.alias("w"), "v")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("long").alias("na"),
+            F.sum(F.col("w") * F.col("v")).cast("double").alias("sa"),
+        )
+        .where(F.col("na") > 0)
+    )
+    wn = Window.partitionBy("event_type").orderBy(
+        (F.col("sa") / F.col("na")).asc(), F.col("b").asc()
+    )
+    m = res.select(
+        "event_type",
+        (F.col("sa") / F.col("na")).alias("mean_b"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return m.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_resamples"),
+        F.max(F.when(F.col("rn") == BOOT_K_LO, F.col("mean_b"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == BOOT_K_HI, F.col("mean_b"))).alias("boot_hi"),
+    )
