@@ -949,3 +949,233 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == BOOT_K_LO, F.col("mean_b"))).alias("boot_lo"),
         F.max(F.when(F.col("rn") == BOOT_K_HI, F.col("mean_b"))).alias("boot_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences
+# --------------------------------------------------------------------------
+
+#: Pre/post period cut (mid-range of the 30-day event log — the
+#: KS_CUT convention) and the arm-assignment hash seed.
+DID_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_did_effect",
+    oracle=f"""
+    WITH c AS (SELECT
+        ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 2 AS arm,
+        CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS post,
+        CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL),
+    cell AS (SELECT arm, post,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(v) AS DOUBLE) AS s
+             FROM c GROUP BY arm, post),
+    m AS (SELECT
+            MAX(CASE WHEN arm = 1 AND post = 1 THEN s / n END) AS t_post,
+            MAX(CASE WHEN arm = 1 AND post = 0 THEN s / n END) AS t_pre,
+            MAX(CASE WHEN arm = 0 AND post = 1 THEN s / n END) AS c_post,
+            MAX(CASE WHEN arm = 0 AND post = 0 THEN s / n END) AS c_pre,
+            CAST(SUM(n) AS BIGINT) AS n_events
+          FROM cell)
+    SELECT n_events, t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did
+    FROM m
+    """,
+    tier="B",
+    doc="Difference-in-differences estimator: users hash-assigned to "
+    "treatment/control, the event log split pre/post at the "
+    "mid-range cut, and the effect read as (treated post-pre delta) "
+    "minus (control post-pre delta) — the design that nets out both "
+    "the level difference between arms and the common time trend, "
+    "which a naive post-only comparison conflates. Plan: ONE "
+    "conditional-aggregate pass to the 4 (arm, period) cells "
+    "(map-side partial; no per-arm rescans), closed forms on the "
+    "4-row cell table. Determinism: counts and DECIMAL(18,2) sums "
+    "exact and under 2^53 (the q_ab_ttest bound), cell means and "
+    "the DiD chain identical IEEE expressions on both engines.",
+)
+def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.select(
+        (hash60(F.col("user_id").cast("string"), seed="did") % 2).alias("arm"),
+        F.when(F.col("ts") >= F.lit(DID_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cell = c.groupBy("arm", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+    )
+    mean = F.col("s") / F.col("n")
+    m = cell.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS per,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    u0 AS (SELECT user_id,
+                  CAST(COUNT(CASE WHEN per = 0 THEN 1 END) AS BIGINT) AS n_pre,
+                  CAST(COUNT(CASE WHEN per = 1 THEN 1 END) AS BIGINT) AS n_post,
+                  CAST(COALESCE(SUM(CASE WHEN per = 0 THEN cents END), 0) AS BIGINT) AS s_pre,
+                  CAST(COALESCE(SUM(CASE WHEN per = 1 THEN cents END), 0) AS BIGINT) AS s_post
+           FROM e GROUP BY user_id),
+    u AS (SELECT user_id,
+                 CAST(s_pre // n_pre AS BIGINT) AS x,
+                 CAST(s_post // n_post AS BIGINT) AS y,
+                 ('0x' || substr(md5('cuped:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS arm
+          FROM u0 WHERE n_pre > 0 AND n_post > 0),
+    a AS (SELECT arm,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+                 CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+          FROM u GROUP BY arm),
+    g AS (SELECT arm, n, sx, sy, sxx, sxy, syy,
+                 SUM(n) OVER () AS n_g, SUM(sx) OVER () AS sx_g,
+                 SUM(sy) OVER () AS sy_g, SUM(sxx) OVER () AS sxx_g,
+                 SUM(sxy) OVER () AS sxy_g
+          FROM a),
+    t AS (SELECT *,
+                 (n_g * sxy_g - sx_g * sy_g)
+                   / NULLIF(n_g * sxx_g - sx_g * sx_g, 0e0) AS theta,
+                 sx_g / n_g AS mu
+          FROM g)
+    SELECT CAST(arm AS INT) AS arm, CAST(n AS BIGINT) AS n_users, theta,
+           sy / n AS mean_post,
+           sy / n - theta * (sx / n - mu) AS mean_adj,
+           (syy - sy * sy / n) / NULLIF(n - 1, 0e0) AS var_post,
+           ((syy - 2 * theta * (sxy - mu * sy)
+             + theta * theta * (sxx - 2 * mu * sx + n * mu * mu))
+            - (sy - theta * (sx - n * mu)) * (sy - theta * (sx - n * mu)) / n)
+             / NULLIF(n - 1, 0e0) AS var_adj
+    FROM t
+    """,
+    tier="C",
+    doc="CUPED variance reduction (Deng et al., WSDM 2013 — the "
+    "industry-standard experiment accelerator): each user's PRE-period "
+    "mean value is the covariate; theta = cov(pre,post)/var(pre) is "
+    "fit on the POOLED user table, and each arm reports its raw and "
+    "adjusted post-period means plus both variances — var_adj/var_post "
+    "~ 1-rho^2 is the sample-size the covariate refunds. Only users "
+    "priced in BOTH periods enter (CUPED needs the covariate). "
+    "Determinism: the per-user covariate is floor-divided integer "
+    "CENTS of the mean (bounded by max value, NOT by activity — so "
+    "the user-table moment sums stay under 2^53 no matter how many "
+    "events a decade adds; the q_twap >2^53 lesson applied "
+    "preventively), moment sums are exact integers, and "
+    "theta/means/variances are identical IEEE chains on the 2-row "
+    "arm table (NULLIF-guarded degenerate denominators). Plan: one "
+    "user-keyed partial-agg shuffle, one 2-row arm aggregate, window "
+    "totals over the ARM table — per-user state never broadcast, "
+    "100-TB-safe.",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit(DID_CUT).cast("timestamp")
+    e = ev.select(
+        "user_id",
+        F.when(F.col("ts") >= cut, 1).otherwise(0).alias("per"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    u0 = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("per") == 0, 1)).cast("long").alias("n_pre"),
+        F.count(F.when(F.col("per") == 1, 1)).cast("long").alias("n_post"),
+        F.coalesce(F.sum(F.when(F.col("per") == 0, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_pre"),
+        F.coalesce(F.sum(F.when(F.col("per") == 1, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_post"),
+    )
+    u = (
+        u0.where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+        .select(
+            F.expr("s_pre div n_pre").cast("long").alias("x"),
+            F.expr("s_post div n_post").cast("long").alias("y"),
+            (hash60(F.col("user_id").cast("string"), seed="cuped") % 2).alias(
+                "arm"
+            ),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    wg = Window.partitionBy()
+    g = a.select(
+        "*",
+        F.sum("n").over(wg).alias("n_g"),
+        F.sum("sx").over(wg).alias("sx_g"),
+        F.sum("sy").over(wg).alias("sy_g"),
+        F.sum("sxx").over(wg).alias("sxx_g"),
+        F.sum("sxy").over(wg).alias("sxy_g"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    n_g, sx_g, sy_g = F.col("n_g"), F.col("sx_g"), F.col("sy_g")
+    sxx_g, sxy_g = F.col("sxx_g"), F.col("sxy_g")
+    theta = (n_g * sxy_g - sx_g * sy_g) / F.nullif(
+        n_g * sxx_g - sx_g * sx_g, F.lit(0.0)
+    )
+    t = g.select("arm", n.alias("n"), sx, sy, sxx, sxy, syy,
+                 theta.alias("theta"), (sx_g / n_g).alias("mu"))
+    th, mu = F.col("theta"), F.col("mu")
+    sum_adj = sy - th * (sx - n * mu)
+    sum_adj2 = (
+        syy
+        - 2 * th * (sxy - mu * sy)
+        + th * th * (sxx - 2 * mu * sx + n * mu * mu)
+    )
+    return t.select(
+        F.col("arm").cast("int").alias("arm"),
+        n.cast("long").alias("n_users"),
+        "theta",
+        (sy / n).alias("mean_post"),
+        (sy / n - th * (sx / n - mu)).alias("mean_adj"),
+        ((syy - sy * sy / n) / F.nullif(n - 1, F.lit(0.0))).alias("var_post"),
+        (
+            (sum_adj2 - sum_adj * sum_adj / n)
+            / F.nullif(n - 1, F.lit(0.0))
+        ).alias("var_adj"),
+    )
