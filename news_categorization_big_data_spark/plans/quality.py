@@ -900,10 +900,17 @@ def _boot_w_sql(u: str) -> str:
     "max weight 7), resample means are identical IEEE divides, and "
     f"the CI is the rank-{BOOT_K_LO}/rank-{BOOT_K_HI} order "
     f"statistics of the {BOOT_B} means (floor((B+1)*alpha) "
-    "convention), ranked with ties broken on b. Plan: one "
-    f"{BOOT_B}x map-local explode (never a shuffle of exploded "
-    "rows — partials collapse to types x B cells), a window over "
-    "the CELL table, and a final tiny aggregate.",
+    "convention), ranked with ties broken on b. Plan: a B-x map-local "
+    "explode into the (type, b) partial aggregate — exploded rows "
+    "never cross the wire (partials collapse to types x B cells), "
+    "then the window and final aggregate ride the cell table. Two "
+    "rewrites that LOOK faster measured slower at the sf1 decade "
+    "(SCALE.md): an 80-expression conditional-sum lane aggregate "
+    "(no inflation, but the update falls out of whole-stage codegen) "
+    "and a pre-exploded per-row uniform ARRAY (project-collapse "
+    "re-inlines the array build into the generator, re-evaluating "
+    "all B slices per emitted row). The straightforward explode "
+    "keeps codegen tight and won.",
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
@@ -924,9 +931,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    w = sum(
-        (u16 >= F.lit(t)).cast("int") for t in BOOT_T
-    )
+    w = sum((u16 >= F.lit(t)).cast("int") for t in BOOT_T)
     res = (
         ev.select("event_type", "b", w.alias("w"), "v")
         .groupBy("event_type", "b")
