@@ -58,6 +58,9 @@ HEADLINE = [
     # self-join — the two new ops whose scale posture is skew-bound.
     "q_token_rarity",        # explode + vocab join (AQE skew) + per-doc agg
     "q_graph_jaccard_neighbors",  # adjacency self-join, exact ppm division
+    # -- appended round 6 (late): the bigram-LM scoring join — pair
+    # explode feeding BOTH an LM aggregate and a per-doc join back.
+    "q_doc_fluency",         # bigram explode + unhinted LM equi-join
 ]
 
 
