@@ -1184,3 +1184,199 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n - 1, F.lit(0.0))
         ).alias("var_adj"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-stop experiment readout
+# --------------------------------------------------------------------------
+
+_EXP_CLOSED = """
+    SELECT CAST(n0 + n1 AS BIGINT) AS n_users,
+           CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           (n0 - (n0 + n1) * 0.5) * (n0 - (n0 + n1) * 0.5) / ((n0 + n1) * 0.5)
+             + (n1 - (n0 + n1) * 0.5) * (n1 - (n0 + n1) * 0.5) / ((n0 + n1) * 0.5)
+             AS chi2_srm,
+           theta,
+           (sy0 / n0 - sy1 / n1)
+             / sqrt((syy0 - sy0 * sy0 / n0) / (n0 - 1) / n0
+                    + (syy1 - sy1 * sy1 / n1) / (n1 - 1) / n1) AS t_raw,
+           ((sy0 / n0 - theta * (sx0 / n0 - mu))
+              - (sy1 / n1 - theta * (sx1 / n1 - mu)))
+             / sqrt(va0 / n0 + va1 / n1) AS t_cuped,
+           (va0 + va1)
+             / ((syy0 - sy0 * sy0 / n0) / (n0 - 1)
+                + (syy1 - sy1 * sy1 / n1) / (n1 - 1)) AS var_refund
+"""
+
+
+@register(
+    "q_experiment_readout",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS per,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    u0 AS (SELECT user_id,
+                  CAST(COUNT(CASE WHEN per = 0 THEN 1 END) AS BIGINT) AS n_pre,
+                  CAST(COUNT(CASE WHEN per = 1 THEN 1 END) AS BIGINT) AS n_post,
+                  CAST(COALESCE(SUM(CASE WHEN per = 0 THEN cents END), 0) AS BIGINT) AS s_pre,
+                  CAST(COALESCE(SUM(CASE WHEN per = 1 THEN cents END), 0) AS BIGINT) AS s_post
+           FROM e GROUP BY user_id),
+    u AS (SELECT CAST(s_pre // n_pre AS BIGINT) AS x,
+                 CAST(s_post // n_post AS BIGINT) AS y,
+                 ('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS arm
+          FROM u0 WHERE n_pre > 0 AND n_post > 0),
+    a AS (SELECT arm,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+                 CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+          FROM u GROUP BY arm),
+    p AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                 MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                 MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+                 MAX(CASE WHEN arm = 0 THEN sxy END) AS sxy0,
+                 MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                 MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+                 MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1,
+                 MAX(CASE WHEN arm = 1 THEN sxy END) AS sxy1,
+                 MAX(CASE WHEN arm = 1 THEN syy END) AS syy1
+          FROM a),
+    t AS (SELECT *,
+                 ((n0 + n1) * (sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1))
+                   / NULLIF((n0 + n1) * (sxx0 + sxx1)
+                            - (sx0 + sx1) * (sx0 + sx1), 0e0) AS theta,
+                 (sx0 + sx1) / (n0 + n1) AS mu
+          FROM p),
+    v AS (SELECT *,
+                 ((syy0 - 2 * theta * (sxy0 - mu * sy0)
+                   + theta * theta * (sxx0 - 2 * mu * sx0 + n0 * mu * mu))
+                  - (sy0 - theta * (sx0 - n0 * mu))
+                      * (sy0 - theta * (sx0 - n0 * mu)) / n0) / (n0 - 1) AS va0,
+                 ((syy1 - 2 * theta * (sxy1 - mu * sy1)
+                   + theta * theta * (sxx1 - 2 * mu * sx1 + n1 * mu * mu))
+                  - (sy1 - theta * (sx1 - n1 * mu))
+                      * (sy1 - theta * (sx1 - n1 * mu)) / n1) / (n1 - 1) AS va1
+          FROM t)
+    {_EXP_CLOSED}
+    FROM v
+    """,
+    tier="C",
+    doc="ONE-stop experiment readout — the composed capstone of the "
+    "suite (q_ab_srm -> q_ab_ttest -> q_cuped in a single DAG over a "
+    "single 'exp' assignment): the SRM chi-square guardrail on the "
+    "user split, Welch t on the raw post-period user metric, Welch t "
+    "on the CUPED-adjusted metric, and the variance refund "
+    "var_adj/var_post that explains the power gain — all derived "
+    "from ONE user-keyed aggregate's six moment sums per arm "
+    "(no second scan per statistic; the closed forms run on a 1-row "
+    "pivot). The SAME _EXP_CLOSED SQL fragment is the single source "
+    "of truth for the Spark side's expressions (built with identical "
+    "association via F.expr), so the two engines cannot drift. "
+    "Determinism: the q_cuped integer-cents covariate bound "
+    "(moment sums under 2^53 regardless of activity), then "
+    "identical IEEE chains; sqrt is correctly rounded.",
+)
+def q_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit(DID_CUT).cast("timestamp")
+    e = ev.select(
+        "user_id",
+        F.when(F.col("ts") >= cut, 1).otherwise(0).alias("per"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    u0 = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("per") == 0, 1)).cast("long").alias("n_pre"),
+        F.count(F.when(F.col("per") == 1, 1)).cast("long").alias("n_post"),
+        F.coalesce(F.sum(F.when(F.col("per") == 0, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_pre"),
+        F.coalesce(F.sum(F.when(F.col("per") == 1, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_post"),
+    )
+    u = (
+        u0.where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+        .select(
+            F.expr("s_pre div n_pre").cast("long").alias("x"),
+            F.expr("s_post div n_post").cast("long").alias("y"),
+            (hash60(F.col("user_id").cast("string"), seed="exp") % 2).alias(
+                "arm"
+            ),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    piv = a.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}{arm}")
+            for arm in (0, 1)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    t = piv.withColumn(
+        "theta",
+        F.expr(
+            "((n0 + n1) * (sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1))"
+            " / nullif((n0 + n1) * (sxx0 + sxx1)"
+            " - (sx0 + sx1) * (sx0 + sx1), 0d)"
+        ),
+    ).withColumn("mu", F.expr("(sx0 + sx1) / (n0 + n1)"))
+    v = t.withColumn(
+        "va0",
+        F.expr(
+            "((syy0 - 2 * theta * (sxy0 - mu * sy0)"
+            " + theta * theta * (sxx0 - 2 * mu * sx0 + n0 * mu * mu))"
+            " - (sy0 - theta * (sx0 - n0 * mu))"
+            " * (sy0 - theta * (sx0 - n0 * mu)) / n0) / (n0 - 1)"
+        ),
+    ).withColumn(
+        "va1",
+        F.expr(
+            "((syy1 - 2 * theta * (sxy1 - mu * sy1)"
+            " + theta * theta * (sxx1 - 2 * mu * sx1 + n1 * mu * mu))"
+            " - (sy1 - theta * (sx1 - n1 * mu))"
+            " * (sy1 - theta * (sx1 - n1 * mu)) / n1) / (n1 - 1)"
+        ),
+    )
+    # the closed forms: ONE shared SQL fragment drives both engines
+    return v.selectExpr(
+        *[
+            line.strip().rstrip(",")
+            for line in _exp_closed_exprs()
+        ]
+    )
+
+
+def _exp_closed_exprs() -> list[str]:
+    """Split _EXP_CLOSED's SELECT list into selectExpr-ready strings."""
+    body = _EXP_CLOSED.strip()
+    assert body.upper().startswith("SELECT")
+    body = body[len("SELECT "):]
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]

@@ -52,3 +52,57 @@ def test_cuped_variance_reduction_and_bounds(spark, sf_dir):
 def test_cuped_theta_shared_across_arms(spark, sf_dir):
     rows = REGISTRY["q_cuped"].builder(spark, sf_dir).collect()
     assert rows[0]["theta"] == rows[1]["theta"]  # pooled fit, not per-arm
+
+
+def test_experiment_readout_brute_force(spark, sf_dir):
+    """Pure-Python recompute of the whole readout from raw parquet."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from fractions import Fraction
+
+    import duckdb
+
+    ev = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts), value
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    cut_us = duckdb.sql(
+        "SELECT epoch_us(TIMESTAMP '2024-01-16 00:00:00')"
+    ).fetchone()[0]
+    pre = defaultdict(lambda: [0, 0])
+    post = defaultdict(lambda: [0, 0])
+    for uid, tus, v in ev:
+        cents = int((Fraction(str(v)) * 100 + Fraction(1, 2)).__floor__())
+        tgt = post if tus >= cut_us else pre
+        tgt[uid][0] += cents
+        tgt[uid][1] += 1
+    arms = defaultdict(list)
+    for uid in set(pre) & set(post):
+        x = pre[uid][0] // pre[uid][1]
+        y = post[uid][0] // post[uid][1]
+        arm = int(hashlib.md5(f"exp:{uid}".encode()).hexdigest()[:15], 16) % 2
+        arms[arm].append((x, y))
+    n0, n1 = len(arms[0]), len(arms[1])
+    r = REGISTRY["q_experiment_readout"].builder(spark, sf_dir).first()
+    assert (r["n_a"], r["n_b"]) == (n0, n1)
+    assert r["n_users"] == n0 + n1
+    nn = n0 + n1
+    chi2 = (n0 - nn * 0.5) ** 2 / (nn * 0.5) + (n1 - nn * 0.5) ** 2 / (
+        nn * 0.5
+    )
+    assert abs(r["chi2_srm"] - chi2) < 1e-9
+    # raw Welch t from the user metrics (float-assoc slack only)
+    def stats(rows):
+        ys = [y for _, y in rows]
+        m = sum(ys) / len(ys)
+        var = sum((y - m) ** 2 for y in ys) / (len(ys) - 1)
+        return m, var
+
+    m0, v0 = stats(arms[0])
+    m1, v1 = stats(arms[1])
+    t_raw = (m0 - m1) / math.sqrt(v0 / n0 + v1 / n1)
+    assert abs(r["t_raw"] - t_raw) < 1e-6
+    assert 0.0 < r["var_refund"] <= 1.2
+    # no true effect in a hash split: both t's are noise around 0
+    assert abs(r["t_raw"]) < 6 and abs(r["t_cuped"]) < 6
