@@ -86,6 +86,12 @@ def main() -> None:
         spec = REGISTRY[name]
         runs = []
         for _ in range(3):
+            # Drop CacheManager entries between repetitions: a plan that
+            # persists an intermediate would otherwise be MEMOIZED across
+            # runs (CacheManager matches by analyzed plan), and best-of-3
+            # would measure cache reads, not the query. Steady-state =
+            # JIT warm, data cold.
+            spark.catalog.clearCache()
             start = time.perf_counter()
             # count() fully executes the plan without driver-collecting rows.
             spec.builder(spark, sf_dir).count()

@@ -98,11 +98,12 @@ JACCARD_MAX_DF = 1000
     f"Prefix buckets are capped at df ≤ {JACCARD_MAX_DF} (identical cap "
     "in the oracle CTE) so no reducer ever sees a quadratic bucket; see "
     "operators/dedup.py:jaccard_pairs. persist_sets=True: the shingle "
-    "table feeds three consumers (prefix explode + both verify sides); "
-    "materializing it once (MEMORY_AND_DISK — spills, never OOMs) "
-    "measured 1.4x at sf0.1 and 2.2x at the sf1 decade with "
-    "output-identical results (tests/test_scale_ops.py asserts the "
-    "equivalence; SCALE.md records the measurements).",
+    "table feeds three consumers whose downstream shuffles key "
+    "differently (so ReusedExchange cannot share them); materializing "
+    "it once (MEMORY_AND_DISK — spills, never OOMs) measured ~1.7x on "
+    "COLD executions at the sf1 decade, wash at sf0.1, "
+    "output-identical (tests/test_scale_ops.py asserts the "
+    "equivalence; SCALE.md records the cache-cleared methodology).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
@@ -867,6 +868,11 @@ def _lsh_recall_oracle() -> str:
 )
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    # Both pair lists feed two consumers each (the hit join and their
+    # own count). Persisting them measured WORSE on cold executions
+    # (SCALE.md round-6 note: the materialization barrier costs more
+    # than the saved recompute; the apparent 12x was CacheManager
+    # memoization across repeated runs). Left unpersisted deliberately.
     truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF).select(
         "doc_a", "doc_b"
     )

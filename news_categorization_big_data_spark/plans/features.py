@@ -404,14 +404,12 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "tok", (F.col("tf").cast("double") * idf).alias("w"))
     )
-    # `post` feeds FOUR consumers (the norm aggregate and both sides of
-    # the pair self-join); without persistence the token explode + tf
-    # aggregate + df join lineage recomputes per consumer. Measured
-    # (SCALE.md): materializing once is ~1.2x at sf0.1 and ~1.5x at the
-    # sf1 decade, output-identical. MEMORY_AND_DISK spills, never OOMs.
-    from pyspark import StorageLevel
-
-    post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    # `post` feeds four consumers (norm aggregate + both self-join
+    # sides), but a persist here measured a WASH-to-worse on cold
+    # executions (SCALE.md round-6 note: Catalyst's exchange reuse
+    # already covers the self-join's shared shuffle; the apparent 6.8x
+    # win was CacheManager memoization across repeated runs, not
+    # within-run savings). Left unpersisted deliberately.
     nrm = post.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")).cast("double")
