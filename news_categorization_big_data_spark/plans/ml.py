@@ -618,3 +618,81 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("auc"),
     )
+
+
+@register(
+    "q_embedding_dim_stats",
+    oracle="""
+    WITH px AS (
+      SELECT unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings),
+    q AS (SELECT pos,
+                 CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS vm
+          FROM px),
+    s AS (SELECT pos,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(vm) AS sx,
+                 SUM(CAST(vm AS HUGEINT) * vm) AS sxx,
+                 CAST(MIN(vm) AS BIGINT) AS min_micro,
+                 CAST(MAX(vm) AS BIGINT) AS max_micro
+          FROM q GROUP BY pos)
+    SELECT CAST(pos AS INT) AS dim, n,
+           CAST(sx // n AS BIGINT) AS mean_micro,
+           CAST((n * sxx - CAST(sx AS HUGEINT) * sx) // (n * (n - 1))
+                AS BIGINT) AS var_micro2,
+           min_micro, max_micro,
+           sqrt(CAST(CAST((n * sxx - CAST(sx AS HUGEINT) * sx)
+                          // (n * (n - 1)) AS BIGINT) AS DOUBLE)) / 1000000
+             AS std
+    FROM s
+    """,
+    tier="C",
+    doc="Per-dimension embedding standardization stats (mean, sample "
+    "variance, min, max per coordinate) — the whitening/scaling prep "
+    "every vector pipeline runs before distance math, and the drift "
+    "monitor for embedding-model upgrades (a dimension whose std "
+    "collapses is dead; one whose range explodes breaks quantizers — "
+    "pair with q_embedding_quantize's int8 ranges). Complements "
+    "q_label_centroids (per-LABEL first moments): this is the GLOBAL "
+    "first+second moment table. Determinism: components floor-quantize "
+    "to integer micro-units before any aggregation (the "
+    "q_label_centroids technique), second moments accumulate as "
+    "128-bit integers (HUGEINT / Spark decimal sums), and the "
+    "variance combination (n*Sxx - Sx^2, >= 0 by Cauchy-Schwarz) is "
+    "integer-divided back to an integer BELOW 2^53 before the only "
+    "double ops (sqrt, /1e6) — integer division truncates toward zero "
+    "IDENTICALLY in both engines (Spark div == DuckDB //), which "
+    "matters because components go negative — "
+    "never casting a >2^53 accumulator to double (the q_twap "
+    "double-rounding lesson). Scale: posexplode fans D rows per "
+    "vector at 20 bytes each; the aggregate carries D cells with "
+    "map-side partials — shuffle volume independent of corpus size.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        "pos",
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    s = q.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("sx"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("sxx"),
+        F.min("vm").cast("long").alias("min_micro"),
+        F.max("vm").cast("long").alias("max_micro"),
+    )
+    var_micro2 = F.expr(
+        "(n * sxx - cast(sx as decimal(38,0)) * sx) div (n * (n - 1))"
+    ).cast("long")
+    return s.select(
+        F.col("pos").cast("int").alias("dim"),
+        "n",
+        F.expr("sx div n").cast("long").alias("mean_micro"),
+        var_micro2.alias("var_micro2"),
+        "min_micro",
+        "max_micro",
+        (F.sqrt(var_micro2.cast("double")) / F.lit(1_000_000)).alias("std"),
+    )

@@ -106,3 +106,42 @@ def test_experiment_readout_brute_force(spark, sf_dir):
     assert 0.0 < r["var_refund"] <= 1.2
     # no true effect in a hash split: both t's are noise around 0
     assert abs(r["t_raw"]) < 6 and abs(r["t_cuped"]) < 6
+
+
+def test_embedding_dim_stats_brute_force(spark, sf_dir):
+    """Exact integer brute force over the raw embedding arrays."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    dims = {}
+    for (emb,) in rows:
+        for pos, val in enumerate(emb):
+            vm = math.floor(float(val) * 1_000_000)
+            n, sx, sxx, lo, hi = dims.get(pos, (0, 0, 0, None, None))
+            dims[pos] = (
+                n + 1,
+                sx + vm,
+                sxx + vm * vm,
+                vm if lo is None else min(lo, vm),
+                vm if hi is None else max(hi, vm),
+            )
+    got = {
+        r["dim"]: r
+        for r in REGISTRY["q_embedding_dim_stats"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(dims)
+    for pos, (n, sx, sxx, lo, hi) in dims.items():
+        r = got[pos]
+        assert r["n"] == n and r["min_micro"] == lo and r["max_micro"] == hi
+        # both engines' integer division truncates toward zero (Spark
+        # div == DuckDB //); Python // floors, so truncate explicitly
+        trunc_mean = -((-sx) // n) if sx < 0 else sx // n
+        assert r["mean_micro"] == trunc_mean
+        # variance numerator >= 0 by Cauchy-Schwarz: floor == trunc
+        want_var = (n * sxx - sx * sx) // (n * (n - 1))
+        assert r["var_micro2"] == want_var
+        assert abs(r["std"] - math.sqrt(want_var) / 1_000_000) < 1e-12
