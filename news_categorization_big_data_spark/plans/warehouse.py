@@ -972,3 +972,74 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+@register(
+    "q_survival_hazard",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(epoch_us(MIN(ts)) // 86400000000 AS BIGINT) AS first_d,
+                      CAST(epoch_us(MAX(ts)) // 86400000000 AS BIGINT) AS last_d
+               FROM events GROUP BY user_id),
+    hz AS (SELECT CAST(MAX(last_d) OVER () AS BIGINT) AS horizon, * FROM u),
+    lf AS (SELECT last_d - first_d AS lifetime,
+                  CASE WHEN last_d >= horizon THEN 1 ELSE 0 END AS censored
+           FROM hz),
+    g AS (SELECT lifetime,
+                 CAST(COUNT(*) AS BIGINT) AS n_ending,
+                 CAST(SUM(1 - censored) AS BIGINT) AS deaths
+          FROM lf GROUP BY lifetime),
+    r AS (SELECT lifetime, n_ending, deaths,
+                 CAST(SUM(n_ending) OVER (ORDER BY lifetime DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS at_risk
+          FROM g)
+    SELECT lifetime AS age_days, at_risk, deaths,
+           CAST(deaths * 1000000 // at_risk AS BIGINT) AS hazard_ppm
+    FROM r
+    """,
+    tier="C",
+    doc="Discrete survival/hazard table (the Kaplan-Meier life table on "
+    "the event log): a user's lifetime is last-minus-first active day, "
+    "users still active on the horizon's final day are CENSORED "
+    "(at-risk but not churned — ignoring censoring is the classic "
+    "churn-rate inflation), and hazard(a) = churned-at-age-a / "
+    "at-risk-at-age-a in exact floor-divided ppm. at_risk comes from a "
+    "reverse cumulative sum over the LIFETIME DISTRIBUTION table "
+    "(bounded by distinct lifetimes, not users), so the plan is one "
+    "user aggregate + one window over a tiny table — 100-TB-safe. "
+    "Day indices are exact epoch-us floor-divisions; everything is "
+    "integers until the final ppm.",
+)
+def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr("unix_micros(min(ts)) div 86400000000").cast("long").alias("first_d"),
+        F.expr("unix_micros(max(ts)) div 86400000000").cast("long").alias("last_d"),
+    )
+    w_all = Window.partitionBy()
+    lf = u.select(
+        (F.col("last_d") - F.col("first_d")).alias("lifetime"),
+        F.when(
+            F.col("last_d") >= F.max("last_d").over(w_all), 1
+        ).otherwise(0).alias("censored"),
+    )
+    g = lf.groupBy("lifetime").agg(
+        F.count("*").cast("long").alias("n_ending"),
+        F.sum(1 - F.col("censored")).cast("long").alias("deaths"),
+    )
+    w_rev = Window.orderBy(F.col("lifetime").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "lifetime",
+        "n_ending",
+        "deaths",
+        F.sum("n_ending").over(w_rev).cast("long").alias("at_risk"),
+    )
+    return r.select(
+        F.col("lifetime").alias("age_days"),
+        "at_risk",
+        "deaths",
+        F.expr("deaths * 1000000 div at_risk").cast("long").alias("hazard_ppm"),
+    )

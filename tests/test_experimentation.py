@@ -145,3 +145,24 @@ def test_embedding_dim_stats_brute_force(spark, sf_dir):
         want_var = (n * sxx - sx * sx) // (n * (n - 1))
         assert r["var_micro2"] == want_var
         assert abs(r["std"] - math.sqrt(want_var) / 1_000_000) < 1e-12
+
+
+def test_survival_hazard_invariants(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_survival_hazard"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["age_days"],
+    )
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # at_risk at age 0 is EVERY user; monotone nonincreasing in age
+    assert rows[0]["age_days"] >= 0
+    assert max(r["at_risk"] for r in rows) == n_users
+    risks = [r["at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    total_deaths = sum(r["deaths"] for r in rows)
+    assert 0 <= total_deaths < n_users  # censored users never counted dead
+    for r in rows:
+        assert 0 <= r["deaths"] <= r["at_risk"]
+        assert r["hazard_ppm"] == r["deaths"] * 1_000_000 // r["at_risk"]
