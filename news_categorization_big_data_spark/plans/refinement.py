@@ -97,6 +97,13 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p.0").alias("head"), F.col("p.1").alias("nxt"))
         .where((F.col("head") != "") & (F.col("nxt") != ""))
     )
+    # pairs feeds two different-keyed aggregates, but persisting it
+    # measured ~2x WORSE cold at the sf1 decade (2.2 s -> 4.2 s):
+    # unlike jaccard's compact shingle-hash table, the exploded pair
+    # rows are corpus-sized strings — writing them to cache costs more
+    # than re-running the cheap explode. The multi-consumer persist
+    # rule (SCALE.md) needs the shared subtree to be SMALLER than its
+    # recompute, not just multiply consumed.
     lm = pairs.groupBy("head", "nxt").agg(F.count("*").cast("long").alias("cnt"))
     w_head = Window.partitionBy("head")
     lmp = (
