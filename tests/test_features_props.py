@@ -168,27 +168,51 @@ def test_rolling_corr_matches_numpy(spark, series, days):
         xs = [r[1] for r in frame]
         ys = [r[2] for r in frame]
         n = len(frame)
-        sx, sy = sum(xs), sum(ys)
-        sxx = sum(v * v for v in xs)
-        syy = sum(v * v for v in ys)
-        sxy = sum(a * b for a, b in zip(xs, ys))
-        den = math.sqrt(max(n * sxx - sx * sx, 0.0)) * math.sqrt(
-            max(n * syy - sy * sy, 0.0)
-        )
         have = got[rows[i][0]]
         if n < 2:
             assert have is None
             continue
-        if den < 1e-3:
-            # true variance at/near zero: quantization legitimately
-            # lands on either side — NULL or a clamped value both ok
+        # CENTERED reference (no n*Sxx - Sx^2 cancellation): accurate
+        # to ~1e-15 even when sigma << mean, which is exactly the
+        # regime the round-6 quantization bug lived in.
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((v - mx) ** 2 for v in xs)
+        vy = sum((v - my) ** 2 for v in ys)
+        sigx, sigy = math.sqrt(vx / n), math.sqrt(vy / n)
+        if sigx <= 8e-6 or sigy <= 8e-6:
+            # below the operator's documented 1e-5 resolution floor
+            # (RC_MIN_SIGMA_UNITS): NULL by contract
+            assert have is None, (have, frame)
+            continue
+        if sigx <= 1.2e-5 or sigy <= 1.2e-5:
+            # guard boundary: 1e-9 input snap legitimately lands the
+            # quantized sigma on either side of the floor
             assert have is None or abs(have) <= 1.0
             continue
-        want = (n * sxy - sx * sy) / den
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        want = cov / math.sqrt(vx * vy)
         assert have is not None, (want, frame)
-        # micro-unit flooring perturbs each moment by <=1e-6; with
-        # inputs >=1 the propagated corr error stays far under this
-        assert abs(have - want) < 1e-2, (have, want, frame)
+        # only error source is the one-time 1e-9 input snap; propagate
+        # it through the corr sensitivity ~ sqrt(n) * delta / sigma
+        tol = max(1e-6, 4.0 * math.sqrt(n) * 1e-9 / min(sigx, sigy))
+        assert abs(have - want) < tol, (have, want, tol, frame)
+
+
+def test_rolling_corr_low_variance_regression(spark):
+    """Pinned round-6 falsifying example: y-variance O(1e-5) drifted
+    the micro-unit version's corr by 3%; the limb-split rewrite must
+    be exact (two distinct points correlate to exactly +/-1)."""
+    from news_categorization_big_data_spark.plans.warehouse import (
+        rolling_corr_frame,
+    )
+
+    df = spark.createDataFrame(
+        [("d000", 1.0, 2.0), ("d001", 2.0, 2.0078125)],
+        "day string, x double, y double",
+    )
+    got = {r["day"]: r["roll_corr"] for r in rolling_corr_frame(df, 2).collect()}
+    assert got["d000"] is None  # 1-point frame
+    assert got["d001"] == 1.0  # exactly +1: both series increase
 
 
 @settings(max_examples=15, deadline=None)
