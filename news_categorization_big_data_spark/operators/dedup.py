@@ -77,13 +77,29 @@ def banded_pairs(
     id_col: str,
     out_a: str,
     out_b: str,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Generic banded-LSH candidate generator: one Column expression per
     band key, exploded to (band_idx, band_key) rows, grouped into
     buckets, pairs emitted inside buckets only — the shared skeleton of
     MinHash banding (lsh_candidate_pairs) and SRP banding
     (operators/similarity.py:srp_candidate_pairs), factored once so
-    band-handling fixes (skew caps, key hardening) land in one place."""
+    band-handling fixes (skew caps, key hardening) land in one place.
+
+    ``max_df`` is the SKEW CAP (round-6 VERDICT item): a
+    boilerplate/template cluster of m near-identical docs puts all m
+    ids into one band bucket and would emit O(m^2) pairs in a single
+    task. Buckets larger than max_df are dropped ENTIRELY (recall
+    trade, never a wrong pair — the same semantics as the jaccard
+    prefix cap). Physical shape matters at 100 TB: bucket sizes come
+    from a map-side-combined count (tiny shuffle of the key pairs),
+    the over-cap keys — at most N/max_df of them by construction — are
+    broadcast ANTI-joined out of the exploded rows BEFORE the
+    collect_list shuffle, so a hot bucket's member array is never
+    materialized on any reducer, and the big side is shuffled exactly
+    once. Pick max_df >> the largest true near-dup cluster you expect
+    (LSH_MAX_DF's doc); a capped bucket is template sludge whose pairs
+    a curation pipeline removes wholesale by other means."""
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
@@ -93,6 +109,16 @@ def banded_pairs(
     banded = signatures.select(id_col, F.explode(band_structs).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
+    if max_df is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.collect_list(id_col).alias("_ids")
     )
@@ -287,21 +313,40 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
+#: Default band-bucket skew cap for the MinHash/SRP LSH paths. True
+#: near-dup clusters (mirror sites, syndicated articles) run tens to
+#: low hundreds of members; 10_000 sits two orders of magnitude above
+#: that, so the cap NEVER binds on organic similarity — it only fires
+#: on template sludge (boilerplate pages, empty-ish docs sharing a
+#: degenerate signature), exactly the buckets whose O(m^2) pairs would
+#: dominate the stage at crawl scale. Capped buckets are dropped whole;
+#: oracles mirror the identical HAVING filter.
+LSH_MAX_DF = 10_000
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_df: int | None = LSH_MAX_DF,
+) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on ALL minhashes of ≥1 band.
 
     The signature table is exploded to one (band_idx, band_key, id) row
     per band, grouped into buckets, and pairs are generated inside each
     bucket — a single shuffle on the compact band key, the signature
     subtree evaluated once, and no pairwise work outside hash buckets.
-    That shape is what makes MinHash dedup linear-ish at corpus scale.
+    That shape is what makes MinHash dedup linear-ish at corpus scale;
+    the ``max_df`` bucket cap (default LSH_MAX_DF, see banded_pairs)
+    bounds the one residual quadratic term.
     """
     rows = k // bands
     band_keys = [
         F.concat_ws("-", *[f"mh{j}" for j in range(b * rows, (b + 1) * rows)])
         for b in range(bands)
     ]
-    return banded_pairs(signatures, band_keys, id_col, "doc_a", "doc_b")
+    return banded_pairs(signatures, band_keys, id_col, "doc_a", "doc_b", max_df=max_df)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
@@ -422,6 +467,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     sketch_col: str = "simhash",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Hamming-distance join over SimHash sketches: (doc_a, doc_b,
     hamming) for every pair with popcount(xor) ≤ ``max_distance``.
@@ -453,7 +499,12 @@ def simhash_hamming_pairs(
         F.shiftright(F.col(sketch_col), b * width).bitwiseAND(F.lit((1 << width) - 1))
         for b in range(bands)
     ]
-    cand = banded_pairs(sketches, band_keys, id_col, "doc_a", "doc_b")
+    # max_df stays None-by-default here: pigeonhole recall is this
+    # operator's contract ("recall is total"), and block buckets are
+    # n/2^width by DESIGN — the scale answer is a wider sketch (Manku's
+    # 64-bit/4-block crawl config), not a cap. The cap is an emergency
+    # valve for callers who accept recall loss on degenerate corpora.
+    cand = banded_pairs(sketches, band_keys, id_col, "doc_a", "doc_b", max_df=max_df)
     sa = sketches.select(F.col(id_col).alias("doc_a"), F.col(sketch_col).alias("_ska"))
     sb = sketches.select(F.col(id_col).alias("doc_b"), F.col(sketch_col).alias("_skb"))
     hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
@@ -471,6 +522,7 @@ def lsh_probe_pairs(
     id_col: str = "doc_id",
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    max_df: int | None = LSH_MAX_DF,
 ) -> DataFrame:
     """Incremental-dedup probe: candidate pairs TOUCHING the probe set
     (new-batch docs vs the whole corpus, including probe-vs-probe) —
@@ -502,6 +554,20 @@ def lsh_probe_pairs(
     banded = signatures.select(
         id_col, probe_col, F.explode(band_structs).alias("b")
     ).select(id_col, probe_col, "b.band_idx", "b.band_key")
+    if max_df is not None:
+        # Same skew cap as banded_pairs, counted over the WHOLE bucket
+        # (index side) so probe-vs-base and base-vs-base agree on which
+        # buckets are template sludge — keeps the documented
+        # output-equivalence with a capped lsh_candidate_pairs.
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     probe = banded.where(F.col(probe_col)).select(
         F.col(id_col).alias("_p"), "band_idx", "band_key"
     )

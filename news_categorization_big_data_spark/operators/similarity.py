@@ -136,15 +136,23 @@ def srp_candidate_pairs(
     id_col: str = "vec_id",
     bits: int = SRP_BITS,
     bands: int = SRP_BANDS,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Banded SRP candidate pairs (id_a, id_b): all bits of ≥1 band agree.
 
     Same linear-shuffle shape as the MinHash LSH in operators/dedup.py:
     explode to (band_idx, band_key), group into buckets, emit pairs
     inside buckets only — no pairwise work outside hash buckets.
+    ``max_df`` forwards to banded_pairs' bucket skew cap; None resolves
+    to the shared LSH_MAX_DF default (operators/dedup.py).
     """
-    from news_categorization_big_data_spark.operators.dedup import banded_pairs
+    from news_categorization_big_data_spark.operators.dedup import (
+        LSH_MAX_DF,
+        banded_pairs,
+    )
 
+    if max_df is None:
+        max_df = LSH_MAX_DF
     rows = bits // bands
     band_keys = [
         F.concat_ws(
@@ -152,7 +160,7 @@ def srp_candidate_pairs(
         )
         for b in range(bands)
     ]
-    return banded_pairs(signatures, band_keys, id_col, "id_a", "id_b")
+    return banded_pairs(signatures, band_keys, id_col, "id_a", "id_b", max_df=max_df)
 
 
 def embedding_near_dup_pairs(

@@ -139,22 +139,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_cand_ctes(src: str = "documents WHERE text <> ''") -> str:
     """CTE chain ending in ``cand(doc_a, doc_b)`` — the banded-LSH
     candidate pairs, shared by q_dedup_near, q_dedup_cluster and
-    q_pipeline_curate so the oracles cannot drift."""
+    q_pipeline_curate so the oracles cannot drift. Mirrors the engine's
+    bucket form exactly, including the LSH_MAX_DF skew cap (buckets
+    larger than the cap are dropped whole before pair generation)."""
+    from news_categorization_big_data_spark.operators.dedup import LSH_MAX_DF
+
     rows = MINHASH_K // MINHASH_BANDS
     mins = ",\n           ".join(_o_minhash(j) for j in range(MINHASH_K))
     band_keys = []
     for b in range(MINHASH_BANDS):
         cols = " || '-' || ".join(f"CAST(mh{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows))
         band_keys.append(f"({cols})")
-    band_join = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
-    band_sel = ",\n           ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    bexp = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {k} AS band_key FROM mh"
+        for b, k in enumerate(band_keys)
+    )
     return f"""{_shingles_cte(src)},
     mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-    banded AS (SELECT doc_id,
-           {band_sel}
-           FROM mh),
+    bexp AS ({bexp}),
+    bok AS (SELECT band_idx, band_key FROM bexp
+            GROUP BY band_idx, band_key
+            HAVING COUNT(*) <= {LSH_MAX_DF}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_join}))"""
+             FROM bexp a
+             JOIN bexp b ON a.band_idx = b.band_idx
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+             JOIN bok o ON o.band_idx = a.band_idx
+                       AND o.band_key = a.band_key)"""
 
 
 def _lsh_oracle() -> str:

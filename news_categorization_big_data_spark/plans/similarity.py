@@ -157,7 +157,11 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _srp_oracle(threshold: float = 0.35) -> str:
     """DuckDB mirror of the SRP-LSH near-dup pipeline: the md5-derived
     hyperplane matrix is baked in as literals, so candidate generation is
-    bit-identical to the Spark plan (operators/similarity.py:srp_signs)."""
+    bit-identical to the Spark plan (operators/similarity.py:srp_signs).
+    Bucket form mirroring banded_pairs exactly, including the
+    LSH_MAX_DF skew cap (over-cap band buckets dropped whole)."""
+    from news_categorization_big_data_spark.operators.dedup import LSH_MAX_DF
+
     signs = srp_signs(SRP_BITS)
     bit_exprs = ",\n           ".join(
         "(list_sum(list_transform(list_zip(embedding, "
@@ -166,20 +170,38 @@ def _srp_oracle(threshold: float = 0.35) -> str:
         for j in range(SRP_BITS)
     )
     rows = SRP_BITS // SRP_BANDS
-    band_conj = " OR ".join(
-        "("
-        + " AND ".join(f"a.bit{j} = b.bit{j}" for j in range(b * rows, (b + 1) * rows))
-        + ")"
-        for b in range(SRP_BANDS)
+    band_keys = []
+    for b in range(SRP_BANDS):
+        k = " || ".join(
+            f"CAST(CAST(bit{j} AS INT) AS VARCHAR)"
+            for j in range(b * rows, (b + 1) * rows)
+        )
+        band_keys.append(k)
+    bexp = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {k} AS band_key FROM sig"
+        for b, k in enumerate(band_keys)
     )
     return f"""
     WITH sig AS (SELECT vec_id, embedding,
            {bit_exprs}
            FROM embeddings),
-    cand AS (SELECT a.vec_id AS va, a.embedding AS ea, b.vec_id AS vb, b.embedding AS eb
-             FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_conj}))
+    bexp AS ({bexp}),
+    bok AS (SELECT band_idx, band_key FROM bexp
+            GROUP BY band_idx, band_key
+            HAVING COUNT(*) <= {LSH_MAX_DF}),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM bexp a
+             JOIN bexp b ON a.band_idx = b.band_idx
+                        AND a.band_key = b.band_key
+                        AND a.vec_id < b.vec_id
+             JOIN bok o ON o.band_idx = a.band_idx
+                       AND o.band_key = a.band_key),
+    pairs AS (SELECT va, ea.embedding AS ea, vb, eb.embedding AS eb
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = va
+              JOIN embeddings eb ON eb.vec_id = vb)
     SELECT va AS vec_a, vb AS vec_b, round({_o_cos('ea', 'eb')}, 4) AS cos_sim
-    FROM cand WHERE {_o_cos('ea', 'eb')} >= {threshold}
+    FROM pairs WHERE {_o_cos('ea', 'eb')} >= {threshold}
     """
 
 

@@ -214,3 +214,78 @@ def test_sliding_distinct_hll_tracks_exact(spark, sf_dir):
     for w, n in exact.items():
         # lg_k=14 → ~0.8% standard error; allow 5 sigma plus small-count slack
         assert abs(approx[w] - n) <= max(4.0, 0.05 * n), (w, approx[w], n)
+
+
+def test_banded_pairs_skew_cap(spark):
+    """Planted hot bucket: a template-sludge cluster of m identical
+    signatures lands in one band bucket and must NOT emit O(m^2) pairs
+    when the cap is below m, while an organic near-dup pair in a small
+    bucket survives untouched. This is the round-6 VERDICT scale
+    finding: without the cap one reducer task goes quadratic on a
+    boilerplate cluster."""
+    from news_categorization_big_data_spark.operators.dedup import banded_pairs
+
+    sludge = [(f"s{i:03d}", 7, 7) for i in range(6)]  # one bucket, m=6
+    organic = [("a001", 1, 2), ("a002", 1, 3)]  # share band 0 only
+    loner = [("z001", 5, 6)]
+    df = spark.createDataFrame(
+        sludge + organic + loner, "doc_id string, k0 int, k1 int"
+    )
+    keys = [F.col("k0").cast("string"), F.col("k1").cast("string")]
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in banded_pairs(df, keys, "doc_id", "doc_a", "doc_b").collect()
+    }
+    assert ("a001", "a002") in uncapped
+    assert sum(1 for a, b in uncapped if a.startswith("s")) == 6 * 5 // 2
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in banded_pairs(
+            df, keys, "doc_id", "doc_a", "doc_b", max_df=5
+        ).collect()
+    }
+    # the hot bucket (6 > 5) is dropped whole; the organic pair survives
+    assert capped == {("a001", "a002")}
+
+    # cap exactly at the bucket size: nothing is dropped
+    at_size = {
+        (r.doc_a, r.doc_b)
+        for r in banded_pairs(
+            df, keys, "doc_id", "doc_a", "doc_b", max_df=6
+        ).collect()
+    }
+    assert at_size == uncapped
+
+
+def test_lsh_probe_pairs_skew_cap_consistency(spark, sf_dir):
+    """lsh_probe_pairs' contract is output-equivalence with filtering
+    lsh_candidate_pairs to probe-touching rows — that must keep holding
+    with the shared skew cap active on both paths, including a cap
+    small enough to actually bind on this corpus."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    probes = sigs.withColumn("is_probe", F.col("doc_id") % 3 == 0)
+    for cap in (2, 10_000):
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(sigs, max_df=cap).collect()
+        }
+        probe_ids = {
+            r.doc_id for r in probes.where("is_probe").select("doc_id").collect()
+        }
+        want = {
+            (a, b) for a, b in full if a in probe_ids or b in probe_ids
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_probe_pairs(probes, max_df=cap).collect()
+        }
+        assert got == want, f"cap={cap}: probe path diverged from filtered full path"
