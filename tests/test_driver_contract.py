@@ -32,74 +32,73 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round6_priorities():
+def test_registry_window_contains_round7_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-6 window must hold: every round-5 ROTATION_PENDING query
-    (45 names, first official row) plus the five canaries — after
-    which EVERY query registered through round 5 has an official
-    driver row."""
+    round-7 window must hold: every round-6 ROTATION_PENDING query
+    (35 names, first official row), the 3 standing canaries, and the
+    12 re-proofs (plan-changed this round + oldest-row TPC-H core and
+    exact dedup) — after which EVERY registered query has an official
+    driver row at least once."""
     window = list(REGISTRY)[:50]
-    round5_pending = [
-        "q_sql_recursive",
-        "q_bloom_join",
-        "q_cdc_apply",
-        "q_zone_map",
-        "q_interval_coverage",
-        "q_date_dim",
-        "q_simhash_hamming",
-        "q_weighted_median",
-        "q_rolling_median",
-        "q_snapshot_diff",
-        "q_sequence_gaps",
-        "q_date_arith",
-        "q_null_semantics",
-        "q_audio_decode",
-        "q_sql_udf",
-        "q_geo_grid_join",
-        "q_ivm_join_agg",
-        "q_cms_counts",
-        "q_bitmap_setops",
-        "q_graph_kcore",
-        "q_scan_evolved",
-        "q_udtf_table_arg",
-        "q_ml_auc",
-        "q_ml_eval",
-        "q_target_encode",
-        "q_lift_bands",
-        "q_graph_bfs",
-        "q_tfidf_pairs",
-        "q_corr_matrix",
-        "q_benford_digits",
-        "q_alloc_budget",
-        "q_salted_agg",
-        "q_rrf_fusion",
-        "q_attrib_channel",
-        "q_table_checksum",
-        "q_k_anonymity",
-        "q_rfm_segments",
-        "q_peak_concurrency",
-        "q_ann_recall",
-        "q_curation_funnel",
+    round6_pending = [
+        "q_sample_reservoir",
+        "q_token_rarity",
+        "q_union_by_name",
+        "q_graph_jaccard_neighbors",
+        "q_compaction_bins",
+        "q_histogram2d",
+        "q_dedup_prefix",
+        "q_label_centroids",
+        "q_stream_trending",
+        "q_rank_normalize",
+        "q_char_classes",
+        "q_sink_pyds_roundtrip",
+        "q_video_frames",
+        "q_pq_search",
+        "q_grouped_auc",
+        "q_skew_profile",
+        "q_lsh_recall",
+        "q_split_leakproof",
+        "q_bigram_lm",
+        "q_sample_per_group",
+        "q_dedup_incremental",
+        "q_top_paths",
+        "q_doc_fluency",
+        "q_sample_wor",
+        "q_er_blocking",
+        "q_twap",
+        "q_inverted_index",
+        "q_ab_srm",
+        "q_scan_xml",
+        "q_bootstrap_ci",
+        "q_did_effect",
+        "q_cuped",
+        "q_experiment_readout",
+        "q_embedding_dim_stats",
+        "q_survival_hazard",
+    ]
+    canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
+    reproofs = [
         "q_rolling_corr",
-        "q_anova_f",
-        "q_gini_spend",
-        "q_calibration_ece",
-        "q_seq_cooccur",
-    ]
-    canaries = [
-        "q_group_stats",
-        "q_scan_json",
-        "q_udf_scalar",
         "q_pipeline_curate",
-        "q_dedup_ngram_jaccard",
+        "q_curation_funnel",
+        "q_dedup_near",
+        "q_dedup_cluster",
+        "q_dedup_minhash",
+        "q_dedup_embedding",
+        "q_dedup_exact",
+        "q_tpch_q1",
+        "q_tpch_q3",
+        "q_tpch_q5",
+        "q_tpch_q18",
     ]
-    assert len(round5_pending) == 45
-    for name in round5_pending + canaries:
+    assert len(round6_pending) == 35
+    for name in round6_pending + canaries + reproofs:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-5
+    """Every query without an official CORRECTNESS row from rounds 1-6
     (i.e. anything registered this round) must sit inside the 50-entry
     window — or be explicitly declared ROTATION_PENDING (registered
     after the window's 50 slots were already committed)."""
@@ -116,6 +115,7 @@ def test_registry_window_covers_all_unofficial_queries():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         with open(repo / rnd) as f:
             official |= set(json.load(f))
