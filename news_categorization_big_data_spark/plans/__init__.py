@@ -22,8 +22,12 @@ Round-7 window composition, in priority order:
      q_dedup_near / q_dedup_cluster / q_dedup_minhash /
      q_dedup_embedding (LSH_MAX_DF band-bucket skew cap wired through
      banded_pairs and mirrored in every LSH/SRP oracle);
-   - oldest-row TPC-H core + headline exact dedup — q_tpch_q1 /
-     q_tpch_q3 / q_tpch_q5 (r2), q_tpch_q18 (r3), q_dedup_exact (r5).
+   - the three sketch queries upgraded this round from rows-only to
+     SEMI-ORACLES (exact value + in-bound boolean both engines hash) —
+     q_group_approx / q_hll_distinct / q_quantile_sketch;
+   - oldest-row TPC-H representative + headline exact dedup —
+     q_tpch_q1 (r2), q_dedup_exact (r5). (q_tpch_q3/q5/q18 keep their
+     r2/r3 rows; local oracle parity re-proves them every round.)
 
 The tail (positions 51+) holds queries with official rows from rounds
 1-6, prior relative order preserved. Tail queries remain registered,
@@ -111,8 +115,9 @@ _DRIVER_ORDER = [
     "q_scan_json",
     "q_udf_scalar",
     # -- re-proofs: plans/oracles changed this round (rolling-corr exact
-    # moments; LSH_MAX_DF skew cap through the banded-LSH family) plus
-    # the oldest-row TPC-H core and the headline exact dedup.
+    # moments; LSH_MAX_DF skew cap through the banded-LSH family; the
+    # three rows-only->semi-oracle sketch upgrades) plus the oldest-row
+    # TPC-H representative and the headline exact dedup.
     "q_rolling_corr",
     "q_pipeline_curate",
     "q_curation_funnel",
@@ -122,9 +127,9 @@ _DRIVER_ORDER = [
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q18",
+    "q_group_approx",
+    "q_hll_distinct",
+    "q_quantile_sketch",
     # ---- driver's 50-entry window ends here ----
     # -- tail: official rows from rounds 1-6, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
@@ -183,7 +188,9 @@ _DRIVER_ORDER = [
     "q_growth_accounting",
     "q_graph_pagerank",
     "q_table_profile",
-    "q_quantile_sketch",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
     "q_udaf_grouped",
     "q_multimodal_decode",
     "q_graph_degree_dist",
@@ -246,7 +253,6 @@ _DRIVER_ORDER = [
     "q_resample_ohlc",
     "q_dedup_passage",
     "q_sample_weighted",
-    "q_hll_distinct",
     "q_graph_triangles",
     "q_incremental_agg",
     "q_chi2_terms",
@@ -328,7 +334,6 @@ _DRIVER_ORDER = [
     "q_join_left_outer",
     "q_join_theta_range",
     "q_group_collect",
-    "q_group_approx",
     "q_window_frame",
     "q_sort_limit",
     "q_set_except",

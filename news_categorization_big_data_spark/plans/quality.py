@@ -851,6 +851,13 @@ BOOT_T = (24109, 48218, 60273, 64291, 65296, 65497, 65530)
 BOOT_K_LO, BOOT_K_HI = 1, 39
 
 
+def _boot_ranks(b: int, alpha: float = 0.05) -> tuple[int, int]:
+    """floor((B+1)·α/2) / floor((B+1)·(1−α/2)) rank pair; ==(BOOT_K_LO,
+    BOOT_K_HI) at the registered default B=40."""
+    lo = int((b + 1) * (alpha / 2))
+    return max(lo, 1), int((b + 1) * (1 - alpha / 2))
+
+
 def _boot_w_sql(u: str) -> str:
     return "(" + " + ".join(
         f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in BOOT_T
@@ -913,6 +920,15 @@ def _boot_w_sql(u: str) -> str:
     "keeps codegen tight and won.",
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resample count is THE scale knob of this query (work is exactly
+    # B× one scan; the sf1 decade ratio in SCALE.md is honest B=40
+    # arithmetic): conf-settable per session like cc.localThreshold,
+    # default pinned to the registered/oracle value. CI ranks follow B
+    # via the floor((B+1)·α) convention.
+    boot_b = int(spark.conf.get("spark.graft.bootstrap.resamples", str(BOOT_B)))
+    k_lo, k_hi = (
+        (BOOT_K_LO, BOOT_K_HI) if boot_b == BOOT_B else _boot_ranks(boot_b)
+    )
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -921,7 +937,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.col("value").cast("decimal(18,2)").alias("v"),
         )
-        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(boot_b - 1))))
     )
     u16 = F.conv(
         F.expr(
@@ -951,8 +967,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_resamples"),
-        F.max(F.when(F.col("rn") == BOOT_K_LO, F.col("mean_b"))).alias("boot_lo"),
-        F.max(F.when(F.col("rn") == BOOT_K_HI, F.col("mean_b"))).alias("boot_hi"),
+        F.max(F.when(F.col("rn") == k_lo, F.col("mean_b"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("mean_b"))).alias("boot_hi"),
     )
 
 

@@ -460,17 +460,40 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_group_approx",
-    oracle=None,  # HLL sketches differ across engines → rows-only check
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY event_type
+    """,
     tier="B",
     doc="approx_count_distinct (HyperLogLog++): the 100-TB-scale cardinality "
     "operator — fixed-size sketch, map-side mergeable, no shuffle of raw "
-    "values. Sketch estimates are engine-specific → no value oracle; "
-    "tests/test_relational.py asserts relative error < 5% vs exact.",
+    "values. Sketch estimates are engine-specific, so the raw estimate "
+    "can't be value-hashed across engines; instead this is a SEMI-ORACLE: "
+    "the plan computes the sketch estimate AND the exact distinct count, "
+    "and emits |approx − exact| ≤ 2.5σ (rsd 0.02 → 5%) as a boolean the "
+    "oracle pins to TRUE — the driver's hash now FAILS if the sketch "
+    "drifts out of its own error contract (was rows-only before round 7). "
+    "The exact side exists for verification only; production reads the "
+    "estimate (select the _approx aggregate alone).",
 )
 def q_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("within_rsd_bound"),
+        )
     )
 
 
@@ -627,8 +650,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latency-percentile workhorse. Exact percentile sorts each group's "
     "values (fine at per-group cardinality); at corpus scale switch the "
     "same query to approx_percentile (t-digest sketch, mergeable "
-    "map-side, engine-specific values → rows-only check like "
-    "q_group_approx). round(4) absorbs interpolation-order ulp.",
+    "map-side, engine-specific values → semi-oracle bound check like "
+    "q_quantile_sketch). round(4) absorbs interpolation-order ulp.",
 )
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -73,6 +73,53 @@ def test_bootstrap_ci_interval_sane(spark, sf_dir):
         assert r["boot_lo"] <= r["boot_hi"], r
 
 
+def test_bootstrap_ci_resamples_conf_knob(spark, sf_dir):
+    """spark.graft.bootstrap.resamples is the documented scale knob
+    (work = B x one scan): B=80 doubles the lanes (two md5 digests per
+    row), ranks follow floor((B+1)*alpha) — brute-force checked at a
+    non-default B against the same hashlib weights."""
+    from news_categorization_big_data_spark.plans.quality import _boot_ranks
+
+    assert _boot_ranks(BOOT_B) == (BOOT_K_LO, BOOT_K_HI)
+    ev = duckdb.sql(
+        f"""SELECT event_type, event_id, value
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    B = 80
+    k_lo, k_hi = _boot_ranks(B)
+    assert (k_lo, k_hi) == (2, 78)
+    na = defaultdict(int)
+    sa = defaultdict(int)
+    for et, eid, v in ev:
+        cents = int((Fraction(str(v)) * 100 + Fraction(1, 2)).__floor__())
+        for b in range(B):
+            w = _weight(b, eid)
+            na[(et, b)] += w
+            sa[(et, b)] += w * cents
+    means = defaultdict(list)
+    for (et, b), n in na.items():
+        if n > 0:
+            means[et].append((sa[(et, b)] / 100 / n, b))
+    want = {}
+    for et, ms in means.items():
+        ms.sort()
+        want[et] = (len(ms), ms[k_lo - 1][0], ms[k_hi - 1][0])
+    spark.conf.set("spark.graft.bootstrap.resamples", str(B))
+    try:
+        got = {
+            r["event_type"]: (r["n_resamples"], r["boot_lo"], r["boot_hi"])
+            for r in REGISTRY["q_bootstrap_ci"].builder(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.bootstrap.resamples")
+    assert set(got) == set(want)
+    for et in want:
+        n_w, lo_w, hi_w = want[et]
+        n_g, lo_g, hi_g = got[et]
+        assert n_g == n_w == B
+        assert abs(lo_g - lo_w) < 1e-9 and abs(hi_g - hi_w) < 1e-9, et
+
+
 def test_bootstrap_ci_explode_collapses_before_wire(spark, sf_dir):
     # the scale claim: the 40x explode is map-local; what crosses the
     # wire is partial-aggregated (types x B cells). A partial_sum must

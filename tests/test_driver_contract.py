@@ -88,9 +88,9 @@ def test_registry_window_contains_round7_priorities():
         "q_dedup_embedding",
         "q_dedup_exact",
         "q_tpch_q1",
-        "q_tpch_q3",
-        "q_tpch_q5",
-        "q_tpch_q18",
+        "q_group_approx",
+        "q_hll_distinct",
+        "q_quantile_sketch",
     ]
     assert len(round6_pending) == 35
     for name in round6_pending + canaries + reproofs:

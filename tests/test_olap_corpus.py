@@ -140,11 +140,30 @@ def test_hll_estimates_within_tolerance(spark, sf_dir):
     }
     exact_global = ev.select("user_id").distinct().count()
     for r in rows:
-        assert abs(r.approx_users - exact[r.event_type]) / exact[r.event_type] < 0.05, r
-        assert abs(r.global_users - exact_global) / exact_global < 0.05, r
-        # union can never undercut its largest input by more than the
-        # sketch error band
-        assert r.global_users >= r.approx_users * 0.95, r
+        # the semi-oracle booleans the driver hashes, plus the exact
+        # columns they were judged against
+        assert r.exact_users == exact[r.event_type], r
+        assert r.exact_global == exact_global, r
+        assert r.type_in_bound is True and r.global_in_bound is True, r
+    # raw-estimate invariants on the sketch surface itself: per-type
+    # estimate within 5%, and the union can never undercut its largest
+    # input by more than the sketch error band
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    ests = {
+        r.event_type: r.a
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("a")
+        ).collect()
+    }
+    global_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g")
+    ).collect()[0].g
+    for et, a in ests.items():
+        assert abs(a - exact[et]) / exact[et] < 0.05, (et, a)
+        assert global_est >= a * 0.95, (et, a, global_est)
+    assert abs(global_est - exact_global) / exact_global < 0.05
 
 
 # -- q_graph_triangles ------------------------------------------------------
@@ -216,31 +235,51 @@ def test_incremental_agg_equals_single_pass(spark, sf_dir):
 def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
     from pyspark.sql import functions as F
 
+    from news_categorization_big_data_spark.plans.olap import QSK_ACCURACY, QSK_PROBES
     from news_categorization_big_data_spark.sources.tables import load_table
 
     rows = REGISTRY["q_quantile_sketch"].builder(spark, sf_dir).collect()
     assert rows
-    # the sketch returns an actual data value at (approximately) the
-    # requested rank, while exact percentile interpolates — so bound by
-    # the RANK neighborhood: the estimate must land inside the exact
-    # [p-0.02, p+0.02] percentile envelope
-    pcts = [0.5, 0.95, 0.99]
-    lo = [max(p - 0.02, 0.0) for p in pcts]
-    hi = [min(p + 0.02, 1.0) for p in pcts]
-    envelope = {
-        r.event_type: (r.lo, r.hi)
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
+    # the registered query now emits the rank-neighborhood verdicts the
+    # driver hashes; all must hold, and n_values must match exact
+    ev = load_table(spark, sf_dir, "events")
+    n_exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    for r in rows:
+        assert r.n_values == n_exact[r.event_type], r
+        assert r.p50_in_bound is True, r
+        assert r.p95_in_bound is True, r
+        assert r.p99_in_bound is True, r
+    # independent brute-force check of the same contract: each raw
+    # sketch estimate's rank interval intersects [p·n − δ, p·n + δ]
+    ests = {
+        r.event_type: r.pcts
+        for r in ev.groupBy("event_type")
         .agg(
-            F.percentile("value", F.array(*[F.lit(p) for p in lo])).alias("lo"),
-            F.percentile("value", F.array(*[F.lit(p) for p in hi])).alias("hi"),
+            F.percentile_approx("value", list(QSK_PROBES), QSK_ACCURACY).alias(
+                "pcts"
+            )
         )
         .collect()
     }
-    for r in rows:
-        los, his = envelope[r.event_type]
-        for approx, lo_v, hi_v in zip((r.p50, r.p95, r.p99), los, his):
-            assert lo_v - 1e-9 <= approx <= hi_v + 1e-9, (r, los, his)
+    vals = {}
+    for row in ev.select("event_type", "value").collect():
+        if row.value is not None:
+            vals.setdefault(row.event_type, []).append(row.value)
+    for et, series in vals.items():
+        series.sort()
+        n = len(series)
+        delta = n / QSK_ACCURACY + 1.0
+        for p, v in zip(QSK_PROBES, ests[et]):
+            import bisect
+
+            below = bisect.bisect_left(series, v)
+            at_or_below = bisect.bisect_right(series, v)
+            assert at_or_below > below, (et, p, v)  # observed value
+            assert below + 1 <= p * n + delta, (et, p, v)
+            assert at_or_below >= p * n - delta, (et, p, v)
 
 
 # -- q_chi2_terms -----------------------------------------------------------

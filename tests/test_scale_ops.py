@@ -146,10 +146,16 @@ def test_srp_near_dup_subset_of_brute_force(spark, sf_dir):
 
 
 def test_hll_error_bound(spark, sf_dir):
+    """The raw HLL++ estimate stays within 5% of exact (the bound the
+    q_group_approx semi-oracle pins as a driver-hashed boolean), and
+    the registered query's verdict/exact columns agree with a direct
+    computation."""
     ev = load_table(spark, sf_dir, "events")
     approx = {
-        r.event_type: r.approx_users
-        for r in REGISTRY["q_group_approx"].builder(spark, sf_dir).collect()
+        r.event_type: r.approx
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"))
+        .collect()
     }
     exact = {
         r.event_type: r.exact
@@ -158,6 +164,11 @@ def test_hll_error_bound(spark, sf_dir):
     for key, exact_n in exact.items():
         rel_err = abs(approx[key] - exact_n) / max(exact_n, 1)
         assert rel_err < 0.05, f"{key}: HLL rel err {rel_err:.3f}"
+    rows = REGISTRY["q_group_approx"].builder(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.within_rsd_bound is True, r
 
 
 def test_jaccard_persist_sets_path_output_identical(spark, sf_dir):
