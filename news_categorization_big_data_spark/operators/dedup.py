@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import (
@@ -91,15 +91,20 @@ def banded_pairs(
     ids into one band bucket and would emit O(m^2) pairs in a single
     task. Buckets larger than max_df are dropped ENTIRELY (recall
     trade, never a wrong pair — the same semantics as the jaccard
-    prefix cap). Physical shape matters at 100 TB: bucket sizes come
-    from a map-side-combined count (tiny shuffle of the key pairs),
-    the over-cap keys — at most N/max_df of them by construction — are
-    broadcast ANTI-joined out of the exploded rows BEFORE the
-    collect_list shuffle, so a hot bucket's member array is never
-    materialized on any reducer, and the big side is shuffled exactly
-    once. Pick max_df >> the largest true near-dup cluster you expect
-    (LSH_MAX_DF's doc); a capped bucket is template sludge whose pairs
-    a curation pipeline removes wholesale by other means."""
+    prefix cap). Physical shape matters at 100 TB: the bucket size is
+    a window count over the SAME (band_idx, band_key) shuffle the
+    collect_list aggregation already needs — Catalyst reuses the
+    exchange, so the corpus is scanned and min-hashed exactly ONCE and
+    the big side shuffled exactly once (measured: a separate
+    count+broadcast-anti-join branch re-scans and re-hashes the whole
+    corpus, 2 scans / 5 exchanges vs 1 / 3 here). WindowExec buffers
+    each bucket spill-safely (UnsafeExternalSorter), and the filter
+    runs BEFORE collect_list, so an over-cap bucket's member array is
+    never aggregated into memory — the failure mode of filtering on
+    size(_ids) after the fact. Pick max_df >> the largest true
+    near-dup cluster you expect (LSH_MAX_DF's doc); a capped bucket is
+    template sludge whose pairs a curation pipeline removes wholesale
+    by other means."""
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
@@ -110,14 +115,11 @@ def banded_pairs(
         id_col, "b.band_idx", "b.band_key"
     )
     if max_df is not None:
-        hot = (
-            banded.groupBy("band_idx", "band_key")
-            .count()
-            .where(F.col("count") > max_df)
-            .select("band_idx", "band_key")
-        )
-        banded = banded.join(
-            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_df)
+            .drop("_bn")
         )
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.collect_list(id_col).alias("_ids")
@@ -555,18 +557,16 @@ def lsh_probe_pairs(
         id_col, probe_col, F.explode(band_structs).alias("b")
     ).select(id_col, probe_col, "b.band_idx", "b.band_key")
     if max_df is not None:
-        # Same skew cap as banded_pairs, counted over the WHOLE bucket
-        # (index side) so probe-vs-base and base-vs-base agree on which
+        # Same skew cap as banded_pairs (window count over the bucket
+        # shuffle, one scan), counted over the WHOLE bucket (index
+        # side) so probe-vs-base and base-vs-base agree on which
         # buckets are template sludge — keeps the documented
         # output-equivalence with a capped lsh_candidate_pairs.
-        hot = (
-            banded.groupBy("band_idx", "band_key")
-            .count()
-            .where(F.col("count") > max_df)
-            .select("band_idx", "band_key")
-        )
-        banded = banded.join(
-            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_df)
+            .drop("_bn")
         )
     probe = banded.where(F.col(probe_col)).select(
         F.col(id_col).alias("_p"), "band_idx", "band_key"
