@@ -61,6 +61,11 @@ HEADLINE = [
     # -- appended round 6 (late): the bigram-LM scoring join — pair
     # explode feeding BOTH an LM aggregate and a per-doc join back.
     "q_doc_fluency",         # bigram explode + unhinted LM equi-join
+    # -- appended round 7: the exact-moment rolling correlation (new
+    # limb-split plan) and the Poisson bootstrap (the honest-B query
+    # whose decade ratio is the resample count).
+    "q_rolling_corr",        # min-centered int64-limb exact moments
+    "q_bootstrap_ci",        # 40-resample Poisson bootstrap, one pass
 ]
 
 

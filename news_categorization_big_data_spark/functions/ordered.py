@@ -1,0 +1,195 @@
+"""Scalable total-order windows: the global-sort escape valve.
+
+Several audit/statistics queries need an ORDER over a whole table with
+no partition key — a running sum over session boundaries
+(q_peak_concurrency), a cumulative count over the distinct-value
+domain (q_gini_spend), a lag over a dense id domain (q_sequence_gaps).
+`Window.orderBy(...)` with no partitionBy is the natural expression,
+and Spark plans it as an `Exchange SinglePartition` + one-task sort:
+exact, simple, and the right default while the windowed table is
+value-domain-sized. On a 100-TB fact table that single task is the
+job.
+
+This module implements the classic two-phase alternative and gates it
+behind ``spark.graft.window.ranged`` (default ``false``), mirroring
+``spark.graft.cc.algorithm``: the default plan stays exactly the
+oracle-stamped single-partition form; flipping the conf swaps in a
+range-partitioned plan PROVEN output-identical by tests
+(tests/test_ordered_windows.py) whenever the ordering key set is a
+TOTAL order (unique rows per key tuple — every caller in this repo
+pre-aggregates to uniqueness first).
+
+Two-phase shape (Blelloch prefix-scan on Spark primitives):
+
+1. ``repartitionByRange(order_cols)`` — partition i's keys all sort
+   before partition i+1's. Boundaries come from sampling and are not
+   deterministic, but with a total order the OUTPUT is boundary-
+   independent.
+2. A per-partition window (partitionBy spark_partition_id) computes
+   the local running aggregate/lag — parallel, spill-safe, no global
+   exchange.
+3. A tiny per-partition summary (one row per partition: sum / min /
+   max) is cumulated with a driver-scale window (≤ #partitions rows)
+   and broadcast back: running sums add the previous-partition offset;
+   lags stitch the boundary pair from partition i's max row to
+   partition i+1's min row.
+
+Cost: one range exchange of the big table (same bytes the global sort
+would move) + one broadcast of #partitions rows — and the sort/scan
+parallelism of the whole cluster instead of one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Session conf that flips every helper below from the single-partition
+#: global window (default, oracle-stamped) to the range-partitioned
+#: two-phase plan. Values: "false" (default) | "true".
+RANGED_CONF = "spark.graft.window.ranged"
+
+_PID = "_w_pid"
+_LOCAL = "_w_local"
+_OFF = "_w_off"
+
+
+def use_ranged(df: DataFrame) -> bool:
+    return str(
+        df.sparkSession.conf.get(RANGED_CONF, "false")
+    ).lower() == "true"
+
+
+def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
+    return df.repartitionByRange(*order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value: Column,
+    out: str,
+    fn,
+    exclusive: bool = False,
+) -> DataFrame:
+    """df + ``out`` = fn(value) over rows ≤ current in the total order
+    (< current when ``exclusive``). ``fn`` must be an ASSOCIATIVE
+    aggregate with an identity-absorbing combine (F.sum, F.max, F.min).
+
+    Default: one global window (single-partition sort). Ranged: local
+    running aggregates per range partition combined with broadcast
+    per-partition offsets — identical output when ``order_cols`` is a
+    total order. The exclusive frame's first row per partition gets
+    NULL locally and the previous partitions' INCLUSIVE aggregate as
+    its offset, which is exactly the global exclusive frame.
+    """
+    frame_end = -1 if exclusive else Window.currentRow
+    if not use_ranged(df):
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, frame_end
+        )
+        return df.withColumn(out, fn(value).over(w))
+    d = _with_pid(df, order_cols)
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    d = d.withColumn(_LOCAL, fn(value).over(w_local))
+    # one row per partition; the cumulative window runs over ≤ a few
+    # thousand rows — driver-scale by construction
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy(_PID)
+        .agg(fn(value).alias("_psum"))
+        .select(_PID, fn(F.col("_psum")).over(w_prev).alias(_OFF))
+    )
+    d = d.join(F.broadcast(offs), _PID)
+    # combine local running value with the previous-partition offset:
+    # sum adds, max/min re-aggregate the pair; NULLs (empty frames /
+    # first partition) must absorb, not poison
+    name = fn.__name__
+    lo, off = F.col(_LOCAL), F.col(_OFF)
+    if name == "sum":
+        comb = (
+            F.when(lo.isNull(), off)
+            .when(off.isNull(), lo)
+            .otherwise(lo + off)
+        )
+    else:  # max / min: greatest/least ignore NULLs only via coalesce
+        pair = F.greatest(lo, off) if name == "max" else F.least(lo, off)
+        comb = F.when(lo.isNull(), off).when(off.isNull(), lo).otherwise(pair)
+    return d.withColumn(out, comb).drop(_PID, _LOCAL, _OFF)
+
+
+def running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value: Column,
+    out: str,
+) -> DataFrame:
+    """df + ``out`` = SUM(value) over rows ≤ current in the total order.
+
+    NOTE the default frame is ROWS unbounded-preceding..current, which
+    equals the RANGE default frame ONLY under a total order — the
+    precondition every caller satisfies (callers pre-aggregate to
+    unique keys first).
+    """
+    return running_agg(df, order_cols, value, out, F.sum)
+
+
+def lag_over(
+    df: DataFrame,
+    order_col: Column | str,
+    out: str,
+) -> DataFrame:
+    """df + ``out`` = LAG(order_col) over the total order of order_col.
+
+    Default: one global window. Ranged: per-partition lag, then the
+    per-partition boundary rows (min of each partition) get their
+    predecessor from the previous partition's max via a broadcast of
+    the one-row-per-partition summary. Requires order_col values to be
+    unique (every caller pre-aggregates or scans a distinct domain).
+    """
+    col = F.col(order_col) if isinstance(order_col, str) else order_col
+    if not use_ranged(df):
+        w = Window.orderBy(col)
+        return df.withColumn(out, F.lag(col).over(w))
+    d = _with_pid(df, [col])
+    w_local = Window.partitionBy(_PID).orderBy(col)
+    d = d.withColumn(out, F.lag(col).over(w_local))
+    # previous partition's max = the missing predecessor of each
+    # partition's first row; ≤ one row per partition, broadcast back
+    prev_max = (
+        d.groupBy(_PID)
+        .agg(F.max(col).alias("_pmax"))
+        .select(
+            _PID,
+            F.lag("_pmax").over(Window.orderBy(_PID)).alias("_prev_max"),
+        )
+    )
+    d = d.join(F.broadcast(prev_max), _PID)
+    return d.withColumn(out, F.coalesce(F.col(out), F.col("_prev_max"))).drop(
+        _PID, "_prev_max"
+    )
+
+
+def global_annotate(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """df + one column per entry = the full-frame aggregate (MAX/SUM/…).
+
+    ``exprs`` values are un-windowed aggregate expressions (e.g.
+    ``F.max(F.col("conc"))``) — usable both as ``expr.over(window)``
+    and inside ``agg``. Default: ``Window.partitionBy()`` (single-
+    partition full-frame window, the oracle-stamped plan). Ranged: a
+    scalar aggregate broadcast-crossed back — two distributed passes,
+    no one-task window.
+    """
+    if not use_ranged(df):
+        w = Window.partitionBy()
+        for out, e in exprs.items():
+            df = df.withColumn(out, e.over(w))
+        return df
+    scalar = df.agg(*[e.alias(out) for out, e in exprs.items()])
+    return df.crossJoin(F.broadcast(scalar))

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.ordered import (
+    global_annotate,
+    running_sum,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -1086,14 +1090,17 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("us", F.lit(-1).alias("delta"), "n")
     )
     b = starts.unionAll(ends).groupBy("us", "delta").agg(F.sum("n").alias("n"))
-    w_run = Window.orderBy(F.asc("us"), F.desc("delta"))
-    run = b.select(
-        "us",
-        "delta",
-        F.sum(F.col("delta") * F.col("n")).over(w_run).cast("long").alias("conc"),
+    # (us, delta) is unique after the groupBy — a total order, so the
+    # spark.graft.window.ranged valve (functions/ordered.py) can swap
+    # both the running sum and the full-frame max for range-partitioned
+    # plans with identical output (tests/test_ordered_windows.py)
+    run = running_sum(
+        b, [F.asc("us"), F.desc("delta")], F.col("delta") * F.col("n"), "_rs"
+    )
+    run = run.select(
+        "us", "delta", F.col("_rs").cast("long").alias("conc")
     ).where(F.col("delta") == 1)
-    w_all = Window.partitionBy()
-    peaked = run.withColumn("mx", F.max("conc").over(w_all))
+    peaked = global_annotate(run, {"mx": F.max(F.col("conc"))})
     return peaked.agg(
         F.max("conc").alias("peak"),
         F.count(F.when(F.col("conc") == F.col("mx"), 1)).alias("n_at_peak"),
@@ -1159,13 +1166,14 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = s.groupBy("cents").agg(F.count("*").alias("c"))
-    w_ord = Window.orderBy("cents")
-    w_all = Window.partitionBy()
-    cumv = v.select(
+    # cents is unique after the groupBy — the ranged-window valve
+    # applies (functions/ordered.py, conf spark.graft.window.ranged)
+    cumv = running_sum(v, ["cents"], F.col("c"), "_cum")
+    cumv = global_annotate(cumv, {"n": F.sum(F.col("c"))}).select(
         "cents",
         "c",
-        (F.sum("c").over(w_ord) - F.col("c")).alias("p"),
-        F.sum("c").over(w_all).alias("n"),
+        (F.col("_cum") - F.col("c")).alias("p"),
+        "n",
     )
     rank_units = F.col("c") * F.col("p") + F.expr("(c * (c + 1)) div 2")
     agg = cumv.agg(

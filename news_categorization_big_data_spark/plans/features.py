@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.ordered import (
+    global_annotate,
+    running_sum,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -175,15 +179,14 @@ def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = s.groupBy("score").agg(
         F.count("*").alias("n"), F.sum("label").cast("long").alias("pos")
     )
-    w_ord = Window.orderBy(F.desc("score"))
-    w_all = Window.partitionBy()
-    cum = by_score.select(
-        "n",
-        "pos",
-        F.sum("n").over(w_ord).alias("cum_n"),
-        F.sum("n").over(w_all).alias("n_g"),
-        F.sum("pos").over(w_all).alias("pos_g"),
-    )
+    # score is unique after the groupBy — the ranged-window valve
+    # (functions/ordered.py, conf spark.graft.window.ranged) swaps the
+    # one-task cumulative/full-frame windows for range-partitioned
+    # plans when the distinct-score domain is fact-scale
+    cum = running_sum(by_score, [F.desc("score")], F.col("n"), "cum_n")
+    cum = global_annotate(
+        cum, {"n_g": F.sum(F.col("n")), "pos_g": F.sum(F.col("pos"))}
+    ).select("n", "pos", "cum_n", "n_g", "pos_g")
     banded = cum.select(
         F.expr(f"({LIFT_BANDS} * cum_n + n_g - 1) div n_g").alias("band"),
         "n",

@@ -621,9 +621,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort. Determinism: pure integer arithmetic on distinct ids.",
 )
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.ordered import lag_over
+
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
-    w = Window.orderBy("event_id")
-    ids = ev.select("event_id", F.lag("event_id").over(w).alias("prev_id"))
+    # the documented planet-scale form is now real: conf
+    # spark.graft.window.ranged=true swaps the single-partition lag for
+    # the range-partitioned + boundary-stitch plan (functions/ordered.py),
+    # output-identical (tests/test_ordered_windows.py)
+    ids = lag_over(ev.select("event_id"), "event_id", "prev_id")
     return ids.where(
         F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
     ).select(

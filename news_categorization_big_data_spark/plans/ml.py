@@ -292,18 +292,21 @@ AUC_POSITIVE_TYPE = "purchase"
     "carried as the INTEGER 2·rank_lo + ties − 1 (twice the average), "
     "so the whole statistic stays in integers until the single final "
     "division — no per-threshold ROC sweep, no float accumulation, "
-    "engine-identical by construction. Plan: one rank window + one "
-    "tie-count window over the same global score order (Catalyst "
-    "shares the sort), one aggregate. The global sort is the "
-    "documented cost: per-GROUP AUC (the production shape — per "
-    "segment / per model version) partitions the same plan by the "
-    "group key, and at planet scale the sort swaps for a bucketed "
-    "score histogram (trapezoidal AUC over bucket counts, the "
-    "q_weighted_median histogram discipline). Label skew does not "
-    "shuffle anything extra: labels ride the score sort.",
+    "engine-identical by construction. Plan (round-7 rewrite): "
+    "pre-aggregate to the DISTINCT-score table (n, positives per "
+    "score) with one map-side-combinable shuffle, then r_lo(s) = "
+    "1 + Σ_{s'<s} n(s') via a running sum over that value-domain "
+    "table — the fact table is never globally sorted (the previous "
+    "plan ranked raw rows through one single-task sort, the exact "
+    "100-TB trap). The residual ordered window runs over distinct "
+    "scores and flips to the range-partitioned two-phase plan under "
+    "spark.graft.window.ranged (functions/ordered.py). Per-GROUP AUC "
+    "(the production shape) partitions the same plan by the group "
+    "key. Identical integers to the rank formulation: a score with "
+    "n ties starting at rank r contributes n·(2r + n − 1) rank units.",
 )
 def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from news_categorization_big_data_spark.functions.ordered import running_sum
 
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(
@@ -312,22 +315,18 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label"
         ),
     )
-    r = s.select(
-        "label",
-        F.rank().over(Window.orderBy("score")).alias("r_lo"),
-        F.count("*").over(Window.partitionBy("score")).alias("ties"),
+    by = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("ties"),
+        F.sum("label").cast("long").alias("pos"),
     )
-    a = r.agg(
-        F.sum(
-            F.when(
-                F.col("label") == 1,
-                F.lit(2) * F.col("r_lo") + F.col("ties") - F.lit(1),
-            )
-        )
+    cum = running_sum(by, ["score"], F.col("ties"), "_cum")
+    r_lo = F.col("_cum") - F.col("ties") + 1
+    a = cum.agg(
+        F.sum(F.col("pos") * (F.lit(2) * r_lo + F.col("ties") - F.lit(1)))
         .cast("long")
         .alias("sum_ar2"),
-        F.sum("label").cast("long").alias("n_pos"),
-        (F.count("*") - F.sum("label")).cast("long").alias("n_neg"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("ties") - F.sum("pos")).cast("long").alias("n_neg"),
     )
     return a.select(
         "n_pos",

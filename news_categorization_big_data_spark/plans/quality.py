@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.ordered import (
+    global_annotate,
+    running_sum,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -734,9 +738,8 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("long").alias("max_cnt"),
     )
     dv = counts.groupBy("cnt").agg(F.count("*").cast("long").alias("nk"))
-    cum = dv.select(
-        "cnt",
-        F.sum("nk").over(Window.orderBy("cnt")).cast("long").alias("c"),
+    cum = running_sum(dv, ["cnt"], F.col("nk"), "_c").select(
+        "cnt", F.col("_c").cast("long").alias("c")
     )
 
     def pctl(p: int):

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.ordered import (
+    global_annotate,
+    running_sum,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -726,18 +730,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = u.localCheckpoint(eager=False)
 
     def band(col: str) -> DataFrame:
+        # value-domain cumulative windows; spark.graft.window.ranged
+        # (functions/ordered.py) parallelizes them when the distinct
+        # metric domain is customer-scale
         vals = u.groupBy(col).agg(F.count("*").alias("n"))
-        w_ord = Window.orderBy(col)
-        w_all = Window.partitionBy()
-        return (
-            vals.select(
-                F.col(col).alias("v"),
-                F.sum("n").over(w_ord).alias("cum_n"),
-                F.sum("n").over(w_all).alias("n_g"),
-            ).select(
-                "v",
-                F.expr(f"({RFM_BANDS} * cum_n + n_g - 1) div n_g").alias("band"),
-            )
+        vals = running_sum(vals, [col], F.col("n"), "cum_n")
+        vals = global_annotate(vals, {"n_g": F.sum(F.col("n"))})
+        return vals.select(
+            F.col(col).alias("v"),
+            F.expr(f"({RFM_BANDS} * cum_n + n_g - 1) div n_g").alias("band"),
         )
 
     rb = band("recency_days").withColumnsRenamed({"v": "recency_days", "band": "r_band"})
@@ -836,6 +837,11 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
         F.min("qx").over(wf).alias("minx"),
         F.min("qy").over(wf).alias("miny"),
     )
+    # base feeds BOTH the target and member sides of the frame join; a
+    # lazy localCheckpoint materializes the day-grain series once so
+    # the upstream fact scan + aggregate never runs twice (the
+    # q_rfm_segments multi-consumer rule; base is day-domain tiny)
+    base = base.localCheckpoint(eager=False)
     targets = base.select(
         F.col("idx").alias("t_idx"), "day", "minx", "miny"
     )
@@ -1156,25 +1162,24 @@ def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(min(ts)) div 86400000000").cast("long").alias("first_d"),
         F.expr("unix_micros(max(ts)) div 86400000000").cast("long").alias("last_d"),
     )
-    w_all = Window.partitionBy()
-    lf = u.select(
+    # the observation-horizon max runs over the USER-scale table and
+    # the reverse cumulative over the day-domain life table; both flip
+    # to distributed plans under spark.graft.window.ranged
+    lf = global_annotate(u, {"_mx": F.max(F.col("last_d"))}).select(
         (F.col("last_d") - F.col("first_d")).alias("lifetime"),
-        F.when(
-            F.col("last_d") >= F.max("last_d").over(w_all), 1
-        ).otherwise(0).alias("censored"),
+        F.when(F.col("last_d") >= F.col("_mx"), 1).otherwise(0).alias("censored"),
     )
     g = lf.groupBy("lifetime").agg(
         F.count("*").cast("long").alias("n_ending"),
         F.sum(1 - F.col("censored")).cast("long").alias("deaths"),
     )
-    w_rev = Window.orderBy(F.col("lifetime").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = g.select(
+    r = running_sum(
+        g, [F.col("lifetime").desc()], F.col("n_ending"), "_ar"
+    ).select(
         "lifetime",
         "n_ending",
         "deaths",
-        F.sum("n_ending").over(w_rev).cast("long").alias("at_risk"),
+        F.col("_ar").cast("long").alias("at_risk"),
     )
     return r.select(
         F.col("lifetime").alias("age_days"),

@@ -111,11 +111,21 @@ def test_peak_concurrency_no_interval_self_join(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_rolling_corr_one_window_over_day_grain(spark, sf_dir):
+def test_rolling_corr_day_grain_plan_shape(spark, sf_dir):
+    """The round-7 exact-moment rewrite: day-grain aggregate, one
+    min-centering window pass, frame membership exploded into a
+    BROADCAST equi-join of day-grain contributions (the join rides the
+    tiny day table, never facts), int64-limb partial sums. Pins: the
+    join is broadcast (never a shuffle join over exploded frames), no
+    cartesian, and the raw event table is scanned exactly once."""
     plan = _plan(REGISTRY["q_rolling_corr"].builder(spark, sf_dir))
-    assert "Join" not in plan, plan
-    assert plan.count("Window [") == 1, plan
-    assert plan.count("Exchange") == 2, plan  # day agg + window singleton
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the day-grain series is localCheckpointed once and BOTH join
+    # sides read the materialized table — the fact scan never doubles
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("FileScan parquet") == 0, plan
 
 
 def test_rfm_and_ann_recall_never_cartesian(spark, sf_dir):

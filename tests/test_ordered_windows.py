@@ -1,0 +1,121 @@
+"""The ranged total-order window valve (functions/ordered.py):
+spark.graft.window.ranged=true must produce byte-identical results to
+the default single-partition global window on every caller, while
+actually planning a RangePartitioning exchange instead of the one-task
+sort. Unit-level checks pin the two-phase arithmetic (partition
+offsets, boundary lag stitching) against a driver-computed answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_categorization_big_data_spark.functions.ordered import (
+    RANGED_CONF,
+    global_annotate,
+    lag_over,
+    running_sum,
+)
+from news_categorization_big_data_spark.plans import REGISTRY
+
+
+@pytest.fixture
+def ranged(spark):
+    spark.conf.set(RANGED_CONF, "true")
+    yield spark
+    spark.conf.unset(RANGED_CONF)
+
+
+def test_running_sum_matches_prefix_sum(spark, ranged):
+    # unique keys, adversarial order, negative values
+    rows = [(k, (k * 37) % 11 - 5) for k in range(2000)]
+    df = spark.createDataFrame(rows, "k int, v int").repartition(16)
+    got = {
+        r.k: r.rs
+        for r in running_sum(df, ["k"], F.col("v"), "rs").collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, (k, got[k], acc)
+
+
+def test_running_sum_desc_secondary_order(spark, ranged):
+    # the q_peak_concurrency shape: (us asc, delta desc), unique pairs
+    rows = [(t, d, 1 if d == 1 else -1) for t in range(500) for d in (1, -1)]
+    df = spark.createDataFrame(rows, "us int, delta int, n int")
+    got = running_sum(
+        df, [F.asc("us"), F.desc("delta")], F.col("delta") * F.col("n"), "rs"
+    ).collect()
+    want = {}
+    acc = 0
+    for t, d, n in sorted(rows, key=lambda r: (r[0], -r[1])):
+        acc += d * n
+        want[(t, d)] = acc
+    for r in got:
+        assert r.rs == want[(r.us, r.delta)], r
+
+
+def test_lag_over_stitches_partition_boundaries(spark, ranged):
+    ids = [i * 3 for i in range(5000)]  # unique, gappy
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long").repartition(32)
+    got = {
+        r.event_id: r.prev
+        for r in lag_over(df, "event_id", "prev").collect()
+    }
+    s = sorted(ids)
+    assert got[s[0]] is None
+    for a, b in zip(s, s[1:]):
+        assert got[b] == a, (b, got[b], a)
+
+
+def test_global_annotate_scalar_matches(spark, ranged):
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "k int, v int")
+    out = global_annotate(df, {"mx": F.max(F.col("v")), "tot": F.sum(F.col("v"))})
+    row = out.limit(1).collect()[0]
+    assert row.mx == 6
+    assert row.tot == sum(i % 7 for i in range(100))
+    assert out.count() == 100
+
+
+# query -> the fact-scale ordering column whose window must be
+# range-parallelized (tiny summary/offset windows may stay one-task)
+QUERIES = {
+    "q_peak_concurrency": "us",
+    "q_gini_spend": "cents",
+    "q_sequence_gaps": "event_id",
+    "q_ml_auc": "score",
+    "q_lift_bands": "score",
+    "q_skyline": "p_retailprice",
+    "q_survival_hazard": "lifetime",
+    "q_skew_profile": "cnt",
+    "q_rfm_segments": "monetary",
+}
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_ranged_mode_output_identical(spark, sf_dir, qname):
+    import re
+
+    build = REGISTRY[qname].builder
+    base = sorted(map(str, build(spark, sf_dir).collect()))
+    spark.conf.set(RANGED_CONF, "true")
+    try:
+        swapped = sorted(map(str, build(spark, sf_dir).collect()))
+        plan = (
+            build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset(RANGED_CONF)
+    assert base == swapped, qname
+    assert "rangepartitioning" in plan.lower(), qname
+    # every window ordered on the fact column must be partitioned by the
+    # range pid — the one-task global sort over the big table is gone;
+    # the remaining SinglePartition exchanges carry only per-partition
+    # summaries / scalars
+    col = QUERIES[qname]
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    fact_specs = [s for s in specs if re.search(rf"\b{col}#\d+", s)]
+    assert fact_specs, (qname, specs)
+    for s in fact_specs:
+        assert "_w_pid" in s, (qname, s)
