@@ -176,6 +176,46 @@ def lag_over(
     )
 
 
+def grouped_order_stats(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    ranks: dict[str, Column],
+) -> DataFrame:
+    """Exact k-th-smallest NON-NULL ``value`` per group — one column per
+    ``ranks`` entry — without per-group arrays.
+
+    ``ranks`` maps output names to 1-BASED rank expressions, written in
+    terms of ``F.col("_n_tot")`` (the group's TOTAL row count, NULLs
+    included — matching the element_at(array_sort(collect_list(v)), k)
+    idiom these plans previously used, where k was computed from
+    count(*) but indexed the null-free array).
+
+    Plan: distinct-(key, value) counts (map-side combinable — facts
+    collapse onto the value domain), a per-key cumulative count window
+    (partitioned, spill-safe; never a whole group in one array), and
+    min(value WHERE cum ≥ k) per rank. The collect_list form buffers an
+    entire group's values in ONE aggregation cell — the q_mad_outliers
+    / q_winsorize 100-TB OOM this replaces; here per-task state is the
+    window's spillable sort, bounded by the distinct-value domain.
+    """
+    vals = (
+        df.where(value.isNotNull())
+        .groupBy(*keys, value.alias("_v"))
+        .agg(F.count("*").alias("_vc"))
+    )
+    w = Window.partitionBy(*keys).orderBy("_v")
+    cum = vals.withColumn("_cum", F.sum("_vc").over(w))
+    tot = df.groupBy(*keys).agg(F.count("*").alias("_n_tot"))
+    j = cum.join(tot, keys)
+    return j.groupBy(*keys).agg(
+        *[
+            F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias(name)
+            for name, k in ranks.items()
+        ]
+    )
+
+
 def global_annotate(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
     """df + one column per entry = the full-frame aggregate (MAX/SUM/…).
 

@@ -822,33 +822,37 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines agree bit-for-bit and the |x−med| / 3·MAD boundary "
     "comparisons are decided on identical doubles — no rounding, no "
     "interpolation-ulp hazard (the reason q_group_quantiles needs "
-    "round(4)). Plan: two sort-within-group aggregates with broadcast "
-    "joins back; per-group sort is memory-bounded by group size — at "
-    "100 TB swap approx_percentile for the same query shape "
-    "(mergeable t-digest, rows-only check).",
+    "round(4)). Plan (round-7 rewrite): both medians come from the "
+    "distinct-value cumulative-count table "
+    "(functions/ordered.py:grouped_order_stats) — min(value with "
+    "cum ≥ k) — so no group's values are ever buffered in one "
+    "collect_list cell; per-task state is a spillable partitioned "
+    "window bounded by the value domain. EXACT at any scale — the "
+    "approx_percentile fallback the round-5 doc suggested is no "
+    "longer needed.",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    lower_median = F.element_at(
-        F.array_sort(F.collect_list("value")),
-        ((F.count("*") - 1) / 2 + 1).cast("int"),
+    from news_categorization_big_data_spark.functions.ordered import (
+        grouped_order_stats,
     )
-    st = ev.groupBy("event_type").agg(lower_median.alias("med"))
+
+    ev = load_table(spark, sf_dir, "events")
+    # lower median = rank floor((n-1)/2)+1 over the distinct-value
+    # cumulative table (functions/ordered.py) — the round-5 plan
+    # buffered every group's values in ONE collect_list cell, the exact
+    # 100-TB OOM its own docstring warned about; this form is identical
+    # output with per-task state bounded by the value domain
+    k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
+    st = grouped_order_stats(ev, ["event_type"], F.col("value"), {"med": k_med})
     d = ev.join(F.broadcast(st), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    m = d.groupBy("event_type").agg(
-        F.max("med").alias("_med"),
-        F.element_at(
-            F.array_sort(F.collect_list("dev")),
-            ((F.count("*") - 1) / 2 + 1).cast("int"),
-        ).alias("mad"),
-    )
+    m = grouped_order_stats(d, ["event_type"], F.col("dev"), {"mad": k_med})
     return (
         d.join(F.broadcast(m), "event_type")
         .groupBy("event_type")
         .agg(
-            F.max("_med").alias("med"),
+            F.max("med").alias("med"),
             F.max("mad").alias("mad"),
             F.count_if(F.col("dev") > F.lit(3.0) * F.col("mad"))
             .cast("long")
@@ -890,22 +894,30 @@ WINSOR_HI_PM = 950
     "pure integer arithmetic, no interpolation), so both engines clip "
     "with identical bounds; clipped values are actual data values with "
     "2-decimal expansions, so the winsorized decimal sum is exact and "
-    "reduction-order-free like every dsum. One sort-within-group "
-    "aggregate for the bounds (broadcast back), one clipped decimal "
-    "aggregate; raw and winsorized means emitted side-by-side for the "
-    "shift diagnostic.",
+    "reduction-order-free like every dsum. Bounds ride the distinct-"
+    "value cumulative table (grouped_order_stats — no per-group "
+    "arrays, round-7 rewrite), broadcast back onto one clipped "
+    "decimal aggregate; raw and winsorized means emitted side-by-side "
+    "for the shift diagnostic.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.ordered import (
+        grouped_order_stats,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    vs = F.array_sort(F.collect_list("value"))
-    n = F.count("*")
-    b = ev.groupBy("event_type").agg(
-        F.element_at(
-            vs, (((n - 1) * WINSOR_LO_PM) / 1000).cast("int") + 1
-        ).alias("lo"),
-        F.element_at(
-            vs, (((n - 1) * WINSOR_HI_PM) / 1000).cast("int") + 1
-        ).alias("hi"),
+    # clip bounds as exact per-mille order statistics over the
+    # distinct-value cumulative table — same no-group-array rationale
+    # as q_mad_outliers (functions/ordered.py:grouped_order_stats)
+    n = F.col("_n_tot")
+    b = grouped_order_stats(
+        ev,
+        ["event_type"],
+        F.col("value"),
+        {
+            "lo": (((n - 1) * WINSOR_LO_PM) / 1000).cast("int") + 1,
+            "hi": (((n - 1) * WINSOR_HI_PM) / 1000).cast("int") + 1,
+        },
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (

@@ -69,6 +69,44 @@ def test_lag_over_stitches_partition_boundaries(spark, ranged):
         assert got[b] == a, (b, got[b], a)
 
 
+def test_grouped_order_stats_matches_sorted_index(spark):
+    """grouped_order_stats must reproduce the
+    element_at(array_sort(collect_list(v)), k) idiom exactly: rank k
+    computed from the TOTAL row count (NULLs included), selection over
+    the NULL-free sorted values, NULL when k overruns them."""
+    import random
+
+    from news_categorization_big_data_spark.functions.ordered import (
+        grouped_order_stats,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(rng.randrange(50, 150)):
+            v = None if rng.random() < 0.2 else round(rng.uniform(0, 10), 2)
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
+    k_p95 = (((F.col("_n_tot") - 1) * 950) / 1000).cast("int") + 1
+    got = {
+        r.g: (r.med, r.p95)
+        for r in grouped_order_stats(
+            df, ["g"], F.col("v"), {"med": k_med, "p95": k_p95}
+        ).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        n = len(vs)
+        nn = sorted(x for x in vs if x is not None)
+        want_med = nn[int((n - 1) / 2 + 1) - 1] if int((n - 1) / 2 + 1) <= len(nn) else None
+        k95 = int((n - 1) * 950 / 1000) + 1
+        want_p95 = nn[k95 - 1] if k95 <= len(nn) else None
+        assert got[g] == (want_med, want_p95), (g, got[g], want_med, want_p95)
+
+
 def test_global_annotate_scalar_matches(spark, ranged):
     df = spark.createDataFrame([(i, i % 7) for i in range(100)], "k int, v int")
     out = global_annotate(df, {"mx": F.max(F.col("v")), "tot": F.sum(F.col("v"))})
