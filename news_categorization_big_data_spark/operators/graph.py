@@ -141,11 +141,17 @@ def connected_components(
                     id_type,
                 )
         # Distributed algorithm choice: ``spark.graft.cc.algorithm`` —
-        # "minlabel" (default; rounds = diameter, right for shallow LSH
-        # cluster graphs) or "star" (large-star/small-star, O(log² n)
-        # rounds — the planet-scale switch; output-identical, proven in
-        # tests/test_features_props.py).
-        algo = str(spark.conf.get("spark.graft.cc.algorithm", "minlabel"))
+        # "star" (default since round 7: large-star/small-star, O(log²
+        # n) rounds) or "minlabel" (rounds = diameter). The round-6
+        # default assumed min-label wins on shallow LSH cluster graphs;
+        # measured on exactly that graph (q_dedup_cluster) star is
+        # 1.6× faster at sf0.1 AND 1.8× at the sf1 decade (2.13→1.35 s,
+        # 12.8→7.0 s best-of-2 cold) — contraction beats propagation
+        # even at diameter ≈ 2 because each star round halves the edge
+        # list it rescans, while every min-label round re-joins the
+        # full edge set. Output-identical, proven in
+        # tests/test_features_props.py.
+        algo = str(spark.conf.get("spark.graft.cc.algorithm", "star"))
         if algo == "star":
             return connected_components_star(
                 pairs, src, dst, id_out, component_out, max_iter=max_iter

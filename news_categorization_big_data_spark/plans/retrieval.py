@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.ordered import running_sum
 from news_categorization_big_data_spark.functions.text_exprs import tokens
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -568,12 +569,20 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("double").alias("score_a"))
     )
     cand = scored.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w_a = Window.orderBy(F.desc("score_a"), F.asc("doc_id"))
-    w_b = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    ranked = cand.select(
+    # row_number == running COUNT under a total order ((score, doc_id)
+    # and (n_chars, doc_id) are unique), so both rank windows ride the
+    # spark.graft.window.ranged valve (functions/ordered.py) for the
+    # high-df-term case where the candidate set approaches corpus scale
+    ranked = running_sum(
+        cand, [F.desc("score_a"), F.asc("doc_id")], F.lit(1), "_ra"
+    )
+    ranked = running_sum(
+        ranked, [F.asc("n_chars"), F.asc("doc_id")], F.lit(1), "_rb"
+    )
+    ranked = ranked.select(
         "doc_id",
-        F.row_number().over(w_a).cast("int").alias("rank_a"),
-        F.row_number().over(w_b).cast("int").alias("rank_b"),
+        F.col("_ra").cast("int").alias("rank_a"),
+        F.col("_rb").cast("int").alias("rank_b"),
     )
     rrf = (
         F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_a").cast("double"))

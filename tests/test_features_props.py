@@ -433,6 +433,7 @@ def test_cc_algorithm_conf_switch(spark, sf_dir):
     )
     spark.conf.set("spark.graft.cc.localThreshold", "0")
     try:
+        spark.conf.set("spark.graft.cc.algorithm", "minlabel")
         base = {(r["doc_id"], r["component"]) for r in connected_components(df).collect()}
         spark.conf.set("spark.graft.cc.algorithm", "star")
         star = {(r["doc_id"], r["component"]) for r in connected_components(df).collect()}

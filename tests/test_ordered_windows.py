@@ -128,6 +128,7 @@ QUERIES = {
     "q_survival_hazard": "lifetime",
     "q_skew_profile": "cnt",
     "q_rfm_segments": "monetary",
+    "q_rrf_fusion": "score_a",
 }
 
 
