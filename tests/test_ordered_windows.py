@@ -69,6 +69,26 @@ def test_lag_over_stitches_partition_boundaries(spark, ranged):
         assert got[b] == a, (b, got[b], a)
 
 
+def test_ml_auc_never_sorts_fact_rows(spark, sf_dir):
+    """The round-7 q_ml_auc rewrite: facts collapse onto the distinct-
+    score table BEFORE any ordered window — the plan must show the
+    events scan feeding a hash aggregate, a single running-sum window
+    (no rank/tie-count pair), and no window directly over the scan."""
+    plan = (
+        REGISTRY["q_ml_auc"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rank(" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    # the window's input is the aggregated score table: a partial_count
+    # must appear BELOW (after, in toString order) the window node
+    w_pos = plan.index("Window [")
+    assert "partial_count" in plan[w_pos:], plan
+
+
 def test_grouped_order_stats_matches_sorted_index(spark):
     """grouped_order_stats must reproduce the
     element_at(array_sort(collect_list(v)), k) idiom exactly: rank k
