@@ -34,6 +34,20 @@ The tail (positions 51+) holds queries with official rows from rounds
 runnable, and pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
+
+Round-8 window plan (for the next session): with every query
+officially stamped after round 7, the window becomes pure re-proofs.
+Priority: (a) queries whose plans changed in round 7 OUTSIDE the
+round-7 window — q_ml_auc (distinct-score rewrite), q_mad_outliers /
+q_winsorize (grouped_order_stats), q_rrf_fusion (running-count
+ranks), q_peak_concurrency / q_gini_spend / q_sequence_gaps /
+q_lift_bands / q_skyline / q_rfm_segments (ranged-valve refactor,
+default plans near-identical), and the LSH-oracle-touched
+q_component_sizes / q_graph_degree_dist / q_minhash_jaccard_est plus
+CC consumers now running star by default; (b) the 3 standing
+canaries; (c) back-fill with the oldest official rows (r1 scalar/
+relational tier). Keep ROTATION_PENDING for anything newly
+registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
