@@ -278,6 +278,41 @@ def test_simhash_hamming_banding_lossless(spark, sketches, d):
     assert got == brute
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_simhash_hamming_wide_sketch_lossless(spark, sketches, d):
+    """The documented crawl-scale configuration (Manku-style wide
+    sketch / 4 blocks, here 60-bit — the BIGINT-hex-parse ceiling of
+    hash_bits): pigeonhole banding must stay lossless at radius ≤ 3
+    with 15-bit blocks, duplicates and boundary distances included."""
+    from news_categorization_big_data_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, s) for i, s in enumerate(sketches)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(
+            df, max_distance=d, bits=60, bands=4
+        ).collect()
+    }
+    brute = {
+        (rows[i][0], rows[j][0]): bin(rows[i][1] ^ rows[j][1]).count("1")
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if bin(rows[i][1] ^ rows[j][1]).count("1") <= d
+    }
+    assert got == brute
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(
