@@ -38,7 +38,10 @@ the window and that every row-less query is window-covered.
 Round-8 window plan (for the next session): with every query
 officially stamped after round 7, the window becomes pure re-proofs.
 Priority: (a) queries whose plans changed in round 7 OUTSIDE the
-round-7 window — q_ml_auc (distinct-score rewrite), q_mad_outliers /
+round-7 window — the four MLlib queries upgraded from rows-only to
+semi-oracles (q_ml_classify / q_ml_kmeans / q_sim_ann_lsh /
+q_dedup_mllib_lsh — after round 7 NO registered query is rows-only),
+q_ml_auc (distinct-score rewrite), q_mad_outliers /
 q_winsorize (grouped_order_stats), q_rrf_fusion (running-count
 ranks), q_peak_concurrency / q_gini_spend / q_sequence_gaps /
 q_lift_bands / q_skyline / q_rfm_segments (ranged-valve refactor,

@@ -43,48 +43,111 @@ def _kw_entries_sql(toks_col: str) -> str:
     )
 
 
+#: Train-accuracy floor for the q_ml_classify semi-oracle: measured
+#: 0.468 at sf0.01 (chance ≈ 1/#langs ≈ 0.2); 0.30 leaves a wide
+#: margin over both chance and last-ulp LBFGS wobble while still
+#: failing on a broken pipeline (untrained model ≈ majority share).
+CLF_ACC_FLOOR = 0.30
+
+
 @register(
     "q_ml_classify",
-    oracle=None,  # model internals are engine-specific → rows-only check
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS acc_ok
+    FROM documents
+    """,
     tier="C",
     doc="MLlib classification pipeline (RegexTokenizer → HashingTF → IDF → "
     "LogisticRegression), the engine-native replacement for the "
     "reference's zero-shot model (news_categorization_streaming.py:59-112)."
-    " Trained on documents labeled by lang; output preserves the "
-    "(id, category, confidence) contract with ('unknown', 0.0) fallbacks.",
+    " Trained on documents labeled by lang; predictions keep the "
+    "(id, category, confidence) contract with ('unknown', 0.0) "
+    "fallbacks. SEMI-ORACLE (round-7 upgrade from rows-only): model "
+    "coefficients are engine-internal, so the driver-hashed output is "
+    "the exact doc count plus a boolean pinning train accuracy ≥ "
+    f"{CLF_ACC_FLOOR} (measured 0.468 at sf0.01, chance ≈ 0.2) — a "
+    "broken pipeline fails the hash; per-row predictions remain "
+    "available from clf.classify for production use.",
 )
 def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = clf.fit(docs, text_col="text", label_col="lang")
-    return clf.classify(model, docs, id_col="doc_id", text_col="text")
+    pred = clf.classify(model, docs, id_col="doc_id", text_col="text")
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.avg((F.col("category") == F.col("lang")).cast("int"))
+            >= F.lit(CLF_ACC_FLOOR)
+        ).alias("acc_ok"),
+    )
 
 
 @register(
     "q_ml_kmeans",
-    oracle=None,  # iterative Lloyd fit is engine-specific → rows-only check
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS k_ok,
+           TRUE AS fitted_beats_fixed_init
+    FROM embeddings
+    """,
     tier="C",
     doc="MLlib KMeans over the embeddings table (k=8, fixed seed): the "
     "clustering estimator that builds a REAL IVF index at scale — "
     "q_sim_ann_ivf's deterministic first-8-vectors centroids are the "
     "oracle-checkable stand-in; production replaces them with these "
     "fitted centroids (fit on a sample, broadcast, assign map-side). "
-    "Output (vec_id, cluster, n_in_cluster); structural properties "
-    "(cluster count, nearest-centroid consistency, seed determinism) "
-    "asserted in tests/test_curation.py.",
+    "SEMI-ORACLE (round-7 upgrade from rows-only): Lloyd's fit is "
+    "engine-internal, so the driver-hashed output is the exact vector "
+    "count plus two booleans the oracle pins TRUE — all 8 clusters "
+    "used, and the fitted objective (trainingCost) BEATS the WSS of "
+    "the deterministic first-8-vectors centroids (measured 463 vs 811 "
+    "at sf0.01 — a degenerate fit fails the hash). The fixed-init WSS "
+    "is computed distributed: 8 literal centers, per-vector least "
+    "squared distance via array zip_with, one aggregate. Per-vector "
+    "assignments remain available from model.transform for "
+    "production; structural properties also in tests/test_curation.py.",
 )
 def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = raw.select(
+        "vec_id", array_to_vector(F.col("e")).alias("features")
     )
     model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cluster").fit(emb)
-    assigned = model.transform(emb).select("vec_id", "cluster")
-    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_in_cluster"))
-    return assigned.join(F.broadcast(sizes), "cluster").select(
-        "vec_id", "cluster", "n_in_cluster"
+    fitted_wss = float(model.summary.trainingCost)
+    first8 = [r.e for r in raw.orderBy("vec_id").limit(8).collect()]
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in first8
+    ]
+    per_vec = raw.select("vec_id", F.least(*dists).alias("_d"))
+    assigned = model.transform(emb).select("cluster")
+    k_found = assigned.agg(F.countDistinct("cluster").alias("_k"))
+    return (
+        per_vec.agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("_d").alias("_fixed_wss"),
+        )
+        .crossJoin(F.broadcast(k_found))
+        .select(
+            "n_vectors",
+            (F.col("_k") == 8).alias("k_ok"),
+            (F.lit(fitted_wss) <= F.col("_fixed_wss")).alias(
+                "fitted_beats_fixed_init"
+            ),
+        )
     )
 
 

@@ -160,17 +160,43 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
+def _kmeans_assignments(spark, sf_dir):
+    """The per-vector assignment surface the registered q_ml_kmeans
+    semi-oracle summarizes (same estimator, params, and seed)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=8, seed=42, featuresCol="features", predictionCol="cluster"
+    ).fit(emb)
+    return model.transform(emb).select("vec_id", "cluster").collect()
+
+
 def test_kmeans_structural_properties(spark, sf_dir):
     """Labels in the synthetic embeddings are not separable, so the
     check is structural: every vector assigned, k clusters used, each
     point's cluster is its nearest fitted centroid, and the fit is
-    seed-deterministic."""
+    seed-deterministic. The registered query now emits the semi-oracle
+    summary (exact count + pinned booleans); the per-vector surface is
+    checked through the same estimator."""
     import numpy as np
 
     from news_categorization_big_data_spark.plans import REGISTRY
     from news_categorization_big_data_spark.sources.tables import load_table
 
-    out = REGISTRY["q_ml_kmeans"].builder(spark, sf_dir).collect()
+    summary = REGISTRY["q_ml_kmeans"].builder(spark, sf_dir).collect()
+    assert len(summary) == 1
+    s = summary[0]
+    assert s.k_ok is True and s.fitted_beats_fixed_init is True, s
+
+    out = _kmeans_assignments(spark, sf_dir)
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype="float64")
         for r in load_table(spark, sf_dir, "embeddings").collect()
@@ -195,7 +221,7 @@ def test_kmeans_structural_properties(spark, sf_dir):
     # tolerate a convergence-tolerance sliver, not systematic error
     assert mismatched <= max(2, len(out) // 100), mismatched
 
-    again = REGISTRY["q_ml_kmeans"].builder(spark, sf_dir).collect()
+    again = _kmeans_assignments(spark, sf_dir)
     assert {(r["vec_id"], r["cluster"]) for r in again} == {
         (r["vec_id"], r["cluster"]) for r in out
     }

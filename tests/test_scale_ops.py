@@ -97,12 +97,12 @@ def test_lsh_production_parameterization(spark, sf_dir):
 
 
 def test_mllib_lsh_agrees_on_planted_dups(spark, sf_dir):
+    """The registered semi-oracle output: one row per EXACT jaccard≥0.8
+    pair, every one flagged as recalled by the MLlib similarity join."""
     truth = {(r.doc_a, r.doc_b) for r in jaccard_pairs(_docs(spark, sf_dir), 0.8).collect()}
-    mllib = {
-        (r.doc_a, r.doc_b)
-        for r in REGISTRY["q_dedup_mllib_lsh"].builder(spark, sf_dir).collect()
-    }
-    assert truth <= mllib
+    rows = REGISTRY["q_dedup_mllib_lsh"].builder(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == truth
+    assert all(r.mllib_recalled for r in rows), rows
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
