@@ -43,7 +43,7 @@ semi-oracles (q_ml_classify / q_ml_kmeans / q_sim_ann_lsh /
 q_dedup_mllib_lsh — after round 7 NO registered query is rows-only),
 q_ml_auc (distinct-score rewrite), q_mad_outliers /
 q_winsorize (grouped_order_stats), q_rrf_fusion (running-count
-ranks), q_peak_concurrency / q_gini_spend / q_sequence_gaps /
+ranks), q_dq_checks / q_funnel (single-scan report rewrites), q_peak_concurrency / q_gini_spend / q_sequence_gaps /
 q_lift_bands / q_skyline / q_rfm_segments (ranged-valve refactor,
 default plans near-identical), and the LSH-oracle-touched
 q_component_sizes / q_graph_degree_dist / q_minhash_jaccard_est plus

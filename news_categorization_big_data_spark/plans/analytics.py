@@ -125,33 +125,66 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all three stages hash-partition on the SAME key, so under AQE the "
     "stage joins reuse the child partitioning instead of re-shuffling "
     "(ensured-requirements alignment), and the final counts are "
-    "scalars. No window over the full event stream: the funnel never "
-    "sorts events, it only takes mins.",
+    "scalars. Round-7 rewrite: the three stages are SEQUENTIAL "
+    "conditional mins over the SAME user partitioning, so they run as "
+    "three stacked full-partition windows over ONE user_id exchange — "
+    "the previous join-chain form re-evaluated each stage's subtree "
+    "per report row (measured 6 parquet scans for a 3-row report; "
+    "this form scans events once, and the per-user collapse reuses "
+    "the window exchange). The 3 report rows explode from the single "
+    "aggregate row (the q_dq_checks pattern). No sort anywhere: "
+    "unordered windows and mins only.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
-        cur = ev.where(F.col("event_type") == etype)
-        if prev is not None:
-            cur = cur.join(prev, "user_id").where(F.col("ts") >= F.col("_t"))
-        return cur.groupBy("user_id").agg(F.min("ts").alias("_t"))
-
-    s1 = stage(None, FUNNEL_STAGES[0])
-    s2 = stage(s1, FUNNEL_STAGES[1])
-    s3 = stage(s2, FUNNEL_STAGES[2])
-    rows = [
-        s.agg(F.count("*").alias("n_users")).select(
-            F.lit(i + 1).alias("stage"),
-            F.lit(etype).alias("event_type"),
-            "n_users",
-        )
-        for i, (s, etype) in enumerate(zip((s1, s2, s3), FUNNEL_STAGES))
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "_t1",
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+        ).over(w),
+    )
+    d = d.withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1])
+                & (F.col("ts") >= F.col("_t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "_t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2])
+                & (F.col("ts") >= F.col("_t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("_t1").alias("_t1"),
+        F.max("_t2").alias("_t2"),
+        F.max("_t3").alias("_t3"),
+    )
+    counts = per_user.agg(
+        F.count("_t1").alias("n1"),
+        F.count("_t2").alias("n2"),
+        F.count("_t3").alias("n3"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(etype).alias("event_type"),
+                F.col(f"n{i + 1}").alias("n_users"),
+            )
+            for i, etype in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 @register(

@@ -45,12 +45,20 @@ def test_sessionize_single_exchange(spark, sf_dir):
     assert "Window" in plan, plan
 
 
-def test_funnel_no_window_no_cartesian(spark, sf_dir):
-    """The funnel is min-aggregates + user_id equi-joins — never a
-    sort-the-event-stream window, never a cross join."""
+def test_funnel_single_scan_single_exchange(spark, sf_dir):
+    """Round-7 shape: three UNORDERED full-partition windows stacked
+    over one user_id exchange — events scanned once, never sorted, no
+    cross join, and the per-user collapse reuses the window's
+    partitioning (no second hash exchange on user_id)."""
     plan = _plan(REGISTRY["q_funnel"].builder(spark, sf_dir))
-    assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    # unordered windows: no sort order inside any window spec
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "ASC" not in spec and "DESC" not in spec, spec
 
 
 def test_retention_cohort_reuses_user_partitioning(spark, sf_dir):
