@@ -85,6 +85,14 @@ def running_agg(
     NULL locally and the previous partitions' INCLUSIVE aggregate as
     its offset, which is exactly the global exclusive frame.
     """
+    # The ranged combine below dispatches on fn.__name__; anything it
+    # doesn't know (F.count, F.avg, ...) would silently corrupt output
+    # in ranged mode, so reject it up front in BOTH modes — the two
+    # plans must stay output-identical for every accepted aggregate.
+    if fn.__name__ not in {"sum", "max", "min"}:
+        raise ValueError(
+            f"running_agg supports F.sum/F.max/F.min, got {fn.__name__!r}"
+        )
     frame_end = -1 if exclusive else Window.currentRow
     if not use_ranged(df):
         w = Window.orderBy(*order_cols).rowsBetween(
@@ -118,7 +126,7 @@ def running_agg(
             .when(off.isNull(), lo)
             .otherwise(lo + off)
         )
-    else:  # max / min: greatest/least ignore NULLs only via coalesce
+    else:  # max / min (validated above): NULL-absorbing pair combine
         pair = F.greatest(lo, off) if name == "max" else F.least(lo, off)
         comb = F.when(lo.isNull(), off).when(off.isNull(), lo).otherwise(pair)
     return d.withColumn(out, comb).drop(_PID, _LOCAL, _OFF)
@@ -207,7 +215,11 @@ def grouped_order_stats(
     w = Window.partitionBy(*keys).orderBy("_v")
     cum = vals.withColumn("_cum", F.sum("_vc").over(w))
     tot = df.groupBy(*keys).agg(F.count("*").alias("_n_tot"))
-    j = cum.join(tot, keys)
+    # tot drives: a group whose values are ALL NULL has no vals rows,
+    # and must still surface with NULL order stats (the collect_list /
+    # element_at idiom this replaces emitted it; an inner join would
+    # silently drop it and diverge from the SQL oracle).
+    j = tot.join(cum, keys, "left")
     return j.groupBy(*keys).agg(
         *[
             F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias(name)

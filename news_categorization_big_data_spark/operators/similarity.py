@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_categorization_big_data_spark.functions.partitioning import fan_out
+from news_categorization_big_data_spark.operators.dedup import LSH_MAX_DF, banded_pairs
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -136,23 +137,17 @@ def srp_candidate_pairs(
     id_col: str = "vec_id",
     bits: int = SRP_BITS,
     bands: int = SRP_BANDS,
-    max_df: int | None = None,
+    max_df: int | None = LSH_MAX_DF,
 ) -> DataFrame:
     """Banded SRP candidate pairs (id_a, id_b): all bits of ≥1 band agree.
 
     Same linear-shuffle shape as the MinHash LSH in operators/dedup.py:
     explode to (band_idx, band_key), group into buckets, emit pairs
     inside buckets only — no pairwise work outside hash buckets.
-    ``max_df`` forwards to banded_pairs' bucket skew cap; None resolves
-    to the shared LSH_MAX_DF default (operators/dedup.py).
+    ``max_df`` forwards to banded_pairs' bucket skew cap; the default is
+    the shared LSH_MAX_DF, and ``None`` means UNCAPPED — the same
+    semantics as lsh_candidate_pairs and simhash_hamming_pairs.
     """
-    from news_categorization_big_data_spark.operators.dedup import (
-        LSH_MAX_DF,
-        banded_pairs,
-    )
-
-    if max_df is None:
-        max_df = LSH_MAX_DF
     rows = bits // bands
     band_keys = [
         F.concat_ws(

@@ -6,50 +6,53 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-Round-7 window composition, in priority order:
+After round 7 every registered query has an official driver row, so the
+round-8 window is PURE RE-PROOFS, composed in priority order:
 
-1. The 35 queries registered during round 6 (last round's
-   ROTATION_PENDING — the user-journey / refinement / retrieval /
-   experimentation / survival tiers), rotated in for their first
-   official row. After these go green, EVERY registered query has an
-   official driver row at least once.
+1. The 20 queries whose plan or oracle changed during round 7 AFTER the
+   round-7 window had frozen (their stamps predate the current code):
+   - the four MLlib queries upgraded from rows-only to SEMI-ORACLES in
+     commit aad7e20 — q_ml_classify / q_ml_kmeans / q_sim_ann_lsh /
+     q_dedup_mllib_lsh — getting their first-ever real driver hash
+     (q_sim_ann_lsh additionally re-pinned this round: exact
+     n_returned=10 → bounded returned_ok boolean, ADVICE round 7);
+   - q_ml_auc (distinct-score no-fact-sort rewrite);
+   - q_mad_outliers / q_winsorize (grouped_order_stats cumulative-count
+     form, plus this round's all-NULL-group left-join fix);
+   - q_rrf_fusion (running-count ranks);
+   - q_dq_checks / q_funnel (single-scan report rewrites);
+   - q_peak_concurrency / q_gini_spend / q_sequence_gaps / q_lift_bands
+     / q_skyline / q_rfm_segments (ranged-valve refactor — default
+     plans stamped here; the valve-on variants are proven
+     output-identical by tests/test_ordered_windows.py and stamped
+     against the oracle by tools/driver_sim.py runs with
+     spark.graft.window.ranged=true, recorded in SCALE.md);
+   - q_component_sizes / q_graph_degree_dist / q_minhash_jaccard_est
+     (LSH-oracle-touched) and q_dedup_keep_best (the one CC consumer
+     running large-star/small-star by default whose stamp predates the
+     star default — q_dedup_cluster/q_split_leakproof were stamped r7
+     with star already on).
 2. The 3 standing single-op canaries: q_group_stats, q_scan_json,
-   q_udf_scalar.
-3. 12 high-value re-proofs filling the window exactly:
-   - plan-or-oracle changed since their last official row —
-     q_rolling_corr (exact-moment rewrite of the quantized rolling
-     correlation), q_pipeline_curate / q_curation_funnel /
-     q_dedup_near / q_dedup_cluster / q_dedup_minhash /
-     q_dedup_embedding (LSH_MAX_DF band-bucket skew cap wired through
-     banded_pairs and mirrored in every LSH/SRP oracle);
-   - the three sketch queries upgraded this round from rows-only to
-     SEMI-ORACLES (exact value + in-bound boolean both engines hash) —
-     q_group_approx / q_hll_distinct / q_quantile_sketch;
-   - oldest-row TPC-H representative + headline exact dedup —
-     q_tpch_q1 (r2), q_dedup_exact (r5). (q_tpch_q3/q5/q18 keep their
-     r2/r3 rows; local oracle parity re-proves them every round.)
+   q_udf_scalar (anchor cross-round comparability; keep in EVERY
+   window).
+3. 27 oldest-stamp back-fills, all pass(r1): the join family, scans,
+   grouping, windows, sets, sort/offset, as-of, the four streaming
+   batch-analogs, and q_text_tokens.
 
-The tail (positions 51+) holds queries with official rows from rounds
-1-6, prior relative order preserved. Tail queries remain registered,
-runnable, and pytest/driver_sim-verified every round.
+The tail (positions 51+) holds queries with newer official rows, prior
+relative order preserved. Tail queries remain registered, runnable, and
+pytest/driver_sim-verified every round.
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 
-Round-8 window plan (for the next session): with every query
-officially stamped after round 7, the window becomes pure re-proofs.
-Priority: (a) queries whose plans changed in round 7 OUTSIDE the
-round-7 window — the four MLlib queries upgraded from rows-only to
-semi-oracles (q_ml_classify / q_ml_kmeans / q_sim_ann_lsh /
-q_dedup_mllib_lsh — after round 7 NO registered query is rows-only),
-q_ml_auc (distinct-score rewrite), q_mad_outliers /
-q_winsorize (grouped_order_stats), q_rrf_fusion (running-count
-ranks), q_dq_checks / q_funnel (single-scan report rewrites), q_peak_concurrency / q_gini_spend / q_sequence_gaps /
-q_lift_bands / q_skyline / q_rfm_segments (ranged-valve refactor,
-default plans near-identical), and the LSH-oracle-touched
-q_component_sizes / q_graph_degree_dist / q_minhash_jaccard_est plus
-CC consumers now running star by default; (b) the 3 standing
-canaries; (c) back-fill with the oldest official rows (r1 scalar/
-relational tier). Keep ROTATION_PENDING for anything newly
+Round-9 window plan (for the next session): (a) any plan/oracle
+changed during round 8 after this window froze; (b) the 3 standing
+canaries; (c) back-fill with the remaining 18 pass(r1) scalar-tier
+queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
+q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
+q_membership q_project_cast q_project_compute q_str_case q_str_concat
+q_str_slice q_str_split_len q_str_trim_empty q_text_clean), then the
+oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
 registered.
 """
 
@@ -89,9 +92,65 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-7 WINDOW (first 50 = the driver's correctness window) ----
-    # -- first official row: the 35 queries registered after the round-6
-    # window froze (last round's ROTATION_PENDING).
+    # ---- ROUND-8 WINDOW (first 50 = the driver's correctness window) ----
+    # -- re-proofs: the 20 plans/oracles changed after the round-7
+    # window froze (see module docstring for the per-query reasons).
+    "q_ml_classify",
+    "q_ml_kmeans",
+    "q_sim_ann_lsh",
+    "q_dedup_mllib_lsh",
+    "q_ml_auc",
+    "q_mad_outliers",
+    "q_winsorize",
+    "q_rrf_fusion",
+    "q_dq_checks",
+    "q_funnel",
+    "q_peak_concurrency",
+    "q_gini_spend",
+    "q_sequence_gaps",
+    "q_lift_bands",
+    "q_skyline",
+    "q_rfm_segments",
+    "q_component_sizes",
+    "q_graph_degree_dist",
+    "q_minhash_jaccard_est",
+    "q_dedup_keep_best",
+    # -- standing single-op regression canaries.
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    # -- oldest-stamp back-fill: pass(r1) joins/scans/groups/windows/
+    # sets/streaming batch-analogs re-proven on current code.
+    "q_scan_parquet",
+    "q_scan_range_pred",
+    "q_join_inner_equi",
+    "q_join_broadcast",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_theta_range",
+    "q_group_counts",
+    "q_group_collect",
+    "q_grouping_sets",
+    "q_window_rank",
+    "q_window_lag",
+    "q_window_frame",
+    "q_topk_per_group",
+    "q_sort_limit",
+    "q_offset_skip",
+    "q_set_union",
+    "q_set_except",
+    "q_set_intersect",
+    "q_asof_join",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_dedup",
+    "q_text_tokens",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: official rows from rounds 1-7, prior relative order
+    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_sample_reservoir",
     "q_token_rarity",
     "q_union_by_name",
@@ -127,14 +186,6 @@ _DRIVER_ORDER = [
     "q_experiment_readout",
     "q_embedding_dim_stats",
     "q_survival_hazard",
-    # -- standing single-op regression canaries.
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    # -- re-proofs: plans/oracles changed this round (rolling-corr exact
-    # moments; LSH_MAX_DF skew cap through the banded-LSH family; the
-    # three rows-only->semi-oracle sketch upgrades) plus the oldest-row
-    # TPC-H representative and the headline exact dedup.
     "q_rolling_corr",
     "q_pipeline_curate",
     "q_curation_funnel",
@@ -147,9 +198,6 @@ _DRIVER_ORDER = [
     "q_group_approx",
     "q_hll_distinct",
     "q_quantile_sketch",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: official rows from rounds 1-6, prior relative order
-    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_sql_recursive",
     "q_bloom_join",
     "q_cdc_apply",
@@ -160,7 +208,6 @@ _DRIVER_ORDER = [
     "q_weighted_median",
     "q_rolling_median",
     "q_snapshot_diff",
-    "q_sequence_gaps",
     "q_date_arith",
     "q_null_semantics",
     "q_audio_decode",
@@ -172,31 +219,23 @@ _DRIVER_ORDER = [
     "q_graph_kcore",
     "q_scan_evolved",
     "q_udtf_table_arg",
-    "q_ml_auc",
     "q_ml_eval",
     "q_target_encode",
-    "q_lift_bands",
     "q_graph_bfs",
     "q_tfidf_pairs",
     "q_corr_matrix",
     "q_benford_digits",
     "q_alloc_budget",
     "q_salted_agg",
-    "q_rrf_fusion",
     "q_attrib_channel",
     "q_table_checksum",
     "q_k_anonymity",
-    "q_rfm_segments",
-    "q_peak_concurrency",
     "q_ann_recall",
     "q_anova_f",
-    "q_gini_spend",
     "q_calibration_ece",
     "q_seq_cooccur",
     "q_dedup_ngram_jaccard",
     "q_bitmap_distinct",
-    "q_mad_outliers",
-    "q_winsorize",
     "q_scan_zorder",
     "q_regex_extract",
     "q_collocations",
@@ -210,8 +249,6 @@ _DRIVER_ORDER = [
     "q_tpch_q18",
     "q_udaf_grouped",
     "q_multimodal_decode",
-    "q_graph_degree_dist",
-    "q_minhash_jaccard_est",
     "q_sliding_distinct",
     "q_cusum_changepoint",
     "q_scd2_intervals",
@@ -224,8 +261,6 @@ _DRIVER_ORDER = [
     "q_event_trigrams",
     "q_tokenizer_fertility",
     "q_conversion_latency",
-    "q_component_sizes",
-    "q_dq_checks",
     "q_orphan_refs",
     "q_ab_ttest",
     "q_equidepth_histogram",
@@ -237,8 +272,6 @@ _DRIVER_ORDER = [
     "q_sim_ann_ivf",
     "q_dedup_simhash",
     "q_tpch_q6",
-    "q_topk_per_group",
-    "q_grouping_sets",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
@@ -266,7 +299,6 @@ _DRIVER_ORDER = [
     "q_tpch_q21",
     "q_group_mode",
     "q_window_nth",
-    "q_skyline",
     "q_resample_ohlc",
     "q_dedup_passage",
     "q_sample_weighted",
@@ -285,7 +317,6 @@ _DRIVER_ORDER = [
     "q_grouped_moments",
     "q_dedup_containment",
     "q_sessionize",
-    "q_funnel",
     "q_retention_cohort",
     "q_decay_agg",
     "q_window_time_range",
@@ -307,7 +338,6 @@ _DRIVER_ORDER = [
     "q_sql_correlated",
     "q_bpe_pair_counts",
     "q_doc_commonness",
-    "q_dedup_keep_best",
     "q_cube",
     "q_value_histogram",
     "q_zscore_outliers",
@@ -335,37 +365,11 @@ _DRIVER_ORDER = [
     "q_window_distribution",
     "q_array_hof",
     "q_scan_csv",
-    "q_dedup_mllib_lsh",
-    "q_sim_ann_lsh",
-    "q_ml_classify",
-    "q_ml_kmeans",
-    "q_join_multiway",
-    "q_scan_parquet",
-    "q_window_rank",
-    "q_scan_range_pred",
     "q_project_cast",
     "q_filter_null_guard",
     "q_field_defaults",
-    "q_join_inner_equi",
-    "q_join_broadcast",
-    "q_join_left_outer",
-    "q_join_theta_range",
-    "q_group_collect",
-    "q_window_frame",
-    "q_sort_limit",
-    "q_set_except",
-    "q_stream_tumbling",
-    "q_asof_join",
-    "q_join_semi",
-    "q_join_anti",
-    "q_stream_watermark",
-    "q_set_union",
     "q_filter_neq",
     "q_project_compute",
-    "q_offset_skip",
-    "q_group_counts",
-    "q_window_lag",
-    "q_set_intersect",
     "q_str_concat",
     "q_str_case",
     "q_str_slice",
@@ -378,10 +382,7 @@ _DRIVER_ORDER = [
     "q_math_arith",
     "q_map_lookup",
     "q_membership",
-    "q_stream_sliding",
-    "q_stream_dedup",
     "q_text_clean",
-    "q_text_tokens",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -398,9 +399,9 @@ REGISTRY.clear()
 REGISTRY.update(_reordered)
 
 #: Queries registered AFTER the current round's window froze. Every
-#: round-6 pending query rotated into the round-7 window above, so the
-#: set is empty; new queries registered during round 7 that cannot fit
-#: the already-committed window go here for the round-8 rotation.
+#: registered query has an official row from rounds 1-7, so the set is
+#: empty; new queries registered during round 8 that cannot fit the
+#: already-committed window go here for the round-9 rotation.
 #: tests/test_driver_contract.py allows exactly this set to sit outside
 #: the window row-less.
 ROTATION_PENDING: frozenset[str] = frozenset()

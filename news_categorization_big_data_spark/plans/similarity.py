@@ -229,17 +229,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_ann_lsh",
     oracle="""
-    SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS recall_ok
+    SELECT TRUE AS returned_ok, TRUE AS recall_ok
     """,
     tier="C",
     doc="Random-hyperplane ANN via MLlib BucketedRandomProjectionLSH: "
     "approxNearestNeighbors for the vec_id=0 query. SEMI-ORACLE "
     "(round-7 upgrade from rows-only): the hyperplanes are "
-    "Spark-internal, so the driver-hashed output is the returned "
-    "neighbor count plus a boolean pinning recall@10 ≥ 0.5 against "
-    "the EXACT brute-force L2 top-10 computed in the same plan "
-    "(measured 0.9 at sf0.01, seed 42) — a broken index fails the "
-    "hash. The neighbor list itself remains available from "
+    "Spark-internal, so the driver-hashed output is two booleans — "
+    "returned_ok pins 5 ≤ n_returned ≤ 10 (approxNearestNeighbors may "
+    "legitimately return fewer than k when hash buckets are sparse, so "
+    "an exact count would be brittle across scale factors and Spark "
+    "versions; a floor + ceiling still fails a broken index loudly) "
+    "and recall_ok pins recall@10 ≥ 0.5 against the EXACT brute-force "
+    "L2 top-10 computed in the same plan (measured 0.9 at sf0.01, "
+    "seed 42). The neighbor list itself remains available from "
     "approxNearestNeighbors for production.",
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,9 +281,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("_n_brute"),
             F.count("_hit").alias("_hits"),
         )
-        .crossJoin(F.broadcast(ann.agg(F.count("*").cast("long").alias("n_returned"))))
+        .crossJoin(F.broadcast(ann.agg(F.count("*").cast("long").alias("_n_ret"))))
         .select(
-            "n_returned",
+            ((F.col("_n_ret") >= 5) & (F.col("_n_ret") <= 10)).alias("returned_ok"),
             (F.col("_hits") * 2 >= F.col("_n_brute")).alias("recall_ok"),
         )
     )

@@ -815,8 +815,11 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
        already-tiny table.
     4. Exact moment sums via the q_corr_matrix LIMB-SPLIT trick:
        centered products accumulate as three int64 partial sums per
-       moment (hi*hi, hi*lo(+lo*hi), lo*lo) — order-free-exact like a
-       decimal aggregate at native long speed — and reassemble in
+       moment (hi*hi, hi*lo(+lo*hi), lo*lo) — order-free int64 sums at
+       native long speed (deterministic and exact up to one final
+       rounding: the hl partial can reach ~7*2^51 > 2^53, so its
+       int64->double cast may round ~1 ulp — identically on both
+       engines, since both use the same IEEE cast) — and reassemble in
        DOUBLE with the identical IEEE expression tree on both
        engines. (A DECIMAL(38) sum would be exact too, but DuckDB's
        int128->double cast double-rounds ~1% of 64+-bit values, so
@@ -910,12 +913,14 @@ ROLLCORR_DAYS = 7
 
 
 def _rc_limb_sums(v: str) -> str:
-    """SQL limb partial sums for a centered nano-unit column pair."""
+    """SQL limb partial sums for the centered nano-unit column pair
+    ``{v}x``/``{v}y`` (the caller's CTE names its columns dx/dy and
+    passes v='d')."""
     out = []
     for p, a, b in (
-        ("xx", "dx", "dx"),
-        ("yy", "dy", "dy"),
-        ("xy", "dx", "dy"),
+        ("xx", f"{v}x", f"{v}x"),
+        ("yy", f"{v}y", f"{v}y"),
+        ("xy", f"{v}x", f"{v}y"),
     ):
         hh = f"({a} >> {_RC_SHIFT}) * ({b} >> {_RC_SHIFT})"
         if p == "xy":

@@ -32,73 +32,46 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round7_priorities():
-    """The driver evaluates the first 50 insertion-order entries. The
-    round-7 window must hold: every round-6 ROTATION_PENDING query
-    (35 names, first official row), the 3 standing canaries, and the
-    12 re-proofs (plan-changed this round + oldest-row TPC-H core and
-    exact dedup) — after which EVERY registered query has an official
-    driver row at least once."""
+def test_registry_window_contains_round8_priorities():
+    """The driver evaluates the first 50 insertion-order entries. With
+    every registered query officially stamped after round 7, the
+    round-8 window is pure re-proofs: the 20 queries whose plan or
+    oracle changed after the round-7 window froze (MLlib semi-oracle
+    upgrades, grouped-order-stats rewrites, single-scan reports, the
+    ranged-valve refactor, LSH-oracle-touched graph queries, and the
+    star-CC consumer), the 3 standing canaries, and 27 oldest-stamp
+    pass(r1) back-fills."""
     window = list(REGISTRY)[:50]
-    round6_pending = [
-        "q_sample_reservoir",
-        "q_token_rarity",
-        "q_union_by_name",
-        "q_graph_jaccard_neighbors",
-        "q_compaction_bins",
-        "q_histogram2d",
-        "q_dedup_prefix",
-        "q_label_centroids",
-        "q_stream_trending",
-        "q_rank_normalize",
-        "q_char_classes",
-        "q_sink_pyds_roundtrip",
-        "q_video_frames",
-        "q_pq_search",
-        "q_grouped_auc",
-        "q_skew_profile",
-        "q_lsh_recall",
-        "q_split_leakproof",
-        "q_bigram_lm",
-        "q_sample_per_group",
-        "q_dedup_incremental",
-        "q_top_paths",
-        "q_doc_fluency",
-        "q_sample_wor",
-        "q_er_blocking",
-        "q_twap",
-        "q_inverted_index",
-        "q_ab_srm",
-        "q_scan_xml",
-        "q_bootstrap_ci",
-        "q_did_effect",
-        "q_cuped",
-        "q_experiment_readout",
-        "q_embedding_dim_stats",
-        "q_survival_hazard",
+    reproofs = [
+        "q_ml_classify",
+        "q_ml_kmeans",
+        "q_sim_ann_lsh",
+        "q_dedup_mllib_lsh",
+        "q_ml_auc",
+        "q_mad_outliers",
+        "q_winsorize",
+        "q_rrf_fusion",
+        "q_dq_checks",
+        "q_funnel",
+        "q_peak_concurrency",
+        "q_gini_spend",
+        "q_sequence_gaps",
+        "q_lift_bands",
+        "q_skyline",
+        "q_rfm_segments",
+        "q_component_sizes",
+        "q_graph_degree_dist",
+        "q_minhash_jaccard_est",
+        "q_dedup_keep_best",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    reproofs = [
-        "q_rolling_corr",
-        "q_pipeline_curate",
-        "q_curation_funnel",
-        "q_dedup_near",
-        "q_dedup_cluster",
-        "q_dedup_minhash",
-        "q_dedup_embedding",
-        "q_dedup_exact",
-        "q_tpch_q1",
-        "q_group_approx",
-        "q_hll_distinct",
-        "q_quantile_sketch",
-    ]
-    assert len(round6_pending) == 35
-    for name in round6_pending + canaries + reproofs:
+    assert len(reproofs) == 20
+    for name in reproofs + canaries:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-6
+    """Every query without an official CORRECTNESS row from rounds 1-7
     (i.e. anything registered this round) must sit inside the 50-entry
     window — or be explicitly declared ROTATION_PENDING (registered
     after the window's 50 slots were already committed)."""
@@ -116,6 +89,7 @@ def test_registry_window_covers_all_unofficial_queries():
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     ):
         with open(repo / rnd) as f:
             official |= set(json.load(f))

@@ -127,6 +127,38 @@ def test_grouped_order_stats_matches_sorted_index(spark):
         assert got[g] == (want_med, want_p95), (g, got[g], want_med, want_p95)
 
 
+def test_grouped_order_stats_keeps_all_null_groups(spark):
+    """A group whose values are ALL NULL must still surface, with NULL
+    order stats — the element_at(array_sort(collect_list(v)), k) idiom
+    this helper replaced emitted it (ADVICE round 7: an inner join on
+    the non-null value domain silently dropped the group)."""
+    from news_categorization_big_data_spark.functions.ordered import (
+        grouped_order_stats,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("nulls", None), ("nulls", None)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
+    got = {
+        r.g: r.med
+        for r in grouped_order_stats(
+            df, ["g"], F.col("v"), {"med": k_med}
+        ).collect()
+    }
+    assert got == {"a": 1.0, "nulls": None}
+
+
+def test_running_agg_rejects_unsupported_aggregate(spark):
+    """The ranged combine only knows sum/max/min; anything else must
+    fail fast in BOTH modes (the two plans have to stay
+    output-identical for every accepted aggregate), never corrupt."""
+    from news_categorization_big_data_spark.functions.ordered import running_agg
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(ValueError, match="running_agg supports"):
+        running_agg(df, ["k"], F.col("v"), "out", F.avg)
+
+
 def test_global_annotate_scalar_matches(spark, ranged):
     df = spark.createDataFrame([(i, i % 7) for i in range(100)], "k int, v int")
     out = global_annotate(df, {"mx": F.max(F.col("v")), "tot": F.sum(F.col("v"))})

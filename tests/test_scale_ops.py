@@ -270,6 +270,35 @@ def test_banded_pairs_skew_cap(spark):
     assert at_size == uncapped
 
 
+def test_srp_candidate_pairs_none_means_uncapped(spark):
+    """srp_candidate_pairs' max_df semantics must match the rest of the
+    LSH family (ADVICE round 7): the SIGNATURE default is LSH_MAX_DF,
+    and an explicit None means UNCAPPED — not silently re-resolved to
+    the default, which made the cap impossible to disable."""
+    import inspect
+
+    from news_categorization_big_data_spark.operators.dedup import LSH_MAX_DF
+    from news_categorization_big_data_spark.operators.similarity import (
+        srp_candidate_pairs,
+        srp_signature,
+    )
+
+    assert (
+        inspect.signature(srp_candidate_pairs).parameters["max_df"].default
+        is LSH_MAX_DF
+    )
+    # five identical vectors -> one 5-member bucket in every band
+    vec = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    sigs = srp_signature(emb)
+    n_all = 5 * 4 // 2
+    assert srp_candidate_pairs(sigs, max_df=None).count() == n_all
+    assert srp_candidate_pairs(sigs).count() == n_all  # 10k cap: no bind
+    assert srp_candidate_pairs(sigs, max_df=4).count() == 0  # cap binds
+
+
 def test_lsh_probe_pairs_skew_cap_consistency(spark, sf_dir):
     """lsh_probe_pairs' contract is output-equivalence with filtering
     lsh_candidate_pairs to probe-touching rows — that must keep holding

@@ -2,9 +2,15 @@
 (no args = every query). Identical fetch/canon/hash path to
 tools/driver_sim.py — fetchnumpy oracle rendering, column-name-sorted
 sha256 — but skips entry() smoke and lets you iterate on one query in
-seconds instead of re-running all of them."""
+seconds instead of re-running all of them.
+
+SPARK_GRAFT_SIM_CONF (optional): comma-separated k=v session confs set
+AFTER session creation — used to prove conf-gated alternate plans (the
+spark.graft.* valves) against the same oracles the driver hashes, e.g.
+`SPARK_GRAFT_SIM_CONF=spark.graft.window.ranged=true`."""
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -18,6 +24,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 spark = SparkSession.builder.master("local[8]").appName("subset-sim").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
+for kv in filter(None, os.environ.get("SPARK_GRAFT_SIM_CONF", "").split(",")):
+    k, _, v = kv.partition("=")
+    spark.conf.set(k.strip(), v.strip())
+    print(f"  [conf] {k.strip()}={v.strip()}", flush=True)
 
 import __spark_entry__ as entrymod
 
