@@ -50,6 +50,21 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Double-precision squared L2 distance of two float-array columns
+    — the exact-reference fold shared by the MLlib semi-oracles
+    (q_ml_kmeans fixed-init WSS, q_sim_ann_lsh brute-force top-k), kept
+    in ONE place so both semi-oracle reference computations stay the
+    same expression tree."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

@@ -111,26 +111,25 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from news_categorization_big_data_spark.operators.similarity import l2_sq
+    from news_categorization_big_data_spark.plans.similarity import IVF_N_CENTS
+
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     emb = raw.select(
         "vec_id", array_to_vector(F.col("e")).alias("features")
     )
-    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cluster").fit(emb)
+    model = KMeans(
+        k=IVF_N_CENTS, seed=42, featuresCol="features", predictionCol="cluster"
+    ).fit(emb)
     fitted_wss = float(model.summary.trainingCost)
-    first8 = [r.e for r in raw.orderBy("vec_id").limit(8).collect()]
+    # the fixed-init reference is q_sim_ann_ivf's deterministic
+    # geometry — same IVF_N_CENTS constant, same l2_sq fold
+    first_c = [r.e for r in raw.orderBy("vec_id").limit(IVF_N_CENTS).collect()]
     dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for c in first8
+        l2_sq(F.col("e"), F.array(*[F.lit(float(x)) for x in c]))
+        for c in first_c
     ]
     per_vec = raw.select("vec_id", F.least(*dists).alias("_d"))
     assigned = model.transform(emb).select("cluster")
@@ -143,7 +142,7 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(k_found))
         .select(
             "n_vectors",
-            (F.col("_k") == 8).alias("k_ok"),
+            (F.col("_k") == IVF_N_CENTS).alias("k_ok"),
             (F.lit(fitted_wss) <= F.col("_fixed_wss")).alias(
                 "fitted_beats_fixed_init"
             ),

@@ -20,6 +20,7 @@ from news_categorization_big_data_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
+    l2_sq,
     srp_signs,
 )
 from news_categorization_big_data_spark.plans.registry import register
@@ -35,6 +36,15 @@ def _o_dot(a: str, b: str) -> str:
 
 def _o_cos(a: str, b: str) -> str:
     return f"({_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
+
+
+#: The deterministic IVF geometry: the first N corpus vectors are the
+#: seed centroids. ONE source of truth for every consumer — the
+#: q_sim_ann_ivf plan AND oracle, q_ann_recall's evaluation geometry,
+#: and q_ml_kmeans' k / fixed-init reference WSS (plans/ml.py) — so a
+#: future geometry change cannot drift a plan apart from its oracle
+#: (VERDICT round 7 item 4).
+IVF_N_CENTS = 8
 
 
 @register(
@@ -108,7 +118,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_ann_ivf",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
-                  WHERE vec_id < 8),
+                  WHERE vec_id < {IVF_N_CENTS}),
     assigned AS (SELECT vec_id, cent_id FROM (
         SELECT e.vec_id, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
@@ -133,7 +143,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") < 8).select(
+    centroids = emb.where(F.col("vec_id") < IVF_N_CENTS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     assigned = assign_cells(emb, centroids)
@@ -264,11 +274,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(True))
     )
     kv = F.array(*[F.lit(float(x)) for x in key.toArray()])
-    l2 = F.aggregate(
-        F.zip_with(F.col("e"), kv, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    l2 = l2_sq(F.col("e"), kv)
     brute10 = (
         raw.where(F.col("vec_id") != 0)
         .select("vec_id", l2.alias("_d"))
@@ -397,10 +403,11 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: Recall@K evaluation: query points, ground-truth depth, and the IVF
-#: geometry (shared with q_sim_ann_ivf: first 8 vectors as centroids).
+#: geometry (the shared IVF_N_CENTS constant: first-N vectors as
+#: centroids, same geometry q_sim_ann_ivf searches).
 RECALL_QUERIES = (0, 1, 2)
 RECALL_K = 10
-RECALL_N_CENTS = 8
+RECALL_N_CENTS = IVF_N_CENTS
 
 
 @register(

@@ -340,6 +340,22 @@ def write_routed_fan_out(
     )
 
 
+def idempotent_batch_writer(out_dir: str):
+    """The per-batch write write_idempotent_parquet installs: each
+    micro-batch lands in ``out_dir/batch_id=<id>`` with mode=overwrite,
+    so a REPLAYED batch id (sink ran, query died before the checkpoint
+    commit — the reference's per-row-insert-inside-a-UDF failure mode,
+    quirk §2.11.4) overwrites its own directory instead of appending
+    duplicates. Exposed as a named factory so the failure-injection
+    test (tests/test_streaming.py) can wrap the REAL sink write with a
+    crash and prove the replay path end-to-end."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return write_batch
+
+
 def write_idempotent_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 1
 ):
@@ -351,12 +367,8 @@ def write_idempotent_parquet(
     checkpoint (fixes quirks §2.11.3-4). The batch-id partition column
     also gives consumers replay provenance.
     """
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-
     return (
-        stream.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")

@@ -340,6 +340,77 @@ def test_restart_from_stable_checkpoint_no_reprocess(spark, tmp_path):
     assert max(new_batches) > max(first_batches)
 
 
+def test_kill_midstream_replays_batch_exactly_once(spark, tmp_path):
+    """The reference's full topology under failure injection (VERDICT r7
+    item 5): source → from_json → native pre-filter → idempotent
+    foreachBatch sink. The sink WRITE lands, then the query is killed
+    BEFORE the checkpoint commit — the window where the reference's
+    per-row Mongo insert inside the UDF double-wrote on retry (quirk
+    §2.11.3-4). On restart from the stable checkpoint Spark REPLAYS the
+    same batch id; the batch-id-keyed overwrite must make the sink
+    contents exactly-once. An append-mode sink fails this test."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from news_categorization_big_data_spark.streaming.topology import (
+        idempotent_batch_writer,
+    )
+
+    src = str(tmp_path / "kill_src")
+    out = str(tmp_path / "kill_out")
+    ckpt = str(tmp_path / "kill_ckpt")
+    crash_marker = tmp_path / "crashed_once"
+    _write_jsonl(
+        src,
+        [
+            _payload("quake near coast", "environmental", "2024-01-01 09:00:00"),
+            _payload("match postponed", "sports", "2024-01-01 09:01:00"),
+        ],
+    )
+
+    real_write = idempotent_batch_writer(out)  # the PRODUCTION sink write
+
+    def crash_after_write(batch_df, batch_id):
+        real_write(batch_df, batch_id)
+        if not crash_marker.exists():
+            crash_marker.touch()
+            raise RuntimeError("injected: sink wrote, commit never happened")
+
+    def topology():
+        raw = read_message_stream(spark, source="json-files", path=src)
+        return classify_stream(parse_messages(raw), CATEGORIES)
+
+    q = (
+        topology()
+        .writeStream.foreachBatch(crash_after_write)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except StreamingQueryException:
+        pass  # the injected mid-stream death
+    finally:
+        q.stop()
+    assert crash_marker.exists(), "failure was never injected"
+    # the sink write DID land before the kill — this is the dangerous state
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    crashed_ids = {r.batch_id for r in first.select("batch_id").distinct().collect()}
+
+    # restart the SAME topology on the SAME checkpoint with the real sink
+    q2 = write_idempotent_parquet(topology(), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    # exactly-once: the replayed batch overwrote its own directory
+    assert sorted(r.content for r in rows) == ["match postponed", "quake near coast"]
+    # and it really was a REPLAY of the uncommitted batch id, not a new one
+    replay_ids = {r.batch_id for r in rows}
+    assert replay_ids == crashed_ids
+
+
 def test_foreachbatch_idempotent_replay(spark, tmp_path):
     """Re-running a batch id must not duplicate rows (overwrite-by-batch
     directory layout — the fix for quirk SURVEY.md §2.11.4)."""

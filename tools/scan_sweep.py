@@ -1,0 +1,76 @@
+"""Registry-wide executed-plan scan/exchange counter — the sweep that
+found the unionAll-of-report-rows amplifier in round 7 (q_dq_checks
+13 scans -> 3, q_funnel 6 -> 1; SCALE.md "Round 7 (late)"), committed
+as a tool so the audit is re-runnable instead of ad-hoc.
+
+For every registered query (or the names passed on argv), compile the
+executed plan at sf0.001 (planning only, nothing runs) and count
+`Scan parquet` sources and `Exchange SinglePartition` nodes. A report
+query re-evaluating a shared aggregate subtree per output row shows up
+as scans >> the number of distinct tables it reads — Spark does not
+common identical subplans, so each unionAll branch re-plans the whole
+subtree.
+
+Usage:
+    python tools/scan_sweep.py                      # whole registry
+    python tools/scan_sweep.py q_funnel q_dq_checks # specific queries
+    python tools/scan_sweep.py --min-scans 3        # only flag >= 3
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from news_categorization_big_data_spark.plans import REGISTRY
+    from news_categorization_big_data_spark.session import get_spark
+
+    argv = sys.argv[1:]
+    min_scans = 0
+    names = []
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--min-scans"):
+            if "=" in argv[i]:
+                min_scans = int(argv[i].split("=", 1)[1])
+            else:
+                i += 1
+                min_scans = int(argv[i])
+        else:
+            names.append(argv[i])
+        i += 1
+    names = names or list(REGISTRY)
+    spark = get_spark("scan-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in names:
+        try:
+            plan = (
+                REGISTRY[name]
+                .builder(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            scans = len(re.findall(r"Scan parquet", plan))
+            single = len(re.findall(r"Exchange SinglePartition", plan))
+            rows.append((name, scans, single, None))
+        except Exception as ex:  # streaming-only shapes etc.
+            rows.append((name, -1, -1, f"{type(ex).__name__}: {str(ex)[:80]}"))
+    rows.sort(key=lambda r: -r[1])
+    print(f"{'query':34s} {'scans':>5s} {'1-part-exch':>11s}")
+    for name, scans, single, err in rows:
+        if err:
+            print(f"{name:34s}   ERR {err}")
+        elif scans >= min_scans:
+            print(f"{name:34s} {scans:5d} {single:11d}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
