@@ -32,12 +32,18 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      running large-star/small-star by default whose stamp predates the
      star default — q_dedup_cluster/q_split_leakproof were stamped r7
      with star already on).
-2. The 3 standing single-op canaries: q_group_stats, q_scan_json,
+2. The 2 report queries rewritten single-scan LATER in round 8 (the
+   q_funnel discipline ported per VERDICT item 6): q_retention_cohort
+   (distinct-activity window cohort, join-free) and
+   q_growth_accounting (exploded two-way ledger contributions, the
+   double-consumed activity subtree gone) — rotated in so the changed
+   plans get their round-8 stamp.
+3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
    q_udf_scalar (anchor cross-round comparability; keep in EVERY
    window).
-3. 27 oldest-stamp back-fills, all pass(r1): the join family, scans,
-   grouping, windows, sets, sort/offset, as-of, the four streaming
-   batch-analogs, and q_text_tokens.
+4. 25 oldest-stamp back-fills, all pass(r1): the join family, scans,
+   grouping, windows, set-union, sort/offset, as-of, the four
+   streaming batch-analogs, and q_text_tokens.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -47,12 +53,12 @@ the window and that every row-less query is window-covered.
 
 Round-9 window plan (for the next session): (a) any plan/oracle
 changed during round 8 after this window froze; (b) the 3 standing
-canaries; (c) back-fill with the remaining 18 pass(r1) scalar-tier
+canaries; (c) back-fill with the remaining 20 pass(r1) scalar-tier
 queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
 q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
-q_membership q_project_cast q_project_compute q_str_case q_str_concat
-q_str_slice q_str_split_len q_str_trim_empty q_text_clean), then the
-oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
+q_membership q_project_cast q_project_compute q_set_except
+q_set_intersect q_str_case q_str_concat q_str_slice q_str_split_len
+q_str_trim_empty q_text_clean), then the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
 registered.
 """
 
@@ -115,6 +121,11 @@ _DRIVER_ORDER = [
     "q_graph_degree_dist",
     "q_minhash_jaccard_est",
     "q_dedup_keep_best",
+    # -- single-scan report rewrites landed later in round 8 (the
+    # q_funnel discipline ported per VERDICT item 6) — rotated in so
+    # the changed plans get their round-8 stamp.
+    "q_retention_cohort",
+    "q_growth_accounting",
     # -- standing single-op regression canaries.
     "q_group_stats",
     "q_scan_json",
@@ -140,8 +151,6 @@ _DRIVER_ORDER = [
     "q_sort_limit",
     "q_offset_skip",
     "q_set_union",
-    "q_set_except",
-    "q_set_intersect",
     "q_asof_join",
     "q_stream_tumbling",
     "q_stream_sliding",
@@ -317,7 +326,6 @@ _DRIVER_ORDER = [
     "q_grouped_moments",
     "q_dedup_containment",
     "q_sessionize",
-    "q_retention_cohort",
     "q_decay_agg",
     "q_window_time_range",
     "q_asof_forward",
@@ -383,6 +391,8 @@ _DRIVER_ORDER = [
     "q_map_lookup",
     "q_membership",
     "q_text_clean",
+    "q_set_except",
+    "q_set_intersect",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

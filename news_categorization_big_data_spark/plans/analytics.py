@@ -201,21 +201,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
     doc="Cohort retention matrix: users grouped by first-seen day, "
     "activity counted per (cohort, day offset) — the classic retention "
-    "triangle. Two aggregations on user_id-aligned partitioning (first-"
-    "seen min, then the join back) and one distinct-count shuffle on "
-    "the (cohort, offset) key. Day math is integer datediff; the cohort "
-    "renders as an ISO string so both engines hash the identical "
-    "value.",
+    "triangle. SINGLE-SCAN plan (round 8, the q_funnel discipline): "
+    "dedup to distinct (user, day) pairs — one map-side-combined "
+    "shuffle that collapses raw events onto the activity domain — "
+    "then min(day) over the user partition gives the cohort without a "
+    "join back (the old first-seen-agg + join shape re-scanned events "
+    "per consumer: 2 scans, and the full fact table crossed the join "
+    "shuffle). Within a (cohort, offset) group each user appears at "
+    "most once (distinct days → distinct offsets per user), so "
+    "COUNT(*) IS the distinct-user count — no count_distinct expand. "
+    "Day math is integer datediff; the cohort renders as an ISO "
+    "string so both engines hash the identical value.",
 )
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    w_u = Window.partitionBy("user_id")
     return (
-        ev.join(first, "user_id")
+        act.withColumn("cohort_day", F.min("d").over(w_u))
         .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n_users"))
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
             "day_offset",
@@ -1006,12 +1014,21 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day) or RESURRECTED (returning after a gap); CHURNED = yesterday's "
     "actives that did not retain (yesterday_active − retained — an "
     "identity over exact integer counts, so no second self-join is "
-    "needed). All from ONE distinct-activity table and ONE "
-    "user-partitioned window (first_day + prev_day in the same pass), "
-    "then a day-grain aggregate — the window runs over (user, day) "
-    "distinct rows, not raw events, and day math is integer date "
-    "arithmetic. Day renders as an ISO string (DATE output columns "
-    "are driver-canon-hostile).",
+    "needed). SINGLE-SCAN plan (round 8, the q_funnel discipline): the "
+    "old shape consumed the distinct-activity table twice (labels + "
+    "yesterday's-active count), and Spark does not common identical "
+    "subplans — 2 scans and 2 distinct shuffles. Now each labeled "
+    "(user, day) row EXPLODES into its two ledger contributions — "
+    "(day: new/retained/resurrected flags) and (day+1: one "
+    "active_prev) — and ONE day-grain aggregate sums both, the "
+    "join gone. Days with no activity of their own (only day+1 "
+    "spillover) are filtered exactly as the old left join dropped "
+    "them: a day is in the ledger iff new+retained+resurrected > 0 "
+    "(every active user that day is exactly one of the three). One "
+    "scan, one distinct shuffle, one user-partitioned window "
+    "(first_day + prev_day in the same pass), one day aggregate. "
+    "Day math is integer date arithmetic; day renders as an ISO "
+    "string (DATE output columns are driver-canon-hostile).",
 )
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1019,39 +1036,51 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("day")
     lab = act.select(
-        "user_id",
         "day",
         F.min("day").over(w_all).alias("first_day"),
         F.lag("day").over(w_ord).alias("prev_day"),
     )
-    today = lab.groupBy("day").agg(
-        F.count_if(F.col("day") == F.col("first_day"))
-        .cast("long")
-        .alias("new_users"),
-        F.count_if(
-            (F.col("day") != F.col("first_day"))
-            & (F.col("prev_day") == F.date_sub("day", 1))
-        )
-        .cast("long")
-        .alias("retained"),
-        F.count_if(
-            (F.col("day") != F.col("first_day"))
-            & (F.col("prev_day") < F.date_sub("day", 1))
-        )
-        .cast("long")
-        .alias("resurrected"),
+    is_new = F.col("day") == F.col("first_day")
+    contrib = F.array(
+        F.struct(
+            F.col("day").alias("d"),
+            is_new.cast("long").alias("new_users"),
+            (~is_new & (F.col("prev_day") == F.date_sub("day", 1)))
+            .cast("long")
+            .alias("retained"),
+            (~is_new & (F.col("prev_day") < F.date_sub("day", 1)))
+            .cast("long")
+            .alias("resurrected"),
+            F.lit(0).cast("long").alias("active_prev"),
+        ),
+        F.struct(
+            F.date_add("day", 1).alias("d"),
+            F.lit(0).cast("long").alias("new_users"),
+            F.lit(0).cast("long").alias("retained"),
+            F.lit(0).cast("long").alias("resurrected"),
+            F.lit(1).cast("long").alias("active_prev"),
+        ),
     )
-    churn = act.groupBy(F.date_add("day", 1).alias("day")).agg(
-        F.count("*").cast("long").alias("active_prev")
+    ledger = (
+        lab.select(F.explode(contrib).alias("_c"))
+        .select("_c.*")
+        .groupBy("d")
+        .agg(
+            F.sum("new_users").alias("new_users"),
+            F.sum("retained").alias("retained"),
+            F.sum("resurrected").alias("resurrected"),
+            F.sum("active_prev").alias("active_prev"),
+        )
+        .where(
+            F.col("new_users") + F.col("retained") + F.col("resurrected") > 0
+        )
     )
-    return today.join(churn, "day", "left").select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
+    return ledger.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
         "new_users",
         "retained",
         "resurrected",
-        (F.coalesce("active_prev", F.lit(0)) - F.col("retained"))
-        .cast("long")
-        .alias("churned"),
+        (F.col("active_prev") - F.col("retained")).cast("long").alias("churned"),
     )
 
 

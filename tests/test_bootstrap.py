@@ -9,6 +9,7 @@ from collections import defaultdict
 from fractions import Fraction
 
 import duckdb
+import pytest
 
 from news_categorization_big_data_spark.plans import REGISTRY
 from news_categorization_big_data_spark.plans.quality import (
@@ -73,11 +74,13 @@ def test_bootstrap_ci_interval_sane(spark, sf_dir):
         assert r["boot_lo"] <= r["boot_hi"], r
 
 
-def test_bootstrap_ci_resamples_conf_knob(spark, sf_dir):
+@pytest.mark.parametrize("B,ranks", [(20, (1, 20)), (80, (2, 78))])
+def test_bootstrap_ci_resamples_conf_knob(spark, sf_dir, B, ranks):
     """spark.graft.bootstrap.resamples is the documented scale knob
     (work = B x one scan): B=80 doubles the lanes (two md5 digests per
-    row), ranks follow floor((B+1)*alpha) — brute-force checked at a
-    non-default B against the same hashlib weights."""
+    row), B=20 is the documented cheap setting (SCALE.md round-8 trade
+    curve), ranks follow floor((B+1)*alpha) — brute-force checked at
+    both non-default Bs against the same hashlib weights."""
     from news_categorization_big_data_spark.plans.quality import _boot_ranks
 
     assert _boot_ranks(BOOT_B) == (BOOT_K_LO, BOOT_K_HI)
@@ -85,9 +88,8 @@ def test_bootstrap_ci_resamples_conf_knob(spark, sf_dir):
         f"""SELECT event_type, event_id, value
             FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
     ).fetchall()
-    B = 80
     k_lo, k_hi = _boot_ranks(B)
-    assert (k_lo, k_hi) == (2, 78)
+    assert (k_lo, k_hi) == ranks
     na = defaultdict(int)
     sa = defaultdict(int)
     for et, eid, v in ev:
