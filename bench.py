@@ -66,6 +66,11 @@ HEADLINE = [
     # whose decade ratio is the resample count).
     "q_rolling_corr",        # min-centered int64-limb exact moments
     "q_bootstrap_ci",        # 40-resample Poisson bootstrap, one pass
+    # -- appended round 8: the single-fact-pass order statistics
+    # (checkpointed value-domain counts) and the join-free cohort
+    # retention — the two new scan-discipline paths.
+    "q_mad_outliers",        # 1-scan exact median/MAD on value domain
+    "q_retention_cohort",    # distinct-activity window cohort, no join
 ]
 
 

@@ -184,14 +184,33 @@ def lag_over(
     )
 
 
-def grouped_order_stats(
+def value_counts(
     df: DataFrame,
     keys: list[str],
     value: Column,
+) -> DataFrame:
+    """The per-group distinct-value counts table ``(keys…, _v, _vc)``,
+    INCLUDING one row per group for NULL values (``_v`` NULL, ``_vc`` =
+    the group's NULL count) — so downstream order statistics can
+    recover the group's TOTAL row count without a second scan of the
+    fact table, and an all-NULL group still has a carrier row.
+
+    This is the one fact-table pass of the order-statistic family: a
+    map-side-combinable aggregate that collapses facts onto the value
+    domain. Everything after it (medians, per-mille bounds, clipped
+    sums, deviation re-counts) is value-domain-sized work.
+    """
+    return df.groupBy(*keys, value.alias("_v")).agg(F.count("*").alias("_vc"))
+
+
+def order_stats_from_counts(
+    counts: DataFrame,
+    keys: list[str],
     ranks: dict[str, Column],
 ) -> DataFrame:
-    """Exact k-th-smallest NON-NULL ``value`` per group — one column per
-    ``ranks`` entry — without per-group arrays.
+    """Exact k-th-smallest NON-NULL ``_v`` per group from a
+    ``value_counts`` table — one column per ``ranks`` entry — without
+    per-group arrays and without re-touching the fact table.
 
     ``ranks`` maps output names to 1-BASED rank expressions, written in
     terms of ``F.col("_n_tot")`` (the group's TOTAL row count, NULLs
@@ -199,33 +218,52 @@ def grouped_order_stats(
     idiom these plans previously used, where k was computed from
     count(*) but indexed the null-free array).
 
-    Plan: distinct-(key, value) counts (map-side combinable — facts
-    collapse onto the value domain), a per-key cumulative count window
-    (partitioned, spill-safe; never a whole group in one array), and
-    min(value WHERE cum ≥ k) per rank. The collect_list form buffers an
-    entire group's values in ONE aggregation cell — the q_mad_outliers
-    / q_winsorize 100-TB OOM this replaces; here per-task state is the
-    window's spillable sort, bounded by the distinct-value domain.
+    Plan: ONE per-key window pass computes both the total (full-frame
+    sum of ``_vc`` — NULL carrier rows included) and the null-free
+    cumulative count (ordered nulls-first, NULL rows contribute 0), so
+    the old second scan + groupBy + left join for the total is gone.
+    min(value WHERE cum ≥ k) per rank; per-task state is the window's
+    spillable sort, bounded by the distinct-value domain. A group whose
+    values are ALL NULL keeps its carrier row and emits NULL stats (the
+    collect_list idiom's behavior, pinned in tests).
     """
-    vals = (
-        df.where(value.isNotNull())
-        .groupBy(*keys, value.alias("_v"))
-        .agg(F.count("*").alias("_vc"))
+    w_all = Window.partitionBy(*keys)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_v").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy(*keys).orderBy("_v")
-    cum = vals.withColumn("_cum", F.sum("_vc").over(w))
-    tot = df.groupBy(*keys).agg(F.count("*").alias("_n_tot"))
-    # tot drives: a group whose values are ALL NULL has no vals rows,
-    # and must still surface with NULL order stats (the collect_list /
-    # element_at idiom this replaces emitted it; an inner join would
-    # silently drop it and diverge from the SQL oracle).
-    j = tot.join(cum, keys, "left")
-    return j.groupBy(*keys).agg(
+    d = counts.withColumn("_n_tot", F.sum("_vc").over(w_all)).withColumn(
+        "_cum",
+        F.sum(F.when(F.col("_v").isNotNull(), F.col("_vc"))).over(w_cum),
+    )
+    return d.groupBy(*keys).agg(
         *[
-            F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias(name)
+            F.min(
+                F.when(
+                    F.col("_v").isNotNull() & (F.col("_cum") >= k), F.col("_v")
+                )
+            ).alias(name)
             for name, k in ranks.items()
         ]
     )
+
+
+def grouped_order_stats(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    ranks: dict[str, Column],
+) -> DataFrame:
+    """Exact k-th-smallest NON-NULL ``value`` per group — one column per
+    ``ranks`` entry — without per-group arrays: ``value_counts`` (the
+    single fact-table pass) composed with ``order_stats_from_counts``
+    (value-domain window work). See those two for the contract; the
+    collect_list form this family replaces buffered an entire group's
+    values in ONE aggregation cell — the q_mad_outliers / q_winsorize
+    100-TB OOM.
+    """
+    return order_stats_from_counts(value_counts(df, keys, value), keys, ranks)
 
 
 def global_annotate(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:

@@ -17,8 +17,9 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      (q_sim_ann_lsh additionally re-pinned this round: exact
      n_returned=10 → bounded returned_ok boolean, ADVICE round 7);
    - q_ml_auc (distinct-score no-fact-sort rewrite);
-   - q_mad_outliers / q_winsorize (grouped_order_stats cumulative-count
-     form, plus this round's all-NULL-group left-join fix);
+   - q_mad_outliers / q_winsorize (round-8 single-fact-pass rewrite:
+     ONE scan into the checkpointed distinct-value counts table, all
+     later phases value-domain work — plus the all-NULL-group fix);
    - q_rrf_fusion (running-count ranks);
    - q_dq_checks / q_funnel (single-scan report rewrites);
    - q_peak_concurrency / q_gini_spend / q_sequence_gaps / q_lift_bands
@@ -32,17 +33,19 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      running large-star/small-star by default whose stamp predates the
      star default — q_dedup_cluster/q_split_leakproof were stamped r7
      with star already on).
-2. The 2 report queries rewritten single-scan LATER in round 8 (the
-   q_funnel discipline ported per VERDICT item 6): q_retention_cohort
-   (distinct-activity window cohort, join-free) and
-   q_growth_accounting (exploded two-way ledger contributions, the
-   double-consumed activity subtree gone) — rotated in so the changed
-   plans get their round-8 stamp.
+2. The 3 queries rewritten single-fact-pass LATER in round 8 (the
+   q_funnel discipline ported per VERDICT item 6 and extended by the
+   scan sweep): q_retention_cohort (distinct-activity window cohort,
+   join-free), q_growth_accounting (exploded two-way ledger
+   contributions, the double-consumed activity subtree gone), and
+   q_graph_pagerank (edge table lazily checkpointed — the unrolled
+   iterations re-evaluated the minhash+banding subtree 16x) — rotated
+   in so the changed plans get their round-8 stamp.
 3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
    q_udf_scalar (anchor cross-round comparability; keep in EVERY
    window).
-4. 25 oldest-stamp back-fills, all pass(r1): the join family, scans,
-   grouping, windows, set-union, sort/offset, as-of, the four
+4. 24 oldest-stamp back-fills, all pass(r1): the join family, scans,
+   grouping, windows, set-union, sort-limit, as-of, the four
    streaming batch-analogs, and q_text_tokens.
 
 The tail (positions 51+) holds queries with newer official rows, prior
@@ -56,10 +59,10 @@ changed during round 8 after this window froze; (b) the 3 standing
 canaries; (c) back-fill with the remaining 20 pass(r1) scalar-tier
 queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
 q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
-q_membership q_project_cast q_project_compute q_set_except
-q_set_intersect q_str_case q_str_concat q_str_slice q_str_split_len
-q_str_trim_empty q_text_clean), then the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
-registered.
+q_membership q_offset_skip q_project_cast q_project_compute
+q_set_except q_set_intersect q_str_case q_str_concat q_str_slice
+q_str_split_len q_str_trim_empty q_text_clean — 21), then the oldest
+pass(r2) rows. Keep ROTATION_PENDING for anything newly registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -126,6 +129,7 @@ _DRIVER_ORDER = [
     # the changed plans get their round-8 stamp.
     "q_retention_cohort",
     "q_growth_accounting",
+    "q_graph_pagerank",
     # -- standing single-op regression canaries.
     "q_group_stats",
     "q_scan_json",
@@ -149,7 +153,6 @@ _DRIVER_ORDER = [
     "q_window_frame",
     "q_topk_per_group",
     "q_sort_limit",
-    "q_offset_skip",
     "q_set_union",
     "q_asof_join",
     "q_stream_tumbling",
@@ -251,7 +254,6 @@ _DRIVER_ORDER = [
     "q_rate_anomaly",
     "q_seasonality",
     "q_growth_accounting",
-    "q_graph_pagerank",
     "q_table_profile",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -393,6 +395,7 @@ _DRIVER_ORDER = [
     "q_text_clean",
     "q_set_except",
     "q_set_intersect",
+    "q_offset_skip",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -863,42 +863,66 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines agree bit-for-bit and the |x−med| / 3·MAD boundary "
     "comparisons are decided on identical doubles — no rounding, no "
     "interpolation-ulp hazard (the reason q_group_quantiles needs "
-    "round(4)). Plan (round-7 rewrite): both medians come from the "
-    "distinct-value cumulative-count table "
-    "(functions/ordered.py:grouped_order_stats) — min(value with "
-    "cum ≥ k) — so no group's values are ever buffered in one "
-    "collect_list cell; per-task state is a spillable partitioned "
-    "window bounded by the value domain. EXACT at any scale — the "
-    "approx_percentile fallback the round-5 doc suggested is no "
-    "longer needed.",
+    "round(4)). Plan (round-8 rewrite): events are scanned ONCE into "
+    "the per-group distinct-value counts table "
+    "(functions/ordered.py:value_counts, lazily checkpointed — the "
+    "round-7 form re-evaluated the fact subtree per consumer, 8 scans) "
+    "and EVERY later phase is value-domain arithmetic: the median from "
+    "the cumulative-count window, the deviation table by re-counting "
+    "|v − med| over distinct values (two values can fold to one "
+    "deviation, so counts re-aggregate), the MAD from the same window "
+    "over deviations, and the outlier count as sum(_vc where dev > "
+    "3·MAD). No group's values are ever buffered in one collect_list "
+    "cell; per-task state is a spillable window bounded by the value "
+    "domain. EXACT at any scale — the approx_percentile fallback the "
+    "round-5 doc suggested is no longer needed.",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.ordered import (
-        grouped_order_stats,
+        order_stats_from_counts,
+        value_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    # lower median = rank floor((n-1)/2)+1 over the distinct-value
-    # cumulative table (functions/ordered.py) — the round-5 plan
-    # buffered every group's values in ONE collect_list cell, the exact
-    # 100-TB OOM its own docstring warned about; this form is identical
-    # output with per-task state bounded by the value domain
-    k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
-    st = grouped_order_stats(ev, ["event_type"], F.col("value"), {"med": k_med})
-    d = ev.join(F.broadcast(st), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
+    # ONE fact pass; the counts table is value-domain-sized by
+    # definition, so the lazy checkpoint pins a small table and every
+    # phase below re-reads it instead of re-scanning the fact table
+    # (same pattern as q_pipeline_curate's corpus checkpoint)
+    counts = value_counts(ev, ["event_type"], F.col("value")).localCheckpoint(
+        eager=False
     )
-    m = grouped_order_stats(d, ["event_type"], F.col("dev"), {"mad": k_med})
+    k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
+    st = order_stats_from_counts(counts, ["event_type"], {"med": k_med})
+    # deviation distinct-value table: |v − med| folds v = med±x onto one
+    # deviation, so re-aggregate counts; the NULL carrier row (dev NULL)
+    # keeps the total-row-count semantics of the rank expressions
+    dev_counts = (
+        counts.join(F.broadcast(st), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("_v") - F.col("med")).alias("_v"),
+            "med",
+        )
+        .agg(F.sum("_vc").alias("_vc"))
+    )
+    m = order_stats_from_counts(dev_counts, ["event_type"], {"mad": k_med})
     return (
-        d.join(F.broadcast(m), "event_type")
+        dev_counts.join(F.broadcast(m), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("med").alias("med"),
             F.max("mad").alias("mad"),
-            F.count_if(F.col("dev") > F.lit(3.0) * F.col("mad"))
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_v") > F.lit(3.0) * F.col("mad"), F.col("_vc")
+                    )
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_outliers"),
-            F.count("*").alias("n"),
+            F.sum("_vc").alias("n"),
         )
     )
 
@@ -935,46 +959,53 @@ WINSOR_HI_PM = 950
     "pure integer arithmetic, no interpolation), so both engines clip "
     "with identical bounds; clipped values are actual data values with "
     "2-decimal expansions, so the winsorized decimal sum is exact and "
-    "reduction-order-free like every dsum. Bounds ride the distinct-"
-    "value cumulative table (grouped_order_stats — no per-group "
-    "arrays, round-7 rewrite), broadcast back onto one clipped "
-    "decimal aggregate; raw and winsorized means emitted side-by-side "
-    "for the shift diagnostic.",
+    "reduction-order-free like every dsum. Plan (round-8 rewrite): ONE "
+    "fact scan into the distinct-value counts table "
+    "(functions/ordered.py:value_counts, lazily checkpointed); the "
+    "per-mille bounds ride its cumulative window, and BOTH means are "
+    "value-domain decimal sums — dec(v)·count and dec(clip(v))·count "
+    "are exact decimal products, so the totals equal the per-row sums "
+    "bit-for-bit. Raw and winsorized means emitted side-by-side for "
+    "the shift diagnostic.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.ordered import (
-        grouped_order_stats,
+        order_stats_from_counts,
+        value_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    # clip bounds as exact per-mille order statistics over the
-    # distinct-value cumulative table — same no-group-array rationale
-    # as q_mad_outliers (functions/ordered.py:grouped_order_stats)
+    counts = value_counts(ev, ["event_type"], F.col("value")).localCheckpoint(
+        eager=False
+    )
     n = F.col("_n_tot")
-    b = grouped_order_stats(
-        ev,
+    b = order_stats_from_counts(
+        counts,
         ["event_type"],
-        F.col("value"),
         {
             "lo": (((n - 1) * WINSOR_LO_PM) / 1000).cast("int") + 1,
             "hi": (((n - 1) * WINSOR_HI_PM) / 1000).cast("int") + 1,
         },
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clipped = F.least(F.greatest(F.col("_v"), F.col("lo")), F.col("hi"))
     return (
-        ev.join(F.broadcast(b), "event_type")
+        counts.join(F.broadcast(b), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("lo").alias("lo"),
             F.max("hi").alias("hi"),
-            F.count("*").alias("n"),
+            F.sum("_vc").alias("n"),
             (
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count("*")
+                F.sum(F.col("_v").cast("decimal(18,2)") * F.col("_vc")).cast(
+                    "double"
+                )
+                / F.sum("_vc")
             ).alias("mean_raw"),
             (
-                F.sum(clipped.cast("decimal(18,2)")).cast("double")
-                / F.count("*")
+                F.sum(clipped.cast("decimal(18,2)") * F.col("_vc")).cast(
+                    "double"
+                )
+                / F.sum("_vc")
             ).alias("mean_winsorized"),
         )
     )

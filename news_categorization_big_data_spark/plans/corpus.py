@@ -407,10 +407,19 @@ def _pagerank_oracle() -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
-    ed = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # the edge table is consumed ~2x per iteration plus the vertex and
+    # degree derivations (8 consumers at PR_ITERS=3); without the lazy
+    # checkpoint each consumer re-evaluated the WHOLE minhash+banding
+    # subtree — 16 parquet scans and 16 band-bucket shuffles for one
+    # query (round-8 A/B in SCALE.md). The edge table is
+    # candidate-pair-sized (linear-ish in the corpus under LSH_MAX_DF),
+    # so pinning it is the cheap side of the trade everywhere.
+    ed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
     )
     v = ed.select(F.col("src").alias("doc_id")).distinct()
     nv = v.agg(F.count("*").alias("n_v"))

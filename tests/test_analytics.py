@@ -45,6 +45,45 @@ def test_sessionize_single_exchange(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_retention_cohort_single_scan(spark, sf_dir):
+    """Round-8 shape (q_funnel discipline): distinct (user, day) pairs,
+    cohort from a user-partition window — events scanned ONCE, no join
+    back, no count_distinct expand (distinct pairs make COUNT(*) the
+    user count)."""
+    plan = _plan(REGISTRY["q_retention_cohort"].builder(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Expand" not in plan, plan  # count_distinct would add one
+
+
+def test_growth_accounting_single_scan(spark, sf_dir):
+    """Round-8 shape (q_funnel discipline): the labeled activity rows
+    explode into their two ledger contributions and ONE day aggregate
+    sums both — events scanned ONCE, the today×churn join gone."""
+    plan = _plan(REGISTRY["q_growth_accounting"].builder(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_mad_winsorize_single_fact_pass(spark, sf_dir):
+    """Round-8 shape: the order-statistic pair reads the fact table
+    exactly ONCE — into the checkpointed distinct-value counts table —
+    and every later phase (medians, deviation re-counts, per-mille
+    bounds, clipped decimal sums) is value-domain work on checkpoint
+    re-reads. The round-7 form re-evaluated the fact subtree per
+    consumer (q_mad_outliers: 8 scans). collect_list must never
+    reappear (the 100-TB per-group-array OOM)."""
+    for qname in ("q_mad_outliers", "q_winsorize"):
+        df = REGISTRY[qname].builder(spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("FileScan parquet") == 0, (qname, plan)
+        assert "Scan ExistingRDD" in plan, (qname, plan)
+        assert "collect_list" not in plan, (qname, plan)
+        # the checkpoint's OWN lineage holds the single parquet scan
+        assert df.count() > 0  # materializes; smoke that it executes
+
+
 def test_funnel_single_scan_single_exchange(spark, sf_dir):
     """Round-7 shape: three UNORDERED full-partition windows stacked
     over one user_id exchange — events scanned once, never sorted, no

@@ -63,12 +63,13 @@ def test_registry_window_contains_round8_priorities():
         "q_graph_degree_dist",
         "q_minhash_jaccard_est",
         "q_dedup_keep_best",
-        # single-scan report rewrites landed later in round 8
+        # single-fact-pass rewrites landed later in round 8
         "q_retention_cohort",
         "q_growth_accounting",
+        "q_graph_pagerank",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(reproofs) == 22
+    assert len(reproofs) == 23
     for name in reproofs + canaries:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 

@@ -59,16 +59,21 @@ def main() -> None:
             )
             scans = len(re.findall(r"Scan parquet", plan))
             single = len(re.findall(r"Exchange SinglePartition", plan))
-            rows.append((name, scans, single, None))
+            # a localCheckpoint truncates lineage into an RDD scan: the
+            # parquet read happens ONCE inside the RDD materialization,
+            # and each ExistingRDD node below is a re-read of that
+            # small materialized table, not of the fact table
+            rdd = len(re.findall(r"Scan ExistingRDD", plan))
+            rows.append((name, scans, single, rdd, None))
         except Exception as ex:  # streaming-only shapes etc.
-            rows.append((name, -1, -1, f"{type(ex).__name__}: {str(ex)[:80]}"))
+            rows.append((name, -1, -1, -1, f"{type(ex).__name__}: {str(ex)[:80]}"))
     rows.sort(key=lambda r: -r[1])
-    print(f"{'query':34s} {'scans':>5s} {'1-part-exch':>11s}")
-    for name, scans, single, err in rows:
+    print(f"{'query':34s} {'scans':>5s} {'1-part-exch':>11s} {'ckpt-reads':>10s}")
+    for name, scans, single, rdd, err in rows:
         if err:
             print(f"{name:34s}   ERR {err}")
         elif scans >= min_scans:
-            print(f"{name:34s} {scans:5d} {single:11d}")
+            print(f"{name:34s} {scans:5d} {single:11d} {rdd:10d}")
     spark.stop()
 
 
