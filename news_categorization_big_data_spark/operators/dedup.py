@@ -390,9 +390,17 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_df: int | None = None,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: (doc_a, doc_b, containment)
     with C(A→B) = |A∩B| / |A| ≥ threshold_pct/100, A ≠ B.
+
+    ``persist_sets`` mirrors jaccard_pairs: the (id, sz, sorted-hash)
+    table feeds FIVE consumers here (probe prefix, index explode, the
+    df-cap count, both verify sides), so the registered plan opts in —
+    without it the shingle+hash transform recomputes per consumer
+    (5 scans; round-8 multi-consumer coefficient, SCALE.md). Default
+    False so composing callers opt in deliberately.
 
     Containment is the dedup predicate Jaccard structurally misses: a
     passage quoted whole inside a much longer page has J ≈ |A|/|B| ≈ 0
@@ -417,6 +425,10 @@ def containment_pairs(
     sized = fan_out(docs).select(
         F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
     )
+    if persist_sets:
+        from pyspark import StorageLevel
+
+        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     # ⌈t·sz⌉ in pure integers: (t_pct·sz + 99) div 100.
     ceil_t_sz = F.floor((F.col("_sz") * threshold_pct + 99) / 100).cast("int")
     prefix_len = (F.col("_sz") - ceil_t_sz + 1).cast("int")

@@ -33,20 +33,27 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      running large-star/small-star by default whose stamp predates the
      star default — q_dedup_cluster/q_split_leakproof were stamped r7
      with star already on).
-2. The 3 queries rewritten single-fact-pass LATER in round 8 (the
-   q_funnel discipline ported per VERDICT item 6 and extended by the
-   scan sweep): q_retention_cohort (distinct-activity window cohort,
+2. The 8 queries rewritten single-fact-pass / multi-consumer-pinned
+   LATER in round 8 (the q_funnel discipline ported per VERDICT item 6
+   and extended by the committed scan sweep, every change A/B-measured
+   in SCALE.md): q_retention_cohort (distinct-activity window cohort,
    join-free), q_growth_accounting (exploded two-way ledger
-   contributions, the double-consumed activity subtree gone), and
+   contributions, the double-consumed activity subtree gone),
    q_graph_pagerank (edge table lazily checkpointed — the unrolled
-   iterations re-evaluated the minhash+banding subtree 16x) — rotated
-   in so the changed plans get their round-8 stamp.
+   iterations re-evaluated the minhash+banding subtree 16x),
+   q_semantic_dedup (ranked-assignment checkpoint, 3 consumers),
+   q_collocations (vocab-count checkpoint + total-from-vocab),
+   q_dedup_containment (persist_sets=True, the jaccard_pairs
+   convention, 5 consumers), q_graph_jaccard_neighbors (distinct-
+   adjacency checkpoint) and q_chi2_terms ((lang, term)-aggregate
+   checkpoint feeding all four contingency marginals) — rotated in so
+   the changed plans get their round-8 stamp.
 3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
    q_udf_scalar (anchor cross-round comparability; keep in EVERY
    window).
-4. 24 oldest-stamp back-fills, all pass(r1): the join family, scans,
-   grouping, windows, set-union, sort-limit, as-of, the four
-   streaming batch-analogs, and q_text_tokens.
+4. 19 oldest-stamp back-fills, all pass(r1): the join family, scans,
+   grouping, window-rank/top-k, as-of, and the four streaming
+   batch-analogs.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -60,9 +67,11 @@ canaries; (c) back-fill with the remaining 20 pass(r1) scalar-tier
 queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
 q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
 q_membership q_offset_skip q_project_cast q_project_compute
-q_set_except q_set_intersect q_str_case q_str_concat q_str_slice
-q_str_split_len q_str_trim_empty q_text_clean — 21), then the oldest
-pass(r2) rows. Keep ROTATION_PENDING for anything newly registered.
+q_set_except q_set_intersect q_set_union q_sort_limit q_str_case
+q_str_concat q_str_slice q_str_split_len q_str_trim_empty
+q_text_clean q_text_tokens q_window_frame q_window_lag — 26), then
+the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
+registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -130,6 +139,11 @@ _DRIVER_ORDER = [
     "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",
+    "q_semantic_dedup",
+    "q_collocations",
+    "q_dedup_containment",
+    "q_graph_jaccard_neighbors",
+    "q_chi2_terms",
     # -- standing single-op regression canaries.
     "q_group_stats",
     "q_scan_json",
@@ -149,24 +163,18 @@ _DRIVER_ORDER = [
     "q_group_collect",
     "q_grouping_sets",
     "q_window_rank",
-    "q_window_lag",
-    "q_window_frame",
     "q_topk_per_group",
-    "q_sort_limit",
-    "q_set_union",
     "q_asof_join",
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_watermark",
     "q_stream_dedup",
-    "q_text_tokens",
     # ---- driver's 50-entry window ends here ----
     # -- tail: official rows from rounds 1-7, prior relative order
     # preserved; all remain registered and pytest/driver_sim-proven.
     "q_sample_reservoir",
     "q_token_rarity",
     "q_union_by_name",
-    "q_graph_jaccard_neighbors",
     "q_compaction_bins",
     "q_histogram2d",
     "q_dedup_prefix",
@@ -250,7 +258,6 @@ _DRIVER_ORDER = [
     "q_bitmap_distinct",
     "q_scan_zorder",
     "q_regex_extract",
-    "q_collocations",
     "q_rate_anomaly",
     "q_seasonality",
     "q_growth_accounting",
@@ -277,7 +284,6 @@ _DRIVER_ORDER = [
     "q_equidepth_histogram",
     "q_ewma_smooth",
     "q_bm25_rank",
-    "q_semantic_dedup",
     "q_pq_assign",
     "q_sim_search",
     "q_sim_ann_ivf",
@@ -315,7 +321,6 @@ _DRIVER_ORDER = [
     "q_sample_weighted",
     "q_graph_triangles",
     "q_incremental_agg",
-    "q_chi2_terms",
     "q_join_interval_overlap",
     "q_rollup",
     "q_argmax_join",
@@ -326,7 +331,6 @@ _DRIVER_ORDER = [
     "q_group_entropy",
     "q_hhi_concentration",
     "q_grouped_moments",
-    "q_dedup_containment",
     "q_sessionize",
     "q_decay_agg",
     "q_window_time_range",
@@ -396,6 +400,11 @@ _DRIVER_ORDER = [
     "q_set_except",
     "q_set_intersect",
     "q_offset_skip",
+    "q_set_union",
+    "q_sort_limit",
+    "q_text_tokens",
+    "q_window_lag",
+    "q_window_frame",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

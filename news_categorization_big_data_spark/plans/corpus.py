@@ -313,7 +313,14 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
         ).alias("term"),
     )
-    lt = toks.groupBy("lang", "term").agg(F.count("*").alias("a"))
+    # the (lang, term) aggregate is the root of all four contingency
+    # marginals; un-pinned, each rollup re-tokenized the corpus
+    # (4 scans). Vocab x lang sized — cheap to pin (round-8 sweep).
+    lt = (
+        toks.groupBy("lang", "term")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=False)
+    )
     l_tot = lt.groupBy("lang").agg(F.sum("a").alias("lang_total"))
     t_tot = lt.groupBy("term").agg(F.sum("a").alias("term_total"))
     grand = lt.agg(F.sum("a").alias("grand"))
@@ -540,10 +547,15 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contributes quadratically.",
 )
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct adjacency feeds three consumers (degrees + both
+    # self-join sides); un-pinned, each re-scanned and re-deduped the
+    # fact table. Bounded by |users| x |event types| — cheap to pin
+    # (round-8 multi-consumer coefficient, SCALE.md).
     adj = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("event_type").agg(F.count("*").cast("long").alias("d"))
     a = adj.select("user_id", F.col("event_type").alias("type_a"))

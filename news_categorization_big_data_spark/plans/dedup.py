@@ -505,7 +505,9 @@ CONTAIN_MAX_DF = 1000
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    return containment_pairs(docs, CONTAIN_PCT, max_df=CONTAIN_MAX_DF)
+    return containment_pairs(
+        docs, CONTAIN_PCT, max_df=CONTAIN_MAX_DF, persist_sets=True
+    )
 
 
 @register(

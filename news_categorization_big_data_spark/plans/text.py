@@ -678,8 +678,14 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     uni = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("n"))
-    tot = uni.agg(F.count("*").alias("n_tot"))
+    # the unigram-count table feeds BOTH marginal joins and the grand
+    # total; un-checkpointed, each consumer re-tokenized the corpus
+    # (4 scans, 3 redundant explode passes). Vocabulary-sized — the
+    # cheapest possible pin (round-8 sweep, SCALE.md).
+    ucnt = (
+        uni.groupBy("w").agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    )
+    tot = ucnt.agg(F.sum("n").alias("n_tot"))  # = total tokens, exactly
     bcnt = (
         docs.select(F.explode(word_ngrams("text", 2)).alias("pair"))
         .groupBy("pair")

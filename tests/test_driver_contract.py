@@ -63,13 +63,19 @@ def test_registry_window_contains_round8_priorities():
         "q_graph_degree_dist",
         "q_minhash_jaccard_est",
         "q_dedup_keep_best",
-        # single-fact-pass rewrites landed later in round 8
+        # single-fact-pass / multi-consumer-pin rewrites landed later
+        # in round 8 (scan-sweep follow-ups, each A/B-measured)
         "q_retention_cohort",
         "q_growth_accounting",
         "q_graph_pagerank",
+        "q_semantic_dedup",
+        "q_collocations",
+        "q_dedup_containment",
+        "q_graph_jaccard_neighbors",
+        "q_chi2_terms",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(reproofs) == 23
+    assert len(reproofs) == 28
     for name in reproofs + canaries:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
