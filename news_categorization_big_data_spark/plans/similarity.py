@@ -236,6 +236,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+#: q_sim_ann_lsh contract: neighbors requested, and the accepted
+#: returned-count floor (approxNearestNeighbors may return fewer than k
+#: from sparse buckets; below the floor the index is considered broken
+#: and the driver hash fails). tests/test_harness_sensitivity.py proves
+#: the booleans flip on a mutated index.
+ANN_K = 10
+ANN_RET_FLOOR = 5
+
+
 @register(
     "q_sim_ann_lsh",
     oracle="""
@@ -269,7 +278,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = lsh.fit(emb)
     key = emb.where(F.col("vec_id") == 0).select("features").head()[0]
     ann = (
-        model.approxNearestNeighbors(emb.where(F.col("vec_id") != 0), key, 10)
+        model.approxNearestNeighbors(emb.where(F.col("vec_id") != 0), key, ANN_K)
         .select("vec_id")
         .withColumn("_hit", F.lit(True))
     )
@@ -279,7 +288,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.where(F.col("vec_id") != 0)
         .select("vec_id", l2.alias("_d"))
         .orderBy("_d", "vec_id")
-        .limit(10)
+        .limit(ANN_K)
     )
     return (
         brute10.join(ann, "vec_id", "left_outer")
@@ -289,7 +298,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(ann.agg(F.count("*").cast("long").alias("_n_ret"))))
         .select(
-            ((F.col("_n_ret") >= 5) & (F.col("_n_ret") <= 10)).alias("returned_ok"),
+            (
+                (F.col("_n_ret") >= ANN_RET_FLOOR) & (F.col("_n_ret") <= ANN_K)
+            ).alias("returned_ok"),
             (F.col("_hits") * 2 >= F.col("_n_brute")).alias("recall_ok"),
         )
     )

@@ -70,3 +70,19 @@ def test_unmutated_still_green(spark, sf_dir, duck):
         assert_oracle_match(
             spec.builder(spark, sf_dir), duck, spec.oracle, name=name
         )
+
+
+def test_broken_ann_index_is_caught(spark, sf_dir, duck, monkeypatch):
+    # a "broken" index that surfaces too few neighbors (ANN_K below the
+    # returned-count floor): returned_ok flips False and the SELECT
+    # TRUE, TRUE semi-oracle mismatches — the bounded boolean is a real
+    # gate, not decoration (round-8 replacement for the brittle
+    # n_returned=10 exact pin).
+    from news_categorization_big_data_spark.plans import similarity
+
+    monkeypatch.setattr(similarity, "ANN_K", 3)
+    mutated = REGISTRY["q_sim_ann_lsh"].builder(spark, sf_dir)
+    with pytest.raises(AssertionError):
+        assert_oracle_match(
+            mutated, duck, REGISTRY["q_sim_ann_lsh"].oracle, name="mut"
+        )

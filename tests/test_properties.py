@@ -375,3 +375,48 @@ def test_grid_join_covers_exact_radius_boundary(spark, coords):
         if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
     }
     assert got == brute
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-50, max_value=50).map(lambda n: n / 4.0),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=997),
+)
+def test_grouped_order_stats_matches_brute_force(spark, rows, pm):
+    """The round-8 single-pass order-stats core (value_counts +
+    order_stats_from_counts) against brute force at an arbitrary
+    per-mille rank, with NULLs and duplicate values mixed in: rank k =
+    (n_tot − 1)·pm div 1000 + 1 computed from the TOTAL count (NULLs
+    included) and indexed into the null-free sorted values; overruns
+    and all-NULL groups yield NULL."""
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.functions.ordered import (
+        grouped_order_stats,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    k = (((F.col("_n_tot") - 1) * pm) / 1000).cast("int") + 1
+    got = {
+        r.g: r.stat
+        for r in grouped_order_stats(df, ["g"], F.col("v"), {"stat": k}).collect()
+    }
+    by_g: dict[str, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in by_g.items():
+        nn = sorted(x for x in vs if x is not None)
+        ki = (len(vs) - 1) * pm // 1000 + 1
+        want[g] = nn[ki - 1] if ki <= len(nn) else None
+    assert got == want
