@@ -51,11 +51,13 @@ def norm(a: Column | str) -> Column:
 
 
 def l2_sq(a: Column | str, b: Column | str) -> Column:
-    """Double-precision squared L2 distance of two float-array columns
-    — the exact-reference fold shared by the MLlib semi-oracles
-    (q_ml_kmeans fixed-init WSS, q_sim_ann_lsh brute-force top-k), kept
-    in ONE place so both semi-oracle reference computations stay the
-    same expression tree."""
+    """Squared L2 distance fold over two ALREADY-double array columns
+    (no per-element cast inside — both callers cast/construct double
+    arrays first, and adding a cast would change the expression tree
+    the stamped hashes pin). The exact-reference fold shared by the
+    MLlib semi-oracles (q_ml_kmeans fixed-init WSS, q_sim_ann_lsh
+    brute-force top-k), kept in ONE place so both semi-oracle
+    reference computations stay the same expression tree."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(

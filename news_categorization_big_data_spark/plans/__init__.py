@@ -63,7 +63,7 @@ the window and that every row-less query is window-covered.
 
 Round-9 window plan (for the next session): (a) any plan/oracle
 changed during round 8 after this window froze; (b) the 3 standing
-canaries; (c) back-fill with the remaining 20 pass(r1) scalar-tier
+canaries; (c) back-fill with the remaining 26 pass(r1) scalar-tier
 queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
 q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
 q_membership q_offset_skip q_project_cast q_project_compute

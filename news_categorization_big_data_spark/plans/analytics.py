@@ -1015,7 +1015,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_growth_accounting",
     oracle="""
     WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                 FROM events),
+                 FROM events WHERE ts IS NOT NULL),
     lab AS (SELECT user_id, day,
                    MIN(day) OVER (PARTITION BY user_id) AS first_day,
                    LAG(day) OVER (PARTITION BY user_id ORDER BY day)
@@ -1063,7 +1063,18 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # NULL-timestamp rows are excluded EXPLICITLY in both engines (the
+    # WHERE ts IS NOT NULL in the oracle): a NULL activity day would
+    # otherwise hit three engine-divergent corners at once — Spark
+    # lags order NULLS FIRST vs DuckDB's NULLS LAST, a NULL ledger day
+    # joins nothing in the oracle's churn LEFT JOIN, and the
+    # activity-day filter would drop the oracle's (NULL, 0, 0, 0, 0)
+    # row. The ledger is defined over dated activity, full stop.
+    act = (
+        ev.where(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
     w_all = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("day")
     lab = act.select(

@@ -74,6 +74,19 @@ def test_mad_winsorize_single_fact_pass(spark, sf_dir):
     re-reads. The round-7 form re-evaluated the fact subtree per
     consumer (q_mad_outliers: 8 scans). collect_list must never
     reappear (the 100-TB per-group-array OOM)."""
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.functions.ordered import value_counts
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    # the claim lives in the PRE-checkpoint subtree: value_counts over
+    # the fact table must itself be exactly one scan (a regression to
+    # the old count+join total shape would hide behind the truncated
+    # post-checkpoint lineage otherwise)
+    ev = load_table(spark, sf_dir, "events")
+    counts_plan = _plan(value_counts(ev, ["event_type"], F.col("value")))
+    assert counts_plan.count("FileScan parquet") == 1, counts_plan
+
     for qname in ("q_mad_outliers", "q_winsorize"):
         df = REGISTRY[qname].builder(spark, sf_dir)
         plan = _plan(df)

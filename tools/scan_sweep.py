@@ -4,8 +4,12 @@ found the unionAll-of-report-rows amplifier in round 7 (q_dq_checks
 as a tool so the audit is re-runnable instead of ad-hoc.
 
 For every registered query (or the names passed on argv), compile the
-executed plan at sf0.001 (planning only, nothing runs) and count
-`Scan parquet` sources and `Exchange SinglePartition` nodes. A report
+executed plan at sf0.001 and count `Scan parquet` sources and
+`Exchange SinglePartition` nodes. Mostly planning-only — but a handful
+of builders do driver-side work at BUILD time (the MLlib queries fit a
+model, q_sim_ann_lsh collects its query vector, checkpointing plans
+may materialize), so a full-registry sweep runs real jobs and takes a
+few minutes, not seconds. A report
 query re-evaluating a shared aggregate subtree per output row shows up
 as scans >> the number of distinct tables it reads — Spark does not
 common identical subplans, so each unionAll branch re-plans the whole
@@ -38,9 +42,11 @@ def main() -> None:
         if argv[i].startswith("--min-scans"):
             if "=" in argv[i]:
                 min_scans = int(argv[i].split("=", 1)[1])
-            else:
+            elif i + 1 < len(argv):
                 i += 1
                 min_scans = int(argv[i])
+            else:
+                sys.exit("usage: scan_sweep.py [--min-scans N] [q_name ...]")
         else:
             names.append(argv[i])
         i += 1
