@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -885,11 +886,16 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     # ONE fact pass; the counts table is value-domain-sized by
-    # definition, so the lazy checkpoint pins a small table and every
-    # phase below re-reads it instead of re-scanning the fact table
-    # (same pattern as q_pipeline_curate's corpus checkpoint)
-    counts = value_counts(ev, ["event_type"], F.col("value")).localCheckpoint(
-        eager=False
+    # definition, so the MEMORY_AND_DISK persist pins a small table and
+    # every phase below reads the cache instead of re-scanning facts.
+    # persist over localCheckpoint is a MEASURED call (SCALE.md round
+    # 8, INTERLEAVED A/B — a first cross-window comparison pointed the
+    # other way and was ambient noise): equal-or-faster at sf0.1 AND
+    # lineage is kept, so an executor loss recomputes the block
+    # instead of failing the job — the only safe default at 1000
+    # executors with node churn
+    counts = value_counts(ev, ["event_type"], F.col("value")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
     st = order_stats_from_counts(counts, ["event_type"], {"med": k_med})
@@ -975,8 +981,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    counts = value_counts(ev, ["event_type"], F.col("value")).localCheckpoint(
-        eager=False
+    counts = value_counts(ev, ["event_type"], F.col("value")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     n = F.col("_n_tot")
     b = order_stats_from_counts(

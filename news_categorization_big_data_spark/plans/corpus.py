@@ -27,6 +27,7 @@ the tier is graded against BASELINE.json's curation north star.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -319,7 +320,7 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = (
         toks.groupBy("lang", "term")
         .agg(F.count("*").alias("a"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l_tot = lt.groupBy("lang").agg(F.sum("a").alias("lang_total"))
     t_tot = lt.groupBy("term").agg(F.sum("a").alias("term_total"))
@@ -415,18 +416,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
     # the edge table is consumed ~2x per iteration plus the vertex and
-    # degree derivations (8 consumers at PR_ITERS=3); without the lazy
-    # checkpoint each consumer re-evaluated the WHOLE minhash+banding
-    # subtree — 16 parquet scans and 16 band-bucket shuffles for one
-    # query (round-8 A/B in SCALE.md). The edge table is
-    # candidate-pair-sized (linear-ish in the corpus under LSH_MAX_DF),
-    # so pinning it is the cheap side of the trade everywhere.
+    # degree derivations (8 consumers at PR_ITERS=3); un-pinned, each
+    # consumer re-evaluated the WHOLE minhash+banding subtree — 16
+    # parquet scans and 16 band-bucket shuffles for one query (round-8
+    # A/B in SCALE.md). Candidate-pair-sized under LSH_MAX_DF, so
+    # pinning it is the cheap side of the trade everywhere; persist
+    # over localCheckpoint by interleaved measurement + fault
+    # tolerance (SCALE.md).
     ed = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     v = ed.select(F.col("src").alias("doc_id")).distinct()
     nv = v.agg(F.count("*").alias("n_v"))
@@ -555,7 +557,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = adj.groupBy("event_type").agg(F.count("*").cast("long").alias("d"))
     a = adj.select("user_id", F.col("event_type").alias("type_a"))

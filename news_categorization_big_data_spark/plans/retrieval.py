@@ -13,6 +13,7 @@ DuckDB oracle can reproduce it.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -265,8 +266,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); without the lazy checkpoint each re-evaluated the K-pivot
     # assign crossJoin — 6 parquet scans and 3 x K x n dot folds per
     # query. Vector-domain table, cheap to pin (round-8 A/B, SCALE.md).
-    ranked = assign.withColumn("krank", F.row_number().over(w_keep)).localCheckpoint(
-        eager=False
+    ranked = assign.withColumn("krank", F.row_number().over(w_keep)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
     a = ranked.select(

@@ -10,6 +10,7 @@ linearly with executors and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -683,7 +684,9 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4 scans, 3 redundant explode passes). Vocabulary-sized — the
     # cheapest possible pin (round-8 sweep, SCALE.md).
     ucnt = (
-        uni.groupBy("w").agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+        uni.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = ucnt.agg(F.sum("n").alias("n_tot"))  # = total tokens, exactly
     bcnt = (

@@ -68,21 +68,26 @@ def test_growth_accounting_single_scan(spark, sf_dir):
 
 def test_mad_winsorize_single_fact_pass(spark, sf_dir):
     """Round-8 shape: the order-statistic pair reads the fact table
-    exactly ONCE — into the checkpointed distinct-value counts table —
-    and every later phase (medians, deviation re-counts, per-mille
-    bounds, clipped decimal sums) is value-domain work on checkpoint
-    re-reads. The round-7 form re-evaluated the fact subtree per
-    consumer (q_mad_outliers: 8 scans). collect_list must never
-    reappear (the 100-TB per-group-array OOM)."""
+    exactly ONCE — into the MEMORY_AND_DISK-persisted distinct-value
+    counts table — and every later phase (medians, deviation
+    re-counts, per-mille bounds, clipped decimal sums) is value-domain
+    work on cache reads. (persist over localCheckpoint is a measured
+    interleaved-A/B call, SCALE.md round 8.) The round-7 form
+    re-evaluated the fact subtree per consumer (q_mad_outliers: 8
+    scans). collect_list must never reappear (the 100-TB
+    per-group-array OOM)."""
     from pyspark.sql import functions as F
 
     from news_categorization_big_data_spark.functions.ordered import value_counts
+    from news_categorization_big_data_spark.functions.plan_text import (
+        uncached_file_scans,
+    )
     from news_categorization_big_data_spark.sources.tables import load_table
 
-    # the claim lives in the PRE-checkpoint subtree: value_counts over
-    # the fact table must itself be exactly one scan (a regression to
-    # the old count+join total shape would hide behind the truncated
-    # post-checkpoint lineage otherwise)
+    # the one-scan claim lives in the PRE-persist subtree: value_counts
+    # over the fact table must itself be exactly one scan (a regression
+    # to the old count+join total shape would hide inside the cached
+    # render otherwise)
     ev = load_table(spark, sf_dir, "events")
     counts_plan = _plan(value_counts(ev, ["event_type"], F.col("value")))
     assert counts_plan.count("FileScan parquet") == 1, counts_plan
@@ -90,10 +95,11 @@ def test_mad_winsorize_single_fact_pass(spark, sf_dir):
     for qname in ("q_mad_outliers", "q_winsorize"):
         df = REGISTRY[qname].builder(spark, sf_dir)
         plan = _plan(df)
-        assert plan.count("FileScan parquet") == 0, (qname, plan)
-        assert "Scan ExistingRDD" in plan, (qname, plan)
+        # zero scans hit storage per run: every FileScan in the render
+        # sits inside the InMemoryRelation (printed once per reader)
+        assert uncached_file_scans(plan) == 0, (qname, plan)
+        assert "InMemoryTableScan" in plan, (qname, plan)
         assert "collect_list" not in plan, (qname, plan)
-        # the checkpoint's OWN lineage holds the single parquet scan
         assert df.count() > 0  # materializes; smoke that it executes
 
 

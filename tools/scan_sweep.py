@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from news_categorization_big_data_spark.functions.plan_text import (  # noqa: E402
+    uncached_file_scans,
+)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
@@ -63,23 +67,27 @@ def main() -> None:
                 .executedPlan()
                 .toString()
             )
-            scans = len(re.findall(r"Scan parquet", plan))
+            # persisted subtrees render their cached child plan inside
+            # EVERY InMemoryTableScan reader, so the raw count
+            # over-counts: report the scans that actually hit storage
+            # per run (uncached) and the cache-read count separately.
+            # (A localCheckpoint instead truncates lineage into a
+            # Scan ExistingRDD — also counted as a cache read.)
+            scans = uncached_file_scans(plan, "Scan parquet")
             single = len(re.findall(r"Exchange SinglePartition", plan))
-            # a localCheckpoint truncates lineage into an RDD scan: the
-            # parquet read happens ONCE inside the RDD materialization,
-            # and each ExistingRDD node below is a re-read of that
-            # small materialized table, not of the fact table
-            rdd = len(re.findall(r"Scan ExistingRDD", plan))
-            rows.append((name, scans, single, rdd, None))
+            cache_reads = len(re.findall(r"InMemoryTableScan", plan)) + len(
+                re.findall(r"Scan ExistingRDD", plan)
+            )
+            rows.append((name, scans, single, cache_reads, None))
         except Exception as ex:  # streaming-only shapes etc.
             rows.append((name, -1, -1, -1, f"{type(ex).__name__}: {str(ex)[:80]}"))
     rows.sort(key=lambda r: -r[1])
-    print(f"{'query':34s} {'scans':>5s} {'1-part-exch':>11s} {'ckpt-reads':>10s}")
-    for name, scans, single, rdd, err in rows:
+    print(f"{'query':34s} {'scans':>5s} {'1-part-exch':>11s} {'cache-reads':>11s}")
+    for name, scans, single, cache_reads, err in rows:
         if err:
             print(f"{name:34s}   ERR {err}")
         elif scans >= min_scans:
-            print(f"{name:34s} {scans:5d} {single:11d} {rdd:10d}")
+            print(f"{name:34s} {scans:5d} {single:11d} {cache_reads:11d}")
     spark.stop()
 
 
