@@ -18,7 +18,7 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      n_returned=10 → bounded returned_ok boolean, ADVICE round 7);
    - q_ml_auc (distinct-score no-fact-sort rewrite);
    - q_mad_outliers / q_winsorize (round-8 single-fact-pass rewrite:
-     ONE scan into the checkpointed distinct-value counts table, all
+     ONE scan into the persisted distinct-value counts table, all
      later phases value-domain work — plus the all-NULL-group fix);
    - q_rrf_fusion (running-count ranks);
    - q_dq_checks / q_funnel (single-scan report rewrites);
@@ -39,14 +39,15 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
    in SCALE.md): q_retention_cohort (distinct-activity window cohort,
    join-free), q_growth_accounting (exploded two-way ledger
    contributions, the double-consumed activity subtree gone),
-   q_graph_pagerank (edge table lazily checkpointed — the unrolled
+   q_graph_pagerank (edge table persisted — the unrolled
    iterations re-evaluated the minhash+banding subtree 16x),
-   q_semantic_dedup (ranked-assignment checkpoint, 3 consumers),
-   q_collocations (vocab-count checkpoint + total-from-vocab),
+   q_semantic_dedup (ranked-assignment pin, 3 consumers),
+   q_collocations (vocab-count pin + total-from-vocab),
    q_dedup_containment (persist_sets=True, the jaccard_pairs
    convention, 5 consumers), q_graph_jaccard_neighbors (distinct-
-   adjacency checkpoint) and q_chi2_terms ((lang, term)-aggregate
-   checkpoint feeding all four contingency marginals) — rotated in so
+   adjacency pin) and q_chi2_terms ((lang, term)-aggregate pin
+   feeding all four contingency marginals) — all persist
+   MEMORY_AND_DISK by interleaved A/B (SCALE.md) — rotated in so
    the changed plans get their round-8 stamp.
 3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
    q_udf_scalar (anchor cross-round comparability; keep in EVERY
@@ -133,9 +134,9 @@ _DRIVER_ORDER = [
     "q_graph_degree_dist",
     "q_minhash_jaccard_est",
     "q_dedup_keep_best",
-    # -- single-scan report rewrites landed later in round 8 (the
-    # q_funnel discipline ported per VERDICT item 6) — rotated in so
-    # the changed plans get their round-8 stamp.
+    # -- single-fact-pass / multi-consumer-pin rewrites landed later
+    # in round 8 (the q_funnel discipline ported per VERDICT item 6,
+    # extended by the scan sweep) — rotated in for round-8 stamps.
     "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",

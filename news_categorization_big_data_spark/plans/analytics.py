@@ -866,7 +866,7 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolation-ulp hazard (the reason q_group_quantiles needs "
     "round(4)). Plan (round-8 rewrite): events are scanned ONCE into "
     "the per-group distinct-value counts table "
-    "(functions/ordered.py:value_counts, lazily checkpointed — the "
+    "(functions/ordered.py:value_counts, MEMORY_AND_DISK-persisted — the "
     "round-7 form re-evaluated the fact subtree per consumer, 8 scans) "
     "and EVERY later phase is value-domain arithmetic: the median from "
     "the cumulative-count window, the deviation table by re-counting "
@@ -967,7 +967,7 @@ WINSOR_HI_PM = 950
     "2-decimal expansions, so the winsorized decimal sum is exact and "
     "reduction-order-free like every dsum. Plan (round-8 rewrite): ONE "
     "fact scan into the distinct-value counts table "
-    "(functions/ordered.py:value_counts, lazily checkpointed); the "
+    "(functions/ordered.py:value_counts, MEMORY_AND_DISK-persisted); the "
     "per-mille bounds ride its cumulative window, and BOTH means are "
     "value-domain decimal sums — dec(v)·count and dec(clip(v))·count "
     "are exact decimal products, so the totals equal the per-row sums "

@@ -263,7 +263,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_keep = Window.partitionBy("cluster").orderBy(F.desc("c_cos"), F.asc("vec_id"))
     # ranked feeds three consumers (both pair sides + the final label
-    # join); without the lazy checkpoint each re-evaluated the K-pivot
+    # join); un-pinned, each re-evaluated the K-pivot
     # assign crossJoin — 6 parquet scans and 3 x K x n dot folds per
     # query. Vector-domain table, cheap to pin (round-8 A/B, SCALE.md).
     ranked = assign.withColumn("krank", F.row_number().over(w_keep)).persist(

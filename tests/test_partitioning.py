@@ -83,3 +83,38 @@ def test_post_shuffle_lineage_uses_probe(spark, sf_dir):
     assert _scan_width_estimate(shuffled) is None
     out = fan_out(shuffled)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_uncached_file_scans_counts_only_storage_hits():
+    """The plan-text scan counter must ignore FileScans nested inside an
+    InMemoryRelation render (printed once per cache reader) and count
+    top-level ones — the audit contract scan_sweep and the plan-shape
+    tests rely on."""
+    from news_categorization_big_data_spark.functions.plan_text import (
+        uncached_file_scans,
+    )
+
+    plain = """AdaptiveSparkPlan
++- HashAggregate
+   +- FileScan parquet [a] Batched: true
+"""
+    assert uncached_file_scans(plain) == 1
+
+    cached = """AdaptiveSparkPlan
++- BroadcastNestedLoopJoin
+   :- HashAggregate
+   :  +- InMemoryTableScan [a]
+   :        +- InMemoryRelation [a, b]
+   :              +- HashAggregate
+   :                 +- FileScan parquet [a,b] Batched: true
+   +- HashAggregate
+      +- InMemoryTableScan [b]
+            +- InMemoryRelation [a, b]
+                  +- FileScan parquet [a,b] Batched: true
+"""
+    assert uncached_file_scans(cached) == 0
+
+    mixed = cached + """+- Project
+   +- FileScan parquet [c] Batched: true
+"""
+    assert uncached_file_scans(mixed) == 1
