@@ -33,7 +33,7 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
      running large-star/small-star by default whose stamp predates the
      star default — q_dedup_cluster/q_split_leakproof were stamped r7
      with star already on).
-2. The 8 queries rewritten single-fact-pass / multi-consumer-pinned
+2. The 9 queries rewritten single-fact-pass / multi-consumer-pinned
    LATER in round 8 (the q_funnel discipline ported per VERDICT item 6
    and extended by the committed scan sweep, every change A/B-measured
    in SCALE.md): q_retention_cohort (distinct-activity window cohort,
@@ -45,16 +45,17 @@ round-8 window is PURE RE-PROOFS, composed in priority order:
    q_collocations (vocab-count pin + total-from-vocab),
    q_dedup_containment (persist_sets=True, the jaccard_pairs
    convention, 5 consumers), q_graph_jaccard_neighbors (distinct-
-   adjacency pin) and q_chi2_terms ((lang, term)-aggregate pin
-   feeding all four contingency marginals) — all persist
-   MEMORY_AND_DISK by interleaved A/B (SCALE.md) — rotated in so
-   the changed plans get their round-8 stamp.
+   adjacency pin), q_chi2_terms ((lang, term)-aggregate pin
+   feeding all four contingency marginals) and q_tfidf_pairs
+   (postings pin — the round-6 negative result reversed under the
+   interleaved protocol) — all persist MEMORY_AND_DISK by
+   interleaved A/B (SCALE.md) — rotated in so the changed plans get
+   their round-8 stamp.
 3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
    q_udf_scalar (anchor cross-round comparability; keep in EVERY
    window).
-4. 19 oldest-stamp back-fills, all pass(r1): the join family, scans,
-   grouping, window-rank/top-k, as-of, and the four streaming
-   batch-analogs.
+4. 18 oldest-stamp back-fills, all pass(r1): the join family, scans,
+   grouping, top-k, as-of, and the four streaming batch-analogs.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -70,7 +71,8 @@ q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
 q_membership q_offset_skip q_project_cast q_project_compute
 q_set_except q_set_intersect q_set_union q_sort_limit q_str_case
 q_str_concat q_str_slice q_str_split_len q_str_trim_empty
-q_text_clean q_text_tokens q_window_frame q_window_lag — 26), then
+q_text_clean q_text_tokens q_window_frame q_window_lag q_window_rank
+— 27), then
 the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
 registered.
 """
@@ -145,6 +147,7 @@ _DRIVER_ORDER = [
     "q_dedup_containment",
     "q_graph_jaccard_neighbors",
     "q_chi2_terms",
+    "q_tfidf_pairs",
     # -- standing single-op regression canaries.
     "q_group_stats",
     "q_scan_json",
@@ -163,7 +166,6 @@ _DRIVER_ORDER = [
     "q_group_counts",
     "q_group_collect",
     "q_grouping_sets",
-    "q_window_rank",
     "q_topk_per_group",
     "q_asof_join",
     "q_stream_tumbling",
@@ -243,7 +245,6 @@ _DRIVER_ORDER = [
     "q_ml_eval",
     "q_target_encode",
     "q_graph_bfs",
-    "q_tfidf_pairs",
     "q_corr_matrix",
     "q_benford_digits",
     "q_alloc_budget",
@@ -406,6 +407,7 @@ _DRIVER_ORDER = [
     "q_text_tokens",
     "q_window_lag",
     "q_window_frame",
+    "q_window_rank",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -407,12 +408,14 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "tok", (F.col("tf").cast("double") * idf).alias("w"))
     )
-    # `post` feeds four consumers (norm aggregate + both self-join
-    # sides), but a persist here measured a WASH-to-worse on cold
-    # executions (SCALE.md round-6 note: Catalyst's exchange reuse
-    # already covers the self-join's shared shuffle; the apparent 6.8x
-    # win was CacheManager memoization across repeated runs, not
-    # within-run savings). Left unpersisted deliberately.
+    # `post` feeds four consumers (norm aggregate via both rename
+    # sides + both self-join sides) — 4 evaluations of the
+    # tokenize+explode+two-shuffle subtree, 12 compiled scans. The
+    # round-6 "persist is a wash-to-worse" note was re-tested with the
+    # INTERLEAVED protocol (SCALE.md round 8) and reversed: pinning
+    # post is ~8% faster steady-state and 2.2x faster cold at sf0.1;
+    # the old comparison crossed measurement windows.
+    post = post.persist(StorageLevel.MEMORY_AND_DISK)
     nrm = post.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")).cast("double")

@@ -74,9 +74,10 @@ def test_registry_window_contains_round8_priorities():
         "q_dedup_containment",
         "q_graph_jaccard_neighbors",
         "q_chi2_terms",
+        "q_tfidf_pairs",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(reproofs) == 28
+    assert len(reproofs) == 29
     for name in reproofs + canaries:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
