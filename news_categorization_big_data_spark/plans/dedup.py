@@ -903,10 +903,12 @@ def _lsh_recall_oracle() -> str:
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     # Both pair lists feed two consumers each (the hit join and their
-    # own count). Persisting them measured WORSE on cold executions
-    # (SCALE.md round-6 note: the materialization barrier costs more
-    # than the saved recompute; the apparent 12x was CacheManager
-    # memoization across repeated runs). Left unpersisted deliberately.
+    # own count). Persisting them measured WORSE steady-state — and
+    # unlike the round-6 tfidf conclusion this one SURVIVED the
+    # round-8 interleaved protocol (2.76 vs 3.45 s best-of-4, SCALE.md):
+    # at 2 consumers the materialization barrier costs more than one
+    # saved recompute, exactly the consumer-coefficient rule's
+    # prediction. Left unpersisted deliberately.
     truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF).select(
         "doc_a", "doc_b"
     )
