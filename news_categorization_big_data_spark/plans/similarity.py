@@ -284,14 +284,14 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kv = F.array(*[F.lit(float(x)) for x in key.toArray()])
     l2 = l2_sq(F.col("e"), kv)
-    brute10 = (
+    brute_k = (
         raw.where(F.col("vec_id") != 0)
         .select("vec_id", l2.alias("_d"))
         .orderBy("_d", "vec_id")
         .limit(ANN_K)
     )
     return (
-        brute10.join(ann, "vec_id", "left_outer")
+        brute_k.join(ann, "vec_id", "left_outer")
         .agg(
             F.count("*").cast("long").alias("_n_brute"),
             F.count("_hit").alias("_hits"),
