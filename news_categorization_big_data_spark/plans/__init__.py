@@ -65,14 +65,14 @@ the window and that every row-less query is window-covered.
 
 Round-9 window plan (for the next session): (a) any plan/oracle
 changed during round 8 after this window froze; (b) the 3 standing
-canaries; (c) back-fill with the remaining 26 pass(r1) scalar-tier
+canaries; (c) back-fill with the remaining 27 pass(r1) scalar-tier
 queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
 q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
 q_membership q_offset_skip q_project_cast q_project_compute
 q_set_except q_set_intersect q_set_union q_sort_limit q_str_case
 q_str_concat q_str_slice q_str_split_len q_str_trim_empty
 q_text_clean q_text_tokens q_window_frame q_window_lag q_window_rank
-— 27), then
+— 27 names), then
 the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
 registered.
 """
@@ -262,7 +262,6 @@ _DRIVER_ORDER = [
     "q_regex_extract",
     "q_rate_anomaly",
     "q_seasonality",
-    "q_growth_accounting",
     "q_table_profile",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -419,6 +418,16 @@ if set(_DRIVER_ORDER) != set(REGISTRY):
         f"missing={set(REGISTRY) - set(_DRIVER_ORDER)} "
         f"stale={set(_DRIVER_ORDER) - set(REGISTRY)}"
     )
+# Length too, not just sets: a DUPLICATE entry would pass the set check
+# while the dict rebuild silently keeps the first occurrence and shifts
+# every later entry up one — pulling a tail query into the graded
+# 50-entry window with no error (found once: a rotated-in query's tail
+# copy was left behind).
+if len(_DRIVER_ORDER) != len(REGISTRY):
+    from collections import Counter as _Counter
+
+    _dups = [n for n, c in _Counter(_DRIVER_ORDER).items() if c > 1]
+    raise RuntimeError(f"driver order has duplicate entries: {_dups}")
 _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)

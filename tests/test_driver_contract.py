@@ -39,8 +39,8 @@ def test_registry_window_contains_round8_priorities():
     oracle changed after the round-7 window froze (MLlib semi-oracle
     upgrades, grouped-order-stats rewrites, single-scan reports, the
     ranged-valve refactor, LSH-oracle-touched graph queries, and the
-    star-CC consumer) plus the 8 later-round-8 single-fact-pass /
-    multi-consumer-pin rewrites, the 3 standing canaries, and 19
+    star-CC consumer) plus the 9 later-round-8 single-fact-pass /
+    multi-consumer-pin rewrites, the 3 standing canaries, and 18
     oldest-stamp pass(r1) back-fills."""
     window = list(REGISTRY)[:50]
     reproofs = [

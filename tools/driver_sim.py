@@ -1,6 +1,14 @@
 """Simulates the external driver: vanilla SparkSession (NOT the engine's
 tuned factory), import __spark_entry__, smoke entry(), then run every
-queries() entry at sf0.01 and hash-compare against oracle_sql() via DuckDB."""
+queries() entry at sf0.01 and hash-compare against oracle_sql() via DuckDB.
+
+Deliberately NO clearCache between queries — one session, like the real
+driver. Consequence: plans that persist an intermediate keep their cache
+entries for the session (documented trade, jaccard_pairs docstring), and
+CacheManager's plan-identity substitution means a later query can read an
+earlier query's materialization (correctness-neutral; per-query TIMINGS
+here are therefore not isolated — bench.py, which does clearCache between
+reps, is the timing surface)."""
 import hashlib, json, math, sys, time
 sys.path.insert(0, "/root/repo")
 
