@@ -185,11 +185,12 @@ def jaccard_pairs(
     # at sf0.1 and 2.2x at the sf1 decade, output-identical — the
     # registered plan passes True. MEMORY_AND_DISK spills, never OOMs.
     # The operator default stays False so callers composing their own
-    # pipelines opt in deliberately (a cache entry outlives the query).
+    # pipelines opt in deliberately. pin() scopes the cache entry to
+    # the enclosing registered query (functions/cachepin.py).
     if persist_sets:
-        from pyspark import StorageLevel
+        from news_categorization_big_data_spark.functions.cachepin import pin
 
-        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+        sized = pin(sized)
     prefix_len = (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
     pref = sized.select(
         id_col,
@@ -426,9 +427,9 @@ def containment_pairs(
         F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
     )
     if persist_sets:
-        from pyspark import StorageLevel
+        from news_categorization_big_data_spark.functions.cachepin import pin
 
-        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+        sized = pin(sized)
     # ⌈t·sz⌉ in pure integers: (t_pct·sz + 99) div 100.
     ceil_t_sz = F.floor((F.col("_sz") * threshold_pct + 99) / 100).cast("int")
     prefix_len = (F.col("_sz") - ceil_t_sz + 1).cast("int")

@@ -18,11 +18,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
@@ -894,9 +894,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage is kept, so an executor loss recomputes the block
     # instead of failing the job — the only safe default at 1000
     # executors with node churn
-    counts = value_counts(ev, ["event_type"], F.col("value")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    counts = pin(value_counts(ev, ["event_type"], F.col("value")))
     k_med = ((F.col("_n_tot") - 1) / 2 + 1).cast("int")
     st = order_stats_from_counts(counts, ["event_type"], {"med": k_med})
     # deviation distinct-value table: |v − med| folds v = med±x onto one
@@ -981,9 +979,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    counts = value_counts(ev, ["event_type"], F.col("value")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    counts = pin(value_counts(ev, ["event_type"], F.col("value")))
     n = F.col("_n_tot")
     b = order_stats_from_counts(
         counts,

@@ -27,10 +27,10 @@ the tier is graded against BASELINE.json's curation north star.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.hashing import hash60
 from news_categorization_big_data_spark.operators.dedup import (
     lsh_candidate_pairs,
@@ -317,11 +317,7 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (lang, term) aggregate is the root of all four contingency
     # marginals; un-pinned, each rollup re-tokenized the corpus
     # (4 scans). Vocab x lang sized — cheap to pin (round-8 sweep).
-    lt = (
-        toks.groupBy("lang", "term")
-        .agg(F.count("*").alias("a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    lt = pin(toks.groupBy("lang", "term").agg(F.count("*").alias("a")))
     l_tot = lt.groupBy("lang").agg(F.sum("a").alias("lang_total"))
     t_tot = lt.groupBy("term").agg(F.sum("a").alias("term_total"))
     grand = lt.agg(F.sum("a").alias("grand"))
@@ -423,12 +419,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinning it is the cheap side of the trade everywhere; persist
     # over localCheckpoint by interleaved measurement + fault
     # tolerance (SCALE.md).
-    ed = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
+    ed = pin(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     v = ed.select(F.col("src").alias("doc_id")).distinct()
     nv = v.agg(F.count("*").alias("n_v"))
@@ -553,11 +547,8 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join sides); un-pinned, each re-scanned and re-deduped the
     # fact table. Bounded by |users| x |event types| — cheap to pin
     # (round-8 multi-consumer coefficient, SCALE.md).
-    adj = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    adj = pin(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     )
     deg = adj.groupBy("event_type").agg(F.count("*").cast("long").alias("d"))
     a = adj.select("user_id", F.col("event_type").alias("type_a"))

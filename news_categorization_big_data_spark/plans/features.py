@@ -20,10 +20,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.hashing import hash60
 from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
@@ -415,7 +415,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INTERLEAVED protocol (SCALE.md round 8) and reversed: pinning
     # post is ~8% faster steady-state and 2.2x faster cold at sf0.1;
     # the old comparison crossed measurement windows.
-    post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    post = pin(post)
     nrm = post.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")).cast("double")

@@ -15,6 +15,7 @@ Determinism contract (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -41,7 +42,21 @@ def register(name: str, oracle: str | None, tier: str, doc: str = "") -> Callabl
     def wrap(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tier=tier, doc=doc or (fn.__doc__ or ""))
+
+        # Query-scoped cache lifetime (ADVICE round 8): release the
+        # PREVIOUS query's pins when the next builder starts, so the
+        # driver's single long-lived session holds at most one query's
+        # persisted intermediates at a time. See functions/cachepin.py.
+        @functools.wraps(fn)
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from news_categorization_big_data_spark.functions.cachepin import release_pins
+
+            release_pins()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(
+            name=name, builder=runner, oracle=oracle, tier=tier, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return wrap

@@ -13,10 +13,10 @@ DuckDB oracle can reproduce it.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.ordered import running_sum
 from news_categorization_big_data_spark.functions.text_exprs import tokens
 from news_categorization_big_data_spark.plans.registry import register
@@ -266,9 +266,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); un-pinned, each re-evaluated the K-pivot
     # assign crossJoin — 6 parquet scans and 3 x K x n dot folds per
     # query. Vector-domain table, cheap to pin (round-8 A/B, SCALE.md).
-    ranked = assign.withColumn("krank", F.row_number().over(w_keep)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ranked = pin(assign.withColumn("krank", F.row_number().over(w_keep)))
 
     a = ranked.select(
         F.col("cluster").alias("a_cluster"),

@@ -10,10 +10,10 @@ linearly with executors and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.hashing import hash60
 from news_categorization_big_data_spark.functions.text_exprs import STOPWORDS, normalize_text, tokens
 from news_categorization_big_data_spark.plans.registry import register
@@ -683,11 +683,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total; un-checkpointed, each consumer re-tokenized the corpus
     # (4 scans, 3 redundant explode passes). Vocabulary-sized — the
     # cheapest possible pin (round-8 sweep, SCALE.md).
-    ucnt = (
-        uni.groupBy("w")
-        .agg(F.count("*").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ucnt = pin(uni.groupBy("w").agg(F.count("*").alias("n")))
     tot = ucnt.agg(F.sum("n").alias("n_tot"))  # = total tokens, exactly
     bcnt = (
         docs.select(F.explode(word_ngrams("text", 2)).alias("pair"))
