@@ -270,6 +270,42 @@ def test_banded_pairs_skew_cap(spark):
     assert at_size == uncapped
 
 
+def test_containment_pairs_skew_cap(spark):
+    """Planted boilerplate cluster for containment_pairs (round-9
+    VERDICT decade follow-up): m identical template docs make EVERY one
+    of their shingle hashes reach df = m on the index side; with
+    max_df < m those hashes are dropped whole (the HAVING df <= cap
+    filter removes the hash, capping BOTH join sides, since probe
+    postings are a subset of index postings per hash) and the cluster
+    emits ZERO pairs instead of m*(m-1). An organic contained pair in a
+    small bucket survives untouched, and cap == m restores everything —
+    the same three-point contract as test_banded_pairs_skew_cap."""
+    from news_categorization_big_data_spark.operators.dedup import containment_pairs
+
+    sludge_text = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    organic_a = "alpha beta gamma delta epsilon"
+    organic_b = organic_a + " zeta eta theta iota kappa lambda mu nu xi omicron"
+    rows = [(f"s{i:03d}", sludge_text) for i in range(6)]
+    rows += [("a001", organic_a), ("b001", organic_b)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def pairs(max_df):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in containment_pairs(docs, 90, max_df=max_df).collect()
+        }
+
+    uncapped = pairs(None)
+    assert ("a001", "b001") in uncapped  # A's shingles all inside B
+    assert ("b001", "a001") not in uncapped  # containment is asymmetric
+    assert sum(1 for a, _ in uncapped if a.startswith("s")) == 6 * 5
+
+    # cap below the cluster: the hot hashes drop whole, organic survives
+    assert pairs(5) == {("a001", "b001")}
+    # cap exactly at the cluster df: nothing is dropped
+    assert pairs(6) == uncapped
+
+
 def test_srp_candidate_pairs_none_means_uncapped(spark):
     """srp_candidate_pairs' max_df semantics must match the rest of the
     LSH family (ADVICE round 7): the SIGNATURE default is LSH_MAX_DF,
