@@ -4,6 +4,11 @@ tools/driver_sim.py — fetchnumpy oracle rendering, column-name-sorted
 sha256 — but skips entry() smoke and lets you iterate on one query in
 seconds instead of re-running all of them.
 
+SPARK_GRAFT_SIM_SF (optional): sf dir to run BOTH the Spark query and
+the DuckDB oracle against (default sf0.01 — the driver's point). Used
+to prove the overflow-sensitive exact-arithmetic family at sf0.1
+oracle scale (round-9 VERDICT item 1).
+
 SPARK_GRAFT_SIM_CONF (optional): comma-separated k=v session confs set
 AFTER session creation — used to prove conf-gated alternate plans (the
 spark.graft.* valves) against the same oracles the driver hashes, e.g.
@@ -19,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = SparkSession.builder.master("local[8]").appName("subset-sim").getOrCreate()
@@ -33,7 +38,11 @@ import __spark_entry__ as entrymod
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    p = f"{SF}/{t}.parquet"
+    # Spark writes a DIRECTORY of part files (the synthetic /tmp/sf1
+    # layout); DuckDB needs the glob, Spark reads either form as-is.
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 
 def canon(v):
