@@ -1,0 +1,74 @@
+"""Deterministic DECIMAL→DOUBLE conversion — identical last-ulp on every
+engine, at any realistic accumulator magnitude.
+
+The problem (found by tests/test_overflow_bounds.py, round 10): Spark
+converts a decimal to double in ONE correctly-rounded step
+(``BigDecimal.doubleValue``), while DuckDB converts the int128 storage
+value to double and then divides by 10^scale — TWO roundings. The
+results agree while the SCALED integer is below 2^53 (both chains are
+exact there) but can differ in the last ulp above it. Every "stays
+under 2^53" docstring bound in the exact-arithmetic family exists to
+dodge this — and the bound arguments assume value-domain typicality
+that adversarial skew breaks (a max-skew group of ~20 k in-domain rows
+already flips q_grouped_moments' hash; measured, SCALE.md round 10).
+
+The fix: never let either engine convert a wide decimal directly.
+Extract the exact scaled integer, split it into two limbs that are each
+exact or single-rounded in double, and reassemble with an IEEE chain
+both engines execute identically:
+
+    si  = scaled integer   (decimal·10^scale — exact by construction)
+    a   = |si|
+    hi  = a div 2^60       (< 2^53 for |si| < 2^113 — hi→double EXACT)
+    lo  = a mod 2^60       (int64→double: ONE correct rounding, both engines)
+    out = sign(si) · (hi·2^60 + lo) / 10^scale
+
+``hi·2^60`` is exact (hi < 2^53 times a power of two), the add and the
+final divide are one correctly-rounded IEEE op each — the whole chain is
+reproducible on any IEEE-754 engine. For |si| < 2^53 the result is
+bit-identical to the single correctly-rounded conversion, so adopting
+this helper does NOT change any value the official driver has already
+hashed at sf0.01 — only the previously engine-divergent >2^53 region.
+
+Valid for |si| < 2^113 ≈ 10^34 — a 100-TB accumulator of 2-dp values
+tops out around 10^22 (6·10^11 rows × 500 × weight 2^23 × 100), five
+orders of magnitude inside the limit. NULL propagates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Limb base. 2^60 keeps hi < 2^53 (exact in double) through |si| < 2^113
+#: while lo < 2^60 needs only the one correct int64→double rounding.
+LIMB = 1 << 60
+
+
+def dec_to_double(sum_col: Column, scale: int) -> Column:
+    """Deterministic double of a DECIMAL(p, ``scale``) column (see module
+    docstring). ``sum_col`` is typically a decimal aggregate result."""
+    si = (sum_col * F.lit(10**scale)).cast("decimal(38,0)")
+    a = F.abs(si)
+    lo = a % F.lit(LIMB)
+    # (a - lo) is exactly divisible by LIMB and hi < 2^53 fits the
+    # division's result scale, so the decimal divide is exact.
+    hi = ((a - lo) / F.lit(LIMB)).cast("long")
+    mag = hi.cast("double") * F.lit(float(LIMB)) + lo.cast("double")
+    sgn = F.when(si < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return sgn * mag / F.lit(float(10**scale))
+
+
+def o_dec_to_double(expr: str, scale: int) -> str:
+    """DuckDB-side mirror of :func:`dec_to_double` — the same limb split
+    and the same IEEE reassembly chain, as one scalar SQL expression.
+    ``expr`` must be a decimal-typed expression with scale ``scale``."""
+    si = f"CAST(({expr}) * {10 ** scale} AS HUGEINT)"
+    a = f"ABS({si})"
+    lo = f"CAST(({a}) % {LIMB} AS BIGINT)"
+    hi = f"CAST(({a}) // {LIMB} AS BIGINT)"
+    return (
+        f"((CASE WHEN {si} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CAST({hi} AS DOUBLE) * {float(LIMB)!r} + CAST({lo} AS DOUBLE)) "
+        f"/ {float(10 ** scale)!r})"
+    )

@@ -6,74 +6,45 @@ pairs consumed by ``__spark_entry__``.
 
 The external driver evaluates the FIRST 50 registry entries in insertion
 order per round, so insertion order is part of the verification contract.
-After round 7 every registered query has an official driver row, so the
-round-8 window is PURE RE-PROOFS, composed in priority order:
+Every registered query has carried a green official stamp since round 7
+and every LATEST stamp is green, so since round 8 the window is PURE
+RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 
-1. The 20 queries whose plan or oracle changed during round 7 AFTER the
-   round-7 window had frozen (their stamps predate the current code):
-   - the four MLlib queries upgraded from rows-only to SEMI-ORACLES in
-     commit aad7e20 — q_ml_classify / q_ml_kmeans / q_sim_ann_lsh /
-     q_dedup_mllib_lsh — getting their first-ever real driver hash
-     (q_sim_ann_lsh additionally re-pinned this round: exact
-     n_returned=10 → bounded returned_ok boolean, ADVICE round 7);
-   - q_ml_auc (distinct-score no-fact-sort rewrite);
-   - q_mad_outliers / q_winsorize (round-8 single-fact-pass rewrite:
-     ONE scan into the persisted distinct-value counts table, all
-     later phases value-domain work — plus the all-NULL-group fix);
-   - q_rrf_fusion (running-count ranks);
-   - q_dq_checks / q_funnel (single-scan report rewrites);
-   - q_peak_concurrency / q_gini_spend / q_sequence_gaps / q_lift_bands
-     / q_skyline / q_rfm_segments (ranged-valve refactor — default
-     plans stamped here; the valve-on variants are proven
-     output-identical by tests/test_ordered_windows.py and stamped
-     against the oracle by tools/driver_sim.py runs with
-     spark.graft.window.ranged=true, recorded in SCALE.md);
-   - q_component_sizes / q_graph_degree_dist / q_minhash_jaccard_est
-     (LSH-oracle-touched) and q_dedup_keep_best (the one CC consumer
-     running large-star/small-star by default whose stamp predates the
-     star default — q_dedup_cluster/q_split_leakproof were stamped r7
-     with star already on).
-2. The 9 queries rewritten single-fact-pass / multi-consumer-pinned
-   LATER in round 8 (the q_funnel discipline ported per VERDICT item 6
-   and extended by the committed scan sweep, every change A/B-measured
-   in SCALE.md): q_retention_cohort (distinct-activity window cohort,
-   join-free), q_growth_accounting (exploded two-way ledger
-   contributions, the double-consumed activity subtree gone),
-   q_graph_pagerank (edge table persisted — the unrolled
-   iterations re-evaluated the minhash+banding subtree 16x),
-   q_semantic_dedup (ranked-assignment pin, 3 consumers),
-   q_collocations (vocab-count pin + total-from-vocab),
-   q_dedup_containment (persist_sets=True, the jaccard_pairs
-   convention, 5 consumers), q_graph_jaccard_neighbors (distinct-
-   adjacency pin), q_chi2_terms ((lang, term)-aggregate pin
-   feeding all four contingency marginals) and q_tfidf_pairs
-   (postings pin — the round-6 negative result reversed under the
-   interleaved protocol) — all persist MEMORY_AND_DISK by
-   interleaved A/B (SCALE.md) — rotated in so the changed plans get
-   their round-8 stamp.
-3. The 3 standing single-op canaries: q_group_stats, q_scan_json,
-   q_udf_scalar (anchor cross-round comparability; keep in EVERY
-   window).
-4. 18 oldest-stamp back-fills, all pass(r1): the join family, scans,
-   grouping, top-k, as-of, and the four streaming batch-analogs.
+The ROUND-10 window is the staleness rotation the round-9 VERDICT
+ordered (its "Next round" #2): after round 9, 53 queries still carried
+round-1/round-2 stamps while the nine files holding them had changed
+2-16 times since those rounds. The window therefore holds:
+
+1. The 3 standing single-op canaries — q_group_stats, q_scan_json,
+   q_udf_scalar — kept in EVERY window for cross-round comparability.
+2. All 27 pass(r1) stamps: the scalar/string/json/map/set-op tier
+   (scalar_functions.py), the r1 window functions and sort/offset/
+   project/filter relational primitives (relational.py), and
+   q_text_clean/q_text_tokens (text.py).
+3. The 20 pass(r2) stamps living in the most-churned files:
+   plans/text.py (x16 commits since r2: q_lang_id, q_multimodal_binary,
+   q_multimodal_cols, q_pii_scrub, q_quality_filter, q_quality_score,
+   q_repetition_stats, q_text_stats, q_token_count, q_top_terms_per_doc,
+   q_doc_fingerprint), sampling.py (q_decontaminate, q_mix_sources,
+   q_sample_stratified, q_split_train_eval), ml.py (q_classify_keywords,
+   q_pipeline_digest, q_summarize_extractive), similarity.py
+   (q_knn_label), sources.py (q_scan_csv).
+
+The 6 remaining pass(r2) queries (q_array_hof, q_group_quantiles,
+q_tpch_q3, q_tpch_q5, q_unpivot_long, q_window_distribution — low-churn
+files) are the round-11 rotation, after which no stamp predates r3.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
-pytest/driver_sim-verified every round.
+pytest/driver_sim-verified every round (tests/test_oracle_parity.py runs
+the full registry against DuckDB at sf0.001 on every pytest run).
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 
-Round-9 window plan (for the next session): (a) any plan/oracle
-changed during round 8 after this window froze; (b) the 3 standing
-canaries; (c) back-fill with the remaining 27 pass(r1) scalar-tier
-queries (q_array_join q_date_fmt q_field_defaults q_filter_neq
-q_filter_null_guard q_json_from q_json_to q_map_lookup q_math_arith
-q_membership q_offset_skip q_project_cast q_project_compute
-q_set_except q_set_intersect q_set_union q_sort_limit q_str_case
-q_str_concat q_str_slice q_str_split_len q_str_trim_empty
-q_text_clean q_text_tokens q_window_frame q_window_lag q_window_rank
-— 27 names), then
-the oldest pass(r2) rows. Keep ROTATION_PENDING for anything newly
+Round-11 window plan (for the next session): (a) any plan/oracle
+changed during round 10 after this window froze; (b) the 3 standing
+canaries; (c) the 6 pass(r2) leftovers above; (d) back-fill with the
+oldest pass(r3) rows. Keep ROTATION_PENDING for anything newly
 registered.
 """
 
@@ -113,9 +84,72 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-8 WINDOW (first 50 = the driver's correctness window) ----
-    # -- re-proofs: the 20 plans/oracles changed after the round-7
-    # window froze (see module docstring for the per-query reasons).
+    # ---- ROUND-10 WINDOW (first 50 = the driver's correctness window) ----
+    # Pure staleness rotation (round-9 VERDICT "Next round" #2): after
+    # r9 every latest stamp is green but 53 queries still carry r1/r2
+    # stamps while their files changed 2-16 times since. This window =
+    # 3 standing canaries + all 27 pass(r1) stamps + the 20 pass(r2)
+    # stamps living in the most-churned files (plans/text.py x11,
+    # sampling.py x4, ml.py x3, similarity.py x1, sources.py x1). The 6
+    # remaining pass(r2) queries (q_array_hof q_group_quantiles q_tpch_q3
+    # q_tpch_q5 q_unpivot_long q_window_distribution — low-churn files)
+    # rotate in round 11.
+    # -- standing single-op regression canaries (in EVERY window).
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    # -- all 27 pass(r1) stamps: scalar/string/json/set/window/sort tier.
+    "q_array_join",
+    "q_date_fmt",
+    "q_field_defaults",
+    "q_filter_neq",
+    "q_filter_null_guard",
+    "q_json_from",
+    "q_json_to",
+    "q_map_lookup",
+    "q_math_arith",
+    "q_membership",
+    "q_offset_skip",
+    "q_project_cast",
+    "q_project_compute",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_sort_limit",
+    "q_str_case",
+    "q_str_concat",
+    "q_str_slice",
+    "q_str_split_len",
+    "q_str_trim_empty",
+    "q_text_clean",
+    "q_text_tokens",
+    "q_window_frame",
+    "q_window_lag",
+    "q_window_rank",
+    # -- 20 pass(r2) stamps in the most-churned files.
+    "q_lang_id",
+    "q_multimodal_binary",
+    "q_multimodal_cols",
+    "q_pii_scrub",
+    "q_quality_filter",
+    "q_quality_score",
+    "q_repetition_stats",
+    "q_text_stats",
+    "q_token_count",
+    "q_top_terms_per_doc",
+    "q_doc_fingerprint",
+    "q_classify_keywords",
+    "q_pipeline_digest",
+    "q_summarize_extractive",
+    "q_knn_label",
+    "q_decontaminate",
+    "q_mix_sources",
+    "q_sample_stratified",
+    "q_split_train_eval",
+    "q_scan_csv",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: official rows from rounds 3-9, prior relative order
+    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_ml_classify",
     "q_ml_kmeans",
     "q_sim_ann_lsh",
@@ -136,9 +170,6 @@ _DRIVER_ORDER = [
     "q_graph_degree_dist",
     "q_minhash_jaccard_est",
     "q_dedup_keep_best",
-    # -- single-fact-pass / multi-consumer-pin rewrites landed later
-    # in round 8 (the q_funnel discipline ported per VERDICT item 6,
-    # extended by the scan sweep) — rotated in for round-8 stamps.
     "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",
@@ -148,12 +179,6 @@ _DRIVER_ORDER = [
     "q_graph_jaccard_neighbors",
     "q_chi2_terms",
     "q_tfidf_pairs",
-    # -- standing single-op regression canaries.
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    # -- oldest-stamp back-fill: pass(r1) joins/scans/groups/windows/
-    # sets/streaming batch-analogs re-proven on current code.
     "q_scan_parquet",
     "q_scan_range_pred",
     "q_join_inner_equi",
@@ -172,9 +197,6 @@ _DRIVER_ORDER = [
     "q_stream_sliding",
     "q_stream_watermark",
     "q_stream_dedup",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: official rows from rounds 1-7, prior relative order
-    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_sample_reservoir",
     "q_token_rarity",
     "q_union_by_name",
@@ -290,22 +312,8 @@ _DRIVER_ORDER = [
     "q_sim_ann_ivf",
     "q_dedup_simhash",
     "q_tpch_q6",
-    "q_text_stats",
-    "q_lang_id",
-    "q_quality_score",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_split_train_eval",
-    "q_sample_stratified",
-    "q_quality_filter",
-    "q_mix_sources",
-    "q_decontaminate",
-    "q_pii_scrub",
     "q_pack_sequences",
     "q_batch_assign",
-    "q_pipeline_digest",
-    "q_summarize_extractive",
-    "q_classify_keywords",
     "q_join_salted",
     "q_embedding_quantize",
     "q_tpch_q2",
@@ -370,43 +378,10 @@ _DRIVER_ORDER = [
     "q_vocab_coverage",
     "q_dedup_fuzzy",
     "q_udtf_chunks",
-    "q_multimodal_cols",
-    "q_multimodal_binary",
-    "q_knn_label",
     "q_group_quantiles",
-    "q_top_terms_per_doc",
-    "q_repetition_stats",
     "q_unpivot_long",
     "q_window_distribution",
     "q_array_hof",
-    "q_scan_csv",
-    "q_project_cast",
-    "q_filter_null_guard",
-    "q_field_defaults",
-    "q_filter_neq",
-    "q_project_compute",
-    "q_str_concat",
-    "q_str_case",
-    "q_str_slice",
-    "q_str_split_len",
-    "q_str_trim_empty",
-    "q_date_fmt",
-    "q_json_to",
-    "q_json_from",
-    "q_array_join",
-    "q_math_arith",
-    "q_map_lookup",
-    "q_membership",
-    "q_text_clean",
-    "q_set_except",
-    "q_set_intersect",
-    "q_offset_skip",
-    "q_set_union",
-    "q_sort_limit",
-    "q_text_tokens",
-    "q_window_lag",
-    "q_window_frame",
-    "q_window_rank",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

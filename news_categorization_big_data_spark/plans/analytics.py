@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_categorization_big_data_spark.functions.cachepin import pin
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
@@ -237,12 +241,12 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decay_agg",
     oracle=f"""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))
+           {o_dec_to_double(f'''SUM(CAST(value AS DECIMAL(18,2))
                     * GREATEST(0, {DECAY_WINDOW}
                                - date_diff('day', CAST(ts AS DATE),
-                                           DATE '{DECAY_ANCHOR}'))) AS DOUBLE)
+                                           DATE '{DECAY_ANCHOR}')))''', 2)}
              AS decayed_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS raw_value,
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS raw_value,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -252,7 +256,12 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{DECAY_ANCHOR} (linear/triangular decay — the integer-exact "
     "variant of exponential recency weighting: decimal(value) × "
     "int(weight) is exact, so the sum is reduction-order-independent, "
-    "where exp(−λ·age) would hang the hash on libm ulps). Map-only "
+    "where exp(−λ·age) would hang the hash on libm ulps). The final "
+    "decimal→double conversion goes through dec_to_double "
+    "(functions/exact.py) so it stays engine-identical past 2^53 "
+    "scaled units — a direct cast measurably hash-flips there "
+    "(tests/test_overflow_bounds.py), and ~6·10^11 in-domain rows on "
+    "one type (the 100-TB shape) crosses it. Map-only "
     "weight computation + one partial-aggregating shuffle on the "
     "5-value event_type key.",
 )
@@ -262,8 +271,8 @@ def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.greatest(F.lit(0), F.lit(DECAY_WINDOW) - age)
     dval = F.col("value").cast("decimal(18,2)")
     return ev.groupBy("event_type").agg(
-        F.sum(dval * weight).cast("double").alias("decayed_value"),
-        F.sum(dval).cast("double").alias("raw_value"),
+        dec_to_double(F.sum(dval * weight), 2).alias("decayed_value"),
+        dec_to_double(F.sum(dval), 2).alias("raw_value"),
         F.count("*").alias("n_events"),
     )
 
@@ -296,12 +305,12 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zscore_outliers",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT event_type,
                       COUNT(*) AS n,
-                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-                      CAST(SUM(CAST(value AS DECIMAL(18,2))
-                               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS s1,
+                      {o_dec_to_double('''SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2)))''', 4)} AS s2
                FROM events GROUP BY event_type),
     st AS (SELECT event_type, n, s1 / n AS mean,
                   sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
@@ -328,8 +337,8 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dval = F.col("value").cast("decimal(18,2)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(dval).cast("double").alias("s1"),
-        F.sum(dval * dval).cast("double").alias("s2"),
+        dec_to_double(F.sum(dval), 2).alias("s1"),
+        dec_to_double(F.sum(dval * dval), 4).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(
@@ -762,12 +771,12 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouped_moments",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT event_type,
                       COUNT(*) AS n,
-                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-                      CAST(SUM(CAST(value AS DECIMAL(18,2))
-                               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS s1,
+                      {o_dec_to_double('''SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2)))''', 4)} AS s2
                FROM events GROUP BY 1),
     st AS (SELECT event_type, n, s1 / n AS mean,
                   sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
@@ -777,9 +786,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events e JOIN st ON e.event_type = st.event_type)
     SELECT event_type,
            MAX(n) AS n, MAX(mean) AS mean, MAX(std) AS std,
-           CAST(SUM(CAST(t * t * t AS DECIMAL(30,9))) AS DOUBLE) / MAX(n)
+           {o_dec_to_double("SUM(CAST(t * t * t AS DECIMAL(30,9)))", 9)} / MAX(n)
              AS skewness,
-           CAST(SUM(CAST(t * t * t * t AS DECIMAL(30,9))) AS DOUBLE) / MAX(n)
+           {o_dec_to_double("SUM(CAST(t * t * t * t AS DECIMAL(30,9)))", 9)} / MAX(n)
              - 3.0 AS excess_kurtosis
     FROM z GROUP BY event_type
     """,
@@ -791,9 +800,14 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standardized form (same shape as q_zscore_outliers): exact-decimal "
     "first pass → mean/std as bit-identical doubles, broadcast back; "
     "second pass sums ((x−μ)/σ)³ and ⁴ — identical doubles on both "
-    "engines, quantized to a 10⁻⁹ grid (|t| ≤ ~5 ⇒ t⁴ ≤ 10³, 10⁶ "
-    "rows/group at sf1 → scaled ≤ 10¹⁸·10⁻⁹·10³ ≈ 10¹² ≪ 2^53) for "
-    "the reduction-order-free sum. Two shuffles on the 5-value type "
+    "engines, quantized to a 10⁻⁹ grid for the reduction-order-free "
+    "sum. The grid sum does NOT stay under 2^53 adversarially: a "
+    "max-skew in-domain group (n−1 zeros + one outlier) has "
+    "Σt⁴ = (n−1)², crossing 2^53 at n ≈ 3002 — and a direct "
+    "decimal→double cast measurably hash-flips at n ≈ 2·10⁴ "
+    "(tests/test_overflow_bounds.py) — so every decimal sum here "
+    "converts via dec_to_double (functions/exact.py), which is "
+    "engine-identical to |scaled| < 2^113. Two shuffles on the 5-value type "
     "key; stats side broadcast. A constant-valued group (std = 0) "
     "yields NULL shape stats SYMMETRICALLY via the nullif guard — "
     "without it Spark's ANSI double÷0 raises while DuckDB nulls.",
@@ -803,8 +817,8 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dval = F.col("value").cast("decimal(18,2)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(dval).cast("double").alias("s1"),
-        F.sum(dval * dval).cast("double").alias("s2"),
+        dec_to_double(F.sum(dval), 2).alias("s1"),
+        dec_to_double(F.sum(dval * dval), 4).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(
@@ -824,11 +838,11 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean").alias("mean"),
             F.max("std").alias("std"),
             (
-                F.sum((t * t * t).cast("decimal(30,9)")).cast("double")
+                dec_to_double(F.sum((t * t * t).cast("decimal(30,9)")), 9)
                 / F.max("n")
             ).alias("skewness"),
             (
-                F.sum((t * t * t * t).cast("decimal(30,9)")).cast("double")
+                dec_to_double(F.sum((t * t * t * t).cast("decimal(30,9)")), 9)
                 / F.max("n")
                 - F.lit(3.0)
             ).alias("excess_kurtosis"),

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
@@ -315,11 +319,13 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: EWMA horizon (days) and binary-exact weights: a day d contributes to
 #: day d+k (k in 0..HORIZON-1) with integer weight 2^(HORIZON-1-k); the
 #: normalizer is their sum 2^HORIZON - 1. alpha = 1/2 decay, truncated.
-#: The horizon and the DECIMAL scale (2 — the data's actual value
-#: granularity) are chosen together so the weighted sum's scaled
-#: integer stays under 2^53 through sf1: above that, DuckDB's
+#: The DECIMAL scale is 2 — the data's actual value granularity. The
+#: weighted sum's scaled integer passes 2^53 once a daily grain sums
+#: ~5·10^9 rows of in-domain values (the 100-TB shape), where DuckDB's
 #: int128/10^scale decimal→double conversion and Spark's BigDecimal
-#: conversion can disagree in the last ulp (two roundings vs one).
+#: conversion disagree in the last ulp (two roundings vs one — measured,
+#: tests/test_overflow_bounds.py), so the conversion routes through
+#: dec_to_double (functions/exact.py), engine-identical to 2^113.
 EWMA_HORIZON = 24
 EWMA_NORM = (1 << EWMA_HORIZON) - 1
 
@@ -337,7 +343,7 @@ EWMA_NORM = (1 << EWMA_HORIZON) - 1
                             AS DECIMAL(38,2)) AS wv
                 FROM daily, range({EWMA_HORIZON}) t(k)),
     s AS (SELECT c.event_type, c.target,
-                 CAST(SUM(c.wv) AS DOUBLE) AS num
+                 {o_dec_to_double("SUM(c.wv)", 2)} AS num
           FROM contrib c
           JOIN daily o ON o.event_type = c.event_type AND o.d = c.target
           GROUP BY 1, 2)
@@ -360,9 +366,9 @@ EWMA_NORM = (1 << EWMA_HORIZON) - 1
     f"series end. Shuffle volume is {EWMA_HORIZON}×|day grains| — "
     "independent of raw event count. Determinism: weights are exact "
     "powers of two, the weighted sums accumulate as exact "
-    "DECIMAL(38,2) — the data's true 2-dp granularity, with horizon × "
-    "scale sized so the scaled integer stays under 2^53 (see "
-    "EWMA_HORIZON note) — and the single final "
+    "DECIMAL(38,2) — the data's true 2-dp granularity — convert to "
+    "double via the engine-identical dec_to_double limb chain (see "
+    "EWMA_HORIZON note; a direct cast hash-flips past 2^53) — and the single final "
     f"division by the constant normalizer {EWMA_NORM} happens in "
     "doubles on both engines. Missing days contribute zero (calendar "
     "decay, not row decay), matching monitoring semantics.",
@@ -392,7 +398,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         contrib.join(spine, ["event_type", "target"])
         .groupBy("event_type", "target")
-        .agg(F.sum("wv").cast("double").alias("num"))
+        .agg(dec_to_double(F.sum("wv"), 2).alias("num"))
     )
     return s.select(
         "event_type",
@@ -887,7 +893,7 @@ def _boot_w_sql(u: str) -> str:
           FROM r),
     res AS (SELECT event_type, b,
                    CAST(SUM({_boot_w_sql('u16')}) AS BIGINT) AS na,
-                   CAST(SUM({_boot_w_sql('u16')} * v) AS DOUBLE) AS sa
+                   {o_dec_to_double(f"SUM({_boot_w_sql('u16')} * v)", 2)} AS sa
             FROM u GROUP BY event_type, b),
     m AS (SELECT event_type, b, sa / na AS mean_b,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -911,9 +917,12 @@ def _boot_w_sql(u: str) -> str:
     "resample b is the Poisson(1) inverse CDF evaluated at a 16-bit "
     "uniform carved from md5(digest b//8, lane b%%8) — deterministic "
     "across engines, partitionings and reruns, no RNG state. "
-    "Weighted sums accumulate on the DECIMAL(18,2) grid (scaled "
-    "sums stay under 2^53 — the q_ab_ttest bound argument, times "
-    "max weight 7), resample means are identical IEEE divides, and "
+    "Weighted sums accumulate on the DECIMAL(18,2) grid and convert "
+    "to double via the engine-identical dec_to_double limb chain "
+    "(functions/exact.py — a direct cast hash-flips once the scaled "
+    "sum passes 2^53, i.e. ~1.3·10^10 in-domain rows per type at max "
+    "weight 7; measured in tests/test_overflow_bounds.py), resample "
+    "means are identical IEEE divides, and "
     f"the CI is the rank-{BOOT_K_LO}/rank-{BOOT_K_HI} order "
     f"statistics of the {BOOT_B} means (floor((B+1)*alpha) "
     "convention), ranked with ties broken on b. Plan: a B-x map-local "
@@ -962,7 +971,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "b")
         .agg(
             F.sum("w").cast("long").alias("na"),
-            F.sum(F.col("w") * F.col("v")).cast("double").alias("sa"),
+            dec_to_double(F.sum(F.col("w") * F.col("v")), 2).alias("sa"),
         )
         .where(F.col("na") > 0)
     )

@@ -25,6 +25,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -35,18 +39,25 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
     Quantizes each row to DECIMAL(30, scale) (the per-row double value is
     identical in any engine — IEEE754 — and the true values here carry at
     most ~4 meaningful decimals, so quantizing at 6 is error-free),
-    sums exactly in decimal, and casts the total back to double. The
-    result is independent of reduction order, hence identical between
-    Spark (partial+final agg over an arbitrary shuffle) and the DuckDB
-    oracle. Oracle-side mirror: ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)``.
+    sums exactly in decimal, and converts the total to double through
+    ``functions/exact.dec_to_double`` — the limb-split chain that is
+    bit-identical between Spark and DuckDB at ANY magnitude. A plain
+    decimal→double cast is single-rounded in Spark but double-rounded in
+    DuckDB once the scaled total passes 2^53 (≈ 9·10^9 summed units at
+    scale 6 — reachable by a 100-TB global sum; measured hash flips in
+    tests/test_overflow_bounds.py; SCALE.md round 10). Below 2^53 the
+    limb chain is bit-identical to the old direct cast, so every prior
+    driver hash still holds. The result is independent of reduction
+    order, hence identical between Spark (partial+final agg over an
+    arbitrary shuffle) and the DuckDB oracle. Oracle mirror: :func:`o_dsum`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return dec_to_double(F.sum(c.cast(f"decimal(30,{scale})")), scale)
 
 
 def o_dsum(expr: str, scale: int = 6) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    return o_dec_to_double(f"SUM(CAST({expr} AS DECIMAL(30,{scale})))", scale)
 
 
 # ---------------------------------------------------------------------------

@@ -32,53 +32,68 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round8_priorities():
-    """The driver evaluates the first 50 insertion-order entries. With
-    every registered query officially stamped after round 7, the
-    round-8 window is pure re-proofs: the 20 queries whose plan or
-    oracle changed after the round-7 window froze (MLlib semi-oracle
-    upgrades, grouped-order-stats rewrites, single-scan reports, the
-    ranged-valve refactor, LSH-oracle-touched graph queries, and the
-    star-CC consumer) plus the 9 later-round-8 single-fact-pass /
-    multi-consumer-pin rewrites, the 3 standing canaries, and 18
-    oldest-stamp pass(r1) back-fills."""
+def test_registry_window_contains_round10_priorities():
+    """The driver evaluates the first 50 insertion-order entries. Every
+    latest stamp is green after round 9, so the round-10 window is the
+    staleness rotation the round-9 VERDICT ordered: the 3 standing
+    canaries + all 27 pass(r1) stamps + the 20 pass(r2) stamps in the
+    most-churned files (text.py, sampling.py, ml.py, similarity.py,
+    sources.py). The 6 low-churn pass(r2) leftovers rotate in r11."""
     window = list(REGISTRY)[:50]
-    reproofs = [
-        "q_ml_classify",
-        "q_ml_kmeans",
-        "q_sim_ann_lsh",
-        "q_dedup_mllib_lsh",
-        "q_ml_auc",
-        "q_mad_outliers",
-        "q_winsorize",
-        "q_rrf_fusion",
-        "q_dq_checks",
-        "q_funnel",
-        "q_peak_concurrency",
-        "q_gini_spend",
-        "q_sequence_gaps",
-        "q_lift_bands",
-        "q_skyline",
-        "q_rfm_segments",
-        "q_component_sizes",
-        "q_graph_degree_dist",
-        "q_minhash_jaccard_est",
-        "q_dedup_keep_best",
-        # single-fact-pass / multi-consumer-pin rewrites landed later
-        # in round 8 (scan-sweep follow-ups, each A/B-measured)
-        "q_retention_cohort",
-        "q_growth_accounting",
-        "q_graph_pagerank",
-        "q_semantic_dedup",
-        "q_collocations",
-        "q_dedup_containment",
-        "q_graph_jaccard_neighbors",
-        "q_chi2_terms",
-        "q_tfidf_pairs",
+    r1_stamps = [
+        "q_array_join",
+        "q_date_fmt",
+        "q_field_defaults",
+        "q_filter_neq",
+        "q_filter_null_guard",
+        "q_json_from",
+        "q_json_to",
+        "q_map_lookup",
+        "q_math_arith",
+        "q_membership",
+        "q_offset_skip",
+        "q_project_cast",
+        "q_project_compute",
+        "q_set_except",
+        "q_set_intersect",
+        "q_set_union",
+        "q_sort_limit",
+        "q_str_case",
+        "q_str_concat",
+        "q_str_slice",
+        "q_str_split_len",
+        "q_str_trim_empty",
+        "q_text_clean",
+        "q_text_tokens",
+        "q_window_frame",
+        "q_window_lag",
+        "q_window_rank",
+    ]
+    r2_churned = [
+        "q_lang_id",
+        "q_multimodal_binary",
+        "q_multimodal_cols",
+        "q_pii_scrub",
+        "q_quality_filter",
+        "q_quality_score",
+        "q_repetition_stats",
+        "q_text_stats",
+        "q_token_count",
+        "q_top_terms_per_doc",
+        "q_doc_fingerprint",
+        "q_classify_keywords",
+        "q_pipeline_digest",
+        "q_summarize_extractive",
+        "q_knn_label",
+        "q_decontaminate",
+        "q_mix_sources",
+        "q_sample_stratified",
+        "q_split_train_eval",
+        "q_scan_csv",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(reproofs) == 29
-    for name in reproofs + canaries:
+    assert len(r1_stamps) == 27 and len(r2_churned) == 20
+    for name in canaries + r1_stamps + r2_churned:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 

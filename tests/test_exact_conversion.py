@@ -1,0 +1,114 @@
+"""Property tests for functions/exact.py — the deterministic
+DECIMAL→DOUBLE conversion must agree bit-for-bit between Spark and
+DuckDB at ANY magnitude (that's its whole contract), and must equal the
+single correctly-rounded conversion below 2^53 (that's what keeps every
+existing sf0.01 driver hash valid after adopting it)."""
+
+from __future__ import annotations
+
+import decimal
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from news_categorization_big_data_spark.functions.exact import (
+    LIMB,
+    dec_to_double,
+    o_dec_to_double,
+)
+
+SCALES = (2, 6, 9)
+
+
+def _bits(x):
+    return None if x is None else struct.pack("<d", x)
+
+
+def _spark_convert(spark, scaled_ints, scale):
+    """Convert scaled integers through dec_to_double via a decimal col."""
+    dec = f"decimal(38,{scale})"
+    df = spark.createDataFrame(
+        [(str(decimal.Decimal(v).scaleb(-scale)),) for v in scaled_ints], ["s"]
+    ).select(dec_to_double(F.col("s").cast(dec), scale).alias("d"))
+    return [r["d"] for r in df.collect()]
+
+
+def _duck_convert(scaled_ints, scale):
+    con = duckdb.connect()
+    try:
+        vals = ", ".join(
+            f"(CAST('{decimal.Decimal(v).scaleb(-scale)}' AS DECIMAL(38,{scale})))"
+            for v in scaled_ints
+        )
+        sql = f"SELECT {o_dec_to_double('s', scale)} AS d FROM (VALUES {vals}) t(s)"
+        return [r[0] for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+
+
+EDGES = [
+    0,
+    1,
+    -1,
+    (1 << 53) - 1,
+    1 << 53,
+    (1 << 53) + 1,
+    -((1 << 53) + 1),
+    LIMB - 1,
+    LIMB,
+    LIMB + 1,
+    (1 << 63) + 12345,
+    -((1 << 63) + 12345),
+    10**25 + 7,
+    3 * (1 << 53) + 1,
+]
+
+
+@pytest.mark.parametrize("scale", SCALES)
+def test_edge_scaled_integers_bit_identical(spark, scale):
+    s = _spark_convert(spark, EDGES, scale)
+    d = _duck_convert(EDGES, scale)
+    for v, a, b in zip(EDGES, s, d):
+        assert _bits(a) == _bits(b), f"scaled={v} scale={scale}: spark={a!r} duck={b!r}"
+
+
+@pytest.mark.parametrize("scale", SCALES)
+def test_below_2_53_equals_correct_rounding(spark, scale):
+    """For |scaled| < 2^53 the limb chain must reproduce the single
+    correctly-rounded conversion — the hash-neutrality guarantee."""
+    vals = [0, 3, -12345, (1 << 53) - 1, -((1 << 53) - 1), 10**15 + 1]
+    out = _spark_convert(spark, vals, scale)
+    for v, got in zip(vals, out):
+        want = float(decimal.Decimal(v).scaleb(-scale))  # one correct rounding
+        assert _bits(got) == _bits(want), f"scaled={v}: {got!r} != {want!r}"
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**30), max_value=10**30), min_size=20, max_size=60
+    )
+)
+def test_random_magnitudes_bit_identical(spark_global, scaled):
+    s = _spark_convert(spark_global, scaled, 6)
+    d = _duck_convert(scaled, 6)
+    for v, a, b in zip(scaled, s, d):
+        assert _bits(a) == _bits(b), f"scaled={v}: spark={a!r} duck={b!r}"
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    # hypothesis forbids function-scoped fixtures interacting with @given;
+    # re-expose the session fixture at module scope.
+    return spark
+
+
+def test_null_propagates(spark):
+    df = spark.range(1).select(
+        dec_to_double(F.lit(None).cast("decimal(38,6)"), 6).alias("d")
+    )
+    assert df.collect()[0]["d"] is None
