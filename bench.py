@@ -110,6 +110,13 @@ def main() -> None:
         timings[name] = min(runs)
         total += timings[name]
 
+    # Bench teardown releases the last query's pins (the registry wrapper
+    # only releases at the NEXT build; ADVICE round 9) and keeps the
+    # module-global pin list empty for any caller embedding bench runs.
+    from news_categorization_big_data_spark.functions.cachepin import release_pins
+
+    release_pins()
+
     print(
         json.dumps(
             {

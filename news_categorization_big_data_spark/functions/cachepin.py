@@ -23,6 +23,20 @@ before collecting the first) is a recompute, never a wrong answer.
 are owned by the checkpoint RDD and reclaimed by Spark's
 ContextCleaner once the builder-scoped DataFrame reference is
 garbage-collected.
+
+CONCURRENCY CONTRACT (ADVICE round 9): ``_PINNED`` is deliberately
+module-global, unsynchronized state, matching the external driver's
+strictly SEQUENTIAL build → collect → build loop. An evaluator that
+invoked builders concurrently from threads sharing the session could
+release a running query's pins mid-collect and race the list mutation.
+Even then the failure mode is bounded: unpersist only downgrades a
+cache read to a lineage recompute — NEVER a wrong answer (pinned by
+tests/test_cachepin.py::test_interleaved_builders_recompute_not_wrong)
+— and list-append/pop races could at worst leak a pin until session
+end. A concurrent evaluator should either serialize builds or give
+each its own session. The LAST query's pins have no "next build" to
+release them: long-lived callers (driver_sim, bench) call
+``release_pins()`` at teardown.
 """
 
 from __future__ import annotations

@@ -186,7 +186,14 @@ def jaccard_pairs(
     # registered plan passes True. MEMORY_AND_DISK spills, never OOMs.
     # The operator default stays False so callers composing their own
     # pipelines opt in deliberately. pin() scopes the cache entry to
-    # the enclosing registered query (functions/cachepin.py).
+    # the enclosing REGISTERED query (functions/cachepin.py): any later
+    # registered build releases it. A library caller outside a
+    # registered query who wants to own the persist lifetime should
+    # pass persist_sets=False and persist/unpersist the returned frame
+    # itself (ADVICE round 9) — with True, a subsequent registered
+    # build downgrades the cache to a lineage recompute (never wrong,
+    # possibly slow), and if no registered build ever runs the pin
+    # lasts until session end.
     if persist_sets:
         from news_categorization_big_data_spark.functions.cachepin import pin
 
@@ -401,7 +408,11 @@ def containment_pairs(
     df-cap count, both verify sides), so the registered plan opts in —
     without it the shingle+hash transform recomputes per consumer
     (5 scans; round-8 multi-consumer coefficient, SCALE.md). Default
-    False so composing callers opt in deliberately.
+    False so composing callers opt in deliberately — and note the pin
+    is scoped to the enclosing REGISTERED query (see the jaccard_pairs
+    comment): library callers outside a registered build who need a
+    durable cache should persist the returned frame themselves rather
+    than pass True (ADVICE round 9).
 
     Containment is the dedup predicate Jaccard structurally misses: a
     passage quoted whole inside a much longer page has J ≈ |A|/|B| ≈ 0

@@ -10,29 +10,37 @@ Every registered query has carried a green official stamp since round 7
 and every LATEST stamp is green, so since round 8 the window is PURE
 RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 
-The ROUND-10 window is the staleness rotation the round-9 VERDICT
-ordered (its "Next round" #2): after round 9, 53 queries still carried
-round-1/round-2 stamps while the nine files holding them had changed
-2-16 times since those rounds. The window therefore holds:
+The ROUND-10 window combines this round's changed plans with the
+staleness rotation the round-9 VERDICT ordered (its "Next round" #2):
 
 1. The 3 standing single-op canaries — q_group_stats, q_scan_json,
    q_udf_scalar — kept in EVERY window for cross-round comparability.
-2. All 27 pass(r1) stamps: the scalar/string/json/map/set-op tier
+   q_group_stats doubles as the driver stamp for the shared
+   dsum→dec_to_double conversion (functions/exact.py) whose 12
+   consumer queries changed only through that one helper (all 282
+   re-proven MATCH by a full driver_sim run after the change).
+2. The 5 queries whose plans AND oracles were directly rewritten onto
+   the dec_to_double limb chain after measured past-2^53 hash flips
+   (SCALE.md round 10): q_grouped_moments, q_zscore_outliers,
+   q_decay_agg, q_ewma_smooth, q_bootstrap_ci. Changed plans outrank
+   stale re-proofs (the round-8 convention).
+3. All 27 pass(r1) stamps: the scalar/string/json/map/set-op tier
    (scalar_functions.py), the r1 window functions and sort/offset/
    project/filter relational primitives (relational.py), and
    q_text_clean/q_text_tokens (text.py).
-3. The 20 pass(r2) stamps living in the most-churned files:
+4. The 15 pass(r2) stamps living in the three most-churned files:
    plans/text.py (x16 commits since r2: q_lang_id, q_multimodal_binary,
    q_multimodal_cols, q_pii_scrub, q_quality_filter, q_quality_score,
    q_repetition_stats, q_text_stats, q_token_count, q_top_terms_per_doc,
-   q_doc_fingerprint), sampling.py (q_decontaminate, q_mix_sources,
-   q_sample_stratified, q_split_train_eval), ml.py (q_classify_keywords,
-   q_pipeline_digest, q_summarize_extractive), similarity.py
-   (q_knn_label), sources.py (q_scan_csv).
+   q_doc_fingerprint), ml.py (q_classify_keywords, q_pipeline_digest,
+   q_summarize_extractive), similarity.py (q_knn_label).
 
-The 6 remaining pass(r2) queries (q_array_hof, q_group_quantiles,
-q_tpch_q3, q_tpch_q5, q_unpivot_long, q_window_distribution — low-churn
-files) are the round-11 rotation, after which no stamp predates r3.
+The 11 remaining pass(r2) queries — the sampling.py/sources.py five
+(q_decontaminate, q_mix_sources, q_sample_stratified,
+q_split_train_eval, q_scan_csv) displaced by the changed-plan group,
+plus the 6 low-churn leftovers (q_array_hof, q_group_quantiles,
+q_tpch_q3, q_tpch_q5, q_unpivot_long, q_window_distribution) — are the
+round-11 rotation, after which no stamp predates r3.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -85,19 +93,31 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
     # ---- ROUND-10 WINDOW (first 50 = the driver's correctness window) ----
-    # Pure staleness rotation (round-9 VERDICT "Next round" #2): after
-    # r9 every latest stamp is green but 53 queries still carry r1/r2
-    # stamps while their files changed 2-16 times since. This window =
-    # 3 standing canaries + all 27 pass(r1) stamps + the 20 pass(r2)
-    # stamps living in the most-churned files (plans/text.py x11,
-    # sampling.py x4, ml.py x3, similarity.py x1, sources.py x1). The 6
-    # remaining pass(r2) queries (q_array_hof q_group_quantiles q_tpch_q3
-    # q_tpch_q5 q_unpivot_long q_window_distribution — low-churn files)
-    # rotate in round 11.
+    # Composition (priority order, the round-8 convention):
+    #   1. 3 standing canaries — q_group_stats doubles as the driver
+    #      stamp for the shared dsum -> dec_to_double conversion
+    #      (functions/exact.py) that touched 12 consumer queries.
+    #   2. The 5 queries whose plans+oracles were DIRECTLY rewritten
+    #      this round onto the dec_to_double limb chain after measured
+    #      past-2^53 hash flips (SCALE.md round 10).
+    #   3. Staleness rotation (round-9 VERDICT #2): all 27 pass(r1)
+    #      stamps + the 15 pass(r2) stamps in the three most-churned
+    #      files (text.py x16 commits, similarity.py x11, ml.py x9).
+    # Deferred to round 11: the sampling.py/sources.py r2 five
+    # (q_decontaminate q_mix_sources q_sample_stratified
+    # q_split_train_eval q_scan_csv) + the 6 low-churn r2 leftovers
+    # (q_array_hof q_group_quantiles q_tpch_q3 q_tpch_q5
+    # q_unpivot_long q_window_distribution).
     # -- standing single-op regression canaries (in EVERY window).
     "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
+    # -- round-10 dec_to_double rewrites (changed plan + oracle).
+    "q_grouped_moments",
+    "q_zscore_outliers",
+    "q_decay_agg",
+    "q_ewma_smooth",
+    "q_bootstrap_ci",
     # -- all 27 pass(r1) stamps: scalar/string/json/set/window/sort tier.
     "q_array_join",
     "q_date_fmt",
@@ -126,7 +146,7 @@ _DRIVER_ORDER = [
     "q_window_frame",
     "q_window_lag",
     "q_window_rank",
-    # -- 20 pass(r2) stamps in the most-churned files.
+    # -- 15 pass(r2) stamps in the three most-churned files.
     "q_lang_id",
     "q_multimodal_binary",
     "q_multimodal_cols",
@@ -142,14 +162,14 @@ _DRIVER_ORDER = [
     "q_pipeline_digest",
     "q_summarize_extractive",
     "q_knn_label",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: official rows from rounds 2-9, prior relative order
+    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_decontaminate",
     "q_mix_sources",
     "q_sample_stratified",
     "q_split_train_eval",
     "q_scan_csv",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: official rows from rounds 3-9, prior relative order
-    # preserved; all remain registered and pytest/driver_sim-proven.
     "q_ml_classify",
     "q_ml_kmeans",
     "q_sim_ann_lsh",
@@ -225,7 +245,6 @@ _DRIVER_ORDER = [
     "q_inverted_index",
     "q_ab_srm",
     "q_scan_xml",
-    "q_bootstrap_ci",
     "q_did_effect",
     "q_cuped",
     "q_experiment_readout",
@@ -305,7 +324,6 @@ _DRIVER_ORDER = [
     "q_orphan_refs",
     "q_ab_ttest",
     "q_equidepth_histogram",
-    "q_ewma_smooth",
     "q_bm25_rank",
     "q_pq_assign",
     "q_sim_search",
@@ -339,9 +357,7 @@ _DRIVER_ORDER = [
     "q_grouped_regression",
     "q_group_entropy",
     "q_hhi_concentration",
-    "q_grouped_moments",
     "q_sessionize",
-    "q_decay_agg",
     "q_window_time_range",
     "q_asof_forward",
     "q_asof_tolerance",
@@ -363,7 +379,6 @@ _DRIVER_ORDER = [
     "q_doc_commonness",
     "q_cube",
     "q_value_histogram",
-    "q_zscore_outliers",
     "q_scan_orc",
     "q_scan_pyds",
     "q_variant_json",

@@ -46,7 +46,12 @@ def register(name: str, oracle: str | None, tier: str, doc: str = "") -> Callabl
         # Query-scoped cache lifetime (ADVICE round 8): release the
         # PREVIOUS query's pins when the next builder starts, so the
         # driver's single long-lived session holds at most one query's
-        # persisted intermediates at a time. See functions/cachepin.py.
+        # persisted intermediates at a time. ASSUMES the sequential
+        # build -> collect -> build driver loop; concurrent builders
+        # sharing a session would at worst downgrade a peer's cache to
+        # a lineage recompute, never corrupt a result (contract +
+        # worst case pinned in functions/cachepin.py and
+        # tests/test_cachepin.py). See functions/cachepin.py.
         @functools.wraps(fn)
         def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
             from news_categorization_big_data_spark.functions.cachepin import release_pins

@@ -33,13 +33,20 @@ def test_bad_sf_dir_raises_cleanly(spark):
 
 
 def test_registry_window_contains_round10_priorities():
-    """The driver evaluates the first 50 insertion-order entries. Every
-    latest stamp is green after round 9, so the round-10 window is the
-    staleness rotation the round-9 VERDICT ordered: the 3 standing
-    canaries + all 27 pass(r1) stamps + the 20 pass(r2) stamps in the
-    most-churned files (text.py, sampling.py, ml.py, similarity.py,
-    sources.py). The 6 low-churn pass(r2) leftovers rotate in r11."""
+    """The driver evaluates the first 50 insertion-order entries. The
+    round-10 window = 3 standing canaries + the 5 dec_to_double plan
+    rewrites (changed plans outrank stale re-proofs) + the staleness
+    rotation the round-9 VERDICT ordered: all 27 pass(r1) stamps + the
+    15 pass(r2) stamps in the three most-churned files (text.py, ml.py,
+    similarity.py). The 11 remaining pass(r2) rotate in r11."""
     window = list(REGISTRY)[:50]
+    changed = [
+        "q_grouped_moments",
+        "q_zscore_outliers",
+        "q_decay_agg",
+        "q_ewma_smooth",
+        "q_bootstrap_ci",
+    ]
     r1_stamps = [
         "q_array_join",
         "q_date_fmt",
@@ -85,15 +92,10 @@ def test_registry_window_contains_round10_priorities():
         "q_pipeline_digest",
         "q_summarize_extractive",
         "q_knn_label",
-        "q_decontaminate",
-        "q_mix_sources",
-        "q_sample_stratified",
-        "q_split_train_eval",
-        "q_scan_csv",
     ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(r1_stamps) == 27 and len(r2_churned) == 20
-    for name in canaries + r1_stamps + r2_churned:
+    assert len(r1_stamps) == 27 and len(r2_churned) == 15
+    for name in canaries + changed + r1_stamps + r2_churned:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 

@@ -3,12 +3,17 @@ tuned factory), import __spark_entry__, smoke entry(), then run every
 queries() entry at sf0.01 and hash-compare against oracle_sql() via DuckDB.
 
 Deliberately NO clearCache between queries — one session, like the real
-driver. Consequence: plans that persist an intermediate keep their cache
-entries for the session (documented trade, jaccard_pairs docstring), and
-CacheManager's plan-identity substitution means a later query can read an
-earlier query's materialization (correctness-neutral; per-query TIMINGS
-here are therefore not isolated — bench.py, which does clearCache between
-reps, is the timing surface)."""
+driver. Cache lifetime under that session is QUERY-SCOPED since round 9:
+plans that persist an intermediate route it through pin()
+(functions/cachepin.py), and the registry wrapper calls release_pins()
+at the start of every registered build, so at most one query's pinned
+blocks are resident at a time and a later query can NOT read an earlier
+query's materialization (each build starts pin-cold; correctness was
+never at stake either way — unpersist downgrades to lineage recompute).
+Per-query TIMINGS here are still not isolated (JVM/JIT/page-cache warmth
+carries over) — bench.py, which does clearCache between reps, is the
+timing surface. The tail of the run releases the LAST query's pins
+explicitly (the one lifetime the registry wrapper cannot end)."""
 import hashlib, json, math, sys, time
 sys.path.insert(0, "/root/repo")
 
@@ -124,6 +129,13 @@ for pos, (name, fn) in enumerate(queries.items(), 1):
     except Exception as ex:
         results[name] = f"ERROR {type(ex).__name__}: {str(ex)[:2000]}"
     print(f"  {name}: {results[name]} ({time.time()-t0:.1f}s)", flush=True)
+
+# Release the LAST query's pins — the registry wrapper only releases at
+# the NEXT build, so without this the final query's blocks would outlive
+# the sweep (ADVICE round 9).
+from news_categorization_big_data_spark.functions.cachepin import release_pins
+
+release_pins()
 
 bad = {k: v for k, v in results.items() if v != "MATCH" and not v.startswith("ROWS_ONLY")}
 print(f"\nTOTAL {len(results)} queries in {time.time()-t_all:.0f}s; {len(bad)} failures")
