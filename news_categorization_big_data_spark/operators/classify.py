@@ -111,7 +111,16 @@ def build_pipeline(text_col: str = "text", label_col: str = "label", num_feature
 
 def fit(train: DataFrame, text_col: str = "text", label_col: str = "label") -> PipelineModel:
     """Fit the classification pipeline, wiring the decoder to the fitted
-    label vocabulary."""
+    label vocabulary.
+
+    The returned model is a SCORING pipeline: the StringIndexer stage is
+    fit-time-only (it turns training labels into indices) and is dropped
+    from the returned stages — keeping it would make ``transform`` demand
+    the label column on data being SCORED, which is exactly the data that
+    doesn't have one (found round 10 when the model stage first ran over
+    an unlabeled message stream). Predictions are unchanged: the LR stage
+    reads only ``features``.
+    """
     pipeline = build_pipeline(text_col=text_col, label_col=label_col)
     stages = pipeline.getStages()
     model = Pipeline(stages=stages[:-1]).fit(train.where(F.length(F.trim(text_col)) > 0))
@@ -119,7 +128,8 @@ def fit(train: DataFrame, text_col: str = "text", label_col: str = "label") -> P
     decoder = IndexToString(
         inputCol="prediction", outputCol="_pred_label", labels=indexer_model.labels
     )
-    return PipelineModel(stages=model.stages + [decoder])
+    scoring_stages = [s for i, s in enumerate(model.stages) if i != 3]
+    return PipelineModel(stages=scoring_stages + [decoder])
 
 
 def classify(
