@@ -74,10 +74,31 @@ HEADLINE = [
 ]
 
 
+#: The 100-TB profile (round-9 VERDICT item 4): the spark.graft.* valves a
+#: 1000-executor deployment would flip, benched as ONE configuration.
+#: Only PLAN-SHAPE valves belong here — the ranged total-order window
+#: rewrite and the hot-vocab head broadcast. Infrastructure-width knobs
+#: (spark.graft.fanout.*) are deliberately absent: their correct value is
+#: per-deployment (off where scans are already thousands of partitions
+#: wide; the local estimator already sizes from files), so forcing either
+#: setting into the profile would bench an artifact of this box, not the
+#: profile. Pins (persist via cachepin) are already the registered
+#: default. Output-identity default-vs-profile is asserted by
+#: tools/profile_identity.py; the A/B table lives in SCALE.md round 10.
+PROFILE_100TB = {
+    "spark.graft.window.ranged": "true",
+    "spark.graft.rarity.headK": "1000",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    profile = os.environ.get("SPARK_GRAFT_PROFILE", "")
     spark = get_spark("ncbds-bench")
+    if profile == "100tb":
+        for k, v in PROFILE_100TB.items():
+            spark.conf.set(k, v)
 
     # Warm the JVM / file-listing caches so per-query numbers measure the
     # plans, not session startup.
@@ -126,6 +147,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_first_run": cold,
                 "sf": sf,
+                **({"profile": profile} if profile else {}),
             }
         )
     )

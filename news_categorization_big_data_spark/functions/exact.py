@@ -59,6 +59,23 @@ def dec_to_double(sum_col: Column, scale: int) -> Column:
     return sgn * mag / F.lit(float(10**scale))
 
 
+def sql_dec_to_double(expr: str, scale: int) -> str:
+    """Spark-SQL text mirror of :func:`dec_to_double` — for plans whose
+    hot path is a ``spark.sql(...)`` string (e.g. the SQL-UDF surface).
+    Same limb split, same IEEE chain; Spark-SQL ``div`` is integral
+    division (trunc), exact here because it only ever runs on the
+    non-negative ``ABS(si)``."""
+    si = f"CAST(({expr}) * {10 ** scale} AS DECIMAL(38,0))"
+    a = f"ABS({si})"
+    lo = f"CAST(({a}) % {LIMB} AS BIGINT)"
+    hi = f"CAST(({a}) div {LIMB} AS BIGINT)"
+    return (
+        f"((CASE WHEN {si} < 0 THEN -1.0D ELSE 1.0D END) * "
+        f"(CAST({hi} AS DOUBLE) * {float(LIMB)!r}D + CAST({lo} AS DOUBLE)) "
+        f"/ {float(10 ** scale)!r}D)"
+    )
+
+
 def o_dec_to_double(expr: str, scale: int) -> str:
     """DuckDB-side mirror of :func:`dec_to_double` — the same limb split
     and the same IEEE reassembly chain, as one scalar SQL expression.

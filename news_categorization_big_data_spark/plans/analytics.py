@@ -44,6 +44,14 @@ DECAY_ANCHOR = "2024-02-01"
 #: Linear decay window in days: weight = max(0, DECAY_WINDOW - age).
 DECAY_WINDOW = 31
 
+#: Oracle sub-expressions hoisted for o_dec_to_double (f-string nesting).
+_O_HHI_SHARES = (
+    "SUM(CAST((r.rev / t.total) * (r.rev / t.total) AS DECIMAL(30,12)))"
+)
+_O_WINSOR_CLIP = (
+    "SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(18,2)))"
+)
+
 
 @register(
     "q_sessionize",
@@ -399,10 +407,10 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_bucketed",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+           {o_dec_to_double("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_spend
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -460,7 +468,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("_price").cast("double").alias("total_spend"),
+            dec_to_double(F.sum("_price"), 2).alias("total_spend"),
         )
     )
 
@@ -535,14 +543,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouped_regression",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT p_brand,
                       COUNT(*) AS n_parts,
                       CAST(SUM(CAST(p_size AS DECIMAL(30,0))) AS DOUBLE) AS sx,
-                      CAST(SUM(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+                      {o_dec_to_double("SUM(CAST(p_retailprice AS DECIMAL(30,2)))", 2)} AS sy,
                       CAST(SUM(CAST(p_size * p_size AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
-                      CAST(SUM(CAST(p_size * p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy,
-                      CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+                      {o_dec_to_double("SUM(CAST(p_size * p_retailprice AS DECIMAL(30,2)))", 2)} AS sxy,
+                      {o_dec_to_double("SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(30,4)))", 4)} AS syy
                FROM part GROUP BY p_brand)
     SELECT p_brand, n_parts,
            (n_parts * sxy - sx * sy)
@@ -586,10 +594,10 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
         F.sum(x.cast("decimal(30,0)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(30,2)")).cast("double").alias("sy"),
+        dec_to_double(F.sum(y.cast("decimal(30,2)")), 2).alias("sy"),
         F.sum((x * x).cast("decimal(30,0)")).cast("double").alias("sxx"),
-        F.sum((x * y).cast("decimal(30,2)")).cast("double").alias("sxy"),
-        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+        dec_to_double(F.sum((x * y).cast("decimal(30,2)")), 2).alias("sxy"),
+        dec_to_double(F.sum((y * y).cast("decimal(30,4)")), 4).alias("syy"),
     )
     n = F.col("n_parts")
     sx, sy = F.col("sx"), F.col("sy")
@@ -644,7 +652,7 @@ _LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
           FROM c LEFT JOIN lut ON c.n = lut.n),
     s AS (SELECT user_id,
                  CAST(SUM(n) AS BIGINT) AS n_events,
-                 CAST(SUM(CAST(n * l2 AS DECIMAL(30,9))) AS DOUBLE)
+                 {o_dec_to_double("SUM(CAST(n * l2 AS DECIMAL(30,9)))", 9)}
                    AS s_nlogn
           FROM j GROUP BY 1)
     SELECT s.user_id, s.n_events,
@@ -694,9 +702,9 @@ def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = j.groupBy("user_id").agg(
         F.sum("n").alias("n_events"),
-        F.sum((F.col("n") * F.col("l2")).cast("decimal(30,9)"))
-        .cast("double")
-        .alias("s_nlogn"),
+        dec_to_double(
+            F.sum((F.col("n") * F.col("l2")).cast("decimal(30,9)")), 9
+        ).alias("s_nlogn"),
     )
     lut_n = F.broadcast(
         lut.select(F.col("n").alias("n_events"), F.col("l2").alias("_l2n"))
@@ -716,19 +724,18 @@ def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hhi_concentration",
-    oracle="""
+    oracle=f"""
     WITH r AS (SELECT o_orderpriority, o_custkey,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                      {o_dec_to_double("SUM(CAST(o_totalprice AS DECIMAL(30,2)))", 2)}
                         AS rev
                FROM orders GROUP BY 1, 2),
     t AS (SELECT o_orderpriority,
-                 CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE) AS total,
+                 {o_dec_to_double("SUM(CAST(rev AS DECIMAL(30,2)))", 2)} AS total,
                  COUNT(*) AS n_cust
           FROM r GROUP BY 1)
     SELECT r.o_orderpriority,
            MAX(t.n_cust) AS n_cust,
-           CAST(SUM(CAST((r.rev / t.total) * (r.rev / t.total)
-                         AS DECIMAL(30,12))) AS DOUBLE) AS hhi
+           {o_dec_to_double(_O_HHI_SHARES, 12)} AS hhi
     FROM r JOIN t ON r.o_orderpriority = t.o_orderpriority
     GROUP BY r.o_orderpriority
     """,
@@ -748,12 +755,12 @@ def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy("o_orderpriority", "o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
-        .cast("double")
-        .alias("rev")
+        dec_to_double(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2
+    ).alias("rev")
     )
     t = r.groupBy("o_orderpriority").agg(
-        F.sum(F.col("rev").cast("decimal(30,2)")).cast("double").alias("total"),
+        dec_to_double(F.sum(F.col("rev").cast("decimal(30,2)")), 2).alias("total"),
         F.count("*").alias("n_cust"),
     )
     share = F.col("rev") / F.col("total")
@@ -762,9 +769,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.max("n_cust").alias("n_cust"),
-            F.sum((share * share).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("hhi"),
+            dec_to_double(F.sum((share * share).cast("decimal(30,12)")), 12).alias(
+                "hhi"
+            ),
         )
     )
 
@@ -960,10 +967,9 @@ WINSOR_HI_PM = 950
                  vs[CAST((n - 1) * {WINSOR_HI_PM} // 1000 AS INT) + 1] AS hi
           FROM s)
     SELECT e.event_type, MAX(b.lo) AS lo, MAX(b.hi) AS hi, COUNT(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           {o_dec_to_double("SUM(CAST(e.value AS DECIMAL(18,2)))", 2)} / COUNT(*)
              AS mean_raw,
-           CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
-                         AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           {o_dec_to_double(_O_WINSOR_CLIP, 2)} / COUNT(*)
              AS mean_winsorized
     FROM events e JOIN b ON e.event_type = b.event_type
     GROUP BY e.event_type
@@ -1012,14 +1018,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hi").alias("hi"),
             F.sum("_vc").alias("n"),
             (
-                F.sum(F.col("_v").cast("decimal(18,2)") * F.col("_vc")).cast(
-                    "double"
+                dec_to_double(
+                    F.sum(F.col("_v").cast("decimal(18,2)") * F.col("_vc")), 2
                 )
                 / F.sum("_vc")
             ).alias("mean_raw"),
             (
-                F.sum(clipped.cast("decimal(18,2)") * F.col("_vc")).cast(
-                    "double"
+                dec_to_double(
+                    F.sum(clipped.cast("decimal(18,2)") * F.col("_vc")), 2
                 )
                 / F.sum("_vc")
             ).alias("mean_winsorized"),

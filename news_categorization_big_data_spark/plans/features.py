@@ -29,6 +29,10 @@ from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
 )
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -344,10 +348,10 @@ TFIDF_TOP_PAIRS = 20
              WHERE dft.df * {TFIDF_DF_FRAC} <= n.n
                AND dft.df <= {TFIDF_DF_MAX}),
     nrm AS (SELECT doc_id,
-                   sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,9))) AS DOUBLE)) AS nn
+                   sqrt({o_dec_to_double("SUM(CAST(w * w AS DECIMAL(30,9)))", 9)}) AS nn
             FROM post GROUP BY doc_id),
     dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,9))) AS DOUBLE) AS dot
+                    {o_dec_to_double("SUM(CAST(a.w * b.w AS DECIMAL(30,9)))", 9)} AS dot
              FROM post a JOIN post b
                ON a.tok = b.tok AND a.doc_id < b.doc_id
              GROUP BY a.doc_id, b.doc_id)
@@ -418,7 +422,9 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = pin(post)
     nrm = post.groupBy("doc_id").agg(
         F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")).cast("double")
+            dec_to_double(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(30,9)")), 9
+            )
         ).alias("nn")
     )
     a = post.select(
@@ -432,9 +438,9 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(30,9)"))
-            .cast("double")
-            .alias("dot")
+            dec_to_double(
+                F.sum((F.col("wa") * F.col("wb")).cast("decimal(30,9)")), 9
+            ).alias("dot")
         )
     )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
@@ -754,9 +760,9 @@ SALT_BUCKETS = 16
 
 @register(
     "q_salted_agg",
-    oracle="""
+    oracle=f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_value
     FROM events GROUP BY event_type
     """,
     tier="C",
@@ -792,7 +798,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("pv").cast("double").alias("total_value"),
+        dec_to_double(F.sum("pv"), 6).alias("total_value"),
     )
 
 

@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -98,7 +102,7 @@ BLOOM_MIN_TOTALPRICE = 450000.0
     oracle=f"""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           {o_dec_to_double("SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))", 2)}
              AS sum_price
     FROM lineitem l
     WHERE EXISTS (SELECT 1 FROM orders o
@@ -200,9 +204,9 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
+        dec_to_double(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).alias(
+            "sum_price"
+        ),
     )
 
 
@@ -514,13 +518,13 @@ SNAPSHOT_T2 = "2000-01-01"
     oracle=f"""
     WITH s1 AS (SELECT o_custkey,
                        CAST(COUNT(*) AS BIGINT) AS n_orders,
-                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       {o_dec_to_double("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)}
                          AS spend
                 FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_T1} 00:00:00'
                 GROUP BY o_custkey),
     s2 AS (SELECT o_custkey,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  {o_dec_to_double("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)}
                     AS spend
            FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_T2} 00:00:00'
            GROUP BY o_custkey)
@@ -560,9 +564,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(
                 F.count("*").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("spend"),
+                dec_to_double(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                ).alias("spend"),
             )
         )
 

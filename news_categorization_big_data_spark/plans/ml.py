@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.operators import classify as clf
 from news_categorization_big_data_spark.operators.summarize import extractive_summarize
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -482,7 +486,7 @@ ECE_BINS = 10
           FROM s),
     g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(label) AS BIGINT) AS pos,
-                 CAST(SUM(CAST(conf AS DECIMAL(30,9))) AS DOUBLE) AS sum_conf,
+                 {o_dec_to_double("SUM(CAST(conf AS DECIMAL(30,9)))", 9)} AS sum_conf,
                  SUM(COUNT(*)) OVER () AS n_g
           FROM b GROUP BY bin)
     SELECT CAST(bin AS INT) AS bin, n,
@@ -525,7 +529,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = b.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("label").cast("long").alias("pos"),
-        F.sum(F.col("conf").cast("decimal(30,9)")).cast("double").alias("sum_conf"),
+        dec_to_double(F.sum(F.col("conf").cast("decimal(30,9)")), 9).alias("sum_conf"),
     )
     w_all = Window.partitionBy()
     g = g.withColumn("n_g", F.sum("n").over(w_all))

@@ -22,8 +22,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Merged per-user value (decimal add of the two snapshots' sums,
+#: hoisted for o_dec_to_double).
+_O_MERGED_V = (
+    "COALESCE(t.v, CAST(0 AS DECIMAL(18,2)))"
+    " + COALESCE(s.v, CAST(0 AS DECIMAL(18,2)))"
+)
 
 #: Events before the cutoff form the target snapshot; events at or
 #: after it form the source batch being merged in.
@@ -56,8 +67,7 @@ def _profile(events: DataFrame) -> DataFrame:
                 WHEN s.user_id IS NULL THEN 'keep'
                 ELSE 'update' END AS merge_action,
            CAST(COALESCE(t.n, 0) + COALESCE(s.n, 0) AS BIGINT) AS n_events,
-           CAST(COALESCE(t.v, CAST(0 AS DECIMAL(18,2)))
-                + COALESCE(s.v, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           {o_dec_to_double(_O_MERGED_V, 2)} AS total_value,
            GREATEST(COALESCE(t.last_ts, s.last_ts),
                     COALESCE(s.last_ts, t.last_ts)) AS last_ts
     FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
@@ -101,9 +111,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("t_n", F.lit(0)) + F.coalesce("s_n", F.lit(0)))
         .cast("long")
         .alias("n_events"),
-        (F.coalesce("t_v", zero) + F.coalesce("s_v", zero))
-        .cast("double")
-        .alias("total_value"),
+        dec_to_double(
+            F.coalesce("t_v", zero) + F.coalesce("s_v", zero), 2
+        ).alias("total_value"),
         F.greatest(
             F.coalesce("t_last", "s_last"), F.coalesce("s_last", "t_last")
         ).alias("last_ts"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.exact import dec_to_double
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.plans.relational import dsum, o_dsum
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -236,7 +237,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("_n").alias("n_events"),
-            F.sum("_sv").cast("double").alias("total_value"),
+            dec_to_double(F.sum("_sv"), 6).alias("total_value"),
             F.max("_mx").alias("last_ts"),
         )
     )
@@ -406,9 +407,9 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rollup",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name, COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal,
+           {o_dsum('c_acctbal', 2)} AS sum_bal,
            CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -490,11 +491,11 @@ def q_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_percent_change",
-    oracle="""
+    oracle=f"""
     WITH m AS (SELECT o_orderpriority,
                       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
                         AS month,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                      {o_dsum('o_totalprice', 2)}
                         AS rev
                FROM orders GROUP BY 1, 2),
     w AS (SELECT o_orderpriority, month, rev,
@@ -536,21 +537,21 @@ def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_rollup_multi",
-    oracle="""
+    oracle=f"""
     SELECT 'day' AS grain,
            strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS bucket,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+           {o_dsum('o_totalprice', 2)} AS rev
     FROM orders GROUP BY 2
     UNION ALL
     SELECT 'week', strftime(date_trunc('week', o_orderdate), '%Y-%m-%d'),
            COUNT(*),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           {o_dsum('o_totalprice', 2)}
     FROM orders GROUP BY 2
     UNION ALL
     SELECT 'month', strftime(date_trunc('month', o_orderdate), '%Y-%m-%d'),
            COUNT(*),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           {o_dsum('o_totalprice', 2)}
     FROM orders GROUP BY 2
     """,
     tier="B",

@@ -183,22 +183,28 @@ def q_orphan_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Per-arm conditional sums (hoisted for o_dec_to_double; {{arm}} is the
+#: user_id parity that defines the arm).
+_O_ARM_SUM = (
+    "SUM(CASE WHEN user_id % 2 = {arm}"
+    " THEN CAST(value AS DECIMAL(18,2)) END)"
+)
+_O_ARM_SUMSQ = (
+    "SUM(CASE WHEN user_id % 2 = {arm}"
+    " THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END)"
+)
+
+
 @register(
     "q_ab_ttest",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT event_type,
                       CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
                       CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
-                      CAST(SUM(CASE WHEN user_id % 2 = 0
-                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
-                      CAST(SUM(CASE WHEN user_id % 2 = 1
-                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
-                      CAST(SUM(CASE WHEN user_id % 2 = 0
-                               THEN CAST(value AS DECIMAL(18,2))
-                                    * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qa,
-                      CAST(SUM(CASE WHEN user_id % 2 = 1
-                               THEN CAST(value AS DECIMAL(18,2))
-                                    * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qb
+                      {o_dec_to_double(_O_ARM_SUM.format(arm=0), 2)} AS sa,
+                      {o_dec_to_double(_O_ARM_SUM.format(arm=1), 2)} AS sb,
+                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=0), 4)} AS qa,
+                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=1), 4)} AS qb
                FROM events GROUP BY event_type),
     m AS (SELECT event_type, n_a, n_b,
                  sa / n_a AS mean_a, sb / n_b AS mean_b,
@@ -236,10 +242,10 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.count(F.when(arm_a, 1)).alias("n_a"),
         F.count(F.when(arm_b, 1)).alias("n_b"),
-        F.sum(F.when(arm_a, dec)).cast("double").alias("sa"),
-        F.sum(F.when(arm_b, dec)).cast("double").alias("sb"),
-        F.sum(F.when(arm_a, dec * dec)).cast("double").alias("qa"),
-        F.sum(F.when(arm_b, dec * dec)).cast("double").alias("qb"),
+        dec_to_double(F.sum(F.when(arm_a, dec)), 2).alias("sa"),
+        dec_to_double(F.sum(F.when(arm_b, dec)), 2).alias("sb"),
+        dec_to_double(F.sum(F.when(arm_a, dec * dec)), 4).alias("qa"),
+        dec_to_double(F.sum(F.when(arm_b, dec * dec)), 4).alias("qb"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     m = s.select(
@@ -429,7 +435,7 @@ NULL_SEMANTICS_CUTOFF = 5.0
            CAST(COUNT(v) AS BIGINT) AS n_nonnull,
            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
            CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS avg_nonnull,
+           {o_dec_to_double("SUM(CAST(v AS DECIMAL(18,2)))", 2)} / COUNT(v) AS avg_nonnull,
            MIN(v) AS min_v, MAX(v) AS max_v,
            MAX(CASE WHEN rn = 1 THEN event_id END) AS first_id_nulls_last
     FROM r GROUP BY event_type
@@ -466,7 +472,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("v").alias("n_distinct"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
         (
-            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count("v")
+            dec_to_double(F.sum(F.col("v").cast("decimal(18,2)")), 2) / F.count("v")
         ).alias("avg_nonnull"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
@@ -614,25 +620,30 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: ANOVA between/within sum-of-squares (hoisted for o_dec_to_double).
+_O_ANOVA_SSB = (
+    "SUM(CAST(g.n * (g.s / g.n - t.s_g / t.n_g)"
+    " * (g.s / g.n - t.s_g / t.n_g) AS DECIMAL(30,9)))"
+)
+_O_ANOVA_SSW = "SUM(CAST(g.ss - g.s * g.s / g.n AS DECIMAL(30,9)))"
+
+
 @register(
     "q_anova_f",
-    oracle="""
+    oracle=f"""
     WITH g AS (SELECT event_type,
                       CAST(COUNT(*) AS BIGINT) AS n,
-                      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
-                      CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS s,
+                      {o_dec_to_double("SUM(CAST(value * value AS DECIMAL(30,6)))", 6)}
                         AS ss
                FROM events GROUP BY event_type),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g,
-                   CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS s_g,
+                   {o_dec_to_double("SUM(CAST(s AS DECIMAL(30,6)))", 6)} AS s_g,
                    CAST(COUNT(*) AS BIGINT) AS k
             FROM g),
     parts AS (SELECT t.n_g, t.k,
-                     CAST(SUM(CAST(g.n * (g.s / g.n - t.s_g / t.n_g)
-                                   * (g.s / g.n - t.s_g / t.n_g)
-                                   AS DECIMAL(30,9))) AS DOUBLE) AS ssb,
-                     CAST(SUM(CAST(g.ss - g.s * g.s / g.n AS DECIMAL(30,9)))
-                          AS DOUBLE) AS ssw
+                     {o_dec_to_double(_O_ANOVA_SSB, 9)} AS ssb,
+                     {o_dec_to_double(_O_ANOVA_SSW, 9)} AS ssw
               FROM g, tot t GROUP BY t.n_g, t.k)
     SELECT CAST(k - 1 AS BIGINT) AS df_between,
            CAST(n_g - k AS BIGINT) AS df_within,
@@ -658,29 +669,30 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
-        .cast("double")
-        .alias("ss"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias("s"),
+        dec_to_double(
+            F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)")), 6
+        ).alias("ss"),
     )
     tot = g.agg(
         F.sum("n").alias("n_g"),
-        F.sum(F.col("s").cast("decimal(30,6)")).cast("double").alias("s_g"),
+        dec_to_double(F.sum(F.col("s").cast("decimal(30,6)")), 6).alias("s_g"),
         F.count("*").alias("k"),
     )
     j = g.crossJoin(F.broadcast(tot))
     mean_dev = F.col("s") / F.col("n") - F.col("s_g") / F.col("n_g")
     parts = j.groupBy("n_g", "k").agg(
-        F.sum((F.col("n") * mean_dev * mean_dev).cast("decimal(30,9)"))
-        .cast("double")
-        .alias("ssb"),
-        F.sum(
-            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).cast(
-                "decimal(30,9)"
-            )
-        )
-        .cast("double")
-        .alias("ssw"),
+        dec_to_double(
+            F.sum((F.col("n") * mean_dev * mean_dev).cast("decimal(30,9)")), 9
+        ).alias("ssb"),
+        dec_to_double(
+            F.sum(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).cast(
+                    "decimal(30,9)"
+                )
+            ),
+            9,
+        ).alias("ssw"),
     )
     return parts.select(
         (F.col("k") - 1).cast("long").alias("df_between"),
@@ -707,7 +719,7 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_skew_profile",
-    oracle="""
+    oracle=f"""
     WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM events GROUP BY user_id),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
@@ -1010,7 +1022,7 @@ DID_CUT = "2024-01-16 00:00:00"
       FROM events WHERE value IS NOT NULL),
     cell AS (SELECT arm, post,
                     CAST(COUNT(*) AS BIGINT) AS n,
-                    CAST(SUM(v) AS DOUBLE) AS s
+                    {o_dec_to_double("SUM(v)", 2)} AS s
              FROM c GROUP BY arm, post),
     m AS (SELECT
             MAX(CASE WHEN arm = 1 AND post = 1 THEN s / n END) AS t_post,
@@ -1049,7 +1061,7 @@ def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = c.groupBy("arm", "post").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("double").alias("s"),
+        dec_to_double(F.sum("v"), 2).alias("s"),
     )
     mean = F.col("s") / F.col("n")
     m = cell.agg(

@@ -60,6 +60,14 @@ def o_dsum(expr: str, scale: int = 6) -> str:
     return o_dec_to_double(f"SUM(CAST({expr} AS DECIMAL(30,{scale})))", scale)
 
 
+#: q_agg_filtered's cents-quantized purchase sum (scale 2 after the
+#: inner 6-dp accumulate), hoisted for o_dec_to_double.
+_O_PURCHASE_CENTS = (
+    "CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"
+    " AS DECIMAL(30,6))) AS DECIMAL(30,2))"
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans
 # ---------------------------------------------------------------------------
@@ -437,8 +445,8 @@ def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('l_extendedprice')} AS sum_base_price,
            {o_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
            {o_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           {o_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {o_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -532,8 +540,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
-           CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
-                              AS DECIMAL(30,6))) AS DECIMAL(30,2)) AS DOUBLE) AS purchase_value
+           {o_dec_to_double(_O_PURCHASE_CENTS, 2)} AS purchase_value
     FROM events GROUP BY user_id
     """,
     tier="A",
@@ -551,10 +558,9 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
         F.count_if(F.col("value") > 100.0).alias("n_big"),
-        F.sum(purchase.cast("decimal(30,6)"))
-        .cast("decimal(30,2)")
-        .cast("double")
-        .alias("purchase_value"),
+        dec_to_double(
+            F.sum(purchase.cast("decimal(30,6)")).cast("decimal(30,2)"), 2
+        ).alias("purchase_value"),
     )
 
 

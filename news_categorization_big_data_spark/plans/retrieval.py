@@ -19,8 +19,19 @@ from pyspark.sql import functions as F
 from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.ordered import running_sum
 from news_categorization_big_data_spark.functions.text_exprs import tokens
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
+
+#: q_rrf_fusion's idf-weighted score sum (hoisted for o_dec_to_double).
+_O_BM25ISH_W = (
+    "SUM(CAST(CAST(tf.tf AS DOUBLE)"
+    " * ((CAST(n.n - dft.df AS DOUBLE) + 0.5)"
+    " / (CAST(dft.df AS DOUBLE) + 0.5)) AS DECIMAL(30,9)))"
+)
 
 # --------------------------------------------------------------------------
 # BM25
@@ -369,7 +380,7 @@ def _pq_book_and_best(
                FROM dist) WHERE rn = 1)
     SELECT vec_id,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
-           CAST(SUM(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS recon_err
+           {o_dec_to_double("SUM(CAST(d2 AS DECIMAL(28,9)))", 9)} AS recon_err
     FROM best GROUP BY vec_id
     """,
     tier="C",
@@ -401,7 +412,7 @@ def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes"),
-        F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("recon_err"),
+        dec_to_double(F.sum(F.col("d2").cast("decimal(28,9)")), 9).alias("recon_err"),
     )
     return packed
 
@@ -512,10 +523,7 @@ RRF_TOP = 20
                FROM documents WHERE text <> ''),
     dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
     scored AS (SELECT tf.doc_id,
-                      CAST(SUM(CAST(CAST(tf.tf AS DOUBLE)
-                                    * ((CAST(n.n - dft.df AS DOUBLE) + 0.5)
-                                       / (CAST(dft.df AS DOUBLE) + 0.5))
-                                    AS DECIMAL(30,9))) AS DOUBLE) AS score_a
+                      {o_dec_to_double(_O_BM25ISH_W, 9)} AS score_a
                FROM tf JOIN dft USING (tok), n_docs n
                GROUP BY tf.doc_id),
     cand AS (SELECT s.doc_id, s.score_a, d.n_chars
@@ -571,7 +579,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") * idf).cast("decimal(30,9)").alias("w"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("w").cast("double").alias("score_a"))
+        .agg(dec_to_double(F.sum("w"), 9).alias("score_a"))
     )
     cand = scored.join(docs.select("doc_id", "n_chars"), "doc_id")
     # row_number == running COUNT under a total order ((score, doc_id)

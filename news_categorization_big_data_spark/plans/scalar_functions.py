@@ -14,6 +14,16 @@ from itertools import chain
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    o_dec_to_double,
+    sql_dec_to_double,
+)
+#: q_sql_udf's house revenue form (hoisted for o_dec_to_double).
+_O_UDF_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+)
+
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -429,12 +439,10 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sql_udf",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2))
-                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           {o_dec_to_double(_O_UDF_REV, 4)}
              AS revenue,
            CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bulk
@@ -472,10 +480,10 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag,
                COUNT(*) AS n_items,
-               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+               {sql_dec_to_double("SUM(disc_price(l_extendedprice, l_discount))", 4)}
                  AS revenue,
                CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
         FROM lineitem

@@ -23,8 +23,19 @@ from news_categorization_big_data_spark.operators.similarity import (
     l2_sq,
     srp_signs,
 )
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
+
+#: q_embedding_norms' per-vector sum of squares on the 10^-12 grid
+#: (hoisted for o_dec_to_double).
+_O_NORM_SS = (
+    "list_sum(list_transform(embedding,"
+    " x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))))"
+)
 
 
 def _o_dot(a: str, b: str) -> str:
@@ -369,9 +380,7 @@ NORM_TOP_K = 20
     "q_embedding_norms",
     oracle=f"""
     WITH s AS (SELECT vec_id,
-                      CAST(list_sum(list_transform(embedding,
-                               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                                         AS DECIMAL(20,12)))) AS DOUBLE) AS ss
+                      {o_dec_to_double(_O_NORM_SS, 12)} AS ss
                FROM embeddings)
     SELECT vec_id, sqrt(ss) AS l2_norm
     FROM s ORDER BY sqrt(ss) DESC, vec_id LIMIT {NORM_TOP_K}
@@ -395,13 +404,16 @@ NORM_TOP_K = 20
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    ss = F.aggregate(
-        F.col("embedding"),
-        F.lit(0).cast("decimal(32,12)"),
-        lambda acc, x: (
-            acc + (x.cast("double") * x.cast("double")).cast("decimal(20,12)")
-        ).cast("decimal(32,12)"),
-    ).cast("double")
+    ss = dec_to_double(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("decimal(32,12)"),
+            lambda acc, x: (
+                acc + (x.cast("double") * x.cast("double")).cast("decimal(20,12)")
+            ).cast("decimal(32,12)"),
+        ),
+        12,
+    )
     return (
         emb.select("vec_id", F.sqrt(ss).alias("l2_norm"))
         .orderBy(F.desc("l2_norm"), "vec_id")

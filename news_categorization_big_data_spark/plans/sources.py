@@ -25,6 +25,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.json_corpus import (
     normalize_authors,
@@ -312,9 +316,9 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_zorder",
-    oracle="""
+    oracle=f"""
     SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_value
     FROM events
     WHERE user_id BETWEEN 100 AND 160
       AND CAST(floor(value) AS INT) BETWEEN 100 AND 240
@@ -347,18 +351,18 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            dec_to_double(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias(
+                "sum_value"
+            ),
         )
     )
 
 
 @register(
     "q_sink_partitioned_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_value
     FROM events GROUP BY event_type
     """,
     tier="B",
@@ -388,9 +392,9 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("total_value"),
+            dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+                "total_value"
+            ),
         )
     )
 

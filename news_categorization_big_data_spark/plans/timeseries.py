@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_categorization_big_data_spark.operators.asof import asof_join
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -190,10 +194,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_window_time_range",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS cnt_1h,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2))) OVER w", 2)} AS val_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -220,7 +224,7 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count("*").over(w).alias("cnt_1h"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_1h"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2).alias("val_1h"),
     )
 
 

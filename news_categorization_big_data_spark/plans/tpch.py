@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -50,20 +54,24 @@ _O_DISC_PRICE = (
     " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
 
+_O_REV_Q6 = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(l_discount AS DECIMAL(18,2)))"
+)
+
 
 @register(
     "q_tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_O_DISC_PRICE}
-                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           {o_dec_to_double("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty,
+           {o_dec_to_double("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} AS sum_base_price,
+           {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS sum_disc_price,
+           {o_dec_to_double(f'''SUM({_O_DISC_PRICE}
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))''', 6)} AS sum_charge,
+           {o_dec_to_double("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 2)} / COUNT(*) AS avg_qty,
+           {o_dec_to_double("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} / COUNT(*) AS avg_price,
+           {o_dec_to_double("SUM(CAST(l_discount AS DECIMAL(18,2)))", 2)} / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -85,13 +93,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = _disc_price() * (one + _d2("l_tax"))
     n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_d2("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_d2("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(_d2("l_quantity")).cast("double") / n).alias("avg_qty"),
-        (F.sum(_d2("l_extendedprice")).cast("double") / n).alias("avg_price"),
-        (F.sum(_d2("l_discount")).cast("double") / n).alias("avg_disc"),
+        dec_to_double(F.sum(_d2("l_quantity")), 2).alias("sum_qty"),
+        dec_to_double(F.sum(_d2("l_extendedprice")), 2).alias("sum_base_price"),
+        dec_to_double(F.sum(_disc_price()), 4).alias("sum_disc_price"),
+        dec_to_double(F.sum(charge), 6).alias("sum_charge"),
+        (dec_to_double(F.sum(_d2("l_quantity")), 2) / n).alias("avg_qty"),
+        (dec_to_double(F.sum(_d2("l_extendedprice")), 2) / n).alias("avg_price"),
+        (dec_to_double(F.sum(_d2("l_discount")), 2) / n).alias("avg_disc"),
         n.alias("count_order"),
     )
 
@@ -100,7 +108,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle=f"""
     SELECT l.l_orderkey,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue,
+           {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -143,7 +151,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum("_dp").cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -154,7 +162,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle=f"""
     SELECT n.n_name,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue
+           {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -201,14 +209,13 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
-    return joined.groupBy("n_name").agg(F.sum("_dp").cast("double").alias("revenue"))
+    return joined.groupBy("n_name").agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
 
 
 @register(
     "q_tpch_q6",
     oracle=f"""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    SELECT {o_dec_to_double(_O_REV_Q6, 4)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q5_YEAR_LO} 00:00:00'
@@ -233,7 +240,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_d2("l_extendedprice") * _d2("l_discount")).cast("double").alias("revenue"),
+        dec_to_double(F.sum(_d2("l_extendedprice") * _d2("l_discount")), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -292,7 +299,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue,
+           {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -336,7 +343,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum("_dp").cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -348,7 +355,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           {o_dec_to_double("SUM(CAST(l.l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -388,7 +395,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("_qty").cast("double").alias("sum_qty"))
+        .agg(dec_to_double(F.sum("_qty"), 2).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
         .select(

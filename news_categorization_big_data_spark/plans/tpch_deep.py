@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -84,12 +88,24 @@ _O_DISC_PRICE = (
     " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
 
+#: Q8/Q14 conditional-sum numerators, hoisted so the oracle f-strings can
+#: pass them through o_dec_to_double (nested same-quote strings are not
+#: valid inside f-string expressions on this Python).
+_O_Q8_NUM = (
+    f"SUM(CASE WHEN nation = '{Q8_NATION}' THEN volume"
+    " ELSE CAST(0 AS DECIMAL(18,2)) END)"
+)
+_O_Q14_NUM = (
+    f"SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_O_DISC_PRICE}"
+    " ELSE CAST(0 AS DECIMAL(18,2)) END)"
+)
+
 
 @register(
     "q_tpch_q7",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DOUBLE) AS revenue
+           {o_dec_to_double("SUM(volume)", 4)} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
@@ -149,16 +165,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(F.sum("volume").cast("double").alias("revenue"))
+    ).agg(dec_to_double(F.sum("volume"), 4).alias("revenue"))
 
 
 @register(
     "q_tpch_q8",
     oracle=f"""
     SELECT o_year,
-           CAST(SUM(CASE WHEN nation = '{Q8_NATION}' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           {o_dec_to_double(_O_Q8_NUM, 4)}
+           / {o_dec_to_double("SUM(volume)", 4)} AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              {_O_DISC_PRICE} AS volume,
@@ -225,10 +240,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("nation") == Q8_NATION, F.col("volume")).otherwise(zero))
-            .cast("double")
-            .alias("_num"),
-            F.sum("volume").cast("double").alias("_den"),
+            dec_to_double(
+                F.sum(
+                    F.when(F.col("nation") == Q8_NATION, F.col("volume")).otherwise(zero)
+                ),
+                4,
+            ).alias("_num"),
+            dec_to_double(F.sum("volume"), 4).alias("_den"),
         )
         .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
     )
@@ -280,9 +298,8 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q14",
     oracle=f"""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_O_DISC_PRICE}
-                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    SELECT 100.0 * {o_dec_to_double(_O_Q14_NUM, 4)}
+                 / {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '{Q14_SHIP_LO} 00:00:00'
@@ -311,10 +328,13 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("_dp")).otherwise(zero))
-            .cast("double")
-            .alias("_num"),
-            F.sum("_dp").cast("double").alias("_den"),
+            dec_to_double(
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), F.col("_dp")).otherwise(zero)
+                ),
+                4,
+            ).alias("_num"),
+            dec_to_double(F.sum("_dp"), 4).alias("_den"),
         )
         .select((F.lit(100.0) * F.col("_num") / F.col("_den")).alias("promo_revenue"))
     )
@@ -330,7 +350,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '{Q15_SHIP_HI} 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name, {o_dec_to_double("total_revenue", 4)} AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
       AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -363,7 +383,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(F.broadcast(best), F.col("_total_dec") == F.col("_best_dec"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.col("_total_dec").cast("double").alias("total_revenue")
+            "s_suppkey", "s_name", dec_to_double(F.col("_total_dec"), 4).alias("total_revenue")
         )
     )
 
@@ -378,7 +398,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+    SELECT {o_dec_to_double("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} / 7.0
            AS avg_yearly
     FROM lineitem, part, pq
     WHERE p_partkey = l_partkey AND pq_partkey = l_partkey
@@ -417,7 +437,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_f.join(F.broadcast(pq), F.col("l_partkey") == F.col("pq_partkey"))
         .where(five * F.col("_qty") * F.col("pq_cnt") < F.col("pq_sum"))
-        .agg((F.sum("_price").cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dec_to_double(F.sum("_price"), 2) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -434,7 +454,7 @@ def _q19_sql_disjunct() -> str:
 @register(
     "q_tpch_q19",
     oracle=f"""
-    SELECT CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT {o_dec_to_double(f"SUM({_O_DISC_PRICE})", 4)} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ({_q19_sql_disjunct()})
@@ -479,7 +499,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(disjunct)
-        .agg(F.sum("_dp").cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
     )
 
 
@@ -494,7 +514,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (c_nationkey % 10) IN {Q22_CODES!r}
     )
     SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+           {o_dec_to_double("SUM(bal)", 2)} AS totacctbal
     FROM (
       SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
              CAST(c_acctbal AS DECIMAL(18,2)) AS bal
@@ -540,6 +560,6 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal").cast("double").alias("totacctbal"),
+            dec_to_double(F.sum("bal"), 2).alias("totacctbal"),
         )
     )

@@ -45,6 +45,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -90,6 +94,15 @@ def _disc_price() -> Column:
 _O_DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
     " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+#: Q9 profit expression (scale 5: disc_price scale 4 minus the
+#: qty(2)*retail(2)*0.1(1) cost term), hoisted for o_dec_to_double.
+_O_Q9_PROFIT = (
+    f"SUM({_O_DISC_PRICE}"
+    " - CAST(l_quantity AS DECIMAL(9,2))"
+    " * CAST(p_retailprice AS DECIMAL(9,2))"
+    " * CAST(0.1 AS DECIMAL(2,1)))"
 )
 
 
@@ -166,10 +179,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q9",
     oracle=f"""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           CAST(SUM({_O_DISC_PRICE}
-                    - CAST(l_quantity AS DECIMAL(9,2))
-                      * CAST(p_retailprice AS DECIMAL(9,2))
-                      * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+           {o_dec_to_double(_O_Q9_PROFIT, 5)} AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -207,7 +217,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(_disc_price() - cost).cast("double").alias("sum_profit"))
+        .agg(dec_to_double(F.sum(_disc_price() - cost), 5).alias("sum_profit"))
     )
 
 
@@ -222,7 +232,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region ON r_regionkey = n_regionkey
         WHERE r_name = '{Q11_REGION}'
         GROUP BY l_partkey)
-    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    SELECT l_partkey, {o_dec_to_double("value", 4)} AS value
     FROM v
     WHERE value * {Q11_SHARE_DEN} > (SELECT SUM(value) FROM v)
     ORDER BY value DESC, l_partkey
@@ -259,7 +269,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("value_dec") * Q11_SHARE_DEN > F.col("total_dec"))
-        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        .select("l_partkey", dec_to_double(F.col("value_dec"), 4).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
 

@@ -20,8 +20,23 @@ from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
 )
+from news_categorization_big_data_spark.functions.exact import (
+    dec_to_double,
+    o_dec_to_double,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
+
+#: Oracle sub-expressions hoisted for o_dec_to_double (f-string nesting).
+_O_CUSUM_RUN = (
+    "SUM(CAST(d.v - st.tot / st.n_days AS DECIMAL(30,6)))"
+    " OVER (PARTITION BY d.event_type ORDER BY d.day"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_O_RC_SUM = (
+    "SUM(CASE WHEN event_type = '{t}'"
+    " THEN CAST(value AS DECIMAL(30,6)) END)"
+)
 
 #: Sliding-window width in days for the exact distinct-user count.
 SLIDE_DAYS = 7
@@ -78,20 +93,17 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cusum_changepoint",
-    oracle="""
+    oracle=f"""
     WITH daily AS (SELECT event_type,
                           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+                          {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS v
                    FROM events GROUP BY 1, 2),
     st AS (SELECT event_type,
-                  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS tot,
+                  {o_dec_to_double("SUM(CAST(v AS DECIMAL(30,6)))", 6)} AS tot,
                   COUNT(*) AS n_days
            FROM daily GROUP BY 1),
     c AS (SELECT d.event_type, d.day, st.n_days,
-                 CAST(SUM(CAST(d.v - st.tot / st.n_days AS DECIMAL(30,6)))
-                          OVER (PARTITION BY d.event_type ORDER BY d.day
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE) AS cusum
+                 {o_dec_to_double(_O_CUSUM_RUN, 6)} AS cusum
           FROM daily d JOIN st ON d.event_type = st.event_type),
     r AS (SELECT event_type, day, n_days, abs(cusum) AS a,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -121,7 +133,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v"))
+    ).agg(dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias("v"))
     # Per-type mean via FULL-PARTITION windows instead of a second
     # aggregate + broadcast join-back: the daily grain is tiny, all
     # three windows share one event_type exchange (Catalyst reuses it;
@@ -129,7 +141,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast materialization measures ~25% faster at sf0.1 with
     # byte-identical output. Same decimal-exact arithmetic.
     wfull = Window.partitionBy("event_type")
-    tot = F.sum(F.col("v").cast("decimal(30,6)")).over(wfull).cast("double")
+    tot = dec_to_double(F.sum(F.col("v").cast("decimal(30,6)")).over(wfull), 6)
     n_days = F.count("*").over(wfull)
     dev = (F.col("v") - tot / n_days).cast("decimal(30,6)")
     wrun = (
@@ -139,7 +151,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         daily.withColumn("n_days", n_days)
-        .withColumn("cusum", F.sum(dev).over(wrun).cast("double"))
+        .withColumn("cusum", dec_to_double(F.sum(dev).over(wrun), 6))
         .withColumn("a", F.abs("cusum"))
     )
     wpick = Window.partitionBy("event_type").orderBy(F.desc("a"), "day")
@@ -277,7 +289,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_semi_additive",
-    oracle="""
+    oracle=f"""
     WITH r AS (SELECT user_id, value,
                       strftime(ts, '%Y-%m') AS month,
                       ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m')
@@ -286,7 +298,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     last AS (SELECT user_id, month, value FROM r WHERE rn = 1)
     SELECT month,
            COUNT(*) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_balance
     FROM last GROUP BY month
     """,
     tier="B",
@@ -315,9 +327,9 @@ def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return last.groupBy("month").agg(
         F.count("*").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("total_balance"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+            "total_balance"
+        ),
     )
 
 
@@ -502,7 +514,7 @@ IVM_CUTOVER = "2000-06-01"
     oracle=f"""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           {o_dec_to_double("SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))", 2)}
              AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -546,7 +558,7 @@ def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.sum("_n").alias("n_orders"),
-            F.sum("_sv").cast("double").alias("revenue"),
+            dec_to_double(F.sum("_sv"), 2).alias("revenue"),
         )
     )
 
@@ -580,7 +592,7 @@ ATTRIB_LOOKBACK_S = 3600
                  value
           FROM o WHERE event_type = 'purchase')
     SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)}
              AS attributed_value
     FROM p GROUP BY channel
     """,
@@ -633,9 +645,9 @@ def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("channel").agg(
         F.count("*").alias("n_purchases"),
-        F.sum(F.col("value").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("attributed_value"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+            "attributed_value"
+        ),
     )
 
 
@@ -667,7 +679,7 @@ def _rfm_band_cte(metric_cte: str, col: str) -> str:
                       (SELECT MAX(epoch_us(o_orderdate)) FROM orders) AS ref_us,
                       MAX(epoch_us(o_orderdate)) AS last_us,
                       CAST(COUNT(*) AS BIGINT) AS n_orders,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      {o_dec_to_double("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)}
                         AS monetary
                FROM orders GROUP BY o_custkey),
     u AS (SELECT o_custkey,
@@ -681,7 +693,7 @@ def _rfm_band_cte(metric_cte: str, col: str) -> str:
            CAST(fb.band AS INT) AS f_band,
            CAST(mb.band AS INT) AS m_band,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(u.monetary AS DECIMAL(30,6))) AS DOUBLE)
+           {o_dec_to_double("SUM(CAST(u.monetary AS DECIMAL(30,6)))", 6)}
              AS segment_value
     FROM u JOIN rb ON u.recency_days = rb.v
            JOIN fb ON u.n_orders = fb.v
@@ -711,9 +723,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy("o_custkey").agg(
         F.max(F.unix_micros("o_orderdate")).alias("last_us"),
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
+        dec_to_double(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+            "monetary"
+        ),
     )
     ref = orders.agg(F.max(F.unix_micros("o_orderdate")).alias("ref_us"))
     u = m.crossJoin(F.broadcast(ref)).select(
@@ -755,9 +767,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_band").cast("int").alias("m_band"),
     ).agg(
         F.count("*").alias("n_customers"),
-        F.sum(F.col("monetary").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("segment_value"),
+        dec_to_double(F.sum(F.col("monetary").cast("decimal(30,6)")), 6).alias(
+            "segment_value"
+        ),
     )
 
 
@@ -970,10 +982,8 @@ _RC_FLOOR = (
     oracle=f"""
     WITH daily AS (
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             COALESCE(CAST(SUM(CASE WHEN event_type = '{ROLLCORR_X}'
-                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS x,
-             COALESCE(CAST(SUM(CASE WHEN event_type = '{ROLLCORR_Y}'
-                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS y
+             COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_X), 6)}, 0.0) AS x,
+             COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_Y), 6)}, 0.0) AS y
       FROM events WHERE event_type IN ('{ROLLCORR_X}', '{ROLLCORR_Y}')
       GROUP BY 1),
     q AS (SELECT day,
@@ -1041,21 +1051,27 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the moment sums skip it and roll_corr is not the Pearson
         # correlation of any well-defined sample.
         F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == ROLLCORR_X,
-                    F.col("value").cast("decimal(30,6)"),
-                )
-            ).cast("double"),
+            dec_to_double(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == ROLLCORR_X,
+                        F.col("value").cast("decimal(30,6)"),
+                    )
+                ),
+                6,
+            ),
             F.lit(0.0),
         ).alias("x"),
         F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == ROLLCORR_Y,
-                    F.col("value").cast("decimal(30,6)"),
-                )
-            ).cast("double"),
+            dec_to_double(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == ROLLCORR_Y,
+                        F.col("value").cast("decimal(30,6)"),
+                    )
+                ),
+                6,
+            ),
             F.lit(0.0),
         ).alias("y"),
     )
