@@ -19,6 +19,7 @@ from news_categorization_big_data_spark.functions.exact import (
     LIMB,
     dec_to_double,
     o_dec_to_double,
+    sql_dec_to_double,
 )
 
 SCALES = (2, 6, 9)
@@ -105,6 +106,30 @@ def spark_global(spark):
     # hypothesis forbids function-scoped fixtures interacting with @given;
     # re-expose the session fixture at module scope.
     return spark
+
+
+@pytest.mark.parametrize("scale", SCALES)
+def test_sql_emitter_matches_column_form_and_duckdb(spark, scale):
+    """sql_dec_to_double (the Spark-SQL text form used by q_sql_udf)
+    must agree bit-for-bit with BOTH the Column form and DuckDB across
+    the same edge magnitudes."""
+    dec = f"decimal(38,{scale})"
+    df = spark.createDataFrame(
+        [(str(decimal.Decimal(v).scaleb(-scale)),) for v in EDGES], ["s"]
+    ).select(F.col("s").cast(dec).alias("s"))
+    df.createOrReplaceTempView("_exact_probe")
+    sql_out = [
+        r["d"]
+        for r in spark.sql(
+            f"SELECT {sql_dec_to_double('s', scale)} AS d FROM _exact_probe"
+        ).collect()
+    ]
+    col_out = [r["d"] for r in df.select(dec_to_double(F.col("s"), scale).alias("d")).collect()]
+    duck_out = _duck_convert(EDGES, scale)
+    for v, a, b, c in zip(EDGES, sql_out, col_out, duck_out):
+        assert _bits(a) == _bits(b) == _bits(c), (
+            f"scaled={v} scale={scale}: sql={a!r} col={b!r} duck={c!r}"
+        )
 
 
 def test_null_propagates(spark):
