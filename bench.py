@@ -124,8 +124,19 @@ def main() -> None:
             # JIT warm, data cold.
             spark.catalog.clearCache()
             start = time.perf_counter()
-            # count() fully executes the plan without driver-collecting rows.
-            spec.builder(spark, sf_dir).count()
+            # noop-sink write: executes the FULL plan without driver-
+            # collecting rows. The previous harness used count(), whose
+            # comment claimed the same — wrong: Dataset.count() column-
+            # prunes through the final Aggregate, deleting every unused
+            # aggregate function, so a pure-aggregate query like
+            # q_tpch_q1 was timed WITHOUT its eight money sums (found
+            # round 10 while chasing a phantom regression; measured
+            # bridge count->noop at sf0.1: q_tpch_q1 2.9x, q_group_stats
+            # 2.3x, 30-query total +20% — SCALE.md). The noop sink
+            # consumes every output column, so nothing prunes.
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             runs.append(round(time.perf_counter() - start, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
@@ -147,6 +158,11 @@ def main() -> None:
                 "queries": timings,
                 "cold_first_run": cold,
                 "sf": sf,
+                # methodology marker: rounds 1-9 used count() (which
+                # prunes unused aggregate functions — see the run-loop
+                # comment); round 10+ uses the pruning-proof noop sink.
+                # Cross-round totals bridge via SCALE.md round 10.
+                "exec": "noop",
                 **({"profile": profile} if profile else {}),
             }
         )

@@ -51,9 +51,14 @@ the window and that every row-less query is window-covered.
 
 Round-11 window plan (for the next session): (a) any plan/oracle
 changed during round 10 after this window froze; (b) the 3 standing
-canaries; (c) the 6 pass(r2) leftovers above; (d) back-fill with the
-oldest pass(r3) rows. Keep ROTATION_PENDING for anything newly
-registered.
+canaries; (c) the 11 pass(r2) leftovers above; (d) the conversion-swept
+queries NOT already window-covered this round, oldest stamps first —
+the round-10 repo-wide dec_to_double sweep touched ~40 queries' plans
+AND oracles (tpch Q1-Q22, grouped stats, warehouse aggregates, …); the
+change is proven hash-neutral at sf0.01 by an in-session full
+driver_sim (282/282 MATCH), but official stamps of the swept plans are
+still the stronger signal; (e) back-fill with the oldest remaining
+pass(r3) rows. Keep ROTATION_PENDING for anything newly registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
