@@ -45,10 +45,9 @@ from pyspark.sql import functions as F
 LIMB = 1 << 60
 
 
-def dec_to_double(sum_col: Column, scale: int) -> Column:
-    """Deterministic double of a DECIMAL(p, ``scale``) column (see module
-    docstring). ``sum_col`` is typically a decimal aggregate result."""
-    si = (sum_col * F.lit(10**scale)).cast("decimal(38,0)")
+def scaled_to_double(si: Column, scale: int) -> Column:
+    """The reassembly chain on an ALREADY-SCALED exact integer held in a
+    decimal column (scale 0): sign·(hi·2^60 + lo)/10^scale."""
     a = F.abs(si)
     lo = a % F.lit(LIMB)
     # (a - lo) is exactly divisible by LIMB and hi < 2^53 fits the
@@ -57,6 +56,12 @@ def dec_to_double(sum_col: Column, scale: int) -> Column:
     mag = hi.cast("double") * F.lit(float(LIMB)) + lo.cast("double")
     sgn = F.when(si < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
     return sgn * mag / F.lit(float(10**scale))
+
+
+def dec_to_double(sum_col: Column, scale: int) -> Column:
+    """Deterministic double of a DECIMAL(p, ``scale``) column (see module
+    docstring). ``sum_col`` is typically a decimal aggregate result."""
+    return scaled_to_double((sum_col * F.lit(10**scale)).cast("decimal(38,0)"), scale)
 
 
 def sql_dec_to_double(expr: str, scale: int) -> str:

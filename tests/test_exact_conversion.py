@@ -132,6 +132,30 @@ def test_sql_emitter_matches_column_form_and_duckdb(spark, scale):
         )
 
 
+def test_dsum_limb_form_bit_identical_to_decimal_sum(spark):
+    """dsum's round-10 limb-split accumulation (three native long sums
+    over arithmetic-shift limbs) must reassemble EXACTLY the integer the
+    decimal aggregate would have produced — for signed values too (the
+    two's-complement identity q = (q>>40)·2^40 + ((q>>20)&m)·2^20 +
+    (q&m) holds for negative q with arithmetic shift). Reference form =
+    decimal sum + the same conversion chain."""
+    from news_categorization_big_data_spark.plans.relational import dsum
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") % 2001) - 1000.25).alias("v"),  # signed, fractional
+    )
+    ref = df.groupBy("k").agg(
+        dec_to_double(F.sum(F.col("v").cast("decimal(30,6)")), 6).alias("s")
+    )
+    fast = df.groupBy("k").agg(dsum("v", 6).alias("s"))
+    ref_rows = {r["k"]: r["s"] for r in ref.collect()}
+    fast_rows = {r["k"]: r["s"] for r in fast.collect()}
+    assert set(ref_rows) == set(fast_rows)
+    for k in ref_rows:
+        assert _bits(ref_rows[k]) == _bits(fast_rows[k]), k
+
+
 def test_null_propagates(spark):
     df = spark.range(1).select(
         dec_to_double(F.lit(None).cast("decimal(38,6)"), 6).alias("d")
