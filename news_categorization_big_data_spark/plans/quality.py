@@ -25,6 +25,7 @@ from news_categorization_big_data_spark.functions.ordered import (
     running_sum,
 )
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: Allowed order-status domain for the q_dq_checks domain expectation.
@@ -983,7 +984,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "b")
         .agg(
             F.sum("w").cast("long").alias("na"),
-            dec_to_double(F.sum(F.col("w") * F.col("v")), 2).alias("sa"),
+            dsum(F.col("w") * F.col("v"), 2).alias("sa"),
         )
         .where(F.col("na") > 0)
     )

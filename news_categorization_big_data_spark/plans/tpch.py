@@ -27,6 +27,7 @@ from news_categorization_big_data_spark.functions.exact import (
     o_dec_to_double,
 )
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: Q1 cutoff / Q3 segment + date / Q5 region + year — query parameters
@@ -92,14 +93,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     charge = _disc_price() * (one + _d2("l_tax"))
     n = F.count("*")
+    # dsum = limb-split long accumulation, bit-identical to the decimal
+    # sums the oracle runs (plans/relational.py round-10 note); per-row
+    # scaled charge tops out ~1.2e11, far inside the int64 bound.
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dec_to_double(F.sum(_d2("l_quantity")), 2).alias("sum_qty"),
-        dec_to_double(F.sum(_d2("l_extendedprice")), 2).alias("sum_base_price"),
-        dec_to_double(F.sum(_disc_price()), 4).alias("sum_disc_price"),
-        dec_to_double(F.sum(charge), 6).alias("sum_charge"),
-        (dec_to_double(F.sum(_d2("l_quantity")), 2) / n).alias("avg_qty"),
-        (dec_to_double(F.sum(_d2("l_extendedprice")), 2) / n).alias("avg_price"),
-        (dec_to_double(F.sum(_d2("l_discount")), 2) / n).alias("avg_disc"),
+        dsum(_d2("l_quantity"), 2).alias("sum_qty"),
+        dsum(_d2("l_extendedprice"), 2).alias("sum_base_price"),
+        dsum(_disc_price(), 4).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        (dsum(_d2("l_quantity"), 2) / n).alias("avg_qty"),
+        (dsum(_d2("l_extendedprice"), 2) / n).alias("avg_price"),
+        (dsum(_d2("l_discount"), 2) / n).alias("avg_disc"),
         n.alias("count_order"),
     )
 
