@@ -317,12 +317,31 @@ def test_corr_limb_quantum_at_int64(spark, tmp_path):
                 for i in range(10)
             ],
         ),
+        # Class coverage (not a measured pre-fix flip): the WINDOWED
+        # conversion path — o_dec_to_double over `SUM(...) OVER w` —
+        # is structurally distinct from the aggregate path, so pin it
+        # past the bound too: 10 events inside one hour per user put
+        # the range-window sum's scaled integer at ~4.3e16 > 2^53.
+        (
+            "q_window_time_range",
+            lambda: [
+                (
+                    i + 1,
+                    TS("2024-01-05 00:00:00") + datetime.timedelta(minutes=5 * i),
+                    1 + i // 10,
+                    "view",
+                    4.3e13 + i * 0.25,
+                )
+                for i in range(20)
+            ],
+        ),
     ],
 )
 def test_family_past_2_53_regressions(spark, tmp_path, name, mkrows):
-    """Pin the three measured pre-fix hash flips (SCALE.md round 10) as
-    permanent regressions: with dec_to_double in place the family must
-    stay engine-identical arbitrarily far past 2^53."""
+    """Pin the measured pre-fix hash flips (SCALE.md round 10) — plus
+    the windowed-conversion class case — as permanent regressions: with
+    dec_to_double in place the family must stay engine-identical
+    arbitrarily far past 2^53."""
     _write_events(tmp_path, mkrows())
     _assert_parity(spark, tmp_path, name, ["events"])
 
