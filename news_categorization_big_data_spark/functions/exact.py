@@ -30,9 +30,17 @@ bit-identical to the single correctly-rounded conversion, so adopting
 this helper does NOT change any value the official driver has already
 hashed at sf0.01 — only the previously engine-divergent >2^53 region.
 
-Valid for |si| < 2^113 ≈ 10^34 — a 100-TB accumulator of 2-dp values
-tops out around 10^22 (6·10^11 rows × 500 × weight 2^23 × 100), five
-orders of magnitude inside the limit. NULL propagates.
+Validity: the LIMB reassembly itself is exact for |si| < 2^113, but the
+helpers never see an si that large — ``(expr)·10^scale`` stays
+DECIMAL(38,scale) on BOTH engines, so the operative cap is
+**|si| < 10^(38-scale)**: ~2^106 at scale 6, ~2^96 at scale 9, ~2^86 at
+scale 12. Past that cap the engines fail DIVERGENTLY (measured, round
+11 advice): DuckDB raises OutOfRange (loud — the oracle run errors),
+while non-ANSI Spark overflows the decimal to NULL silently (a NULL
+result vs an oracle error, never a silently-wrong value on the Spark
+side alone). A 100-TB accumulator of 2-dp values tops out around 10^22
+(6·10^11 rows × 500 × weight 2^23 × 100), which clears even the
+scale-12 cap by four orders of magnitude. NULL propagates.
 """
 
 from __future__ import annotations
@@ -41,7 +49,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: Limb base. 2^60 keeps hi < 2^53 (exact in double) through |si| < 2^113
-#: while lo < 2^60 needs only the one correct int64→double rounding.
+#: — far past the DECIMAL(38,scale) operative cap of 10^(38-scale) (module
+#: docstring) — while lo < 2^60 needs only the one correct int64→double
+#: rounding.
 LIMB = 1 << 60
 
 

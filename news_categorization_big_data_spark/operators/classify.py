@@ -18,7 +18,14 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.feature import HashingTF, IDF, IndexToString, RegexTokenizer, StringIndexer
+from pyspark.ml.feature import (
+    HashingTF,
+    IDF,
+    IndexToString,
+    RegexTokenizer,
+    StringIndexer,
+    StringIndexerModel,
+)
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -124,11 +131,15 @@ def fit(train: DataFrame, text_col: str = "text", label_col: str = "label") -> P
     pipeline = build_pipeline(text_col=text_col, label_col=label_col)
     stages = pipeline.getStages()
     model = Pipeline(stages=stages[:-1]).fit(train.where(F.length(F.trim(text_col)) > 0))
-    indexer_model = model.stages[3]
+    # Select the fit-time indexer BY TYPE, not position (round-11
+    # advice): a hardcoded stages[3] would silently drop the wrong stage
+    # if build_pipeline's order ever changed.
+    indexer_models = [s for s in model.stages if isinstance(s, StringIndexerModel)]
+    assert len(indexer_models) == 1, f"expected one StringIndexerModel, got {len(indexer_models)}"
     decoder = IndexToString(
-        inputCol="prediction", outputCol="_pred_label", labels=indexer_model.labels
+        inputCol="prediction", outputCol="_pred_label", labels=indexer_models[0].labels
     )
-    scoring_stages = [s for i, s in enumerate(model.stages) if i != 3]
+    scoring_stages = [s for s in model.stages if not isinstance(s, StringIndexerModel)]
     return PipelineModel(stages=scoring_stages + [decoder])
 
 

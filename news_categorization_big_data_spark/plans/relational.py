@@ -36,6 +36,14 @@ from news_categorization_big_data_spark.sources.tables import load_table
 #: 20-bit limb mask for dsum's native-long accumulation (below).
 _LIMB20 = (1 << 20) - 1
 
+#: A/B toggle for tools/dsum_sweep_ab.py ONLY — never set in production.
+#: "limb" (default) = three native long sums; "decimal" = the
+#: pre-round-10 DECIMAL(30,scale) aggregation buffer. Both produce
+#: bit-identical output (tests/test_exact_conversion.py); the toggle
+#: exists so the per-query conversion A/Bs time the two accumulations
+#: through the SAME registered plan builder.
+DSUM_MODE = "limb"
+
 
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Exactly-reproducible sum of a double column.
@@ -48,10 +56,23 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
     trick generalized to signed values: with arithmetic-shift limbs
     (q = (q>>40)·2^40 + ((q>>20)&m)·2^20 + (q&m), a two's-complement
     identity), the three partial sums reassemble the decimal-exact total
-    in DECIMAL(38,0) with zero error, and each long sum is exact while
-    rows/group < 2^43 and the per-row scaled value |v·10^scale| < 2^63 —
-    both orders of magnitude beyond the tables' domains (documented
-    bound; the oracle hash gate trips if ever violated). Measured vs the
+    in DECIMAL(38,0) with zero error. Exactness bound (JOINT — round-11
+    advice: the two separate bounds were not jointly sufficient): the
+    mid/lo limbs are < 2^20 per row, so their long sums hold to 2^43
+    rows/group, but the HI limb is up to |q|>>40 ≈ 2^23 per row at the
+    per-row cap |q| = |v·10^scale| < 2^63, so the binding constraint is
+
+        rows/group × max(|q| >> 40) < 2^63
+        (≈ 2^40 rows/group at max per-row magnitude, back to 2^43 when
+        per-row |q| ≤ 2^60),
+
+    a silent two's-complement wrap — a WRONG ANSWER, not a NULL — if
+    violated (non-ANSI Spark long sum; pinned at the joint bound by
+    tests/test_overflow_bounds.py). Real domains sit orders of magnitude
+    inside: money-domain |q| ≈ 2^24 < 2^40 makes the per-row hi limb
+    0 (or −1 for negatives), so the binding constraint is the mid/lo
+    2^43 rows/group ≈ 8.8·10^12 — and the oracle, which keeps the int128
+    decimal sum, diverges (loudly) first. Measured vs the
     decimal-aggregate form it replaces: 1.5x at sf0.1, 1.7x at sf1 on a
     4-dsum lineitem aggregate, OUTPUT BIT-IDENTICAL including negatives
     (interleaved A/B, round 10 — the decimal tax became visible once the
@@ -67,6 +88,8 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
     same chain, same bits).
     """
     c = F.col(col) if isinstance(col, str) else col
+    if DSUM_MODE == "decimal":  # A/B reference accumulation (see toggle)
+        return dec_to_double(F.sum(c.cast(f"decimal(30,{scale})")), scale)
     q = (c.cast(f"decimal(30,{scale})") * F.lit(10**scale)).cast("long")
     hi = F.sum(F.shiftright(q, 40))
     mid = F.sum(F.shiftright(q, 20).bitwiseAND(F.lit(_LIMB20)))

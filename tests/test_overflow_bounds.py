@@ -362,3 +362,101 @@ def test_bootstrap_weighted_sum_at_2_53(spark, tmp_path):
     _write_events(tmp_path, rows)
 
     _assert_parity(spark, tmp_path, "q_bootstrap_ci", ["events"])
+
+
+# ---------------------------------------------------------------------------
+# dsum's JOINT accumulation bound (round-11 advice)
+# ---------------------------------------------------------------------------
+
+_I64 = 1 << 64
+
+
+def _wrap64(x: int) -> int:
+    """Two's-complement int64 wrap — Spark's non-ANSI long-sum semantics."""
+    x &= _I64 - 1
+    return x - _I64 if x >= (1 << 63) else x
+
+
+def _limb_sim(qs):
+    """Simulate dsum's three-limb accumulation with WRAPPING int64 partial
+    sums (exactly what a non-ANSI Spark `sum(long)` computes), then the
+    exact reassembly. Returns the reassembled scaled integer."""
+    m = (1 << 20) - 1
+    hi = mid = lo = 0
+    for q in qs:
+        hi = _wrap64(hi + (q >> 40))
+        mid = _wrap64(mid + ((q >> 20) & m))
+        lo = _wrap64(lo + (q & m))
+    return hi * (1 << 40) + mid * (1 << 20) + lo
+
+
+def test_dsum_joint_bound_formula_is_the_exact_wrap_threshold():
+    """The round-11 advice: dsum's old separate bounds (rows/group < 2^43
+    AND per-row |q| < 2^63) are not jointly sufficient — the HI limb is up
+    to ~2^23 per row at max magnitude, so the hi long sum wraps silently
+    at rows ≈ 2^63/max(|q|>>40), far below 2^43. Pin the CORRECTED joint
+    bound as the exact threshold: with every row at max per-row magnitude,
+    the int64-wrap simulation reassembles exactly up to
+    N = floor((2^63-1)/hi_per_row) rows and is WRONG (wrapped) past it.
+    Simulated, not executed on Spark — the threshold sits at ~10^12 rows,
+    but the simulation IS Spark's arithmetic (two's-complement long adds;
+    the identity is pinned against real Spark by the probe test below and
+    test_exact_conversion.py)."""
+    q = (1 << 63) - 1  # max per-row scaled magnitude dsum can ever see
+    hi_per_row = q >> 40  # 2^23 - 1
+    n_safe = ((1 << 63) - 1) // hi_per_row  # the documented joint bound
+
+    # AT the bound: hi sum = n_safe·hi_per_row ≤ 2^63-1 — no wrap, exact.
+    exact_at = _limb_sim_uniform(q, n_safe)
+    assert exact_at == q * n_safe
+
+    # ONE ROW PAST the bound: the hi partial sum exceeds int64 — silent
+    # two's-complement wrap, a WRONG value (not an error, not a NULL).
+    wrapped = _limb_sim_uniform(q, n_safe + 1)
+    assert wrapped != q * (n_safe + 1)
+    # ... and the mid/lo limbs alone stay exact to 2^43 rows (the old
+    # documented bound really does hold for THEM: per-row < 2^20).
+    assert n_safe + 1 < (1 << 43), "wrap happens far below the old 2^43 claim"
+
+
+def _limb_sim_uniform(q: int, n: int) -> int:
+    """_limb_sim for n identical rows, O(1): wrap each limb's n·per-row
+    product the way n sequential wrapping adds would land (identical
+    because wrapping addition is associative modulo 2^64)."""
+    m = (1 << 20) - 1
+    hi = _wrap64((q >> 40) * n)
+    mid = _wrap64(((q >> 20) & m) * n)
+    lo = _wrap64((q & m) * n)
+    return hi * (1 << 40) + mid * (1 << 20) + lo
+
+
+def test_dsum_limb_exact_at_max_per_row_magnitude(spark):
+    """Real-Spark companion to the threshold simulation: at the MAX
+    per-row scaled magnitude (|q| ≈ 0.9975·2^63 — the regime where the
+    old bound prose wrongly promised 2^43 rows of headroom), a
+    4000-row signed group is still far inside the corrected joint bound,
+    and dsum must stay bit-identical to the decimal-buffer reference."""
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.functions.exact import dec_to_double
+    from news_categorization_big_data_spark.plans.relational import dsum
+
+    v = 9_200_000_000_000.0  # ·10^6 → 9.2e18 ≈ 0.9975·2^63
+    assert 0.99 * (1 << 63) < v * 1e6 < (1 << 63)
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("k"),
+        # signed: alternate sign so hi limbs of -1/positive mix
+        F.when(F.col("id") % 2 == 0, F.lit(v)).otherwise(F.lit(-v)).alias("v"),
+    )
+    ref = df.groupBy("k").agg(
+        dec_to_double(F.sum(F.col("v").cast("decimal(30,6)")), 6).alias("s")
+    )
+    fast = df.groupBy("k").agg(dsum("v", 6).alias("s"))
+    import struct
+
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    ref_rows = {r["k"]: r["s"] for r in ref.collect()}
+    fast_rows = {r["k"]: r["s"] for r in fast.collect()}
+    assert set(ref_rows) == set(fast_rows)
+    for k in ref_rows:
+        assert bits(ref_rows[k]) == bits(fast_rows[k]), k

@@ -174,7 +174,10 @@ def main() -> None:
             spark.catalog.clearCache()
             release_pins()
             t = time.perf_counter()
-            fn(spark, sf_dir).count()
+            # noop sink, NOT count(): Dataset.count() column-prunes the
+            # final CI max-aggregates (and can prune the rank window) —
+            # the exact pitfall bench.py's round-10 harness fix closed.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name].append(round(time.perf_counter() - t, 3))
     for name, ts in times.items():
         print(f"{name}: runs={ts} best={min(ts):.3f}")
