@@ -31,6 +31,7 @@ from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -279,8 +280,8 @@ def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.greatest(F.lit(0), F.lit(DECAY_WINDOW) - age)
     dval = F.col("value").cast("decimal(18,2)")
     return ev.groupBy("event_type").agg(
-        dec_to_double(F.sum(dval * weight), 2).alias("decayed_value"),
-        dec_to_double(F.sum(dval), 2).alias("raw_value"),
+        dsum(dval * weight, 2).alias("decayed_value"),
+        dsum(dval, 2).alias("raw_value"),
         F.count("*").alias("n_events"),
     )
 
@@ -345,8 +346,8 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dval = F.col("value").cast("decimal(18,2)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        dec_to_double(F.sum(dval), 2).alias("s1"),
-        dec_to_double(F.sum(dval * dval), 4).alias("s2"),
+        dsum(dval, 2).alias("s1"),
+        dsum(dval * dval, 4).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(
@@ -468,7 +469,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dec_to_double(F.sum("_price"), 2).alias("total_spend"),
+            dsum("_price", 2).alias("total_spend"),
         )
     )
 
@@ -594,10 +595,10 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
         F.sum(x.cast("decimal(30,0)")).cast("double").alias("sx"),
-        dec_to_double(F.sum(y.cast("decimal(30,2)")), 2).alias("sy"),
+        dsum(y.cast("decimal(30,2)"), 2).alias("sy"),
         F.sum((x * x).cast("decimal(30,0)")).cast("double").alias("sxx"),
-        dec_to_double(F.sum((x * y).cast("decimal(30,2)")), 2).alias("sxy"),
-        dec_to_double(F.sum((y * y).cast("decimal(30,4)")), 4).alias("syy"),
+        dsum((x * y).cast("decimal(30,2)"), 2).alias("sxy"),
+        dsum((y * y).cast("decimal(30,4)"), 4).alias("syy"),
     )
     n = F.col("n_parts")
     sx, sy = F.col("sx"), F.col("sy")
@@ -760,7 +761,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("rev")
     )
     t = r.groupBy("o_orderpriority").agg(
-        dec_to_double(F.sum(F.col("rev").cast("decimal(30,2)")), 2).alias("total"),
+        dsum(F.col("rev").cast("decimal(30,2)"), 2).alias("total"),
         F.count("*").alias("n_cust"),
     )
     share = F.col("rev") / F.col("total")
@@ -769,7 +770,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.max("n_cust").alias("n_cust"),
-            dec_to_double(F.sum((share * share).cast("decimal(30,12)")), 12).alias(
+            dsum((share * share).cast("decimal(30,12)"), 12).alias(
                 "hhi"
             ),
         )
@@ -824,8 +825,8 @@ def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dval = F.col("value").cast("decimal(18,2)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        dec_to_double(F.sum(dval), 2).alias("s1"),
-        dec_to_double(F.sum(dval * dval), 4).alias("s2"),
+        dsum(dval, 2).alias("s1"),
+        dsum(dval * dval, 4).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(

@@ -33,6 +33,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -798,7 +799,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        dec_to_double(F.sum("pv"), 6).alias("total_value"),
+        dsum("pv", 6).alias("total_value"),
     )
 
 

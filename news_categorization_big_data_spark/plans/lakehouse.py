@@ -22,6 +22,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -204,7 +205,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        dec_to_double(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).alias(
+        dsum(F.col("l_extendedprice").cast("decimal(18,2)"), 2).alias(
             "sum_price"
         ),
     )

@@ -17,6 +17,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -529,7 +530,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = b.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("label").cast("long").alias("pos"),
-        dec_to_double(F.sum(F.col("conf").cast("decimal(30,9)")), 9).alias("sum_conf"),
+        dsum(F.col("conf").cast("decimal(30,9)"), 9).alias("sum_conf"),
     )
     w_all = Window.partitionBy()
     g = g.withColumn("n_g", F.sum("n").over(w_all))

@@ -237,7 +237,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("_n").alias("n_events"),
-            dec_to_double(F.sum("_sv"), 6).alias("total_value"),
+            dsum("_sv", 6).alias("total_value"),
             F.max("_mx").alias("last_ts"),
         )
     )

@@ -243,10 +243,10 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.count(F.when(arm_a, 1)).alias("n_a"),
         F.count(F.when(arm_b, 1)).alias("n_b"),
-        dec_to_double(F.sum(F.when(arm_a, dec)), 2).alias("sa"),
-        dec_to_double(F.sum(F.when(arm_b, dec)), 2).alias("sb"),
-        dec_to_double(F.sum(F.when(arm_a, dec * dec)), 4).alias("qa"),
-        dec_to_double(F.sum(F.when(arm_b, dec * dec)), 4).alias("qb"),
+        dsum(F.when(arm_a, dec), 2).alias("sa"),
+        dsum(F.when(arm_b, dec), 2).alias("sb"),
+        dsum(F.when(arm_a, dec * dec), 4).alias("qa"),
+        dsum(F.when(arm_b, dec * dec), 4).alias("qb"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     m = s.select(
@@ -405,7 +405,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         contrib.join(spine, ["event_type", "target"])
         .groupBy("event_type", "target")
-        .agg(dec_to_double(F.sum("wv"), 2).alias("num"))
+        .agg(dsum("wv", 2).alias("num"))
     )
     return s.select(
         "event_type",
@@ -473,7 +473,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("v").alias("n_distinct"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
         (
-            dec_to_double(F.sum(F.col("v").cast("decimal(18,2)")), 2) / F.count("v")
+            dsum(F.col("v").cast("decimal(18,2)"), 2) / F.count("v")
         ).alias("avg_nonnull"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
@@ -670,14 +670,14 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias("s"),
+        dsum(F.col("value").cast("decimal(30,6)"), 6).alias("s"),
         dec_to_double(
             F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)")), 6
         ).alias("ss"),
     )
     tot = g.agg(
         F.sum("n").alias("n_g"),
-        dec_to_double(F.sum(F.col("s").cast("decimal(30,6)")), 6).alias("s_g"),
+        dsum(F.col("s").cast("decimal(30,6)"), 6).alias("s_g"),
         F.count("*").alias("k"),
     )
     j = g.crossJoin(F.broadcast(tot))
@@ -1062,7 +1062,7 @@ def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = c.groupBy("arm", "post").agg(
         F.count("*").cast("long").alias("n"),
-        dec_to_double(F.sum("v"), 2).alias("s"),
+        dsum("v", 2).alias("s"),
     )
     mean = F.col("s") / F.col("n")
     m = cell.agg(

@@ -23,6 +23,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -412,7 +413,7 @@ def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes"),
-        dec_to_double(F.sum(F.col("d2").cast("decimal(28,9)")), 9).alias("recon_err"),
+        dsum(F.col("d2").cast("decimal(28,9)"), 9).alias("recon_err"),
     )
     return packed
 
@@ -579,7 +580,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") * idf).cast("decimal(30,9)").alias("w"),
         )
         .groupBy("doc_id")
-        .agg(dec_to_double(F.sum("w"), 9).alias("score_a"))
+        .agg(dsum("w", 9).alias("score_a"))
     )
     cand = scored.join(docs.select("doc_id", "n_chars"), "doc_id")
     # row_number == running COUNT under a total order ((score, doc_id)

@@ -29,6 +29,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.json_corpus import (
     normalize_authors,
@@ -351,7 +352,7 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            dec_to_double(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias(
+            dsum(F.col("value").cast("decimal(18,2)"), 2).alias(
                 "sum_value"
             ),
         )
@@ -392,7 +393,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+            dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
                 "total_value"
             ),
         )

@@ -155,7 +155,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
+        .agg(dsum("_dp", 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -213,7 +213,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
-    return joined.groupBy("n_name").agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
+    return joined.groupBy("n_name").agg(dsum("_dp", 4).alias("revenue"))
 
 
 @register(
@@ -244,7 +244,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        dec_to_double(F.sum(_d2("l_extendedprice") * _d2("l_discount")), 4).alias("revenue"),
+        dsum(_d2("l_extendedprice") * _d2("l_discount"), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -347,7 +347,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
+        .agg(dsum("_dp", 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -399,7 +399,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dec_to_double(F.sum("_qty"), 2).alias("sum_qty"))
+        .agg(dsum("_qty", 2).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
         .select(

@@ -40,6 +40,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -165,7 +166,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(dec_to_double(F.sum("volume"), 4).alias("revenue"))
+    ).agg(dsum("volume", 4).alias("revenue"))
 
 
 @register(
@@ -246,7 +247,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("_num"),
-            dec_to_double(F.sum("volume"), 4).alias("_den"),
+            dsum("volume", 4).alias("_den"),
         )
         .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
     )
@@ -334,7 +335,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("_num"),
-            dec_to_double(F.sum("_dp"), 4).alias("_den"),
+            dsum("_dp", 4).alias("_den"),
         )
         .select((F.lit(100.0) * F.col("_num") / F.col("_den")).alias("promo_revenue"))
     )
@@ -437,7 +438,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_f.join(F.broadcast(pq), F.col("l_partkey") == F.col("pq_partkey"))
         .where(five * F.col("_qty") * F.col("pq_cnt") < F.col("pq_sum"))
-        .agg((dec_to_double(F.sum("_price"), 2) / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dsum("_price", 2) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -499,7 +500,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(disjunct)
-        .agg(dec_to_double(F.sum("_dp"), 4).alias("revenue"))
+        .agg(dsum("_dp", 4).alias("revenue"))
     )
 
 
@@ -560,6 +561,6 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            dec_to_double(F.sum("bal"), 2).alias("totacctbal"),
+            dsum("bal", 2).alias("totacctbal"),
         )
     )

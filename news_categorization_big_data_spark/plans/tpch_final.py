@@ -49,6 +49,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -217,7 +218,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(dec_to_double(F.sum(_disc_price() - cost), 5).alias("sum_profit"))
+        .agg(dsum(_disc_price() - cost, 5).alias("sum_profit"))
     )
 
 

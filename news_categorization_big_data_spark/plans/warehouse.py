@@ -24,6 +24,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -133,7 +134,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias("v"))
+    ).agg(dsum(F.col("value").cast("decimal(30,6)"), 6).alias("v"))
     # Per-type mean via FULL-PARTITION windows instead of a second
     # aggregate + broadcast join-back: the daily grain is tiny, all
     # three windows share one event_type exchange (Catalyst reuses it;
@@ -327,7 +328,7 @@ def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return last.groupBy("month").agg(
         F.count("*").alias("n_users"),
-        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+        dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
             "total_balance"
         ),
     )
@@ -558,7 +559,7 @@ def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.sum("_n").alias("n_orders"),
-            dec_to_double(F.sum("_sv"), 2).alias("revenue"),
+            dsum("_sv", 2).alias("revenue"),
         )
     )
 
@@ -645,7 +646,7 @@ def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("channel").agg(
         F.count("*").alias("n_purchases"),
-        dec_to_double(F.sum(F.col("value").cast("decimal(30,6)")), 6).alias(
+        dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
             "attributed_value"
         ),
     )
@@ -723,7 +724,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy("o_custkey").agg(
         F.max(F.unix_micros("o_orderdate")).alias("last_us"),
         F.count("*").alias("n_orders"),
-        dec_to_double(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias(
+        dsum(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias(
             "monetary"
         ),
     )
@@ -767,7 +768,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_band").cast("int").alias("m_band"),
     ).agg(
         F.count("*").alias("n_customers"),
-        dec_to_double(F.sum(F.col("monetary").cast("decimal(30,6)")), 6).alias(
+        dsum(F.col("monetary").cast("decimal(30,6)"), 6).alias(
             "segment_value"
         ),
     )

@@ -161,3 +161,54 @@ def test_null_propagates(spark):
         dec_to_double(F.lit(None).cast("decimal(38,6)"), 6).alias("d")
     )
     assert df.collect()[0]["d"] is None
+
+
+#: The round-11 dsum sweep: every converted query must produce output
+#: BIT-IDENTICAL under the limb accumulation and the decimal-buffer
+#: reference (DSUM_MODE toggle). Representative sample spanning every
+#: swept file/shape — plain money sums, weighted sums, squared sums,
+#: conditional (when) sums, scale-9/12 bounded sums, two-level sums.
+_SWEEP_SAMPLE = [
+    "q_tpch_q3",        # join + money sum, scale 4
+    "q_tpch_q6",        # product-of-decimals sum
+    "q_tpch_q9",        # difference sum, scale 5
+    "q_decay_agg",      # decimal x int-weight sum
+    "q_grouped_moments",  # s1/s2 limb + t3/t4 decimal (mixed — the skip)
+    "q_ab_ttest",       # conditional when() sums incl. squared
+    "q_hhi_concentration",  # share^2 at scale 12
+    "q_anova_f",        # two-level sum (dsum over dsum output)
+    "q_rrf_fusion",     # scale-9 weight sum
+    "q_rfm_segments",   # warehouse money sums
+]
+
+
+@pytest.mark.parametrize("name", _SWEEP_SAMPLE)
+def test_dsum_sweep_bit_identical_under_mode_toggle(spark, name):
+    """Round-11 conversion sweep: for each swept query, the registered
+    plan under DSUM_MODE='limb' (shipped) and DSUM_MODE='decimal' (the
+    pre-sweep buffer) must be row-for-row, bit-for-bit identical at
+    sf0.001 — the same invariant round 10 proved for dsum in isolation,
+    asserted through the real query plans."""
+    from news_categorization_big_data_spark.plans import REGISTRY, relational
+
+    sf = "/root/testdata/sf0.001"
+    spec = REGISTRY[name]
+
+    def rows(mode):
+        relational.DSUM_MODE = mode
+        try:
+            df = spec.builder(spark, sf)
+            cols = df.columns
+            out = []
+            for r in df.collect():
+                out.append(
+                    tuple(_bits(v) if isinstance(v, float) else v for v in (r[c] for c in cols))
+                )
+            return sorted(out, key=repr)
+        finally:
+            relational.DSUM_MODE = "limb"
+
+    limb, dec = rows("limb"), rows("decimal")
+    assert len(limb) == len(dec)
+    for a, b in zip(limb, dec):
+        assert a == b
