@@ -161,8 +161,20 @@ def main() -> None:
                 # methodology marker: rounds 1-9 used count() (which
                 # prunes unused aggregate functions — see the run-loop
                 # comment); round 10+ uses the pruning-proof noop sink.
-                # Cross-round totals bridge via SCALE.md round 10.
                 "exec": "noop",
+                # self-describing methodology bridge (round-10 VERDICT
+                # nit 1): the r09->r10 headline jump is the harness fix
+                # re-admitting pruned aggregate arithmetic, NOT a code
+                # regression — like-for-like count() on the r10 code
+                # measured 20.80 s vs 22.19 s on the r9 code at sf0.1.
+                # Numbers measured once (SCALE.md round 10) and pinned
+                # here so the JSON series can never be misread alone.
+                "bridge": {
+                    "note": "noop totals are not comparable to the r01-r09 count() series; count() pruned final aggregates (q_tpch_q1 2.9x under-measured)",
+                    "count_exec_equivalent_total_sf0.1_r10_code": 20.80,
+                    "count_exec_total_sf0.1_r9_code": 22.19,
+                    "noop_vs_count_total_ratio_sf0.1": 1.20,
+                },
                 **({"profile": profile} if profile else {}),
             }
         )

@@ -10,37 +10,31 @@ Every registered query has carried a green official stamp since round 7
 and every LATEST stamp is green, so since round 8 the window is PURE
 RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 
-The ROUND-10 window combines this round's changed plans with the
-staleness rotation the round-9 VERDICT ordered (its "Next round" #2):
+The ROUND-11 window is the dsum conversion sweep plus the final leg of
+the staleness rotation the round-10 VERDICT ordered (its "Next round"
+#1/#2):
 
 1. The 3 standing single-op canaries — q_group_stats, q_scan_json,
    q_udf_scalar — kept in EVERY window for cross-round comparability.
-   q_group_stats doubles as the driver stamp for the shared
-   dsum→dec_to_double conversion (functions/exact.py) whose 12
-   consumer queries changed only through that one helper (all 282
-   re-proven MATCH by a full driver_sim run after the change).
-2. The 5 queries whose plans AND oracles were directly rewritten onto
-   the dec_to_double limb chain after measured past-2^53 hash flips
-   (SCALE.md round 10): q_grouped_moments, q_zscore_outliers,
-   q_decay_agg, q_ewma_smooth, q_bootstrap_ci. Changed plans outrank
-   stale re-proofs (the round-8 convention).
-3. All 27 pass(r1) stamps: the scalar/string/json/map/set-op tier
-   (scalar_functions.py), the r1 window functions and sort/offset/
-   project/filter relational primitives (relational.py), and
-   q_text_clean/q_text_tokens (text.py).
-4. The 15 pass(r2) stamps living in the three most-churned files:
-   plans/text.py (x16 commits since r2: q_lang_id, q_multimodal_binary,
-   q_multimodal_cols, q_pii_scrub, q_quality_filter, q_quality_score,
-   q_repetition_stats, q_text_stats, q_token_count, q_top_terms_per_doc,
-   q_doc_fingerprint), ml.py (q_classify_keywords, q_pipeline_digest,
-   q_summarize_extractive), similarity.py (q_knn_label).
-
-The 11 remaining pass(r2) queries — the sampling.py/sources.py five
-(q_decontaminate, q_mix_sources, q_sample_stratified,
-q_split_train_eval, q_scan_csv) displaced by the changed-plan group,
-plus the 6 low-churn leftovers (q_array_hof, q_group_quantiles,
-q_tpch_q3, q_tpch_q5, q_unpivot_long, q_window_distribution) — are the
-round-11 rotation, after which no stamp predates r3.
+   q_group_stats doubles as the driver stamp for dsum itself, the limb
+   accumulation every swept query shares.
+2. The 35 queries whose plans the round-11 dsum sweep changed (commit
+   da3aae1; a 36th, q_grouped_regression, was converted then REVERTED
+   on a measured 0.8x A/B loss at both sf0.1 and sf1 — net-unchanged,
+   so its slot went to the backfill group): TPC-H q3/q5/q6/q7/q8/q9/q10/q14/q17/q18/q19/q22 and the
+   revenue/decay/IVM + bounded-scale families. Changed plans outrank
+   stale re-proofs (the round-8 convention). The sweep is proven
+   hash-neutral in-session (full driver_sim 282/282 MATCH at sf0.01 on
+   the swept code; DSUM_MODE limb-vs-decimal bit-identity tests in
+   tests/test_exact_conversion.py), but the official stamp is the
+   stronger signal.
+3. The 11 remaining pass(r2) stamps — q_array_hof, q_decontaminate,
+   q_group_quantiles, q_mix_sources, q_sample_stratified, q_scan_csv,
+   q_split_train_eval, q_tpch_q3, q_tpch_q5, q_unpivot_long,
+   q_window_distribution — of which q_tpch_q3/q5 already sit in group
+   2, so 9 names enter here. After this window NO stamp predates r3.
+4. Backfill with the 3 oldest remaining stamps (r3): q_agg_filtered,
+   q_cube, q_batch_assign.
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -49,16 +43,16 @@ the full registry against DuckDB at sf0.001 on every pytest run).
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 
-Round-11 window plan (for the next session): (a) any plan/oracle
-changed during round 10 after this window froze; (b) the 3 standing
-canaries; (c) the 11 pass(r2) leftovers above; (d) the conversion-swept
-queries NOT already window-covered this round, oldest stamps first —
-the round-10 repo-wide dec_to_double sweep touched ~40 queries' plans
-AND oracles (tpch Q1-Q22, grouped stats, warehouse aggregates, …); the
-change is proven hash-neutral at sf0.01 by an in-session full
-driver_sim (282/282 MATCH), but official stamps of the swept plans are
-still the stronger signal; (e) back-fill with the oldest remaining
-pass(r3) rows. Keep ROTATION_PENDING for anything newly registered.
+Round-12 window plan (for the next session): (a) any plan/oracle
+changed during round 11 after this window froze; (b) the 3 standing
+canaries; (c) re-proof rotation by stamp age — after round 11 the
+oldest stamps are the pass(r3) rows (q_batch_assign, q_bpe_pair_counts,
+q_dedup_fuzzy, q_doc_commonness, q_join_full_outer, q_join_salted,
+q_pack_sequences, q_pivot_wide, q_scan_orc, q_scan_pyds,
+q_sql_correlated, q_sql_lateral, q_tpch_q13, q_udtf_chunks,
+q_udtf_polymorphic, q_value_histogram, q_variant_json, ...), oldest
+first; (d) back-fill with pass(r4). Keep ROTATION_PENDING for anything
+newly registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -97,33 +91,79 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-10 WINDOW (first 50 = the driver's correctness window) ----
+    # ---- ROUND-11 WINDOW (first 50 = the driver's correctness window) ----
     # Composition (priority order, the round-8 convention):
-    #   1. 3 standing canaries — q_group_stats doubles as the driver
-    #      stamp for the shared dsum -> dec_to_double conversion
-    #      (functions/exact.py) that touched 12 consumer queries.
-    #   2. The 5 queries whose plans+oracles were DIRECTLY rewritten
-    #      this round onto the dec_to_double limb chain after measured
-    #      past-2^53 hash flips (SCALE.md round 10).
-    #   3. Staleness rotation (round-9 VERDICT #2): all 27 pass(r1)
-    #      stamps + the 15 pass(r2) stamps in the three most-churned
-    #      files (text.py x16 commits, similarity.py x11, ml.py x9).
-    # Deferred to round 11: the sampling.py/sources.py r2 five
-    # (q_decontaminate q_mix_sources q_sample_stratified
-    # q_split_train_eval q_scan_csv) + the 6 low-churn r2 leftovers
-    # (q_array_hof q_group_quantiles q_tpch_q3 q_tpch_q5
-    # q_unpivot_long q_window_distribution).
-    # -- standing single-op regression canaries (in EVERY window).
+    #   1. 3 standing canaries (every window, cross-round comparability;
+    #      q_group_stats doubles as the stamp for dsum itself — the limb
+    #      accumulation all 36 swept queries now share).
+    #   2. The 35 queries whose plans the round-11 dsum sweep changed
+    #      (commit da3aae1) — changed plans outrank stale re-proofs.
+    #      Proven hash-neutral in-session (full driver_sim 282/282 on
+    #      the swept code + the DSUM_MODE bit-identity tests), but the
+    #      official stamp is the stronger signal.
+    #   3. The 11 pass(r2) leftovers the round-10 VERDICT ordered
+    #      (its "Next round" #2) — q_tpch_q3/q5 are already in group 2,
+    #      so 9 names here; after this window NO stamp predates r3.
+    #   4. Backfill: the 2 oldest remaining stamps (r3).
+    # -- 1. standing single-op regression canaries.
     "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
-    # -- round-10 dec_to_double rewrites (changed plan + oracle).
-    "q_grouped_moments",
-    "q_zscore_outliers",
+    # -- 2. the round-11 dsum-sweep changed plans (TPC-H money sums,
+    #       then the revenue/decay/IVM + bounded-scale families).
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
     "q_decay_agg",
+    "q_zscore_outliers",
+    "q_join_bucketed",
+    "q_batch_assign",
+    "q_hhi_concentration",
+    "q_grouped_moments",
+    "q_salted_agg",
+    "q_bloom_join",
+    "q_calibration_ece",
+    "q_incremental_agg",
+    "q_ab_ttest",
     "q_ewma_smooth",
+    "q_null_semantics",
+    "q_anova_f",
+    "q_did_effect",
+    "q_pq_assign",
+    "q_rrf_fusion",
+    "q_scan_zorder",
+    "q_sink_partitioned_roundtrip",
+    "q_cusum_changepoint",
+    "q_semi_additive",
+    "q_ivm_join_agg",
+    "q_attrib_channel",
+    "q_rfm_segments",
+    # -- 3. the 11 remaining pass(r2) stamps (minus q3/q5, in group 2).
+    "q_array_hof",
+    "q_decontaminate",
+    "q_group_quantiles",
+    "q_mix_sources",
+    "q_sample_stratified",
+    "q_scan_csv",
+    "q_split_train_eval",
+    "q_unpivot_long",
+    "q_window_distribution",
+    # -- 4. backfill: oldest remaining stamps (r3).
+    "q_agg_filtered",
+    "q_cube",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: prior relative order preserved; all remain registered and
+    #    pytest/driver_sim-proven every round.
     "q_bootstrap_ci",
-    # -- all 27 pass(r1) stamps: scalar/string/json/set/window/sort tier.
     "q_array_join",
     "q_date_fmt",
     "q_field_defaults",
@@ -151,7 +191,6 @@ _DRIVER_ORDER = [
     "q_window_frame",
     "q_window_lag",
     "q_window_rank",
-    # -- 15 pass(r2) stamps in the three most-churned files.
     "q_lang_id",
     "q_multimodal_binary",
     "q_multimodal_cols",
@@ -167,14 +206,6 @@ _DRIVER_ORDER = [
     "q_pipeline_digest",
     "q_summarize_extractive",
     "q_knn_label",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: official rows from rounds 2-9, prior relative order
-    # preserved; all remain registered and pytest/driver_sim-proven.
-    "q_decontaminate",
-    "q_mix_sources",
-    "q_sample_stratified",
-    "q_split_train_eval",
-    "q_scan_csv",
     "q_ml_classify",
     "q_ml_kmeans",
     "q_sim_ann_lsh",
@@ -182,7 +213,6 @@ _DRIVER_ORDER = [
     "q_ml_auc",
     "q_mad_outliers",
     "q_winsorize",
-    "q_rrf_fusion",
     "q_dq_checks",
     "q_funnel",
     "q_peak_concurrency",
@@ -190,7 +220,6 @@ _DRIVER_ORDER = [
     "q_sequence_gaps",
     "q_lift_bands",
     "q_skyline",
-    "q_rfm_segments",
     "q_component_sizes",
     "q_graph_degree_dist",
     "q_minhash_jaccard_est",
@@ -250,7 +279,6 @@ _DRIVER_ORDER = [
     "q_inverted_index",
     "q_ab_srm",
     "q_scan_xml",
-    "q_did_effect",
     "q_cuped",
     "q_experiment_readout",
     "q_embedding_dim_stats",
@@ -268,7 +296,6 @@ _DRIVER_ORDER = [
     "q_hll_distinct",
     "q_quantile_sketch",
     "q_sql_recursive",
-    "q_bloom_join",
     "q_cdc_apply",
     "q_zone_map",
     "q_interval_coverage",
@@ -278,11 +305,9 @@ _DRIVER_ORDER = [
     "q_rolling_median",
     "q_snapshot_diff",
     "q_date_arith",
-    "q_null_semantics",
     "q_audio_decode",
     "q_sql_udf",
     "q_geo_grid_join",
-    "q_ivm_join_agg",
     "q_cms_counts",
     "q_bitmap_setops",
     "q_graph_kcore",
@@ -294,53 +319,38 @@ _DRIVER_ORDER = [
     "q_corr_matrix",
     "q_benford_digits",
     "q_alloc_budget",
-    "q_salted_agg",
-    "q_attrib_channel",
     "q_table_checksum",
     "q_k_anonymity",
     "q_ann_recall",
-    "q_anova_f",
-    "q_calibration_ece",
     "q_seq_cooccur",
     "q_dedup_ngram_jaccard",
     "q_bitmap_distinct",
-    "q_scan_zorder",
     "q_regex_extract",
     "q_rate_anomaly",
     "q_seasonality",
     "q_table_profile",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q18",
     "q_udaf_grouped",
     "q_multimodal_decode",
     "q_sliding_distinct",
-    "q_cusum_changepoint",
     "q_scd2_intervals",
     "q_ks_drift",
-    "q_semi_additive",
     "q_embedding_norms",
     "q_feature_hash",
-    "q_sink_partitioned_roundtrip",
     "q_itemset_pairs",
     "q_event_trigrams",
     "q_tokenizer_fertility",
     "q_conversion_latency",
     "q_orphan_refs",
-    "q_ab_ttest",
     "q_equidepth_histogram",
     "q_bm25_rank",
-    "q_pq_assign",
     "q_sim_search",
     "q_sim_ann_ivf",
     "q_dedup_simhash",
-    "q_tpch_q6",
     "q_pack_sequences",
-    "q_batch_assign",
+    "q_grouped_regression",
     "q_join_salted",
     "q_embedding_quantize",
     "q_tpch_q2",
-    "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q16",
@@ -352,16 +362,13 @@ _DRIVER_ORDER = [
     "q_dedup_passage",
     "q_sample_weighted",
     "q_graph_triangles",
-    "q_incremental_agg",
     "q_join_interval_overlap",
     "q_rollup",
     "q_argmax_join",
     "q_percent_change",
     "q_time_rollup_multi",
     "q_heavy_hitters",
-    "q_grouped_regression",
     "q_group_entropy",
-    "q_hhi_concentration",
     "q_sessionize",
     "q_window_time_range",
     "q_asof_forward",
@@ -370,38 +377,24 @@ _DRIVER_ORDER = [
     "q_merge_upsert",
     "q_gap_fill",
     "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q10",
-    "q_tpch_q14",
     "q_tpch_q15",
     "q_scan_partitioned",
     "q_stream_session",
-    "q_agg_filtered",
     "q_pivot_wide",
     "q_join_full_outer",
     "q_sql_correlated",
     "q_bpe_pair_counts",
     "q_doc_commonness",
-    "q_cube",
     "q_value_histogram",
     "q_scan_orc",
     "q_scan_pyds",
     "q_variant_json",
     "q_sql_lateral",
     "q_udtf_polymorphic",
-    "q_tpch_q8",
     "q_tpch_q13",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_join_bucketed",
     "q_vocab_coverage",
     "q_dedup_fuzzy",
     "q_udtf_chunks",
-    "q_group_quantiles",
-    "q_unpivot_long",
-    "q_window_distribution",
-    "q_array_hof",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

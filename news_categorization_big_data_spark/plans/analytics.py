@@ -595,10 +595,17 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
         F.sum(x.cast("decimal(30,0)")).cast("double").alias("sx"),
-        dsum(y.cast("decimal(30,2)"), 2).alias("sy"),
+        # Deliberately the DECIMAL buffer, not dsum: measured SLOWER
+        # with limb at BOTH sf0.1 (0.81x) and sf1 (0.80x, interleaved
+        # A/B, round 11 — SCALE.md). part is a small table with many
+        # tiny p_brand groups, so the 3x-wider limb expression tree
+        # costs more in codegen/plan width than the buffer ever costs
+        # in accumulation; every scaled magnitude stays under 2^53
+        # (docstring), so the plain conversion is already exact.
+        dec_to_double(F.sum(y.cast("decimal(30,2)")), 2).alias("sy"),
         F.sum((x * x).cast("decimal(30,0)")).cast("double").alias("sxx"),
-        dsum((x * y).cast("decimal(30,2)"), 2).alias("sxy"),
-        dsum((y * y).cast("decimal(30,4)"), 4).alias("syy"),
+        dec_to_double(F.sum((x * y).cast("decimal(30,2)")), 2).alias("sxy"),
+        dec_to_double(F.sum((y * y).cast("decimal(30,4)")), 4).alias("syy"),
     )
     n = F.col("n_parts")
     sx, sy = F.col("sx"), F.col("sy")

@@ -32,70 +32,35 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round10_priorities():
+def test_registry_window_contains_round11_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-10 window = 3 standing canaries + the 5 dec_to_double plan
-    rewrites (changed plans outrank stale re-proofs) + the staleness
-    rotation the round-9 VERDICT ordered: all 27 pass(r1) stamps + the
-    15 pass(r2) stamps in the three most-churned files (text.py, ml.py,
-    similarity.py). The 11 remaining pass(r2) rotate in r11."""
+    round-11 window = 3 standing canaries + the 35 dsum-sweep changed
+    plans (changed plans outrank stale re-proofs) + the 11 remaining
+    pass(r2) stamps the round-10 VERDICT ordered (q_tpch_q3/q5 counted
+    once, in the changed group) + 2 oldest-r3 backfill."""
     window = list(REGISTRY)[:50]
-    changed = [
-        "q_grouped_moments",
-        "q_zscore_outliers",
-        "q_decay_agg",
-        "q_ewma_smooth",
-        "q_bootstrap_ci",
-    ]
-    r1_stamps = [
-        "q_array_join",
-        "q_date_fmt",
-        "q_field_defaults",
-        "q_filter_neq",
-        "q_filter_null_guard",
-        "q_json_from",
-        "q_json_to",
-        "q_map_lookup",
-        "q_math_arith",
-        "q_membership",
-        "q_offset_skip",
-        "q_project_cast",
-        "q_project_compute",
-        "q_set_except",
-        "q_set_intersect",
-        "q_set_union",
-        "q_sort_limit",
-        "q_str_case",
-        "q_str_concat",
-        "q_str_slice",
-        "q_str_split_len",
-        "q_str_trim_empty",
-        "q_text_clean",
-        "q_text_tokens",
-        "q_window_frame",
-        "q_window_lag",
-        "q_window_rank",
-    ]
-    r2_churned = [
-        "q_lang_id",
-        "q_multimodal_binary",
-        "q_multimodal_cols",
-        "q_pii_scrub",
-        "q_quality_filter",
-        "q_quality_score",
-        "q_repetition_stats",
-        "q_text_stats",
-        "q_token_count",
-        "q_top_terms_per_doc",
-        "q_doc_fingerprint",
-        "q_classify_keywords",
-        "q_pipeline_digest",
-        "q_summarize_extractive",
-        "q_knn_label",
-    ]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    assert len(r1_stamps) == 27 and len(r2_churned) == 15
-    for name in canaries + changed + r1_stamps + r2_churned:
+    swept = [
+        "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q10", "q_tpch_q14", "q_tpch_q17", "q_tpch_q18",
+        "q_tpch_q19", "q_tpch_q22",
+        "q_decay_agg", "q_zscore_outliers", "q_join_bucketed",
+        "q_hhi_concentration", "q_grouped_moments",
+        "q_salted_agg", "q_bloom_join", "q_calibration_ece",
+        "q_incremental_agg", "q_ab_ttest", "q_ewma_smooth",
+        "q_null_semantics", "q_anova_f", "q_did_effect", "q_pq_assign",
+        "q_rrf_fusion", "q_scan_zorder", "q_sink_partitioned_roundtrip",
+        "q_cusum_changepoint", "q_semi_additive", "q_ivm_join_agg",
+        "q_attrib_channel", "q_rfm_segments",
+    ]
+    r2_leftovers = [
+        "q_array_hof", "q_decontaminate", "q_group_quantiles",
+        "q_mix_sources", "q_sample_stratified", "q_scan_csv",
+        "q_split_train_eval", "q_unpivot_long", "q_window_distribution",
+    ]
+    backfill = ["q_agg_filtered", "q_cube", "q_batch_assign"]
+    assert len(swept) == 35 and len(r2_leftovers) == 9
+    for name in canaries + swept + r2_leftovers + backfill:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 

@@ -460,3 +460,75 @@ def test_dsum_limb_exact_at_max_per_row_magnitude(spark):
     assert set(ref_rows) == set(fast_rows)
     for k in ref_rows:
         assert bits(ref_rows[k]) == bits(fast_rows[k]), k
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the OTHER windowed/derived decimal sums, pinned past 2^53
+# (round-10 VERDICT "Next round" #6 — q_window_time_range's family got
+# the first windowed pin in round 10; these extend the proof to the
+# remaining running-sum shapes).
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_windowed_sums_past_2_53(spark, tmp_path):
+    """q_cusum_changepoint's full-partition total (SUM(...) OVER
+    (PARTITION BY type)) feeds the mean every deviation subtracts — park
+    the type total's scaled integer past 2^53 (30 days x 8e8 on the
+    0.25 grid -> ~2.4e16 scaled units at scale 6) so BOTH windowed
+    conversions (tot and the running cusum) must ride the limb chain to
+    stay engine-identical."""
+    n_days, base = 30, 8.0e8
+    scaled_tot = sum(int((base + d * 0.25) * 10**6) for d in range(n_days))
+    assert scaled_tot > TWO53, f"fixture below the bound: {scaled_tot:.3e}"
+
+    rows = [
+        (d + 1, TS("2024-01-01 06:00:00") + datetime.timedelta(days=d), 1, "view", base + d * 0.25)
+        for d in range(n_days)
+    ]
+    _write_events(tmp_path, rows)
+
+    _assert_parity(spark, tmp_path, "q_cusum_changepoint", ["events"])
+
+
+def test_semi_additive_closing_balance_sum_past_2_53(spark, tmp_path):
+    """q_semi_additive sums each user's CLOSING balance per month; park
+    one month's total past 2^53 scaled units (50 users x ~4.3e8 on the
+    0.25 grid -> ~2.15e16 at scale 6). Two observations per user make
+    the window actually pick (the later, larger row), so the fixture
+    exercises the row_number pass AND the >2^53 sum conversion."""
+    n_users = 50
+    vals = [4.3e8 + u * 0.25 for u in range(n_users)]
+    scaled = sum(int(v * 10**6) for v in vals)
+    assert scaled > TWO53, f"fixture below the bound: {scaled:.3e}"
+
+    rows = []
+    eid = 0
+    for u, v in enumerate(vals, start=1):
+        eid += 1  # stale observation early in the month, to be superseded
+        rows.append((eid, TS("2024-03-05 09:00:00"), u, "view", 1.0))
+        eid += 1  # closing observation
+        rows.append((eid, TS("2024-03-25 09:00:00"), u, "view", v))
+    _write_events(tmp_path, rows)
+
+    _assert_parity(spark, tmp_path, "q_semi_additive", ["events"])
+
+
+def test_interval_coverage_epoch_us_past_2_53(spark, tmp_path):
+    """q_interval_coverage claims PURE BIGINT microsecond arithmetic —
+    no double anywhere. Pin it where that matters: timestamps in year
+    2400 put epoch_us at ~1.36e16 > 2^53, so any hidden double
+    round-trip of s/e (or of the running MAX(e)) would corrupt the
+    island boundaries and flip the hash."""
+    t0 = TS("2400-06-01 00:00:00")
+    assert t0.timestamp() * 1e6 > TWO53
+    rows = [
+        # user 1: two overlapping intervals (one island), then a far gap
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + datetime.timedelta(minutes=2), 1, "view", 1.0),
+        (3, t0 + datetime.timedelta(hours=4), 1, "view", 1.0),
+        # user 2: a single event
+        (4, t0 + datetime.timedelta(minutes=1), 2, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+
+    _assert_parity(spark, tmp_path, "q_interval_coverage", ["events"])
