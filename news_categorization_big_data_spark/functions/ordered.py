@@ -21,25 +21,37 @@ pre-aggregates to uniqueness first).
 
 Two-phase shape (Blelloch prefix-scan on Spark primitives):
 
-1. ``repartitionByRange(order_cols)`` — partition i's keys all sort
-   before partition i+1's. Boundaries come from sampling and are not
-   deterministic, but with a total order the OUTPUT is boundary-
-   independent.
-2. A per-partition window (partitionBy spark_partition_id) computes
-   the local running aggregate/lag — parallel, spill-safe, no global
-   exchange.
-3. A tiny per-partition summary (one row per partition: sum / min /
-   max) is cumulated with a driver-scale window (≤ #partitions rows)
-   and broadcast back: running sums add the previous-partition offset;
-   lags stitch the boundary pair from partition i's max row to
-   partition i+1's min row.
+1. Bucket every row by LITERAL range bounds of the primary order
+   column (quantiles collected once at plan-build time and embedded as
+   literals): bucket i's keys all sort before bucket i+1's, and equal
+   keys share a bucket. The bucket id is a pure deterministic function
+   of the row — NOT ``spark_partition_id()`` over a sampled
+   ``repartitionByRange``, which this replaced after a measured
+   wrong-answer: the window subtree and the offsets subtree each
+   re-executed the range exchange (no ReusedExchange under AQE), and
+   when AQE gave them different upstream layouts the two samples drew
+   DIFFERENT boundaries, so offsets were joined against the wrong
+   partitions (caught on the 6.3M-distinct-score skew fixture, round
+   11 — flaky, boundary-sized band errors in q_lift_bands).
+2. A per-bucket window (partitionBy the bucket id) computes the local
+   running aggregate/lag — parallel, spill-safe, no global exchange.
+3. A tiny per-bucket summary (one row per bucket: sum / min / max) is
+   cumulated with a driver-scale window (≤ #buckets rows) and
+   broadcast back: running sums add the previous-bucket offset; lags
+   stitch the boundary pair from bucket i's max row to bucket i+1's
+   min row.
 
-Cost: one range exchange of the big table (same bytes the global sort
-would move) + one broadcast of #partitions rows — and the sort/scan
-parallelism of the whole cluster instead of one task.
+Cost: one quantile pass at build time (an action — only in ranged
+mode) + one hash exchange of the big table on the bucket id (same
+bytes the global sort would move) + one broadcast of #buckets rows —
+and the sort/scan parallelism of the whole cluster instead of one
+task.
 """
 
 from __future__ import annotations
+
+import functools
+import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,6 +60,11 @@ from pyspark.sql import functions as F
 #: global window (default, oracle-stamped) to the range-partitioned
 #: two-phase plan. Values: "false" (default) | "true".
 RANGED_CONF = "spark.graft.window.ranged"
+
+#: Bucket count for the ranged plan (quantile bounds = buckets − 1).
+#: Sized like shuffle parallelism; ties collapse duplicate bounds, so
+#: heavy-tied domains degrade gracefully toward fewer buckets.
+BUCKETS_CONF = "spark.graft.window.buckets"
 
 _PID = "_w_pid"
 _LOCAL = "_w_local"
@@ -60,10 +77,59 @@ def use_ranged(df: DataFrame) -> bool:
     ).lower() == "true"
 
 
+def _primary_order(order_cols: list[Column | str]) -> tuple[str, bool]:
+    """(column name, ascending?) of the FIRST order key — the bucket
+    key. Bucketing on the primary key alone is sufficient: equal
+    primaries always share a bucket, so any tie-breaking keys order
+    rows entirely within one bucket's local window."""
+    c = order_cols[0]
+    if isinstance(c, str):
+        return c, True
+    s = c._jc.toString()  # e.g. "score DESC NULLS LAST", "us ASC NULLS FIRST"
+    return s.split(" ")[0].strip("`"), " DESC" not in s
+
+
 def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
-    return df.repartitionByRange(*order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    """df + ``_PID`` = deterministic range-bucket id, increasing along
+    the GLOBAL order direction of ``order_cols``.
+
+    Bounds come from one ``approxQuantile`` pass (an action, at plan
+    build — ranged mode only) on the primary order column and are
+    embedded as LITERALS, so every consumer of the returned frame
+    computes identical bucket ids no matter how many times AQE
+    re-executes or re-lays-out the subtree (the determinism bug the
+    module docstring describes). Any bound set yields correct output —
+    quantiles only balance the buckets; exactness never depends on
+    them. NULL primaries: pid 0 under asc (NULLS FIRST — Spark's asc
+    default) and the last bucket under desc (NULLS LAST)."""
+    name, asc = _primary_order(order_cols)
+    col = F.col(name)
+    nb = int(df.sparkSession.conf.get(BUCKETS_CONF, "32"))
+    # The bounds pass re-executes the upstream plan once (scan + the
+    # callers' pre-aggregation). Pinning df first was measured and
+    # REJECTED (round 11, interleaved): materializing the distinct
+    # table costs more than recomputing it on every consumer tried
+    # (q_lift_bands 1.14x -> 0.78x with the pin at 6.3M distinct
+    # scores) — persist serialization beats a parallel scan+agg
+    # nowhere on this path. The double execution is the documented
+    # price of ranged mode; it is why the valve defaults OFF and only
+    # pays where the one-task global sort would otherwise BE the job.
+    bounds = sorted(set(df.stat.approxQuantile(name, [i / nb for i in range(1, nb)], 0.001)))
+    if not bounds:  # empty/all-NULL input: one bucket == the default plan
+        return df.withColumn(_PID, F.lit(0))
+    if asc:
+        pid = functools.reduce(
+            operator.add,
+            [F.when(col > F.lit(b), 1).otherwise(0) for b in bounds],
+        )  # NULL col: every when() is 0 -> pid 0 (NULLS FIRST)
+    else:
+        pid = functools.reduce(
+            operator.add,
+            [F.when(col < F.lit(b), 1).otherwise(0) for b in bounds],
+        )
+        # NULL col under desc must land LAST, not first
+        pid = F.when(col.isNull(), F.lit(len(bounds))).otherwise(pid)
+    return df.withColumn(_PID, pid)
 
 
 def running_agg(

@@ -575,3 +575,24 @@ def test_token_rarity_head_broadcast_output_identical(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.rarity.headK")
     assert via_conf == plain
+
+
+def test_token_rarity_preagg_output_identical(spark, sf_dir):
+    """The round-11 spark.graft.rarity.preagg valve ((doc_id, tok,
+    count) pre-aggregation bounding hot keys by #docs) must be
+    output-identical to the default per-occurrence plan — alone and
+    composed with headK."""
+    from news_categorization_big_data_spark.functions.cachepin import release_pins
+    from news_categorization_big_data_spark.plans.text import token_rarity_frame
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = sorted(map(str, token_rarity_frame(docs, head_k=0).collect()))
+    spark.conf.set("spark.graft.rarity.preagg", "true")
+    try:
+        pre = sorted(map(str, token_rarity_frame(docs, head_k=0).collect()))
+        both = sorted(map(str, token_rarity_frame(docs, head_k=16).collect()))
+    finally:
+        spark.conf.unset("spark.graft.rarity.preagg")
+        release_pins()
+    assert plain and plain == pre == both

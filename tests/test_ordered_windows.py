@@ -199,9 +199,19 @@ def test_ranged_mode_output_identical(spark, sf_dir, qname):
     finally:
         spark.conf.unset(RANGED_CONF)
     assert base == swapped, qname
-    assert "rangepartitioning" in plan.lower(), qname
+    # round 11: the ranged plan buckets by LITERAL quantile bounds (a
+    # deterministic pid column) instead of repartitionByRange +
+    # spark_partition_id — the sampled-exchange form could draw
+    # DIFFERENT boundaries in the window and offsets subtrees under AQE
+    # (measured wrong answer on the skew fixture; functions/ordered.py
+    # module docstring). So the plan carries hashpartitioning on the
+    # pid, not rangepartitioning.
+    assert "_w_pid" in plan, qname
+    # (a final output orderBy may still range-partition its own small
+    # result — q_skyline does; the fact-table windows are what matter,
+    # and the per-spec _w_pid checks below pin those.)
     # every window ordered on the fact column must be partitioned by the
-    # range pid — the one-task global sort over the big table is gone;
+    # bucket pid — the one-task global sort over the big table is gone;
     # the remaining SinglePartition exchanges carry only per-partition
     # summaries / scalars
     col = QUERIES[qname]
