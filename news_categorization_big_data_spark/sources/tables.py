@@ -25,12 +25,29 @@ the same file.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from news_categorization_big_data_spark.session import tune_session
+
+#: Per-session cache of loaded (sf_dir, table) frames. A DataFrame is an
+#: immutable logical plan, so reusing one across queries is semantically
+#: identical to rebuilding it — but rebuilding pays parquet footer
+#: schema inference + file listing on EVERY load_table call, which the
+#: round-11 planning-time audit measured as the dominant driver-side
+#: cost of the pure-plan queries (q_tpch_q8 loads 8 tables ≈ 0.7 s of
+#: its 1.3 s build; registry-wide ~40 s of the 119 s total). Keyed
+#: weakly by session so a stopped session's plans are never resurrected;
+#: keyed by (sf_dir, name) so tests' per-tmp_path fixtures never
+#: collide. The testdata dirs are immutable by contract (TESTDATA.md);
+#: anything that WRITES then re-reads a path goes through its own
+#: spark.read, not load_table.
+_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 #: Tables in the driver-generated testdata (TESTDATA.md).
 TABLES: tuple[str, ...] = (
@@ -50,6 +67,11 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing ns-precision timestamps to µs."""
     tune_session(spark)
+    cache = _FRAME_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name == "ts":
@@ -58,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(field.dataType, T.TimestampNTZType):
             # µs NTZ → session-UTC instant (same wall-clock, same render).
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    cache[key] = df
     return df
 
 
