@@ -1,9 +1,12 @@
 """The ranged total-order window valve (functions/ordered.py):
 spark.graft.window.ranged=true must produce byte-identical results to
 the default single-partition global window on every caller, while
-actually planning a RangePartitioning exchange instead of the one-task
+actually planning per-bucket windows over the literal-bounds pid
+(round 11; previously a RangePartitioning exchange — replaced after a
+measured boundary-divergence wrong answer) instead of the one-task
 sort. Unit-level checks pin the two-phase arithmetic (partition
-offsets, boundary lag stitching) against a driver-computed answer."""
+offsets, boundary lag stitching, bucket-edge ties, NULL placement)
+against a driver-computed answer."""
 
 from __future__ import annotations
 
@@ -220,3 +223,65 @@ def test_ranged_mode_output_identical(spark, sf_dir, qname):
     assert fact_specs, (qname, specs)
     for s in fact_specs:
         assert "_w_pid" in s, (qname, s)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: edge cases of the literal-bounds bucket assignment
+# (_with_pid replaced spark_partition_id-over-sampled-exchange after a
+# measured boundary-divergence wrong answer — functions/ordered.py).
+# ---------------------------------------------------------------------------
+
+
+def test_running_agg_desc_with_nulls_lands_nulls_last(spark, ranged):
+    """Under a DESC primary order Spark puts NULLs LAST; the bucket pid
+    must send NULL rows to the last bucket or the offsets stitch would
+    add them to the wrong prefix."""
+    rows = [(float(k),) for k in range(300)] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "v double").withColumn(
+        "one", F.lit(1)
+    )
+    got = [
+        (r.v, r.rs)
+        for r in running_sum(df, [F.desc("v")], F.col("one"), "rs").collect()
+    ]
+    # global desc order: 299.0 .. 0.0 then the two NULLs
+    by_v = {v: rs for v, rs in got if v is not None}
+    for i, v in enumerate(sorted(by_v, reverse=True), start=1):
+        assert by_v[v] == i, (v, by_v[v], i)
+    null_rs = sorted(rs for v, rs in got if v is None)
+    assert null_rs == [301, 302], null_rs
+
+
+def test_running_sum_all_equal_primary_single_bucket(spark, ranged):
+    """A fully-tied primary collapses every quantile bound to one value
+    → zero usable bounds → the plan degrades to a single bucket and
+    must still be exact (ties ordered by the secondary key)."""
+    rows = [(7, i, 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, tie int, n int")
+    got = {
+        r.tie: r.rs
+        for r in running_sum(df, [F.asc("k"), F.asc("tie")], F.col("n"), "rs").collect()
+    }
+    assert got == {i: i + 1 for i in range(100)}
+
+
+def test_running_sum_values_exactly_at_bounds(spark, ranged):
+    """Rows whose primary equals a quantile bound must all land on ONE
+    side (strict > / < comparisons) — a split tie-group would break the
+    local-window + offset stitch. Heavy repetition guarantees several
+    quantiles land exactly on tied values."""
+    rows = [(k % 5, i) for i, k in enumerate(range(1000))]
+    df = spark.createDataFrame(rows, "k int, uid int").withColumn("one", F.lit(1))
+    out = running_sum(df, [F.asc("k"), F.asc("uid")], F.col("one"), "rs").collect()
+    want = {}
+    for pos, (k, uid) in enumerate(sorted(rows), start=1):
+        want[(k, uid)] = pos
+    for r in out:
+        assert r.rs == want[(r.k, r.uid)], ((r.k, r.uid), r.rs)
+
+
+def test_with_pid_empty_input(spark, ranged):
+    """Empty input → approxQuantile returns no bounds → single-bucket
+    plan, no crash, empty output."""
+    df = spark.createDataFrame([], "k int, n int")
+    assert running_sum(df, ["k"], F.col("n"), "rs").collect() == []
