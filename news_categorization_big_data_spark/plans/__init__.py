@@ -33,8 +33,11 @@ the staleness rotation the round-10 VERDICT ordered (its "Next round"
    q_split_train_eval, q_tpch_q3, q_tpch_q5, q_unpivot_long,
    q_window_distribution — of which q_tpch_q3/q5 already sit in group
    2, so 9 names enter here. After this window NO stamp predates r3.
-4. Backfill with the 3 oldest remaining stamps (r3): q_agg_filtered,
-   q_cube, q_batch_assign.
+4. q_bootstrap_ci — its plan changed a second time late in the round
+   (the two-level digest-group explode, 1.65x at sf1, bit-identical)
+   — plus backfill with the 2 oldest remaining stamps (r3):
+   q_agg_filtered, q_batch_assign. (q_cube's backfill slot yielded to
+   the changed plan; it rotates in round 12.)
 
 The tail (positions 51+) holds queries with newer official rows, prior
 relative order preserved. Tail queries remain registered, runnable, and
@@ -159,11 +162,11 @@ _DRIVER_ORDER = [
     "q_window_distribution",
     # -- 4. backfill: oldest remaining stamps (r3).
     "q_agg_filtered",
-    "q_cube",
+    "q_bootstrap_ci",
     # ---- driver's 50-entry window ends here ----
     # -- tail: prior relative order preserved; all remain registered and
     #    pytest/driver_sim-proven every round.
-    "q_bootstrap_ci",
+    "q_cube",
     "q_array_join",
     "q_date_fmt",
     "q_field_defaults",

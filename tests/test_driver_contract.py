@@ -58,7 +58,7 @@ def test_registry_window_contains_round11_priorities():
         "q_mix_sources", "q_sample_stratified", "q_scan_csv",
         "q_split_train_eval", "q_unpivot_long", "q_window_distribution",
     ]
-    backfill = ["q_agg_filtered", "q_cube", "q_batch_assign"]
+    backfill = ["q_agg_filtered", "q_batch_assign", "q_bootstrap_ci"]
     assert len(swept) == 35 and len(r2_leftovers) == 9
     for name in canaries + swept + r2_leftovers + backfill:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
