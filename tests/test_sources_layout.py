@@ -103,3 +103,26 @@ def test_scan_evolved_v1_rows_surface_null_added_column(spark, sf_dir):
         src.where(F.col("doc_id") >= 250).agg(F.sum("n_chars")).collect()[0][0]
     )
     assert sum(r.sum_chars_v2 for r in rows) == true_chars
+
+
+def test_load_table_frame_cache_semantics(spark, tmp_path):
+    """Round-11 frame cache: same (session, dir, table) returns the SAME
+    DataFrame object (schema inference paid once); different dirs never
+    collide (per-tmp_path test fixtures stay isolated)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_categorization_big_data_spark.sources.tables import load_table
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    for d, vals in ((d1, [1, 2]), (d2, [10, 20, 30])):
+        d.mkdir()
+        pq.write_table(pa.table({"r_regionkey": pa.array(vals, pa.int64())}),
+                       str(d / "region.parquet"))
+    a1 = load_table(spark, str(d1), "region")
+    a2 = load_table(spark, str(d1), "region")
+    b = load_table(spark, str(d2), "region")
+    assert a1 is a2, "same dir+table must hit the cache"
+    assert a1 is not b
+    assert a1.count() == 2 and b.count() == 3
