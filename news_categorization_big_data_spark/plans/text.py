@@ -471,17 +471,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def encode_batches(batches):
+        import numpy as np
+
         for batch in batches:
             payloads = []
             for doc_id in batch["doc_id"]:
                 w = int(doc_id) % MM_W_MOD + 1
                 h = int(doc_id) % MM_H_MOD + 1
-                # LCG pixels: deterministic, per-doc distinct content.
-                seed, px = int(doc_id) * 2654435761 % 2**32, bytearray()
-                for _ in range(w * h * 3):
-                    seed = (seed * 1103515245 + 12345) % 2**31
-                    px.append(seed & 0xFF)
-                payloads.append(png_encode(w, h, 3, bytes(px)))
+                # Deterministic per-doc-distinct pixels, numpy-vectorized
+                # (round 11: the previous per-byte Python LCG loop was
+                # the query's hot spot — w*h*3 interpreter iterations per
+                # doc; the ORACLE checks decoded dims, not pixel bytes,
+                # so the generator is free to be any deterministic
+                # function of (doc_id, index)).
+                idx = np.arange(w * h * 3, dtype=np.uint64)
+                px = (
+                    (idx * np.uint64(2654435761) + np.uint64(int(doc_id) * 1103515245 + 12345))
+                    & np.uint64(0xFF)
+                ).astype(np.uint8)
+                payloads.append(png_encode(w, h, 3, px.tobytes()))
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"].to_numpy(),
@@ -796,22 +804,28 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def encode_batches(batches):
+        import numpy as np
+
         for batch in batches:
             payloads = []
             for doc_id in batch["doc_id"]:
                 rate = MM_RATE_BASE + (int(doc_id) % MM_RATE_MOD) * MM_RATE_STEP
                 channels = 1 + int(doc_id) % 2
                 n_frames = 50 + int(doc_id) % 100
-                seed, pcm = int(doc_id) * 2654435761 % 2**32, bytearray()
-                for _ in range(n_frames * channels * 2):
-                    seed = (seed * 1103515245 + 12345) % 2**31
-                    pcm.append(seed & 0xFF)
+                # numpy-vectorized deterministic PCM (round 11 — the
+                # oracle checks rate/channels, not sample bytes; see
+                # q_multimodal_decode's pixel generator).
+                idx = np.arange(n_frames * channels * 2, dtype=np.uint64)
+                pcm = (
+                    (idx * np.uint64(2654435761) + np.uint64(int(doc_id) * 1103515245 + 12345))
+                    & np.uint64(0xFF)
+                ).astype(np.uint8)
                 buf = io.BytesIO()
                 with wave_mod.open(buf, "wb") as w:
                     w.setnchannels(channels)
                     w.setsampwidth(2)
                     w.setframerate(rate)
-                    w.writeframes(bytes(pcm))
+                    w.writeframes(pcm.tobytes())
                 payloads.append(buf.getvalue())
             yield pd.DataFrame(
                 {
