@@ -132,3 +132,27 @@ def test_bootstrap_ci_explode_collapses_before_wire(spark, sf_dir):
     assert "partial_sum" in plan[first_ex:], plan
     # cell agg + window keying: no more than 3 hash exchanges total
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_bootstrap_md5_evaluates_per_group_not_per_lane(spark, sf_dir):
+    """Round-11 two-level explode: the resample digest must be computed
+    once per (row, digest-group) — IN the projection between the two
+    generators — never re-inlined into the per-lane projection (the 8x
+    recomputation the rewrite removed; CollapseProject's non-cheap
+    guard keeps it out, and this pins that against optimizer changes)."""
+    import re
+
+    plan = (
+        REGISTRY["q_bootstrap_ci"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") == 1, plan.count("md5(")
+    gens = [m.start() for m in re.finditer(r"Generate explode", plan)]
+    assert len(gens) == 2, plan
+    md5_pos = plan.index("md5(")
+    # toString prints top-down: the LANE generate sits above the md5
+    # projection, the GROUP generate below it.
+    assert gens[0] < md5_pos < gens[1], (gens, md5_pos)
