@@ -999,11 +999,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        # Parse the 32-hex digest into THREE long chunks per (row, g)
+        # (lanes 0-2 / 3-5 / 6-7 = 48+48+32 bits) instead of one
+        # conv-from-hex per lane: 3 string parses per group, the 8
+        # per-lane extractions become shift+mask. Bit-identical u16s
+        # (lane l's hex window [4l+1, 4l+4] is exactly the shifted
+        # chunk); interleaved A/B 1.22x at sf0.1, 1.26x at sf1 on top
+        # of the two-level explode (SCALE.md round 11).
+        .withColumn("c0", F.conv(F.expr("substring(dig, 1, 12)"), 16, 10).cast("long"))
+        .withColumn("c1", F.conv(F.expr("substring(dig, 13, 12)"), 16, 10).cast("long"))
+        .withColumn("c2", F.conv(F.expr("substring(dig, 25, 8)"), 16, 10).cast("long"))
         .withColumn("lane", F.explode(F.sequence(F.lit(0), F.lit(7))))
         .withColumn("b", F.col("g") * 8 + F.col("lane"))
         .where(F.col("b") < boot_b)
     )
-    u16 = F.conv(F.expr("substring(dig, 1 + 4 * lane, 4)"), 16, 10).cast("long")
+    u16 = F.expr(
+        "CASE WHEN lane < 3 THEN shiftright(c0, (2 - lane) * 16) "
+        "WHEN lane < 6 THEN shiftright(c1, (5 - lane) * 16) "
+        "ELSE shiftright(c2, (7 - lane) * 16) END & 65535"
+    )
     w = sum((u16 >= F.lit(t)).cast("int") for t in BOOT_T)
     res = (
         ev.select("event_type", "b", w.alias("w"), "v")
