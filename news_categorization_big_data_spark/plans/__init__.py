@@ -46,9 +46,13 @@ the full registry against DuckDB at sf0.001 on every pytest run).
 tests/test_driver_contract.py asserts the priority groups sit inside
 the window and that every row-less query is window-covered.
 
-Round-12 window plan (for the next session): (a) any plan/oracle
-changed during round 11 after this window froze; (b) the 3 standing
-canaries; (c) re-proof rotation by stamp age — after round 11 the
+Round-12 window plan (for the next session): (a) the plans changed
+during round 11 AFTER this window froze — q_multimodal_decode,
+q_audio_decode, q_video_frames (numpy-vectorized fixture synthesis;
+payload content changed but every output column is content-free —
+each re-proven MATCH by subset_sim in-session) and q_token_rarity
+(gained the rarity.preagg valve; DEFAULT plan bit-identical) — plus
+anything round 12 changes; (b) the 3 standing canaries; (c) re-proof rotation by stamp age — after round 11 the
 oldest stamps are the pass(r3) rows (q_batch_assign, q_bpe_pair_counts,
 q_dedup_fuzzy, q_doc_commonness, q_join_full_outer, q_join_salted,
 q_pack_sequences, q_pivot_wide, q_scan_orc, q_scan_pyds,
