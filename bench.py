@@ -14,10 +14,25 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import time
 
 from news_categorization_big_data_spark.plans import REGISTRY
 from news_categorization_big_data_spark.session import get_spark
+
+
+def _git_head() -> str:
+    """Short sha of the benched working tree; 'unknown' off-repo."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
 
 HEADLINE = [
     "q_group_stats",        # TPC-H Q1-shaped shuffle agg over lineitem
@@ -178,6 +193,11 @@ def main() -> None:
                     "count_exec_total_sf0.1_r9_code": 22.19,
                     "noop_vs_count_total_ratio_sf0.1": 1.20,
                 },
+                # git HEAD of the code actually benched (round-11 VERDICT
+                # item 7): a commit landing AFTER the driver's bench run
+                # is machine-visible as a sha mismatch instead of a
+                # footnote in SCALE.md.
+                "git": _git_head(),
                 **({"profile": profile} if profile else {}),
             }
         )

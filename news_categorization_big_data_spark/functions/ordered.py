@@ -56,6 +56,7 @@ import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 #: Session conf that flips every helper below from the single-partition
 #: global window (default, oracle-stamped) to the range-partitioned
@@ -89,21 +90,51 @@ def use_ranged(df: DataFrame) -> bool:
     ).lower() == "true"
 
 
-def _primary_order(order_cols: list[Column | str]) -> tuple[str, bool]:
-    """(column name, ascending?) of the FIRST order key — the bucket
-    key. Bucketing on the primary key alone is sufficient: equal
-    primaries always share a bucket, so any tie-breaking keys order
-    rows entirely within one bucket's local window."""
-    c = order_cols[0]
-    if isinstance(c, str):
-        return c, True
-    s = c._jc.toString()  # e.g. "score DESC NULLS LAST", "us ASC NULLS FIRST"
-    return s.split(" ")[0].strip("`"), " DESC" not in s
+#: An order key is plain data — a column NAME (ascending) or a
+#: ``(name, ascending)`` tuple — never a Column expression. The ranged
+#: valve needs the (name, direction) pair to build its bucket ids;
+#: recovering it by string-parsing the JVM render of an F.asc()/F.desc()
+#: Column (the pre-round-12 approach) broke on names containing spaces
+#: or a literal " DESC" and would have silently mis-bucketed an
+#: asc_nulls_last/desc_nulls_first order. With specs, unsupported null
+#: orderings are UNREPRESENTABLE rather than mis-parsed: both modes
+#: always use Spark's defaults (asc = NULLS FIRST, desc = NULLS LAST),
+#: which is exactly what _with_pid's NULL placement implements.
+OrderSpec = "str | tuple[str, bool]"
 
 
-def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
+def _normalize_order(order_cols: list) -> list[tuple[str, bool]]:
+    """Validate/normalize order specs to [(name, ascending), ...]."""
+    out: list[tuple[str, bool]] = []
+    for c in order_cols:
+        if isinstance(c, str):
+            out.append((c, True))
+        elif (
+            isinstance(c, tuple)
+            and len(c) == 2
+            and isinstance(c[0], str)
+            and isinstance(c[1], bool)
+        ):
+            out.append(c)
+        else:
+            raise TypeError(
+                "order keys must be 'name' or ('name', ascending) — got "
+                f"{c!r}; Column expressions (F.asc/F.desc/asc_nulls_last/"
+                "...) are rejected so the ranged valve never has to parse "
+                "a direction or null-ordering out of a JVM column render"
+            )
+    return out
+
+
+def _order_columns(specs: list[tuple[str, bool]]) -> list[Column]:
+    """Window ORDER BY columns for the specs, at Spark's default null
+    ordering (asc -> NULLS FIRST, desc -> NULLS LAST) in BOTH modes."""
+    return [F.col(n).asc() if asc else F.col(n).desc() for n, asc in specs]
+
+
+def _with_pid(df: DataFrame, specs: list[tuple[str, bool]]) -> DataFrame:
     """df + ``_PID`` = deterministic range-bucket id, increasing along
-    the GLOBAL order direction of ``order_cols``.
+    the GLOBAL order direction of ``specs``.
 
     Bounds come from one ``approxQuantile`` pass (an action, at plan
     build — ranged mode only) on the primary order column and are
@@ -113,8 +144,21 @@ def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
     module docstring describes). Any bound set yields correct output —
     quantiles only balance the buckets; exactness never depends on
     them. NULL primaries: pid 0 under asc (NULLS FIRST — Spark's asc
-    default) and the last bucket under desc (NULLS LAST)."""
-    name, asc = _primary_order(order_cols)
+    default) and the last bucket under desc (NULLS LAST).
+
+    Bucketing on the PRIMARY key alone is sufficient: equal primaries
+    always share a bucket, so any tie-breaking keys order rows entirely
+    within one bucket's local window."""
+    name, asc = specs[0]
+    if not isinstance(df.schema[name].dataType, NumericType):
+        # approxQuantile would fail anyway, but deep in py4j — surface
+        # the actual contract violation at the valve boundary instead
+        raise TypeError(
+            "ranged windows need a NUMERIC primary order column for the "
+            f"literal quantile bucket bounds; {name!r} is "
+            f"{df.schema[name].dataType.simpleString()} — use the default "
+            "(single-partition) plan for non-numeric orders"
+        )
     col = F.col(name)
     nb = int(df.sparkSession.conf.get(BUCKETS_CONF, "32"))
     # The bounds pass re-executes the upstream plan once (scan + the
@@ -153,7 +197,7 @@ def _with_pid(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
 
 def running_agg(
     df: DataFrame,
-    order_cols: list[Column | str],
+    order_cols: list,
     value: Column,
     out: str,
     fn,
@@ -162,6 +206,8 @@ def running_agg(
     """df + ``out`` = fn(value) over rows ≤ current in the total order
     (< current when ``exclusive``). ``fn`` must be an ASSOCIATIVE
     aggregate with an identity-absorbing combine (F.sum, F.max, F.min).
+    ``order_cols`` entries are ``"name"`` (ascending) or
+    ``("name", ascending)`` — see ``OrderSpec``.
 
     Default: one global window (single-partition sort). Ranged: local
     running aggregates per range partition combined with broadcast
@@ -178,16 +224,18 @@ def running_agg(
         raise ValueError(
             f"running_agg supports F.sum/F.max/F.min, got {fn.__name__!r}"
         )
+    specs = _normalize_order(order_cols)
+    order_by = _order_columns(specs)
     frame_end = -1 if exclusive else Window.currentRow
     if not use_ranged(df):
-        w = Window.orderBy(*order_cols).rowsBetween(
+        w = Window.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, frame_end
         )
         return df.withColumn(out, fn(value).over(w))
-    d = _with_pid(df, order_cols)
+    d = _with_pid(df, specs)
     w_local = (
         Window.partitionBy(_PID)
-        .orderBy(*order_cols)
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
     d = d.withColumn(_LOCAL, fn(value).over(w_local))
@@ -219,11 +267,12 @@ def running_agg(
 
 def running_sum(
     df: DataFrame,
-    order_cols: list[Column | str],
+    order_cols: list,
     value: Column,
     out: str,
 ) -> DataFrame:
-    """df + ``out`` = SUM(value) over rows ≤ current in the total order.
+    """df + ``out`` = SUM(value) over rows ≤ current in the total order
+    (``order_cols`` entries: ``"name"`` or ``("name", ascending)``).
 
     NOTE the default frame is ROWS unbounded-preceding..current, which
     equals the RANGE default frame ONLY under a total order — the
@@ -235,10 +284,11 @@ def running_sum(
 
 def lag_over(
     df: DataFrame,
-    order_col: Column | str,
+    order_col: str,
     out: str,
 ) -> DataFrame:
-    """df + ``out`` = LAG(order_col) over the total order of order_col.
+    """df + ``out`` = LAG(order_col) over the ASCENDING total order of
+    the named column.
 
     Default: one global window. Ranged: per-partition lag, then the
     per-partition boundary rows (min of each partition) get their
@@ -246,11 +296,12 @@ def lag_over(
     the one-row-per-partition summary. Requires order_col values to be
     unique (every caller pre-aggregates or scans a distinct domain).
     """
-    col = F.col(order_col) if isinstance(order_col, str) else order_col
+    (spec,) = _normalize_order([order_col])
+    col = F.col(spec[0])
     if not use_ranged(df):
         w = Window.orderBy(col)
         return df.withColumn(out, F.lag(col).over(w))
-    d = _with_pid(df, [col])
+    d = _with_pid(df, [spec])
     w_local = Window.partitionBy(_PID).orderBy(col)
     d = d.withColumn(out, F.lag(col).over(w_local))
     # previous partition's max = the missing predecessor of each

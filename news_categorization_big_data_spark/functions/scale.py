@@ -17,7 +17,9 @@ runtime re-planning at 100 TB:
   key dwarfs the others (a null-ish user_id, one viral document) beyond
   what AQE's skew-split handles — e.g. a single key that exceeds an
   executor's memory in a build-side hash map. Salting rewrites the
-  computation: the skewed side gets a uniform salt in [0, n); the other
+  computation: the skewed side gets a uniform salt in [0, n), computed
+  as a hash of a caller-named row id so every (re-)execution of the map
+  stage agrees on each row's bucket (recompute-stability); the other
   side is replicated n× (explode over the salt range); aggregations run
   partial-per-salt then final. Results are IDENTICAL to the unsalted
   plan (asserted in tests) — only the key distribution changes.
@@ -82,21 +84,42 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def _row_salt(salt_on: Column | str | list, salt_buckets: int) -> Column:
+    """Uniform salt in [0, salt_buckets) as a PURE function of the row.
+
+    The salt must be row-DETERMINISTIC, not just uniform: under a
+    fetch-failure-driven map-task rerun, Spark re-executes the map side
+    while surviving reducers keep the blocks they already fetched — a
+    salt derived from ``monotonically_increasing_id()`` (or rand /
+    spark_partition_id) can assign re-executed rows to DIFFERENT salt
+    buckets than their already-fetched copies, double-counting some rows
+    and losing others (the SPARK-23207 failure class). Hashing real row
+    columns makes every execution agree, so recompute is invisible.
+    tests/test_global_plan_sweep.py sweeps all registered plans for the
+    nondeterministic-id expressions to keep this invariant repo-wide.
+    """
+    cols = salt_on if isinstance(salt_on, list) else [salt_on]
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)).cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
     on: str,
+    salt_on: Column | str | list,
     salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread over
     ``salt_buckets`` reducers and ``other`` is replicated per salt.
 
-    The salt on the skewed side only needs to be *uniform*, not stable:
-    a cheap hash of a per-row id spreads each hot key's rows across all
-    buckets. ``other`` grows salt_buckets× — use for dimension-sized
-    right sides (for fact-fact skew, prefer AQE skew-split or isolate
-    the hot keys and union).
+    ``salt_on`` names the skewed side's row-id column(s); the salt is a
+    hash of those columns — uniform across a hot key AND recompute-
+    stable (see ``_row_salt`` for why stability is load-bearing).
+    ``other`` grows salt_buckets× — use for dimension-sized right sides
+    (for fact-fact skew, prefer AQE skew-split or isolate the hot keys
+    and union).
 
     Only left-preserving join types are accepted: an unmatched RIGHT key
     would otherwise surface once per salt replica (right/full outer are
@@ -108,8 +131,7 @@ def salted_join(
             "replicated right rows would duplicate unmatched right keys "
             "salt_buckets times under right/full outer semantics"
         )
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    left = skewed.withColumn("_salt", salt.cast("int"))
+    left = skewed.withColumn("_salt", _row_salt(salt_on, salt_buckets))
     right = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
@@ -122,16 +144,18 @@ def salted_sum(
     keys: list[str],
     value: Column | str,
     alias: str,
+    salt_on: Column | str | list,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Skew-proof sum: partial aggregate per (keys, salt), then final per
     keys — two small shuffles instead of one shuffle with a giant
     reducer. Exact for any algebraic aggregate; sum shown here.
+    ``salt_on`` = row-id column(s) hashed into the salt (recompute-
+    stable by construction — see ``_row_salt``).
     """
     value = F.col(value) if isinstance(value, str) else value
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     partial = (
-        df.withColumn("_salt", salt.cast("int"))
+        df.withColumn("_salt", _row_salt(salt_on, salt_buckets))
         .groupBy(*keys, "_salt")
         .agg(F.sum(value).alias("_partial"))
     )

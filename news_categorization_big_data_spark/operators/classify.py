@@ -135,7 +135,15 @@ def fit(train: DataFrame, text_col: str = "text", label_col: str = "label") -> P
     # advice): a hardcoded stages[3] would silently drop the wrong stage
     # if build_pipeline's order ever changed.
     indexer_models = [s for s in model.stages if isinstance(s, StringIndexerModel)]
-    assert len(indexer_models) == 1, f"expected one StringIndexerModel, got {len(indexer_models)}"
+    # Hard error, not assert (repo convention, cf. plans/__init__.py):
+    # under `python -O` an assert is stripped, and a future two-indexer
+    # pipeline would silently decode with the FIRST indexer's labels.
+    if len(indexer_models) != 1:
+        raise ValueError(
+            f"expected exactly one StringIndexerModel in the fitted "
+            f"pipeline, got {len(indexer_models)} — cannot pick the label "
+            "decoder unambiguously"
+        )
     decoder = IndexToString(
         inputCol="prediction", outputCol="_pred_label", labels=indexer_models[0].labels
     )

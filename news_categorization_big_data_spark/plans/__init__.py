@@ -10,56 +10,36 @@ Every registered query has carried a green official stamp since round 7
 and every LATEST stamp is green, so since round 8 the window is PURE
 RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 
-The ROUND-11 window is the dsum conversion sweep plus the final leg of
-the staleness rotation the round-10 VERDICT ordered (its "Next round"
-#1/#2):
+The ROUND-12 window (a hardening round — the round-11 VERDICT's 8
+items):
 
-1. The 3 standing single-op canaries — q_group_stats, q_scan_json,
-   q_udf_scalar — kept in EVERY window for cross-round comparability.
-   q_group_stats doubles as the driver stamp for dsum itself, the limb
-   accumulation every swept query shares.
-2. The 35 queries whose plans the round-11 dsum sweep changed (commit
-   da3aae1; a 36th, q_grouped_regression, was converted then REVERTED
-   on a measured 0.8x A/B loss at both sf0.1 and sf1 — net-unchanged,
-   so its slot went to the backfill group): TPC-H q3/q5/q6/q7/q8/q9/q10/q14/q17/q18/q19/q22 and the
-   revenue/decay/IVM + bounded-scale families. Changed plans outrank
-   stale re-proofs (the round-8 convention). The sweep is proven
-   hash-neutral in-session (full driver_sim 282/282 MATCH at sf0.01 on
-   the swept code; DSUM_MODE limb-vs-decimal bit-identity tests in
-   tests/test_exact_conversion.py), but the official stamp is the
-   stronger signal.
-3. The 11 remaining pass(r2) stamps — q_array_hof, q_decontaminate,
-   q_group_quantiles, q_mix_sources, q_sample_stratified, q_scan_csv,
-   q_split_train_eval, q_tpch_q3, q_tpch_q5, q_unpivot_long,
-   q_window_distribution — of which q_tpch_q3/q5 already sit in group
-   2, so 9 names enter here. After this window NO stamp predates r3.
-4. q_bootstrap_ci — its plan changed a second time late in the round
-   (the two-level digest-group explode, 1.65x at sf1, bit-identical)
-   — plus backfill with the 2 oldest remaining stamps (r3):
-   q_agg_filtered, q_batch_assign. (q_cube's backfill slot yielded to
-   the changed plan; it rotates in round 12.)
+1. The 5 plans round 12 changed: q_join_salted — its salt is now
+   pmod(xxhash64(event_id), 8), a pure row function, replacing the
+   recompute-unstable xxhash64(monotonically_increasing_id()) (the
+   VERDICT's #1: mono-id re-buckets re-executed rows under
+   fetch-failure map reruns, SPARK-23207 class); and the four
+   ordered-window valve callers (q_peak_concurrency, q_lift_bands,
+   q_survival_hazard, q_rrf_fusion) whose order args became plain
+   (name, asc) specs when functions/ordered.py dropped its
+   _jc.toString() parse — their DEFAULT plans are expression-identical,
+   re-stamped out of caution. All five re-proven MATCH by subset_sim
+   in-session (plus valve-ON proofs for the ordered family).
+2. The 4 plans changed late in round 11 AFTER its window froze
+   (VERDICT item 2): q_multimodal_decode, q_audio_decode,
+   q_video_frames (numpy-vectorized fixture synthesis) and
+   q_token_rarity (gained the default-OFF rarity.preagg valve).
+3. The 3 standing canaries — q_group_stats, q_scan_json, q_udf_scalar.
+4. ALL 17 remaining pass(r3) stamps (q_join_salted's sits in group 1)
+   — after this window NO stamp predates r4.
+5. Backfill: 21 of the 32 pass(r4) stamps, alphabetical.
 
-The tail (positions 51+) holds queries with newer official rows, prior
-relative order preserved. Tail queries remain registered, runnable, and
-pytest/driver_sim-verified every round (tests/test_oracle_parity.py runs
-the full registry against DuckDB at sf0.001 on every pytest run).
-tests/test_driver_contract.py asserts the priority groups sit inside
-the window and that every row-less query is window-covered.
+Round-13 window plan (for the next session): (a) anything round 13
+changes; (b) the 3 standing canaries; (c) the 11 pass(r4) leftovers —
+q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
+q_tpch_q2, q_tpch_q20, q_tpch_q21, q_tpch_q4, q_window_nth,
+q_window_time_range; (d) back-fill with pass(r5), oldest first. Keep
+ROTATION_PENDING for anything newly registered.
 
-Round-12 window plan (for the next session): (a) the plans changed
-during round 11 AFTER this window froze — q_multimodal_decode,
-q_audio_decode, q_video_frames (numpy-vectorized fixture synthesis;
-payload content changed but every output column is content-free —
-each re-proven MATCH by subset_sim in-session) and q_token_rarity
-(gained the rarity.preagg valve; DEFAULT plan bit-identical) — plus
-anything round 12 changes; (b) the 3 standing canaries; (c) re-proof rotation by stamp age — after round 11 the
-oldest stamps are the pass(r3) rows (q_batch_assign, q_bpe_pair_counts,
-q_dedup_fuzzy, q_doc_commonness, q_join_full_outer, q_join_salted,
-q_pack_sequences, q_pivot_wide, q_scan_orc, q_scan_pyds,
-q_sql_correlated, q_sql_lateral, q_tpch_q13, q_udtf_chunks,
-q_udtf_polymorphic, q_value_histogram, q_variant_json, ...), oldest
-first; (d) back-fill with pass(r4). Keep ROTATION_PENDING for anything
-newly registered.
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -98,26 +78,79 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-11 WINDOW (first 50 = the driver's correctness window) ----
-    # Composition (priority order, the round-8 convention):
-    #   1. 3 standing canaries (every window, cross-round comparability;
-    #      q_group_stats doubles as the stamp for dsum itself — the limb
-    #      accumulation all 36 swept queries now share).
-    #   2. The 35 queries whose plans the round-11 dsum sweep changed
-    #      (commit da3aae1) — changed plans outrank stale re-proofs.
-    #      Proven hash-neutral in-session (full driver_sim 282/282 on
-    #      the swept code + the DSUM_MODE bit-identity tests), but the
-    #      official stamp is the stronger signal.
-    #   3. The 11 pass(r2) leftovers the round-10 VERDICT ordered
-    #      (its "Next round" #2) — q_tpch_q3/q5 are already in group 2,
-    #      so 9 names here; after this window NO stamp predates r3.
-    #   4. Backfill: the 2 oldest remaining stamps (r3).
-    # -- 1. standing single-op regression canaries.
+    # ---- ROUND-12 WINDOW (first 50 = the driver's correctness window) ----
+    # Composition (priority order, the round-8 convention): changed
+    # plans first, then canaries, then stalest stamps.
+    # -- 1. plans CHANGED in round 12: q_join_salted's salt is now
+    #       hash(event_id) — row-deterministic under recompute (the
+    #       round-11 VERDICT's #1) — and the four ordered-window
+    #       callers moved to plain (name, asc) order specs when the
+    #       _jc.toString() parse was removed (default plans
+    #       expression-identical; re-stamped out of caution).
+    "q_join_salted",
+    "q_peak_concurrency",
+    "q_lift_bands",
+    "q_survival_hazard",
+    "q_rrf_fusion",
+    # -- 2. plans changed late in round 11, AFTER its window froze
+    #       (the window note + VERDICT item 2): vectorized fixture
+    #       synthesis (multimodal/audio/video) and the token_rarity
+    #       preagg valve (default plan bit-identical).
+    "q_multimodal_decode",
+    "q_audio_decode",
+    "q_video_frames",
+    "q_token_rarity",
+    # -- 3. standing single-op regression canaries (every window).
     "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
-    # -- 2. the round-11 dsum-sweep changed plans (TPC-H money sums,
-    #       then the revenue/decay/IVM + bounded-scale families).
+    # -- 4. re-proof rotation: ALL remaining pass(r3) stamps —
+    #       after this window no stamp predates r4.
+    "q_bpe_pair_counts",
+    "q_cube",
+    "q_dedup_fuzzy",
+    "q_doc_commonness",
+    "q_join_full_outer",
+    "q_pack_sequences",
+    "q_pivot_wide",
+    "q_scan_orc",
+    "q_scan_pyds",
+    "q_sql_correlated",
+    "q_sql_lateral",
+    "q_tpch_q13",
+    "q_udtf_chunks",
+    "q_udtf_polymorphic",
+    "q_value_histogram",
+    "q_variant_json",
+    "q_vocab_coverage",
+    # -- 5. backfill: 21 of the 32 pass(r4) stamps (alphabetical;
+    #       the remaining 11 — q_time_rollup_multi, q_tpch_q11/q12/
+    #       q15/q16/q2/q20/q21/q4, q_window_nth, q_window_time_range
+    #       — rotate in round 13).
+    "q_argmax_join",
+    "q_asof_forward",
+    "q_asof_tolerance",
+    "q_dedup_passage",
+    "q_embedding_quantize",
+    "q_event_transitions",
+    "q_gap_fill",
+    "q_graph_triangles",
+    "q_group_entropy",
+    "q_group_mode",
+    "q_grouped_regression",
+    "q_heavy_hitters",
+    "q_join_interval_overlap",
+    "q_merge_upsert",
+    "q_percent_change",
+    "q_resample_ohlc",
+    "q_rollup",
+    "q_sample_weighted",
+    "q_scan_partitioned",
+    "q_sessionize",
+    "q_stream_session",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: prior relative order preserved; all remain registered and
+    #    pytest/driver_sim-proven every round.
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
@@ -146,7 +179,6 @@ _DRIVER_ORDER = [
     "q_anova_f",
     "q_did_effect",
     "q_pq_assign",
-    "q_rrf_fusion",
     "q_scan_zorder",
     "q_sink_partitioned_roundtrip",
     "q_cusum_changepoint",
@@ -154,7 +186,6 @@ _DRIVER_ORDER = [
     "q_ivm_join_agg",
     "q_attrib_channel",
     "q_rfm_segments",
-    # -- 3. the 11 remaining pass(r2) stamps (minus q3/q5, in group 2).
     "q_array_hof",
     "q_decontaminate",
     "q_group_quantiles",
@@ -164,13 +195,8 @@ _DRIVER_ORDER = [
     "q_split_train_eval",
     "q_unpivot_long",
     "q_window_distribution",
-    # -- 4. backfill: oldest remaining stamps (r3).
     "q_agg_filtered",
     "q_bootstrap_ci",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: prior relative order preserved; all remain registered and
-    #    pytest/driver_sim-proven every round.
-    "q_cube",
     "q_array_join",
     "q_date_fmt",
     "q_field_defaults",
@@ -222,10 +248,8 @@ _DRIVER_ORDER = [
     "q_winsorize",
     "q_dq_checks",
     "q_funnel",
-    "q_peak_concurrency",
     "q_gini_spend",
     "q_sequence_gaps",
-    "q_lift_bands",
     "q_skyline",
     "q_component_sizes",
     "q_graph_degree_dist",
@@ -259,7 +283,6 @@ _DRIVER_ORDER = [
     "q_stream_watermark",
     "q_stream_dedup",
     "q_sample_reservoir",
-    "q_token_rarity",
     "q_union_by_name",
     "q_compaction_bins",
     "q_histogram2d",
@@ -269,7 +292,6 @@ _DRIVER_ORDER = [
     "q_rank_normalize",
     "q_char_classes",
     "q_sink_pyds_roundtrip",
-    "q_video_frames",
     "q_pq_search",
     "q_grouped_auc",
     "q_skew_profile",
@@ -289,7 +311,6 @@ _DRIVER_ORDER = [
     "q_cuped",
     "q_experiment_readout",
     "q_embedding_dim_stats",
-    "q_survival_hazard",
     "q_rolling_corr",
     "q_pipeline_curate",
     "q_curation_funnel",
@@ -312,7 +333,6 @@ _DRIVER_ORDER = [
     "q_rolling_median",
     "q_snapshot_diff",
     "q_date_arith",
-    "q_audio_decode",
     "q_sql_udf",
     "q_geo_grid_join",
     "q_cms_counts",
@@ -337,7 +357,6 @@ _DRIVER_ORDER = [
     "q_seasonality",
     "q_table_profile",
     "q_udaf_grouped",
-    "q_multimodal_decode",
     "q_sliding_distinct",
     "q_scd2_intervals",
     "q_ks_drift",
@@ -353,55 +372,17 @@ _DRIVER_ORDER = [
     "q_sim_search",
     "q_sim_ann_ivf",
     "q_dedup_simhash",
-    "q_pack_sequences",
-    "q_grouped_regression",
-    "q_join_salted",
-    "q_embedding_quantize",
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
-    "q_group_mode",
     "q_window_nth",
-    "q_resample_ohlc",
-    "q_dedup_passage",
-    "q_sample_weighted",
-    "q_graph_triangles",
-    "q_join_interval_overlap",
-    "q_rollup",
-    "q_argmax_join",
-    "q_percent_change",
     "q_time_rollup_multi",
-    "q_heavy_hitters",
-    "q_group_entropy",
-    "q_sessionize",
     "q_window_time_range",
-    "q_asof_forward",
-    "q_asof_tolerance",
-    "q_event_transitions",
-    "q_merge_upsert",
-    "q_gap_fill",
     "q_tpch_q4",
     "q_tpch_q15",
-    "q_scan_partitioned",
-    "q_stream_session",
-    "q_pivot_wide",
-    "q_join_full_outer",
-    "q_sql_correlated",
-    "q_bpe_pair_counts",
-    "q_doc_commonness",
-    "q_value_histogram",
-    "q_scan_orc",
-    "q_scan_pyds",
-    "q_variant_json",
-    "q_sql_lateral",
-    "q_udtf_polymorphic",
-    "q_tpch_q13",
-    "q_vocab_coverage",
-    "q_dedup_fuzzy",
-    "q_udtf_chunks",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped

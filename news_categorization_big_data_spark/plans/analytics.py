@@ -385,11 +385,14 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Skew-safe salted join as a first-class query: events are "
     "pathologically skewed on event_type (5 hot keys for the whole "
     "table — the worst equi-join distribution), so the fact side takes "
-    "a uniform per-row salt and the dimension is replicated per salt "
-    "(functions/scale.py salted_join), spreading each hot key over 8 "
-    "reducers. The oracle is the PLAIN join — salting must be "
-    "semantically invisible. The follow-up user_id aggregate proves "
-    "the salt column never leaks into downstream keys.",
+    "a per-row salt = hash(event_id) % 8 — uniform across a hot key "
+    "AND recompute-stable, so a fetch-failure map rerun reassigns no "
+    "row to a different bucket (SPARK-23207 class) — and the dimension "
+    "is replicated per salt (functions/scale.py salted_join), "
+    "spreading each hot key over 8 reducers. The oracle is the PLAIN "
+    "join — salting must be semantically invisible. The follow-up "
+    "user_id aggregate proves the salt column never leaks into "
+    "downstream keys.",
 )
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.scale import salted_join
@@ -397,7 +400,13 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
     return (
-        salted_join(ev.select("user_id", "event_type"), dim, on="event_type", salt_buckets=8)
+        salted_join(
+            ev.select("user_id", "event_type", "event_id"),
+            dim,
+            on="event_type",
+            salt_on="event_id",
+            salt_buckets=8,
+        )
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -1241,7 +1250,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the running sum and the full-frame max for range-partitioned
     # plans with identical output (tests/test_ordered_windows.py)
     run = running_sum(
-        b, [F.asc("us"), F.desc("delta")], F.col("delta") * F.col("n"), "_rs"
+        b, ["us", ("delta", False)], F.col("delta") * F.col("n"), "_rs"
     )
     run = run.select(
         "us", "delta", F.col("_rs").cast("long").alias("conc")

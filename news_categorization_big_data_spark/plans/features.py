@@ -189,7 +189,7 @@ def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (functions/ordered.py, conf spark.graft.window.ranged) swaps the
     # one-task cumulative/full-frame windows for range-partitioned
     # plans when the distinct-score domain is fact-scale
-    cum = running_sum(by_score, [F.desc("score")], F.col("n"), "cum_n")
+    cum = running_sum(by_score, [("score", False)], F.col("n"), "cum_n")
     cum = global_annotate(
         cum, {"n_g": F.sum(F.col("n")), "pos_g": F.sum(F.col("pos"))}
     ).select("n", "pos", "cum_n", "n_g", "pos_g")

@@ -588,10 +588,10 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.graft.window.ranged valve (functions/ordered.py) for the
     # high-df-term case where the candidate set approaches corpus scale
     ranked = running_sum(
-        cand, [F.desc("score_a"), F.asc("doc_id")], F.lit(1), "_ra"
+        cand, [("score_a", False), "doc_id"], F.lit(1), "_ra"
     )
     ranked = running_sum(
-        ranked, [F.asc("n_chars"), F.asc("doc_id")], F.lit(1), "_rb"
+        ranked, ["n_chars", "doc_id"], F.lit(1), "_rb"
     )
     ranked = ranked.select(
         "doc_id",

@@ -1196,7 +1196,7 @@ def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).cast("long").alias("deaths"),
     )
     r = running_sum(
-        g, [F.col("lifetime").desc()], F.col("n_ending"), "_ar"
+        g, [("lifetime", False)], F.col("n_ending"), "_ar"
     ).select(
         "lifetime",
         "n_ending",

@@ -41,11 +41,16 @@ from news_categorization_big_data_spark.session import tune_session
 #: cost of the pure-plan queries (q_tpch_q8 loads 8 tables ≈ 0.7 s of
 #: its 1.3 s build; registry-wide ~40 s of the 119 s total). Keyed
 #: weakly by session so a stopped session's plans are never resurrected;
-#: keyed by (sf_dir, name) so tests' per-tmp_path fixtures never
-#: collide. The testdata dirs are immutable by contract (TESTDATA.md);
-#: anything that WRITES then re-reads a path goes through its own
-#: spark.read, not load_table.
-_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+#: keyed by (sf_dir, name, mtime_ns) so tests' per-tmp_path fixtures
+#: never collide AND a regenerated fixture dir (tools/make_skew1.py
+#: rewriting its output while a session holds cached frames) misses the
+#: stale entry instead of silently reading dropped files — the mtime is
+#: the freshness token (round-11 advice); one os.stat per load_table
+#: call, noise next to the parquet-footer read it saves. The driver
+#: testdata dirs remain immutable by contract (TESTDATA.md); anything
+#: that WRITES then re-reads a path goes through its own spark.read,
+#: not load_table.
+_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, int], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -68,11 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing ns-precision timestamps to µs."""
     tune_session(spark)
     cache = _FRAME_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # let spark.read raise its own (clearer) error
+    key = (sf_dir, name, mtime)
     hit = cache.get(key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name == "ts":
             # ns → µs truncation (matches DuckDB's read of the same file).

@@ -32,35 +32,32 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round11_priorities():
+def test_registry_window_contains_round12_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-11 window = 3 standing canaries + the 35 dsum-sweep changed
-    plans (changed plans outrank stale re-proofs) + the 11 remaining
-    pass(r2) stamps the round-10 VERDICT ordered (q_tpch_q3/q5 counted
-    once, in the changed group) + 2 oldest-r3 backfill."""
+    round-12 window = the 5 plans round 12 changed (deterministic salt +
+    the (name, asc) order-spec migration; changed plans outrank stale
+    re-proofs) + the 4 plans changed after the r11 window froze + 3
+    standing canaries + ALL 17 remaining pass(r3) stamps (q_join_salted
+    counted once, in the changed group) + 21 pass(r4) backfill."""
     window = list(REGISTRY)[:50]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    swept = [
-        "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-        "q_tpch_q9", "q_tpch_q10", "q_tpch_q14", "q_tpch_q17", "q_tpch_q18",
-        "q_tpch_q19", "q_tpch_q22",
-        "q_decay_agg", "q_zscore_outliers", "q_join_bucketed",
-        "q_hhi_concentration", "q_grouped_moments",
-        "q_salted_agg", "q_bloom_join", "q_calibration_ece",
-        "q_incremental_agg", "q_ab_ttest", "q_ewma_smooth",
-        "q_null_semantics", "q_anova_f", "q_did_effect", "q_pq_assign",
-        "q_rrf_fusion", "q_scan_zorder", "q_sink_partitioned_roundtrip",
-        "q_cusum_changepoint", "q_semi_additive", "q_ivm_join_agg",
-        "q_attrib_channel", "q_rfm_segments",
+    changed_r12 = [
+        "q_join_salted", "q_peak_concurrency", "q_lift_bands",
+        "q_survival_hazard", "q_rrf_fusion",
     ]
-    r2_leftovers = [
-        "q_array_hof", "q_decontaminate", "q_group_quantiles",
-        "q_mix_sources", "q_sample_stratified", "q_scan_csv",
-        "q_split_train_eval", "q_unpivot_long", "q_window_distribution",
+    changed_late_r11 = [
+        "q_multimodal_decode", "q_audio_decode", "q_video_frames",
+        "q_token_rarity",
     ]
-    backfill = ["q_agg_filtered", "q_batch_assign", "q_bootstrap_ci"]
-    assert len(swept) == 35 and len(r2_leftovers) == 9
-    for name in canaries + swept + r2_leftovers + backfill:
+    r3_leftovers = [
+        "q_bpe_pair_counts", "q_cube", "q_dedup_fuzzy", "q_doc_commonness",
+        "q_join_full_outer", "q_pack_sequences", "q_pivot_wide",
+        "q_scan_orc", "q_scan_pyds", "q_sql_correlated", "q_sql_lateral",
+        "q_tpch_q13", "q_udtf_chunks", "q_udtf_polymorphic",
+        "q_value_histogram", "q_variant_json", "q_vocab_coverage",
+    ]
+    assert len(r3_leftovers) == 17
+    for name in canaries + changed_r12 + changed_late_r11 + r3_leftovers:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 

@@ -48,7 +48,7 @@ def test_running_sum_desc_secondary_order(spark, ranged):
     rows = [(t, d, 1 if d == 1 else -1) for t in range(500) for d in (1, -1)]
     df = spark.createDataFrame(rows, "us int, delta int, n int")
     got = running_sum(
-        df, [F.asc("us"), F.desc("delta")], F.col("delta") * F.col("n"), "rs"
+        df, ["us", ("delta", False)], F.col("delta") * F.col("n"), "rs"
     ).collect()
     want = {}
     acc = 0
@@ -162,6 +162,37 @@ def test_running_agg_rejects_unsupported_aggregate(spark):
         running_agg(df, ["k"], F.col("v"), "out", F.avg)
 
 
+def test_order_spec_rejects_column_expressions(spark):
+    """Order keys are plain (name, ascending) data — a Column built with
+    F.asc/F.desc/asc_nulls_last must be rejected in BOTH modes (round
+    12 removed the _jc.toString() parse that used to recover direction
+    from the JVM render and silently mis-bucketed exotic null
+    orderings; rejection makes those unrepresentable)."""
+    from news_categorization_big_data_spark.functions.ordered import running_sum
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    for bad in (F.desc("k"), F.asc("k"), F.col("k").asc_nulls_last()):
+        with pytest.raises(TypeError, match="order keys must be"):
+            running_sum(df, [bad], F.col("v"), "out")
+
+
+def test_ranged_rejects_non_numeric_primary(spark, ranged):
+    """approxQuantile needs a numeric bucket column; a string primary
+    must fail at the valve boundary with the contract message, not deep
+    inside py4j (the DEFAULT plan keeps accepting any orderable type)."""
+    from news_categorization_big_data_spark.functions.ordered import (
+        RANGED_CONF,
+        running_sum,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(TypeError, match="NUMERIC primary order column"):
+        running_sum(df, ["k"], F.col("v"), "out")
+    # and the default plan still takes string orders
+    spark.conf.set(RANGED_CONF, "false")
+    assert running_sum(df, ["k"], F.col("v"), "out").collect()[0].out == 1
+
+
 def test_global_annotate_scalar_matches(spark, ranged):
     df = spark.createDataFrame([(i, i % 7) for i in range(100)], "k int, v int")
     out = global_annotate(df, {"mx": F.max(F.col("v")), "tot": F.sum(F.col("v"))})
@@ -242,7 +273,7 @@ def test_running_agg_desc_with_nulls_lands_nulls_last(spark, ranged):
     )
     got = [
         (r.v, r.rs)
-        for r in running_sum(df, [F.desc("v")], F.col("one"), "rs").collect()
+        for r in running_sum(df, [("v", False)], F.col("one"), "rs").collect()
     ]
     # global desc order: 299.0 .. 0.0 then the two NULLs
     by_v = {v: rs for v, rs in got if v is not None}
@@ -260,7 +291,7 @@ def test_running_sum_all_equal_primary_single_bucket(spark, ranged):
     df = spark.createDataFrame(rows, "k int, tie int, n int")
     got = {
         r.tie: r.rs
-        for r in running_sum(df, [F.asc("k"), F.asc("tie")], F.col("n"), "rs").collect()
+        for r in running_sum(df, ["k", "tie"], F.col("n"), "rs").collect()
     }
     assert got == {i: i + 1 for i in range(100)}
 
@@ -272,7 +303,7 @@ def test_running_sum_values_exactly_at_bounds(spark, ranged):
     quantiles land exactly on tied values."""
     rows = [(k % 5, i) for i, k in enumerate(range(1000))]
     df = spark.createDataFrame(rows, "k int, uid int").withColumn("one", F.lit(1))
-    out = running_sum(df, [F.asc("k"), F.asc("uid")], F.col("one"), "rs").collect()
+    out = running_sum(df, ["k", "uid"], F.col("one"), "rs").collect()
     want = {}
     for pos, (k, uid) in enumerate(sorted(rows), start=1):
         want[(k, uid)] = pos

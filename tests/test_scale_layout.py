@@ -86,12 +86,12 @@ def test_partitioned_write_prunes_dynamic(spark, sf_dir, tmp_path):
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name").withColumnRenamed(
         "c_custkey", "o_custkey"
     )
     plain = orders.join(customer, "o_custkey")
-    salted = salted_join(orders, customer, "o_custkey", salt_buckets=4)
+    salted = salted_join(orders, customer, "o_custkey", salt_on="o_orderkey", salt_buckets=4)
     assert salted.count() == plain.count()
     # spot-check content equality, not just cardinality
     key = F.concat_ws("|", "o_custkey", F.col("o_totalprice").cast("string"), "c_name")
@@ -109,7 +109,7 @@ def test_salted_join_rejects_right_preserving(spark, sf_dir):
     )
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="left-preserving"):
-            salted_join(orders, customer, "o_custkey", how=how)
+            salted_join(orders, customer, "o_custkey", salt_on="o_custkey", how=how)
 
 
 def test_salted_sum_matches_plain_sum(spark, sf_dir):
@@ -122,9 +122,34 @@ def test_salted_sum_matches_plain_sum(spark, sf_dir):
     }
     salted = {
         r.event_type: r.total
-        for r in salted_sum(ev, ["event_type"], cents, "total", salt_buckets=4).collect()
+        for r in salted_sum(ev, ["event_type"], cents, "total", salt_on="event_id", salt_buckets=4).collect()
     }
     assert salted == plain
+
+
+def test_row_salt_is_row_deterministic(spark, sf_dir):
+    """The salt must be a pure function of the row, invariant to the
+    physical layout it is computed under — the property
+    monotonically_increasing_id lacks (its value encodes the partition
+    id, so a recomputed/differently-laid-out execution re-buckets rows:
+    the SPARK-23207 double-count/loss class under fetch-failure map
+    reruns). Recompute the salt under a different partitioning and
+    assert the (row id -> bucket) mapping is identical."""
+    from news_categorization_big_data_spark.functions.scale import _row_salt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    base = {
+        r.event_id: r.s
+        for r in ev.withColumn("s", _row_salt("event_id", 8)).collect()
+    }
+    relaid = {
+        r.event_id: r.s
+        for r in ev.repartition(7, "event_id")
+        .withColumn("s", _row_salt("event_id", 8))
+        .collect()
+    }
+    assert base == relaid
+    assert set(base.values()) == set(range(8))  # uniform enough to spread
 
 
 def test_map_only_queries_have_no_exchange(spark, sf_dir):
