@@ -262,9 +262,17 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("_hsa", "_hsb"))
     jac = inter.cast("double") / (F.col("_sza") + F.col("_szb") - inter)
+    # shuffle_merge hints: same reason as containment_pairs below — the
+    # static size estimate of the pinned sets table is garbage (text →
+    # hash-array widening is invisible to the estimator), so the planner
+    # was broadcasting the full (id, sz, hash-array) table as a verify
+    # build side (seen on the round-11 skew fixture; the containment
+    # twin of this join was a measured broadcast-OOM there). The sets
+    # table is O(corpus) — at 100 TB it is never broadcastable; SMJ is
+    # spill-safe and AQE still skew-splits it.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -451,6 +459,22 @@ def containment_pairs(
     index = sized.select(
         F.col(id_col).alias("doc_b"), F.explode("_hs").alias("_h")
     )
+    # EVERY join below carries an explicit shuffle_merge hint: Catalyst's
+    # static size estimate for these frames is garbage — the pinned
+    # (id, sz, sorted-hash-array) table and the exploded probe/index
+    # sides all descend from a narrow (doc_id, text) parquet scan
+    # through transform/explode, whose output bytes the estimator can't
+    # see, so BEFORE first materialization it happily plans
+    # BroadcastHashJoin with the multi-hundred-MB SETS table (or even
+    # the exploded probe!) as the build side. On the round-11 skew
+    # fixture (50k docs, /tmp/skew1) that was a measured hard failure:
+    # "Not enough memory to build and broadcast the table" — and at
+    # 100 TB the sets/exploded sides are O(corpus), never broadcastable.
+    # Sort-merge is the spill-safe strategy with AQE skew-split still
+    # available; per-key right groups in the candidate join are bounded
+    # by the df cap. Same pattern as the q_token_rarity vocab join
+    # (plans/text.py) — declared strategy where the estimate is
+    # known-garbage.
     if max_df is not None:
         df_ok = (
             index.groupBy("_h")
@@ -458,9 +482,9 @@ def containment_pairs(
             .where(F.col("_df") <= max_df)
             .select("_h")
         )
-        index = index.join(df_ok, "_h")
+        index = index.join(df_ok.hint("shuffle_merge"), "_h")
     cand = (
-        probe.join(index, "_h")
+        probe.join(index.hint("shuffle_merge"), "_h")
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -475,8 +499,8 @@ def containment_pairs(
     )
     inter = F.size(F.array_intersect("_hsa", "_hsb"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), "doc_b")
         .where(inter * 100 >= F.col("_sza") * threshold_pct)
         .select(
             "doc_a",

@@ -13,7 +13,7 @@ RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 The ROUND-12 window (a hardening round — the round-11 VERDICT's 8
 items):
 
-1. The 5 plans round 12 changed: q_join_salted — its salt is now
+1. The 11 plans round 12 changed: q_join_salted — its salt is now
    pmod(xxhash64(event_id), 8), a pure row function, replacing the
    recompute-unstable xxhash64(monotonically_increasing_id()) (the
    VERDICT's #1: mono-id re-buckets re-executed rows under
@@ -22,8 +22,18 @@ items):
    q_survival_hazard, q_rrf_fusion) whose order args became plain
    (name, asc) specs when functions/ordered.py dropped its
    _jc.toString() parse — their DEFAULT plans are expression-identical,
-   re-stamped out of caution. All five re-proven MATCH by subset_sim
-   in-session (plus valve-ON proofs for the ordered family).
+   re-stamped out of caution. Plus the three dedup plans that gained
+   shuffle_merge hints after the skew fixture caught a static
+   broadcast of corpus-scale frames (q_dedup_containment — a measured
+   broadcast-OOM on /tmp/skew1, now MATCH there; q_dedup_ngram_jaccard
+   and q_dedup_keep_best — same estimate bug, latent; plus
+   q_dedup_mllib_lsh and q_lsh_recall, whose plans embed the shared
+   jaccard_pairs verify join; and q_simhash_hamming, which gained the
+   default-OFF spark.graft.simhash.maxdf emergency valve after the
+   fixture's degenerate-corpus regime killed the uncapped run —
+   default plan bit-identical). All re-proven
+   MATCH by subset_sim in-session (plus valve-ON proofs for the
+   ordered family and skew-fixture proofs for the dedup family).
 2. The 4 plans changed late in round 11 AFTER its window froze
    (VERDICT item 2): q_multimodal_decode, q_audio_decode,
    q_video_frames (numpy-vectorized fixture synthesis) and
@@ -31,10 +41,12 @@ items):
 3. The 3 standing canaries — q_group_stats, q_scan_json, q_udf_scalar.
 4. ALL 17 remaining pass(r3) stamps (q_join_salted's sits in group 1)
    — after this window NO stamp predates r4.
-5. Backfill: 21 of the 32 pass(r4) stamps, alphabetical.
+5. Backfill: 15 of the 32 pass(r4) stamps, alphabetical.
 
 Round-13 window plan (for the next session): (a) anything round 13
-changes; (b) the 3 standing canaries; (c) the 11 pass(r4) leftovers —
+changes; (b) the 3 standing canaries; (c) the 17 pass(r4) leftovers —
+q_resample_ohlc, q_rollup, q_sample_weighted, q_scan_partitioned,
+q_sessionize, q_stream_session,
 q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
 q_tpch_q2, q_tpch_q20, q_tpch_q21, q_tpch_q4, q_window_nth,
 q_window_time_range; (d) back-fill with pass(r5), oldest first. Keep
@@ -92,6 +104,12 @@ _DRIVER_ORDER = [
     "q_lift_bands",
     "q_survival_hazard",
     "q_rrf_fusion",
+    "q_dedup_containment",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_keep_best",
+    "q_dedup_mllib_lsh",
+    "q_lsh_recall",
+    "q_simhash_hamming",
     # -- 2. plans changed late in round 11, AFTER its window froze
     #       (the window note + VERDICT item 2): vectorized fixture
     #       synthesis (multimodal/audio/video) and the token_rarity
@@ -123,8 +141,10 @@ _DRIVER_ORDER = [
     "q_value_histogram",
     "q_variant_json",
     "q_vocab_coverage",
-    # -- 5. backfill: 21 of the 32 pass(r4) stamps (alphabetical;
-    #       the remaining 11 — q_time_rollup_multi, q_tpch_q11/q12/
+    # -- 5. backfill: 15 of the 32 pass(r4) stamps (alphabetical;
+    #       the remaining 17 — q_resample_ohlc, q_rollup,
+    #       q_sample_weighted, q_scan_partitioned, q_sessionize,
+    #       q_stream_session, q_time_rollup_multi, q_tpch_q11/q12/
     #       q15/q16/q2/q20/q21/q4, q_window_nth, q_window_time_range
     #       — rotate in round 13).
     "q_argmax_join",
@@ -142,15 +162,15 @@ _DRIVER_ORDER = [
     "q_join_interval_overlap",
     "q_merge_upsert",
     "q_percent_change",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: prior relative order preserved; all remain registered and
+    #    pytest/driver_sim-proven every round.
     "q_resample_ohlc",
     "q_rollup",
     "q_sample_weighted",
     "q_scan_partitioned",
     "q_sessionize",
     "q_stream_session",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: prior relative order preserved; all remain registered and
-    #    pytest/driver_sim-proven every round.
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
@@ -242,7 +262,6 @@ _DRIVER_ORDER = [
     "q_ml_classify",
     "q_ml_kmeans",
     "q_sim_ann_lsh",
-    "q_dedup_mllib_lsh",
     "q_ml_auc",
     "q_mad_outliers",
     "q_winsorize",
@@ -254,13 +273,11 @@ _DRIVER_ORDER = [
     "q_component_sizes",
     "q_graph_degree_dist",
     "q_minhash_jaccard_est",
-    "q_dedup_keep_best",
     "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",
     "q_semantic_dedup",
     "q_collocations",
-    "q_dedup_containment",
     "q_graph_jaccard_neighbors",
     "q_chi2_terms",
     "q_tfidf_pairs",
@@ -295,7 +312,6 @@ _DRIVER_ORDER = [
     "q_pq_search",
     "q_grouped_auc",
     "q_skew_profile",
-    "q_lsh_recall",
     "q_split_leakproof",
     "q_bigram_lm",
     "q_sample_per_group",
@@ -328,7 +344,6 @@ _DRIVER_ORDER = [
     "q_zone_map",
     "q_interval_coverage",
     "q_date_dim",
-    "q_simhash_hamming",
     "q_weighted_median",
     "q_rolling_median",
     "q_snapshot_diff",
@@ -350,7 +365,6 @@ _DRIVER_ORDER = [
     "q_k_anonymity",
     "q_ann_recall",
     "q_seq_cooccur",
-    "q_dedup_ngram_jaccard",
     "q_bitmap_distinct",
     "q_regex_extract",
     "q_rate_anomaly",

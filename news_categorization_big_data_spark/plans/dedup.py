@@ -347,9 +347,10 @@ def _keep_best_oracle() -> str:
     "cluster's longest document (token count desc, doc_id tie-break) — "
     "the curation-real policy, since near-dup clusters usually contain "
     "one full article plus truncated/boilerplate copies. Composes the "
-    "same banded-LSH candidates + connected components, joins the "
-    "component table (cluster-members-sized, tiny relative to the "
-    "corpus — broadcast at scale) against per-doc token counts, and "
+    "same banded-LSH candidates + connected components, sort-merge-"
+    "joins the component table against per-doc token counts (declared "
+    "strategy: BOTH sides scale with the corpus — qual is one row per "
+    "doc and the static estimator was broadcasting it), and "
     "takes the per-component argmax with one ranked window "
     "(WindowGroupLimit prunes to the top row per component). Oracle = "
     "the q_dedup_cluster recursive CTE + the same ranked argmax.",
@@ -365,8 +366,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     qual = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
     w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    # shuffle_merge: qual is one row PER DOC (corpus-scale) but descends
+    # from a (doc_id, text) scan through a tokens() widening the size
+    # estimator can't see, so the static planner was broadcasting QUAL
+    # as the build side (found by the round-11 skew-fixture plan sweep).
+    # comp isn't reliably broadcastable either — on a crawl corpus a
+    # large fraction of docs sit in near-dup clusters — so declare the
+    # spill-safe strategy instead of betting on either side.
     return (
-        comp.join(qual, "doc_id")
+        comp.join(qual.hint("shuffle_merge"), "doc_id")
         .select(
             "component",
             "doc_id",
@@ -671,6 +679,23 @@ SIMHASH_HAMMING_D = 3
 #: block — measured 112M candidate pairs at sf0.1 vs ~0.5M here).
 SIMHASH_HAMMING_BITS = 32
 
+#: Emergency bucket-df cap for q_simhash_hamming (round-12 skew-fixture
+#: finding). Default "0" = UNCAPPED — the registered, oracle-stamped
+#: contract ("recall is total": pigeonhole banding is proven lossless
+#: against the brute-force oracle). On a boilerplate-DEGENERATE corpus,
+#: though, the true answer itself is quadratic: /tmp/skew1's 24-rep hot
+#: suffix drags every sketch toward one point, the d<=3 output
+#: approaches all-pairs, and the uncapped bucket collect_list cell
+#: killed the JVM (measured, round 12). Setting this conf to a positive
+#: df drops over-cap band buckets BEFORE aggregation (banded_pairs'
+#: spill-safe window count) — a recall trade, never a wrong pair: every
+#: emitted pair still passes the exact bit_count verify, so soundness
+#: is structural and only completeness is traded. The principled scale
+#: answer remains a wider sketch (block width ~ log2 corpus, Manku's
+#: 64-bit crawl config); the cap is for corpora where the ANSWER is
+#: degenerate, not the banding.
+SIMHASH_MAXDF_CONF = "spark.graft.simhash.maxdf"
+
 
 @register(
     "q_simhash_hamming",
@@ -703,16 +728,24 @@ SIMHASH_HAMMING_BITS = 32
     "precision — banding is doing its job; the answer is just big). "
     "The consumer that compresses this is connected components "
     "(q_dedup_cluster), which never materializes all pairs per "
-    "cluster. Determinism: integer sketches, "
-    "integer distances; the only float anywhere is the ±1 vote sums' "
-    "sign.",
+    "cluster. On a boilerplate-DEGENERATE corpus the TRUE answer is "
+    "quadratic (every sketch collapses toward the template's — the "
+    "round-12 skew fixture killed the uncapped run); "
+    "spark.graft.simhash.maxdf (default off — this stamped plan is "
+    "uncapped) is the emergency bucket cap for that regime, a recall "
+    "trade that can never emit a wrong pair because every candidate "
+    "still passes the exact bit_count verify. Determinism: integer "
+    "sketches, integer distances; the only float anywhere is the ±1 "
+    "vote sums' sign.",
 )
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    cap = int(spark.conf.get(SIMHASH_MAXDF_CONF, "0")) or None
     return simhash_hamming_pairs(
         simhash(docs, bits=SIMHASH_HAMMING_BITS),
         max_distance=SIMHASH_HAMMING_D,
         bits=SIMHASH_HAMMING_BITS,
+        max_df=cap,
     )
 
 

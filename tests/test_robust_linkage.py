@@ -119,6 +119,32 @@ def test_simhash_hamming_matches_bruteforce(spark, sf_dir):
     assert got == brute
 
 
+def test_simhash_maxdf_valve_subsets_exact_answer(spark, sf_dir):
+    """The spark.graft.simhash.maxdf emergency valve (round-12 skew
+    fixture: a boilerplate-degenerate corpus makes the TRUE d<=3 answer
+    quadratic and the uncapped bucket aggregation fatal) must be a pure
+    RECALL trade: valve-on output is a SUBSET of the uncapped answer
+    with identical hamming values — never a fabricated or mis-measured
+    pair (soundness is structural: the exact bit_count verify runs on
+    every candidate either way). Default (conf unset) stays uncapped."""
+    from news_categorization_big_data_spark.plans.dedup import SIMHASH_MAXDF_CONF
+
+    full = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["q_simhash_hamming"].builder(spark, sf_dir).collect()
+    }
+    spark.conf.set(SIMHASH_MAXDF_CONF, "3")  # tiny cap -> real recall loss
+    try:
+        capped = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in REGISTRY["q_simhash_hamming"].builder(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset(SIMHASH_MAXDF_CONF)
+    assert set(capped) <= set(full)
+    assert all(full[k] == v for k, v in capped.items())
+
+
 def test_simhash_hamming_rejects_unsound_banding():
     """bands ≤ max_distance would break the pigeonhole guarantee; the
     operator must refuse rather than silently lose recall."""

@@ -239,3 +239,28 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         map(tuple, spark.read.parquet(zord).where(box).select("x", "y").collect())
     )
     assert a == b and a
+
+
+def test_dedup_verify_joins_never_static_broadcast(spark, sf_dir):
+    """The pairwise-dedup verify joins (candidates back to the sets
+    table) and the keep-best quality join must plan as sort-merge at
+    EVERY scale: their non-cand sides are O(corpus) frames whose static
+    size estimate is structurally wrong (text -> hash-array / token
+    widening behind a pinned relation is invisible to the estimator),
+    so without the declared shuffle_merge hints the planner broadcast
+    the multi-hundred-MB sets table as a build side — a measured
+    broadcast-OOM on the round-11 skew fixture (q_dedup_containment,
+    /tmp/skew1) and the same latent shape in q_dedup_ngram_jaccard /
+    q_dedup_keep_best. Unlike scans whose estimate tracks file bytes
+    (those self-correct at scale), this class never self-corrects, so
+    the strategy is pinned here at small sf where the bad plan would
+    otherwise 'work'."""
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    for q, n_smj in (
+        ("q_dedup_containment", 4),  # df-cap + candidate + 2 verify sides
+        ("q_dedup_ngram_jaccard", 2),  # 2 verify sides
+        ("q_dedup_keep_best", 1),  # component ⋈ per-doc quality
+    ):
+        plan = _plan(REGISTRY[q].builder(spark, sf_dir))
+        assert plan.count("SortMergeJoin") >= n_smj, (q, plan)
