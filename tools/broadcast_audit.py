@@ -1,0 +1,112 @@
+"""Registry-wide static-broadcast audit: flag BroadcastExchange nodes
+that the planner placed from a STATIC size estimate (no AQE-measured
+shuffle / aggregate / limit between the broadcast and its leaf scan)
+whose leaf is a fact-table scan — the plan shape behind the round-12
+q_dedup_containment broadcast-OOM on the skew fixture.
+
+Two sub-classes, and only one is a bug:
+
+- **estimate tracks bytes** (plain column-pruned parquet scan, possibly
+  filtered): benign — at real scale the same estimate grows with the
+  files and the planner flips to sort-merge on its own. Most TPC-H
+  plans flag here at small sf; they self-correct.
+- **estimate structurally blind** (a widening transform — text→hash
+  arrays, explode — especially behind a pinned InMemoryRelation whose
+  pre-materialization stats are the child's): NEVER self-corrects;
+  the fix is a declared strategy hint (shuffle_merge) at the join.
+  Round 12 found and fixed three of these (containment_pairs,
+  jaccard_pairs verify, q_dedup_keep_best's quality join) — see
+  SCALE.md "Round 12: the skew fixture pointed at the dedup + graph
+  families".
+
+The triage between the two is a human read of the flagged subtree (is
+the broadcast side a raw scan, or a transform-widened/pinned frame?).
+Run against the biggest fixture available so estimates are realistic:
+
+    python tools/broadcast_audit.py /tmp/skew1        # all queries
+    python tools/broadcast_audit.py /tmp/skew1 q_a q_b  # a subset
+
+Compile-only for pure plans (builders that run driver actions — CC
+loops, IVF seeding — will execute those stages).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: Plan-text markers under which a BroadcastExchange is AQE-measured or
+#: provably bounded, and therefore scale-safe by construction.
+_MEASURED = (
+    "Exchange hashpartitioning",
+    "Exchange range",
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+)
+
+FACT_TABLES = ("documents", "events", "lineitem", "orders", "embeddings")
+
+
+def audit_plan(plan: str, lookahead: int = 14) -> list[str]:
+    """Flagged leaf lines for every static broadcast over a fact scan."""
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        sub: list[str] = []
+        for nxt in lines[i + 1 : i + 1 + lookahead]:
+            sub.append(nxt)
+            if any(m in nxt for m in _MEASURED):
+                break
+        subtxt = "\n".join(sub)
+        if any(m in subtxt for m in _MEASURED):
+            continue
+        for leaf in sub:
+            if "FileScan" in leaf or "InMemoryTableScan" in leaf:
+                if any(t in leaf for t in FACT_TABLES) or "InMemoryTableScan" in leaf:
+                    hits.append(leaf.strip()[:120])
+                break
+    return hits
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from news_categorization_big_data_spark.plans import REGISTRY
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = (
+        SparkSession.builder.master("local[8]").appName("broadcast-audit").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = 0
+    for q in names:
+        try:
+            plan = (
+                REGISTRY[q]
+                .builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # builder needs optional fixture/env
+            print(f"{q}: BUILD-ERR {str(e)[:90]}")
+            continue
+        hits = audit_plan(plan)
+        if hits:
+            flagged += 1
+            print(q)
+            for h in hits:
+                print("   ", h)
+    print(f"flagged {flagged}/{len(names)} (triage per module docstring)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
