@@ -13,7 +13,7 @@ RE-PROOF ROTATION: changed-plan queries first, then the stalest stamps.
 The ROUND-12 window (a hardening round — the round-11 VERDICT's 8
 items):
 
-1. The 11 plans round 12 changed: q_join_salted — its salt is now
+1. The 12 plans round 12 changed: q_join_salted — its salt is now
    pmod(xxhash64(event_id), 8), a pure row function, replacing the
    recompute-unstable xxhash64(monotonically_increasing_id()) (the
    VERDICT's #1: mono-id re-buckets re-executed rows under
@@ -31,7 +31,10 @@ items):
    jaccard_pairs verify join; and q_simhash_hamming, which gained the
    default-OFF spark.graft.simhash.maxdf emergency valve after the
    fixture's degenerate-corpus regime killed the uncapped run —
-   default plan bit-identical). All re-proven
+   default plan bit-identical; and q_sessionize, now routed through
+   the spark.graft.session.chunked hot-user valve
+   (functions/sessions.py) — default expression-identical, valve
+   proven output-identical on the new hot-user fixture /tmp/skew2). All re-proven
    MATCH by subset_sim in-session (plus valve-ON proofs for the
    ordered family and skew-fixture proofs for the dedup family).
 2. The 4 plans changed late in round 11 AFTER its window froze
@@ -41,12 +44,12 @@ items):
 3. The 3 standing canaries — q_group_stats, q_scan_json, q_udf_scalar.
 4. ALL 17 remaining pass(r3) stamps (q_join_salted's sits in group 1)
    — after this window NO stamp predates r4.
-5. Backfill: 15 of the 32 pass(r4) stamps, alphabetical.
+5. Backfill: 14 of the 32 pass(r4) stamps, alphabetical.
 
 Round-13 window plan (for the next session): (a) anything round 13
-changes; (b) the 3 standing canaries; (c) the 17 pass(r4) leftovers —
-q_resample_ohlc, q_rollup, q_sample_weighted, q_scan_partitioned,
-q_sessionize, q_stream_session,
+changes; (b) the 3 standing canaries; (c) the 18 pass(r4) leftovers —
+q_percent_change, q_resample_ohlc, q_rollup, q_sample_weighted,
+q_scan_partitioned, q_stream_session,
 q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
 q_tpch_q2, q_tpch_q20, q_tpch_q21, q_tpch_q4, q_window_nth,
 q_window_time_range; (d) back-fill with pass(r5), oldest first. Keep
@@ -110,6 +113,7 @@ _DRIVER_ORDER = [
     "q_dedup_mllib_lsh",
     "q_lsh_recall",
     "q_simhash_hamming",
+    "q_sessionize",
     # -- 2. plans changed late in round 11, AFTER its window froze
     #       (the window note + VERDICT item 2): vectorized fixture
     #       synthesis (multimodal/audio/video) and the token_rarity
@@ -141,9 +145,9 @@ _DRIVER_ORDER = [
     "q_value_histogram",
     "q_variant_json",
     "q_vocab_coverage",
-    # -- 5. backfill: 15 of the 32 pass(r4) stamps (alphabetical;
-    #       the remaining 17 — q_resample_ohlc, q_rollup,
-    #       q_sample_weighted, q_scan_partitioned, q_sessionize,
+    # -- 5. backfill: 14 of the 32 pass(r4) stamps (alphabetical;
+    #       the remaining 18 — q_percent_change, q_resample_ohlc,
+    #       q_rollup, q_sample_weighted, q_scan_partitioned,
     #       q_stream_session, q_time_rollup_multi, q_tpch_q11/q12/
     #       q15/q16/q2/q20/q21/q4, q_window_nth, q_window_time_range
     #       — rotate in round 13).
@@ -161,15 +165,14 @@ _DRIVER_ORDER = [
     "q_heavy_hitters",
     "q_join_interval_overlap",
     "q_merge_upsert",
-    "q_percent_change",
     # ---- driver's 50-entry window ends here ----
     # -- tail: prior relative order preserved; all remain registered and
     #    pytest/driver_sim-proven every round.
+    "q_percent_change",
     "q_resample_ohlc",
     "q_rollup",
     "q_sample_weighted",
     "q_scan_partitioned",
-    "q_sessionize",
     "q_stream_session",
     "q_tpch_q3",
     "q_tpch_q5",

@@ -79,22 +79,23 @@ _O_WINSOR_CLIP = (
     "(lag + cumulative sum in a single window spec, so Spark sorts each "
     "user's events once), then a partial-aggregating groupBy on "
     "(user_id, session). Gap math is epoch-µs long subtraction — no "
-    "float anywhere. The streaming twin is q_stream_session "
-    "(session_window); this is the arbitrary-logic batch shape that "
-    "handles policies session_window can't (e.g. activity-type-aware "
-    "gaps).",
+    "float anywhere. A skewed user (one bot carrying a macroscopic "
+    "share of the stream) makes that user's window sort one task; "
+    "spark.graft.session.chunked (functions/sessions.py, default OFF — "
+    "this stamped plan is the single per-user window) swaps in the "
+    "time-chunked two-phase plan with identical output, proven on the "
+    "hot-user fixture /tmp/skew2. The streaming twin is "
+    "q_stream_session (session_window); this is the arbitrary-logic "
+    "batch shape that handles policies session_window can't (e.g. "
+    "activity-type-aware gaps).",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.sessions import sessionize_ids
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    prev = F.lag(us).over(w)
-    new_sess = F.when(prev.isNull() | (us - prev > SESSION_GAP_US), 1).otherwise(0)
-    sid = F.sum(new_sess).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        ev.select("user_id", "ts", sid.alias("sid"))
+        sessionize_ids(ev, SESSION_GAP_US)
+        .select("user_id", "ts", "sid")
         .groupBy("user_id", "sid")
         .agg(
             F.min("ts").alias("session_start"),

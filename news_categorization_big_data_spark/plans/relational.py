@@ -451,7 +451,12 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="THE reference flagship aggregate: per-category digest "
     "groupBy('category').agg(concat_ws('\\n', collect_list('summary'))) "
     "(news_summarization_batch.py:105-107) — made deterministic by sorting "
-    "the list before joining (collect_list order is shuffle-dependent).",
+    "the list before joining (collect_list order is shuffle-dependent). "
+    "Scale note: the per-category digest CELL is unbounded by the "
+    "reference's own semantics (one string per category spanning every "
+    "member) — this tier-A literal preserves that contract; the "
+    "scale-safe variant is q_pipeline_digest, which windows the digest "
+    "to DIGEST_MAX_ITEMS per category before aggregating.",
 )
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -34,13 +34,13 @@ def test_bad_sf_dir_raises_cleanly(spark):
 
 def test_registry_window_contains_round12_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-12 window = the 11 plans round 12 changed (deterministic salt,
+    round-12 window = the 12 plans round 12 changed (deterministic salt,
     the (name, asc) order-spec migration, and the skew-fixture
     shuffle_merge dedup fixes incl. the two plans embedding the shared
     jaccard_pairs verify join; changed plans outrank stale re-proofs)
     + the 4 plans changed after the r11 window froze + 3 standing
     canaries + ALL 17 remaining pass(r3) stamps (q_join_salted counted
-    once, in the changed group) + 15 pass(r4) backfill."""
+    once, in the changed group) + 14 pass(r4) backfill."""
     window = list(REGISTRY)[:50]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
     changed_r12 = [
@@ -48,6 +48,7 @@ def test_registry_window_contains_round12_priorities():
         "q_survival_hazard", "q_rrf_fusion", "q_dedup_containment",
         "q_dedup_ngram_jaccard", "q_dedup_keep_best",
         "q_dedup_mllib_lsh", "q_lsh_recall", "q_simhash_hamming",
+        "q_sessionize",
     ]
     changed_late_r11 = [
         "q_multimodal_decode", "q_audio_decode", "q_video_frames",
