@@ -123,3 +123,39 @@ def test_chunked_plan_partitions_by_chunk(spark, chunked, sf_dir):
         .toString()
     )
     assert "_chunk" not in default_plan, default_plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _streams(draw):
+    """Random multi-user event streams with gaps straddling the
+    session threshold and the chunk width: deltas cluster around GAP
+    and around 24h so boundary cases are drawn constantly."""
+    n_users = draw(st.integers(1, 3))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = BASE + draw(st.integers(0, 10 * HOUR_US))
+        for _ in range(draw(st.integers(1, 25))):
+            rows.append((u, (eid := eid + 1), t))
+            t += draw(
+                st.sampled_from(
+                    [1, HOUR_US, GAP - 1, GAP, GAP + 1, 24 * HOUR_US - 1,
+                     24 * HOUR_US, 24 * HOUR_US + 1, 3 * 24 * HOUR_US]
+                )
+            )
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(_streams())
+def test_chunked_identity_property(spark, rows):
+    df = _mk(spark, rows)
+    spark.conf.set(CHUNKED_CONF, "true")
+    try:
+        got = _ids(sessionize_ids(df, GAP))
+    finally:
+        spark.conf.set(CHUNKED_CONF, "false")
+    assert got == _ids(sessionize_ids(df, GAP))
