@@ -76,6 +76,13 @@ def sessionize_ids(
     gaps-and-islands rule (new session after a silence > ``gap_us``),
     numbered in (ts, tie) order — identical output in both modes.
     Only (user_col, ts_col, out) survive plus any other input columns.
+
+    (user_col, ts_col, tie_col) must be a TOTAL order (tie_col unique
+    per (user, ts)) — the chunked plan's local-sid window feeds TWO
+    consumers (the event rows and the chunk summary), each of which
+    may re-execute the window subtree, and only a total order makes
+    those executions row-identical (the same determinism rule as the
+    ranged windows in functions/ordered.py).
     """
     us = F.unix_micros(F.col(ts_col))
     if not use_chunked(ev):
