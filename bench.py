@@ -31,7 +31,9 @@ def _git_head() -> str:
             cwd=os.path.dirname(os.path.abspath(__file__)),
             timeout=10,
         ).stdout.strip() or "unknown"
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # SubprocessError covers TimeoutExpired — a hung rev-parse must
+        # never throw away a completed multi-minute bench run
         return "unknown"
 
 HEADLINE = [

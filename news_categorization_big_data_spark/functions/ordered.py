@@ -297,6 +297,14 @@ def lag_over(
     unique (every caller pre-aggregates or scans a distinct domain).
     """
     (spec,) = _normalize_order([order_col])
+    if not spec[1]:
+        # the boundary stitch below is written for ascending order
+        # (prev partition's MAX is the missing predecessor); a desc
+        # spec would silently stitch the wrong neighbor — reject it
+        raise ValueError(
+            "lag_over supports ascending order only; wrap the column "
+            "(negate / invert) to lag over a descending domain"
+        )
     col = F.col(spec[0])
     if not use_ranged(df):
         w = Window.orderBy(col)

@@ -27,6 +27,9 @@ runtime re-planning at 100 TB:
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,10 +100,28 @@ def _row_salt(salt_on: Column | str | list, salt_buckets: int) -> Column:
     columns makes every execution agree, so recompute is invisible.
     tests/test_global_plan_sweep.py sweeps all registered plans for the
     nondeterministic-id expressions to keep this invariant repo-wide.
+
+    ``salt_on`` must be NON-NULL per row: xxhash64 skips NULL inputs
+    (an all-NULL id hashes to the seed constant), which would pile
+    every null-id row — the canonical hot slice — onto ONE salt
+    bucket, silently defeating the salting. Guarded with a per-row
+    raise (one null check, whole-stage codegen) instead of a silent
+    re-concentration.
     """
     cols = salt_on if isinstance(salt_on, list) else [salt_on]
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)).cast("int")
+    any_null = functools.reduce(operator.or_, [c.isNull() for c in cols])
+    salt = F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)).cast("int")
+    return F.when(
+        any_null,
+        F.raise_error(
+            F.lit(
+                "salted join/sum salt_on column is NULL for some rows — "
+                "a NULL row id would concentrate all such rows on one "
+                "salt bucket; pass a non-null id (or coalesce first)"
+            )
+        ).cast("int"),
+    ).otherwise(salt)
 
 
 def salted_join(

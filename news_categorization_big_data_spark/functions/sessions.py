@@ -131,9 +131,21 @@ def sessionize_ids(
         w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = summ.select(
-        user_col, "_chunk", (sessions_before - merges_upto).alias("_off")
+        F.col(user_col).alias("_o_user"),
+        F.col("_chunk").alias("_o_chunk"),
+        (sessions_before - merges_upto).alias("_off"),
     )
-    d = d.join(offsets, [user_col, "_chunk"])
+    # NULL-SAFE join keys: groupBy/Window keep a NULL user (the
+    # null-ish bot this valve exists for) and a NULL ts (NULL _chunk)
+    # as real groups, so the join-back must too — plain equi-keys
+    # evaluate NULL = NULL as false and would silently DROP those rows,
+    # breaking output identity with the default plan (found in round-12
+    # self-review; pinned by test_chunked_handles_null_user_and_ts).
+    d = d.join(
+        offsets,
+        F.col(user_col).eqNullSafe(F.col("_o_user"))
+        & F.col("_chunk").eqNullSafe(F.col("_o_chunk")),
+    )
     return d.withColumn(out, F.col(_SID) + F.col("_off")).drop(
-        "_us", "_chunk", _SID, "_off"
+        "_us", "_chunk", _SID, "_off", "_o_user", "_o_chunk"
     )

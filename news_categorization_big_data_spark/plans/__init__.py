@@ -47,7 +47,7 @@ items):
 5. Backfill: 14 of the 32 pass(r4) stamps, alphabetical.
 
 Round-13 window plan (for the next session): (a) anything round 13
-changes; (b) the 3 standing canaries; (c) the 18 pass(r4) leftovers —
+changes; (b) the 3 standing canaries; (c) the 17 pass(r4) leftovers —
 q_percent_change, q_resample_ohlc, q_rollup, q_sample_weighted,
 q_scan_partitioned, q_stream_session,
 q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
@@ -146,7 +146,7 @@ _DRIVER_ORDER = [
     "q_variant_json",
     "q_vocab_coverage",
     # -- 5. backfill: 14 of the 32 pass(r4) stamps (alphabetical;
-    #       the remaining 18 — q_percent_change, q_resample_ohlc,
+    #       the remaining 17 — q_percent_change, q_resample_ohlc,
     #       q_rollup, q_sample_weighted, q_scan_partitioned,
     #       q_stream_session, q_time_rollup_multi, q_tpch_q11/q12/
     #       q15/q16/q2/q20/q21/q4, q_window_nth, q_window_time_range

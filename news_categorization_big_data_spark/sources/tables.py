@@ -41,16 +41,18 @@ from news_categorization_big_data_spark.session import tune_session
 #: cost of the pure-plan queries (q_tpch_q8 loads 8 tables ≈ 0.7 s of
 #: its 1.3 s build; registry-wide ~40 s of the 119 s total). Keyed
 #: weakly by session so a stopped session's plans are never resurrected;
-#: keyed by (sf_dir, name, mtime_ns) so tests' per-tmp_path fixtures
-#: never collide AND a regenerated fixture dir (tools/make_skew1.py
-#: rewriting its output while a session holds cached frames) misses the
-#: stale entry instead of silently reading dropped files — the mtime is
-#: the freshness token (round-11 advice); one os.stat per load_table
-#: call, noise next to the parquet-footer read it saves. The driver
-#: testdata dirs remain immutable by contract (TESTDATA.md); anything
-#: that WRITES then re-reads a path goes through its own spark.read,
-#: not load_table.
-_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, int], DataFrame]]" = (
+#: keyed by (sf_dir, name) so tests' per-tmp_path fixtures never
+#: collide, with the path's mtime_ns stored IN the value as a freshness
+#: token (round-11 advice): a regenerated fixture dir (tools/make_skew*
+#: rewriting its output while a session holds cached frames) REPLACES
+#: the stale entry instead of silently reading dropped files — and
+#: replacement (not mtime-in-the-key) means superseded entries are
+#: evicted rather than accumulating per regeneration. One os.stat per
+#: load_table call, noise next to the parquet-footer read it saves.
+#: The driver testdata dirs remain immutable by contract (TESTDATA.md);
+#: anything that WRITES then re-reads a path goes through its own
+#: spark.read, not load_table.
+_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], tuple[int, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -78,10 +80,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = -1  # let spark.read raise its own (clearer) error
-    key = (sf_dir, name, mtime)
+    key = (sf_dir, name)
     hit = cache.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name == "ts":
@@ -90,7 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(field.dataType, T.TimestampNTZType):
             # µs NTZ → session-UTC instant (same wall-clock, same render).
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
-    cache[key] = df
+    cache[key] = (mtime, df)
     return df
 
 

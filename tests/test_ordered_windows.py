@@ -316,3 +316,14 @@ def test_with_pid_empty_input(spark, ranged):
     plan, no crash, empty output."""
     df = spark.createDataFrame([], "k int, n int")
     assert running_sum(df, ["k"], F.col("n"), "rs").collect() == []
+
+
+def test_lag_over_rejects_descending_spec(spark):
+    """lag_over's boundary stitch is written for ascending order (the
+    previous bucket's MAX is the missing predecessor); a descending
+    spec must be rejected, not silently mis-stitched."""
+    from news_categorization_big_data_spark.functions.ordered import lag_over
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="ascending order only"):
+        lag_over(df, ("k", False), "prev")

@@ -264,3 +264,16 @@ def test_dedup_verify_joins_never_static_broadcast(spark, sf_dir):
     ):
         plan = _plan(REGISTRY[q].builder(spark, sf_dir))
         assert plan.count("SortMergeJoin") >= n_smj, (q, plan)
+
+
+def test_row_salt_raises_on_null_id(spark):
+    """A NULL salt_on id would hash to the seed constant and pile every
+    null-id row onto ONE salt bucket — exactly the hot slice salting
+    exists to spread. The salt expression raises per-row instead."""
+    import pytest
+
+    from news_categorization_big_data_spark.functions.scale import _row_salt
+
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    with pytest.raises(Exception, match="salt_on column is NULL"):
+        df.withColumn("s", _row_salt("id", 8)).collect()

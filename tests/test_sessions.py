@@ -159,3 +159,27 @@ def test_chunked_identity_property(spark, rows):
     finally:
         spark.conf.set(CHUNKED_CONF, "false")
     assert got == _ids(sessionize_ids(df, GAP))
+
+
+def test_chunked_handles_null_user_and_ts(spark, chunked):
+    """The null-ish bot user — the valve's own motivating hot key —
+    and NULL timestamps must survive the chunked plan: groupBy/Window
+    keep NULL groups, so the offsets join-back uses null-SAFE keys
+    (plain equi-keys would silently drop every NULL-user/NULL-ts row,
+    found in the round-12 self-review)."""
+    rows = [
+        (None, 1, BASE),
+        (None, 2, BASE + HOUR_US),
+        (None, 3, BASE + HOUR_US + GAP + 1),
+        (7, 4, None),  # NULL ts: one all-NULL-ts session per default plan
+        (7, 5, None),
+        (7, 6, BASE),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+    df = df.withColumn(
+        "ts", F.when(F.col("us").isNotNull(), F.timestamp_micros(F.col("us")))
+    ).drop("us")
+    got = _ids(sessionize_ids(df, GAP))
+    assert len(got) == len(rows)  # nothing dropped
+    spark.conf.set(CHUNKED_CONF, "false")
+    assert got == _ids(sessionize_ids(df, GAP))

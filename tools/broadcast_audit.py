@@ -32,9 +32,10 @@ loops, IVF seeding — will execute those stages).
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Plan-text markers under which a BroadcastExchange is AQE-measured or
 #: provably bounded, and therefore scale-safe by construction.
