@@ -316,17 +316,26 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_repetition_stats",
     oracle="""
+    -- list_zip + unnest + GROUP BY, NOT per-row list lambdas or
+    -- list_distinct: on /tmp/skew3's giant documents (1.5M grams in
+    -- ONE row) the original list_transform(range(..), i -> t[i:i+1])
+    -- form ran effectively quadratic in DuckDB (indexing inside the
+    -- lambda; >500 s for one doc) and list_distinct was a
+    -- single-threaded multi-GB cell op. zip(t[1:n-1], t[2:n]) builds
+    -- the same (t[i], t[i+1]) pairs with linear list ops and the
+    -- distinct count becomes a streaming hash aggregate (1.7 s for
+    -- the whole fixture). Values are bit-identical to the old form.
     WITH g AS (SELECT doc_id,
-                      list_transform(range(1, len(t)),
-                                     i -> array_to_string(t[i:i+1], ' ')) AS grams
+                      unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u
                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-                     FROM documents WHERE text <> ''))
+                     FROM documents WHERE text <> '')),
+    grams AS (SELECT doc_id, u[1] || ' ' || u[2] AS gram FROM g)
     SELECT doc_id,
-           CAST(len(grams) AS BIGINT) AS n_grams,
-           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-           round((len(grams) - len(list_distinct(grams)))
-                 / CAST(len(grams) AS DOUBLE), 4) AS dup_ratio
-    FROM g WHERE len(grams) > 0
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           round((COUNT(*) - COUNT(DISTINCT gram))
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+    FROM grams GROUP BY doc_id
     """,
     tier="C",
     doc="Within-document repetition ratio over ordered word bigrams "
@@ -1017,8 +1026,9 @@ def token_rarity_frame(docs: DataFrame, head_k: int | None = None) -> DataFrame:
                  n_chars - n_alpha - n_digit - n_space AS n_other
           FROM c)
     SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_other,
-           CAST((n_alpha*n_alpha + n_digit*n_digit + n_space*n_space
-                 + n_other*n_other) * 1000000 // (n_chars*n_chars)
+           CAST((n_alpha::HUGEINT*n_alpha + n_digit::HUGEINT*n_digit
+                 + n_space::HUGEINT*n_space + n_other::HUGEINT*n_other)
+                * 1000000 // (n_chars::HUGEINT*n_chars)
                 AS BIGINT) AS simpson_ppm
     FROM k
     """,
@@ -1032,8 +1042,12 @@ def token_rarity_frame(docs: DataFrame, head_k: int | None = None) -> DataFrame:
     "counts come from length-minus-stripped-length (one regexp_replace "
     "per class), NOT a character explode — map-only, zero shuffles, "
     "zero fan-out, so it costs one scan at any corpus size. "
-    "simpson = sum(class²)·1e6 div total² is all-integer (n_chars "
-    "≤ ~10⁵ keeps the squares far under 2^63).",
+    "simpson = sum(class²)·1e6 div total² runs in 128-bit integer "
+    "arithmetic (decimal(38,0) here, HUGEINT in the oracle): the "
+    "original int64 form overflowed on /tmp/skew3's 8 MB document "
+    "(n_chars²·10⁶ ≈ 7·10¹⁹ > 2⁶³ — ANSI hard error, found by the "
+    "round-12 giant-doc fixture), and 128-bit keeps it exact to "
+    "n_chars ~ 10¹⁵.",
 )
 def q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
@@ -1058,9 +1072,14 @@ def q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_digit",
         "n_space",
         "n_other",
+        # decimal(38,0), not long: n_chars²·10⁶ overflows int64 past
+        # n_chars ~ 3·10⁶ (an 8 MB crawl page); div floors back to long.
         F.expr(
-            "(n_alpha*n_alpha + n_digit*n_digit + n_space*n_space"
-            " + n_other*n_other) * 1000000 div (n_chars*n_chars)"
+            "(cast(n_alpha as decimal(38,0)) * n_alpha"
+            " + cast(n_digit as decimal(38,0)) * n_digit"
+            " + cast(n_space as decimal(38,0)) * n_space"
+            " + cast(n_other as decimal(38,0)) * n_other)"
+            " * 1000000 div (cast(n_chars as decimal(38,0)) * n_chars)"
         )
         .cast("long")
         .alias("simpson_ppm"),
