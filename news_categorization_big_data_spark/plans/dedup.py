@@ -42,13 +42,23 @@ def _shingles_cte(src: str = "documents WHERE text <> ''") -> str:
     """CTE chain producing (doc_id, shingle) from a (doc_id, text)
     relation — parameterized so composed pipelines (q_pipeline_curate)
     can shingle an intermediate CTE instead of the raw table."""
+    # list_zip + relational DISTINCT, not list lambdas: the original
+    # list_transform(range(..), i -> t[i:i+2]) indexes the captured
+    # list per element — quadratic in DuckDB on /tmp/skew3's 1.5M-token
+    # rows — and list_distinct was a single-threaded giant-cell op.
+    # zip(t[1:n-2], t[2:n-1], t[3:n]) builds the same 3-token windows
+    # linearly; len(t) >= 3 guards the n=1 edge where len(t)-2 = -1
+    # would hit DuckDB's from-end slice semantics (n<3 docs produce no
+    # shingles in either form).
     return f"""
     toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
              FROM {src}),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-           FROM toks)
+    sh AS (SELECT DISTINCT doc_id,
+                  u[1] || ' ' || u[2] || ' ' || u[3] AS shingle
+           FROM (SELECT doc_id,
+                        unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1],
+                                        t[3:len(t)])) AS u
+                 FROM toks WHERE len(t) >= 3))
 """
 
 

@@ -40,9 +40,14 @@ FLUENCY_MIN_HEAD = 10
     oracle=f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
                   FROM documents WHERE text <> ''),
-    pairs AS (SELECT doc_id, t[i.i] AS head, t[i.i + 1] AS nxt
-              FROM toks, unnest(range(1, len(t))) AS i(i)
-              WHERE t[i.i] <> '' AND t[i.i + 1] <> ''),
+    -- list_zip, not a lateral range-unnest: the lateral carries the
+    -- whole token array per emitted index (quadratic bytes on giant
+    -- docs — see q_bigram_lm's oracle note). Same (t[i], t[i+1]) pairs.
+    pairs AS (SELECT doc_id, u[1] AS head, u[2] AS nxt
+              FROM (SELECT doc_id,
+                           unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u
+                    FROM toks)
+              WHERE u[1] <> '' AND u[2] <> ''),
     lm AS (SELECT head, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM pairs GROUP BY head, nxt),
     lmh AS (SELECT head, nxt,

@@ -308,12 +308,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
                   FROM documents WHERE text <> ''),
+    -- linear list_zip shingles + relational DISTINCT (see
+    -- plans/dedup.py _shingles_cte for why the lambda form is
+    -- quadratic on giant docs; len(t) >= 3 guards the from-end slice
+    -- edge at n=1)
     hh AS (SELECT doc_id,
                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-           FROM (SELECT doc_id,
-                        unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-                 FROM toks)),
+           FROM (SELECT DISTINCT doc_id,
+                        u[1] || ' ' || u[2] || ' ' || u[3] AS shingle
+                 FROM (SELECT doc_id,
+                              unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1],
+                                              t[3:len(t)])) AS u
+                       FROM toks WHERE len(t) >= 3))),
     sp AS (SELECT doc_id,
                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                     % 1000 AS b

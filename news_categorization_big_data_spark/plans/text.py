@@ -519,12 +519,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_bpe_pair_counts",
     oracle="""
-    WITH g AS (SELECT list_transform(range(1, len(t)),
-                                     i -> array_to_string(t[i:i+1], ' ')) AS grams
+    -- linear list_zip bigrams (the q_repetition_stats form): the
+    -- lambda-indexing original ran quadratic on /tmp/skew3's 1.5M-token
+    -- rows. Identical pairs: u = (t[i], t[i+1]), i in 1..len-1.
+    WITH g AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u
                FROM (SELECT regexp_split_to_array(text, '\\s+') AS t
                      FROM documents WHERE text <> ''))
-    SELECT pair, COUNT(*) AS cnt
-    FROM (SELECT unnest(grams) AS pair FROM g)
+    SELECT u[1] || ' ' || u[2] AS pair, COUNT(*) AS cnt
+    FROM g
     GROUP BY pair
     ORDER BY cnt DESC, pair
     LIMIT 64
@@ -662,9 +664,10 @@ COLLOC_TOP_K = 50
     uni AS (SELECT unnest(t) AS w FROM toks),
     ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM uni),
-    big AS (SELECT unnest(list_transform(range(1, len(t)),
-                          i -> array_to_string(t[i:i+1], ' '))) AS pair
-            FROM toks),
+    -- linear list_zip bigrams (see q_repetition_stats' oracle note)
+    big AS (SELECT u[1] || ' ' || u[2] AS pair
+            FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u
+                  FROM toks)),
     bcnt AS (SELECT pair, COUNT(*) AS n_ab FROM big GROUP BY 1
              HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
     j AS (SELECT b.pair, b.n_ab, ua.n AS n_a, ub.n AS n_b, tot.n_tot
@@ -867,11 +870,18 @@ RARITY_CAP_MILLI = 10_000_000
 @register(
     "q_token_rarity",
     oracle=f"""
+    -- unnest in SELECT, not the lateral `FROM documents, unnest(..)`
+    -- form: the lateral join carries the WHOLE source row — including
+    -- text — alongside every emitted token, so a /tmp/skew3 8 MB
+    -- document pays 8 MB of string copying per token (1.5M tokens ⇒
+    -- effectively never finishes). The SELECT form carries doc_id
+    -- only: ~14 s for the whole fixture. Row semantics identical
+    -- (empty/NULL token lists emit zero rows either way).
     WITH toks AS (
-      SELECT doc_id, t.tok AS tok
-      FROM documents,
-           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                              x -> x <> '')) AS t(tok)
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
     ),
     vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
@@ -1190,9 +1200,14 @@ BIGRAM_TOPK = 3
     oracle=f"""
     WITH toks AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS t
                   FROM documents WHERE text <> ''),
-    pairs AS (SELECT t[i.i] AS head, t[i.i + 1] AS nxt
-              FROM toks, unnest(range(1, len(t))) AS i(i)
-              WHERE t[i.i] <> '' AND t[i.i + 1] <> ''),
+    -- list_zip, not a lateral `FROM toks, unnest(range(..))`: the
+    -- lateral join carries the whole token ARRAY per emitted index
+    -- (12 MB × 1.5M rows on a /tmp/skew3 giant doc); zip carries two
+    -- strings per row. Same (t[i], t[i+1]) pairs.
+    pairs AS (SELECT u[1] AS head, u[2] AS nxt
+              FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u
+                    FROM toks)
+              WHERE u[1] <> '' AND u[2] <> ''),
     c AS (SELECT head, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM pairs GROUP BY head, nxt),
     h AS (SELECT head, nxt, cnt,
