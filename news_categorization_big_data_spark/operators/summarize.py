@@ -36,13 +36,19 @@ def split_units(df: DataFrame, id_col: str, text_col: str, unit_tokens: int = 12
     """(id, pos, unit) rows: sentence split where punctuation exists, else
     fixed token-count chunks (the testdata word-soup has no sentence
     marks). Chunking is pure array algebra — no explode-then-regroup."""
-    toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(unit_tokens)).cast("int")
+    # Tokenize in a separate projection: a slice of the tokens
+    # EXPRESSION inside the transform lambda would re-split the text
+    # per chunk (the q_dedup_passage quadratic, plans/corpus.py —
+    # bounded here by the MAX_INPUT_CHARS clamp, fixed on principle).
+    base = fan_out(df).select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(unit_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * unit_tokens + 1, unit_tokens), " "),
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), i * unit_tokens + 1, unit_tokens), " "
+        ),
     )
-    return fan_out(df).select(
+    return base.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "unit")
     ).where(F.col("unit") != "")
 

@@ -51,14 +51,21 @@ WSAMPLE_DEN = 1000
 @register(
     "q_dedup_passage",
     oracle=f"""
+    -- positional unnest + GROUP BY chunk, not a range-lambda slicing
+    -- the captured list (quadratic in DuckDB on /tmp/skew3's 1.5M-token
+    -- rows — the same class as the shingle-CTE rewrite) nor a lateral
+    -- carrying the token array per row. Multiple unnests in one SELECT
+    -- zip positionally; chunk c = tokens (i-1)//P == c, HAVING = P
+    -- keeps exactly the floor(len/P) FULL chunks the slice form built.
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                  FROM documents WHERE text <> ''),
+    toku AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+             FROM tok),
     chunks AS (SELECT doc_id,
-                      md5(array_to_string(
-                          t[(i*{PASSAGE_TOKENS}+1):(i*{PASSAGE_TOKENS}+{PASSAGE_TOKENS})],
-                          ' ')) AS h
-               FROM tok,
-                    UNNEST(range(CAST(floor(len(t) / {PASSAGE_TOKENS}) AS BIGINT))) AS u(i)),
+                      md5(string_agg(w, ' ' ORDER BY i)) AS h
+               FROM toku
+               GROUP BY doc_id, (i - 1) // {PASSAGE_TOKENS}
+               HAVING COUNT(*) = {PASSAGE_TOKENS}),
     freq AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
     SELECT ch.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_passages,
@@ -85,13 +92,21 @@ WSAMPLE_DEN = 1000
 def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     P = PASSAGE_TOKENS
-    toks = F.split(F.col("text"), " ")
-    n = F.floor(F.size(toks) / P).cast("int")
+    # Tokenize in a SEPARATE projection so the lambda below slices a
+    # bound column, not the split(text) EXPRESSION: an expression in a
+    # higher-order-function body re-evaluates per element, which made
+    # this operator quadratic on /tmp/skew3's giant docs (re-splitting
+    # 8 MB of text for each of 190k chunks — ~20 min per task; linear
+    # form: seconds). _toks is referenced twice (size + slice), so
+    # CollapseProject's non-cheap guard keeps the split hoisted —
+    # pinned by tests/test_giant_docs.py.
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    n = F.floor(F.size("_toks") / P).cast("int")
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    chunk = lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * P + 1, P)))  # noqa: E731
-    chunks = docs.select(
+    chunk = lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i * P + 1, P)))  # noqa: E731
+    chunks = base.select(
         "doc_id", F.explode(F.transform(idx, chunk)).alias("h")
     )
     freq = chunks.groupBy("h").agg(F.count("*").alias("c"))

@@ -112,3 +112,19 @@ def test_decode_payloads_handles_megabyte_payload_batches(spark):
     }
     for i, (w, h) in enumerate(dims):
         assert got[i] == (w, h, True)
+
+
+def test_dedup_passage_split_stays_hoisted_out_of_the_lambda(spark, sf_dir):
+    """The chunk lambda must slice a bound _toks column, not the
+    split(text) expression — an expression in a HOF body re-evaluates
+    per element (quadratic: ~20 min/task on a /tmp/skew3 giant doc).
+    CollapseProject's non-cheap guard keeps the split hoisted; this
+    pins it against optimizer changes (the bootstrap-md5 precedent)."""
+    plan = (
+        REGISTRY["q_dedup_passage"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(text") == 1, plan
