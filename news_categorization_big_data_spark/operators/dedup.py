@@ -176,8 +176,13 @@ def jaccard_pairs(
             F.transform(word_shingles(text_col, k), lambda s: hash60(s))
         )
     )
+    # long, not int: the candidate length filters multiply _sz by 1e6
+    # (ppm arithmetic) — int32 overflows for any doc with >= 2148
+    # distinct shingles (~10 KB of text; ANSI hard error, found by the
+    # /tmp/skew3 giant-doc fixture). One cast here keeps every
+    # downstream product in int64.
     sized = fan_out(docs).select(
-        F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
+        F.col(id_col), F.size(hs).cast("long").alias("_sz"), hs.alias("_hs")
     )
     # `sized` feeds three consumers (prefix explode + both verify sides);
     # without persistence the narrow shingle+hash projection recomputes
@@ -442,8 +447,13 @@ def containment_pairs(
             F.transform(word_shingles(text_col, k), lambda s: hash60(s))
         )
     )
+    # long, not int: the candidate length filters multiply _sz by 1e6
+    # (ppm arithmetic) — int32 overflows for any doc with >= 2148
+    # distinct shingles (~10 KB of text; ANSI hard error, found by the
+    # /tmp/skew3 giant-doc fixture). One cast here keeps every
+    # downstream product in int64.
     sized = fan_out(docs).select(
-        F.col(id_col), F.size(hs).alias("_sz"), hs.alias("_hs")
+        F.col(id_col), F.size(hs).cast("long").alias("_sz"), hs.alias("_hs")
     )
     if persist_sets:
         from news_categorization_big_data_spark.functions.cachepin import pin

@@ -72,26 +72,41 @@ _SHINGLES_CTE = _shingles_cte()
 JACCARD_MAX_DF = 1000
 
 
+#: Relational verify, NOT per-doc sorted-list cells: the original
+#: built a 200k-element hsorted list per /tmp/skew3 giant doc and ran
+#: len(list_intersect(..)) per candidate pair — single-cell ops that
+#: ground for 10+ minutes at fixture scale. The prefix is the
+#: row_number-by-hash window (identical to slicing the ascending
+#: sorted list), |A∩B| is the h-equijoin of the (doc, h) rows grouped
+#: per pair — Σ df² work, the same bound the Spark prefix filter is
+#: designed around (the pair-driven form fanned out Σ_pairs |A| and
+#: spilled 47 GB on the skew3 candidate-dense regime) — and
+#: zero-intersection pairs dropping out of the GROUP BY is harmless
+#: (they can never pass a ≥0.8 threshold with sz ≥ 1).
 _NGRAM_JACCARD_ORACLE = f"""
     WITH {_SHINGLES_CTE},
-    hs AS (SELECT doc_id,
-                  list_sort(list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)))
-                    AS hsorted
-           FROM sh GROUP BY doc_id),
-    sized AS (SELECT doc_id, len(hsorted) AS sz, hsorted FROM hs),
-    pref AS (SELECT doc_id,
-                    unnest(hsorted[1 : CAST(sz - floor(0.8 * sz) + 1 AS INT)]) AS h
-             FROM sized),
+    hh AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM sh),
+    rnk AS (SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS sz
+            FROM hh),
+    pref AS (SELECT doc_id, h FROM rnk
+             WHERE r <= sz - floor(0.8 * sz) + 1),
     capped AS (SELECT h FROM pref GROUP BY h HAVING COUNT(*) <= {JACCARD_MAX_DF}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM pref a JOIN pref b USING (h) JOIN capped USING (h)
              WHERE a.doc_id < b.doc_id),
-    v AS (SELECT doc_a, doc_b,
-                 len(list_intersect(sa.hsorted, sb.hsorted)) AS inter,
-                 sa.sz AS sza, sb.sz AS szb
-          FROM cand
-          JOIN sized sa ON sa.doc_id = cand.doc_a
-          JOIN sized sb ON sb.doc_id = cand.doc_b)
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM hh GROUP BY doc_id),
+    iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM hh a JOIN hh b ON b.h = a.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    v AS (SELECT c.doc_a, c.doc_b, i.inter, sa.sz AS sza, sb.sz AS szb
+          FROM cand c
+          JOIN iv i USING (doc_a, doc_b)
+          JOIN szs sa ON sa.doc_id = c.doc_a
+          JOIN szs sb ON sb.doc_id = c.doc_b)
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) AS jaccard
     FROM v WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
@@ -480,30 +495,34 @@ CONTAIN_MAX_DF = 1000
 @register(
     "q_dedup_containment",
     oracle=f"""
+    -- relational verify (see _NGRAM_JACCARD_ORACLE's note): prefix =
+    -- row_number-by-hash window, |A∩B| = hash-match join per pair —
+    -- no giant per-doc sorted-list cells, no per-pair list_intersect.
     WITH {_SHINGLES_CTE},
-    hs AS (SELECT doc_id,
-                  list_sort(list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)))
-                    AS hsorted
-           FROM sh GROUP BY doc_id),
-    sized AS (SELECT doc_id, len(hsorted) AS sz, hsorted FROM hs),
-    pref AS (SELECT doc_id,
-                    unnest(hsorted[1 : CAST(sz - floor((sz * {CONTAIN_PCT} + 99) / 100) + 1 AS INT)])
-                      AS h
-             FROM sized),
-    idx AS (SELECT doc_id, unnest(hsorted) AS h FROM sized),
-    capped AS (SELECT h FROM idx GROUP BY h
+    hh AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM sh),
+    rnk AS (SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS sz
+            FROM hh),
+    pref AS (SELECT doc_id, h FROM rnk
+             WHERE r <= sz - floor((sz * {CONTAIN_PCT} + 99) / 100) + 1),
+    capped AS (SELECT h FROM hh GROUP BY h
                HAVING COUNT(*) <= {CONTAIN_MAX_DF}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM pref a
-             JOIN (SELECT idx.doc_id, idx.h FROM idx JOIN capped USING (h)) b
+             JOIN (SELECT hh.doc_id, hh.h FROM hh JOIN capped USING (h)) b
                ON a.h = b.h
              WHERE a.doc_id <> b.doc_id),
-    v AS (SELECT doc_a, doc_b,
-                 len(list_intersect(sa.hsorted, sb.hsorted)) AS inter,
-                 sa.sz AS sza
-          FROM cand
-          JOIN sized sa ON sa.doc_id = cand.doc_a
-          JOIN sized sb ON sb.doc_id = cand.doc_b)
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM hh GROUP BY doc_id),
+    iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM hh a JOIN hh b ON b.h = a.h AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+    v AS (SELECT c.doc_a, c.doc_b, i.inter, sa.sz AS sza
+          FROM cand c
+          JOIN iv i USING (doc_a, doc_b)
+          JOIN szs sa ON sa.doc_id = c.doc_a)
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / sza, 4) AS containment
     FROM v WHERE inter * 100 >= sza * {CONTAIN_PCT}
@@ -894,26 +913,29 @@ def _lsh_recall_oracle() -> str:
     of truth for both sides, the ann_recall pattern for text dedup."""
     return f"""
     WITH {_lsh_cand_ctes()},
-    hs2 AS (SELECT doc_id,
-                   list_sort(list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)))
-                     AS hsorted
-            FROM sh GROUP BY doc_id),
-    sized2 AS (SELECT doc_id, len(hsorted) AS sz, hsorted FROM hs2),
-    pref2 AS (SELECT doc_id,
-                     unnest(hsorted[1 : CAST(sz - floor(0.8 * sz) + 1 AS INT)]) AS h
-              FROM sized2),
+    hh2 AS (SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh),
+    rnk2 AS (SELECT doc_id, h,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+             FROM hh2),
+    pref2 AS (SELECT doc_id, h FROM rnk2
+              WHERE r <= sz - floor(0.8 * sz) + 1),
     capped2 AS (SELECT h FROM pref2 GROUP BY h HAVING COUNT(*) <= {JACCARD_MAX_DF}),
     cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM pref2 a JOIN pref2 b USING (h) JOIN capped2 USING (h)
               WHERE a.doc_id < b.doc_id),
-    truth AS (SELECT doc_a, doc_b FROM (
-                SELECT doc_a, doc_b,
-                       len(list_intersect(sa.hsorted, sb.hsorted)) AS inter,
-                       sa.sz AS sza, sb.sz AS szb
-                FROM cand2
-                JOIN sized2 sa ON sa.doc_id = cand2.doc_a
-                JOIN sized2 sb ON sb.doc_id = cand2.doc_b)
-              WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8),
+    szs2 AS (SELECT doc_id, COUNT(*) AS sz FROM hh2 GROUP BY doc_id),
+    iv2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM hh2 a JOIN hh2 b ON b.h = a.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    truth AS (SELECT c.doc_a, c.doc_b
+              FROM cand2 c
+              JOIN iv2 i USING (doc_a, doc_b)
+              JOIN szs2 sa ON sa.doc_id = c.doc_a
+              JOIN szs2 sb ON sb.doc_id = c.doc_b
+              WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8),
     hit AS (SELECT COUNT(*) AS n_hit
             FROM truth JOIN cand USING (doc_a, doc_b)),
     tot AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
