@@ -37,6 +37,18 @@ items):
    proven output-identical on the new hot-user fixture /tmp/skew2). All re-proven
    MATCH by subset_sim in-session (plus valve-ON proofs for the
    ordered family and skew-fixture proofs for the dedup family).
+1b. The 13 plans changed by the round-12 GIANT-DOC program (the
+   /tmp/skew3 fixture caught three real at-scale failures — the
+   q_char_classes int64 simpson overflow, the q_dedup_passage
+   HOF-lambda re-split quadratic, the jaccard int32 size-filter
+   overflow — plus the dedup/token-stream oracle rewrites to linear
+   list_zip / relational-verify forms; SCALE.md "giant-DOCUMENT
+   axis"): q_char_classes, q_repetition_stats, q_dedup_passage,
+   q_summarize_extractive, q_minhash_jaccard_est, q_dedup_near,
+   q_dedup_incremental, q_dedup_cluster, q_dedup_minhash,
+   q_collocations, q_bigram_lm, q_doc_fluency, q_decontaminate.
+   All proven in-session: sf0.01 subset sims MATCH, full driver sim
+   282/282, and 65 queries oracle-MATCH at fixture scale.
 2. The 4 plans changed late in round 11 AFTER its window froze
    (VERDICT item 2): q_multimodal_decode, q_audio_decode,
    q_video_frames (numpy-vectorized fixture synthesis) and
@@ -44,12 +56,17 @@ items):
 3. The 3 standing canaries — q_group_stats, q_scan_json, q_udf_scalar.
 4. ALL 17 remaining pass(r3) stamps (q_join_salted's sits in group 1)
    — after this window NO stamp predates r4.
-5. Backfill: 14 of the 32 pass(r4) stamps, alphabetical.
+5. Backfill: 1 pass(r4) stamp (q_argmax_join) — group 1b displaced
+   the other 13 alphabetical r4 backfills past the 50-slot boundary
+   (changed code outranks re-proof rotation).
 
 Round-13 window plan (for the next session): (a) anything round 13
-changes; (b) the 3 standing canaries; (c) the 17 pass(r4) leftovers —
-q_percent_change, q_resample_ohlc, q_rollup, q_sample_weighted,
-q_scan_partitioned, q_stream_session,
+changes; (b) the 3 standing canaries; (c) the pass(r4) leftovers —
+the 13 displaced by group 1b (q_asof_forward, q_asof_tolerance,
+q_embedding_quantize, q_event_transitions, q_gap_fill,
+q_graph_triangles, q_group_entropy, q_group_mode, and the rest of the
+old alphabetical backfill) plus q_percent_change, q_resample_ohlc,
+q_rollup, q_sample_weighted, q_scan_partitioned, q_stream_session,
 q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
 q_tpch_q2, q_tpch_q20, q_tpch_q21, q_tpch_q4, q_window_nth,
 q_window_time_range; (d) back-fill with pass(r5), oldest first. Keep
@@ -114,6 +131,28 @@ _DRIVER_ORDER = [
     "q_lsh_recall",
     "q_simhash_hamming",
     "q_sessionize",
+    # -- 1b. plans changed by the round-12 GIANT-DOC program (the
+    #       /tmp/skew3 fixture, SCALE.md): q_char_classes' 128-bit
+    #       simpson arithmetic, q_dedup_passage's hoisted chunk
+    #       tokenize (also moved up from the r4 backfill group),
+    #       q_summarize_extractive's split_units hoist, the _sz
+    #       long-cast through the jaccard/containment candidate
+    #       filters, and the dedup-family oracles' linear
+    #       list_zip/relational-verify rewrites (sf0.01 values
+    #       bit-identical, full driver sim 282/282 in-session).
+    "q_char_classes",
+    "q_repetition_stats",
+    "q_dedup_passage",
+    "q_summarize_extractive",
+    "q_minhash_jaccard_est",
+    "q_dedup_near",
+    "q_dedup_incremental",
+    "q_dedup_cluster",
+    "q_dedup_minhash",
+    "q_collocations",
+    "q_bigram_lm",
+    "q_doc_fluency",
+    "q_decontaminate",
     # -- 2. plans changed late in round 11, AFTER its window froze
     #       (the window note + VERDICT item 2): vectorized fixture
     #       synthesis (multimodal/audio/video) and the token_rarity
@@ -145,16 +184,26 @@ _DRIVER_ORDER = [
     "q_value_histogram",
     "q_variant_json",
     "q_vocab_coverage",
-    # -- 5. backfill: 14 of the 32 pass(r4) stamps (alphabetical;
-    #       the remaining 17 — q_percent_change, q_resample_ohlc,
-    #       q_rollup, q_sample_weighted, q_scan_partitioned,
-    #       q_stream_session, q_time_rollup_multi, q_tpch_q11/q12/
-    #       q15/q16/q2/q20/q21/q4, q_window_nth, q_window_time_range
-    #       — rotate in round 13).
+    # -- 5. NEW in round 12, ROTATION_PENDING (registered past the
+    #       50-slot window — group 4's r3 re-proofs keep their slots;
+    #       official stamps land with the round-13 window head; both
+    #       proven in-session by subset sim at sf0.01 + skew3):
+    #       q_quality_buckets (CCNet-style per-lang quality terciles)
+    #       and q_url_normalize (URL canonicalization + dedup).
+    "q_quality_buckets",
+    "q_url_normalize",
+    # -- 6. backfill: pass(r4) stamps, alphabetical. The giant-doc
+    #       group (1b) displaced most of these past the 50-slot
+    #       boundary — changed code outranks re-proof rotation (the
+    #       round-8 convention); the displaced r4 names head the
+    #       round-13 rotation together with q_percent_change,
+    #       q_resample_ohlc, q_rollup, q_sample_weighted,
+    #       q_scan_partitioned, q_stream_session, q_time_rollup_multi,
+    #       q_tpch_q11/q12/q15/q16/q2/q20/q21/q4, q_window_nth,
+    #       q_window_time_range. (q_dedup_passage moved into 1b.)
     "q_argmax_join",
     "q_asof_forward",
     "q_asof_tolerance",
-    "q_dedup_passage",
     "q_embedding_quantize",
     "q_event_transitions",
     "q_gap_fill",
@@ -210,7 +259,6 @@ _DRIVER_ORDER = [
     "q_attrib_channel",
     "q_rfm_segments",
     "q_array_hof",
-    "q_decontaminate",
     "q_group_quantiles",
     "q_mix_sources",
     "q_sample_stratified",
@@ -253,14 +301,12 @@ _DRIVER_ORDER = [
     "q_pii_scrub",
     "q_quality_filter",
     "q_quality_score",
-    "q_repetition_stats",
     "q_text_stats",
     "q_token_count",
     "q_top_terms_per_doc",
     "q_doc_fingerprint",
     "q_classify_keywords",
     "q_pipeline_digest",
-    "q_summarize_extractive",
     "q_knn_label",
     "q_ml_classify",
     "q_ml_kmeans",
@@ -275,12 +321,10 @@ _DRIVER_ORDER = [
     "q_skyline",
     "q_component_sizes",
     "q_graph_degree_dist",
-    "q_minhash_jaccard_est",
     "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",
     "q_semantic_dedup",
-    "q_collocations",
     "q_graph_jaccard_neighbors",
     "q_chi2_terms",
     "q_tfidf_pairs",
@@ -310,17 +354,13 @@ _DRIVER_ORDER = [
     "q_label_centroids",
     "q_stream_trending",
     "q_rank_normalize",
-    "q_char_classes",
     "q_sink_pyds_roundtrip",
     "q_pq_search",
     "q_grouped_auc",
     "q_skew_profile",
     "q_split_leakproof",
-    "q_bigram_lm",
     "q_sample_per_group",
-    "q_dedup_incremental",
     "q_top_paths",
-    "q_doc_fluency",
     "q_sample_wor",
     "q_er_blocking",
     "q_twap",
@@ -333,9 +373,6 @@ _DRIVER_ORDER = [
     "q_rolling_corr",
     "q_pipeline_curate",
     "q_curation_funnel",
-    "q_dedup_near",
-    "q_dedup_cluster",
-    "q_dedup_minhash",
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_tpch_q1",
@@ -425,12 +462,13 @@ _reordered = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 
-#: Queries registered AFTER the current round's window froze. Every
-#: registered query has an official row from rounds 1-7, so the set is
-#: empty; new queries registered during round 8 that cannot fit the
-#: already-committed window go here for the round-9 rotation.
-#: tests/test_driver_contract.py allows exactly this set to sit outside
-#: the window row-less.
-ROTATION_PENDING: frozenset[str] = frozenset()
+#: Queries registered AFTER the current round's window froze (or past
+#: its 50-slot boundary): no official row yet; stamped by the next
+#: round's window head. tests/test_driver_contract.py allows exactly
+#: this set to sit outside the window row-less. Round 12 registered
+#: two new Tier-C operators; q_quality_buckets took the window's last
+#: slot, q_url_normalize rotates in round 13 (both proven in-session:
+#: sf0.01 subset sim MATCH + /tmp/skew3 fixture MATCH).
+ROTATION_PENDING: frozenset[str] = frozenset({"q_url_normalize"})
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

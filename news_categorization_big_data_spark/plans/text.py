@@ -867,17 +867,16 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 RARITY_CAP_MILLI = 10_000_000
 
 
-@register(
-    "q_token_rarity",
-    oracle=f"""
-    -- unnest in SELECT, not the lateral `FROM documents, unnest(..)`
-    -- form: the lateral join carries the WHOLE source row — including
-    -- text — alongside every emitted token, so a /tmp/skew3 8 MB
-    -- document pays 8 MB of string copying per token (1.5M tokens ⇒
-    -- effectively never finishes). The SELECT form carries doc_id
-    -- only: ~14 s for the whole fixture. Row semantics identical
-    -- (empty/NULL token lists emit zero rows either way).
-    WITH toks AS (
+#: Shared rarity CTE chain — q_token_rarity's oracle body, reused by
+#: q_quality_buckets so the two provably score documents identically.
+#: unnest in SELECT, not the lateral `FROM documents, unnest(..)`
+#: form: the lateral join carries the WHOLE source row — including
+#: text — alongside every emitted token, so a /tmp/skew3 8 MB
+#: document pays 8 MB of string copying per token (1.5M tokens ⇒
+#: effectively never finishes). The SELECT form carries doc_id
+#: only: ~14 s for the whole fixture. Row semantics identical
+#: (empty/NULL token lists emit zero rows either way).
+_RARITY_CTES = f"""toks AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                                 x -> x <> '')) AS tok
@@ -887,12 +886,19 @@ RARITY_CAP_MILLI = 10_000_000
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
     rar AS (SELECT tok, LEAST({RARITY_CAP_MILLI},
                               (CAST(n AS BIGINT) * 1000) // cnt) AS rarity
-            FROM vocab, tot)
-    SELECT toks.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS mean_rarity_milli
-    FROM toks JOIN rar USING (tok)
-    GROUP BY toks.doc_id
+            FROM vocab, tot),
+    rarity AS (SELECT toks.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS mean_rarity_milli
+               FROM toks JOIN rar USING (tok)
+               GROUP BY toks.doc_id)"""
+
+
+@register(
+    "q_token_rarity",
+    oracle=f"""
+    WITH {_RARITY_CTES}
+    SELECT doc_id, n_tokens, mean_rarity_milli FROM rarity
     """,
     tier="C",
     doc="Per-document mean token rarity against the corpus unigram "
@@ -1271,5 +1277,136 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "head_total",
             F.expr("cnt * 1000000 div head_total").cast("long").alias("cond_ppm"),
+        )
+    )
+
+
+#: q_quality_buckets: per-language quality terciles (CCNet-style).
+QUALITY_N_BUCKETS = 3
+
+
+@register(
+    "q_quality_buckets",
+    oracle=f"""
+    WITH {_RARITY_CTES},
+    lab AS (SELECT r.doc_id, d.lang, r.mean_rarity_milli,
+                   ntile({QUALITY_N_BUCKETS}) OVER
+                     (PARTITION BY d.lang
+                      ORDER BY r.mean_rarity_milli, r.doc_id) AS b
+            FROM rarity r JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, mean_rarity_milli,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM lab
+    """,
+    tier="C",
+    doc="CCNet-style language-conditional quality bucketing (Wenzek et "
+    "al. 2020: per-language head/middle/tail by LM perplexity — the "
+    "standard pretraining-corpus stratification for mixing and "
+    "curriculum): every document is labeled by its per-LANGUAGE "
+    "tercile of the exact-integer rarity score (q_token_rarity's "
+    "perplexity proxy, shared CTE — the two provably score documents "
+    "identically), lowest-rarity third = 'head' (most fluent). "
+    "Determinism: ntile over the unique (score, doc_id) sort key is "
+    "fully order-determined, so labels are identical across engines — "
+    "no float quantile boundary, no tie ambiguity. Plan: the rarity "
+    "lineage (one explode, one vocab agg, one skew-split join), one "
+    "doc_id join back to lang, one per-lang ntile window. Scale: the "
+    "exact per-lang ntile sorts each language's docs; languages are "
+    "few and Zipf-sized, so the documented planet-scale swap is the "
+    "q_equidepth_histogram discipline — and because the score is an "
+    "INTEGER (milli-units), the swap is EXACT here: per-(lang, score) "
+    "counts, cumulative rank over the small value-domain table, "
+    "broadcast bucket bounds, map-only label — no sketch "
+    "approximation needed.",
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rarity = token_rarity_frame(docs)
+    lab = rarity.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_rarity_milli", "doc_id")
+    b = F.ntile(QUALITY_N_BUCKETS).over(w)
+    return lab.select(
+        "doc_id",
+        "lang",
+        "mean_rarity_milli",
+        F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+@register(
+    "q_url_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'HTTPS://WWW.Ex' || CAST(doc_id % 21 AS VARCHAR)
+                       || '.COM/Items/' || CAST(doc_id % 21 AS VARCHAR) || '/'
+                  ELSE 'http://ex' || CAST(doc_id % 21 AS VARCHAR)
+                       || '.com/Items/' || CAST(doc_id % 21 AS VARCHAR)
+                       || '?utm_source=feed'
+             END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(lower(url),
+                 '^https?://', ''),
+                 '^www\\.', ''),
+                 '#.*$', ''),
+                 '[?&]utm_[^&]*', ''),
+                 '/$', '') AS url_canonical
+      FROM raw)
+    SELECT url_canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           MIN(doc_id) AS keeper_doc
+    FROM canon
+    GROUP BY url_canonical
+    """,
+    tier="C",
+    doc="URL canonicalization + exact URL-level dedup — the stage a "
+    "crawl pipeline runs BEFORE fetching or content dedup (the same "
+    "page arrives as http/https, with/without www, with tracking "
+    "params, trailing slashes, fragments): lowercase → strip scheme → "
+    "strip www. → drop fragment → drop utm_* tracking params → strip "
+    "trailing slash, then group by the canonical form reporting "
+    "duplicate count, distinct raw spellings merged, and the "
+    "keep-lowest-id survivor (q_dedup_keep_best's policy at URL "
+    "granularity). The raw URL column is synthesized in-plan as a "
+    "deterministic function of doc_id (the codec-fixture pattern: "
+    "generate → process → verify; doc_id mod 21 buckets — an ODD "
+    "modulus, so each bucket collects BOTH parities — plant real "
+    "duplicate groups spanning BOTH raw spellings, so the oracle "
+    "hash proves the canonicalizer actually merges distinct forms) — "
+    "in production the column comes from the crawl index and the "
+    "normalize→groupBy plan is unchanged. Scale: map-only regex "
+    "chain in whole-stage codegen, one partial-aggregating shuffle "
+    "on the canonical key; hot canonical URLs (link farms) are "
+    "absorbed by map-side combine exactly like any hot groupBy key.",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(F.col("doc_id"), F.lit(21)).cast("string")
+    raw = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit("HTTPS://WWW.Ex"), b, F.lit(".COM/Items/"), b, F.lit("/")),
+    ).otherwise(
+        F.concat(F.lit("http://ex"), b, F.lit(".com/Items/"), b, F.lit("?utm_source=feed"))
+    )
+    out = docs.select("doc_id", raw.alias("url"))
+    # lower first, then the replace chain — same order as the oracle
+    c = F.lower(F.col("url"))
+    for pat in ["^https?://", "^www\\.", "#.*$", "[?&]utm_[^&]*", "/$"]:
+        c = F.regexp_replace(c, pat, "")
+    return (
+        out.select("doc_id", "url", c.alias("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc"),
         )
     )
