@@ -104,3 +104,52 @@ def o_dec_to_double(expr: str, scale: int) -> str:
         f"(CAST({hi} AS DOUBLE) * {float(LIMB)!r} + CAST({lo} AS DOUBLE)) "
         f"/ {float(10 ** scale)!r})"
     )
+
+
+def det_log2_sql(n_expr: str, dialect: str) -> str:
+    """Engine-pinned log2 over positive BIGINT counts — identical IEEE
+    doubles on Spark and DuckDB at ANY count, replacing the bounded
+    (n, log2 n) lookup dimension (whose fail-fast bound the /tmp/skew4
+    null group tripped at 30k rows, and any 100-TB hot entity would).
+
+    True log2 is transcendental and NOT correctly rounded by either
+    engine's libm (measured: 7634/20000 last-ulp differences — see
+    q_group_entropy), so instead both engines evaluate the SAME
+    deterministic approximation built ONLY from operations IEEE-754
+    requires to be correctly rounded (+, −, ×, ÷, casts) plus exact
+    integer steps:
+
+      e  = length(bin(n)) − 1          (floor(log2 n), exact integers)
+      m  = double(n) / double(1 << e)  (mantissa in [1,2); both casts
+                                        and the divide correctly round
+                                        — identical doubles)
+      t  = (m−1)/(m+1); ln m = 2t·Σ t^{2k}/(2k+1), k ≤ 16 (atanh
+           series, |t| ≤ 1/3 ⇒ remainder < 3e-17; Horner with literal
+           coefficients in {x!r}e0 form — the shortest-round-trip repr
+           parses to the identical double in both engines, the e0
+           suffix pinning DOUBLE typing, the established literal rule)
+      log2 n = e + ln m · (1/ln 2 as the same literal)
+
+    Every step is the same expression tree on both sides, each op
+    correctly rounded ⇒ bit-identical results; absolute accuracy vs
+    true log2 ~1e-15 (pinned by tests/test_exact_conversion.py over a
+    wide domain). Only the shift-left token differs by dialect.
+    """
+    if dialect == "spark":
+        shift = f"shiftleft(CAST(1 AS BIGINT), (length(bin({n_expr})) - 1))"
+    elif dialect == "duckdb":
+        shift = f"(CAST(1 AS BIGINT) << (length(bin({n_expr})) - 1))"
+    else:  # pragma: no cover - two known dialects
+        raise ValueError(f"unknown dialect: {dialect}")
+    e = f"(length(bin({n_expr})) - 1)"
+    m = f"(CAST({n_expr} AS DOUBLE) / CAST({shift} AS DOUBLE))"
+    t = f"(({m} - 1e0) / ({m} + 1e0))"
+    u = f"({t} * {t})"
+    # Horner over c_k = 1/(2k+1), k = 16 .. 0
+    poly = repr(1.0 / 33.0) + "e0"
+    for k in range(15, -1, -1):
+        c = repr(1.0 / (2 * k + 1)) + "e0"
+        poly = f"({c} + {u} * {poly})"
+    ln_m = f"(2e0 * {t} * {poly})"
+    inv_ln2 = repr(1.0 / __import__("math").log(2.0)) + "e0"
+    return f"(CAST({e} AS DOUBLE) + {ln_m} * {inv_ln2})"

@@ -75,6 +75,14 @@ def asof_join(
         F.when(F.col("_side") == 0, F.struct(*value_cols, F.col(on).alias("_match_on"))),
         ignorenulls=True,
     ).over(w)
+    # A NULL `by` key never matches: the window partitions BY null, so
+    # without the guard every anonymous left row would match the
+    # nearest anonymous right row — asserting two unknown entities are
+    # the same one. DuckDB ASOF (equality on the by key) and pandas
+    # merge_asof both leave null-key lefts unmatched; the /tmp/skew4
+    # null-key fixture caught the divergence. Null-key LEFT rows are
+    # kept (left-join contract) with null right values.
+    carried = F.when(F.col(by).isNotNull(), carried)
     out = combined.withColumn("_carried", carried).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
         gap_us = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_carried._match_on"))

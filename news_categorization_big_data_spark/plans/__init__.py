@@ -60,8 +60,30 @@ items):
    the other 13 alphabetical r4 backfills past the 50-slot boundary
    (changed code outranks re-proof rotation).
 
+LATE round-12 (after the window above was already full): the NULL-KEY
+fixture /tmp/skew4 (tools/make_skew4.py — 30% null user_id, 20% null
+value, null/empty texts and props) exposed and fixed cross-engine
+null-semantics divergences in 16 queries — q_funnel,
+q_retention_cohort (phantom null-user through the join-free
+rewrites), q_equidepth_histogram, q_window_distribution,
+q_rank_normalize, q_ks_drift, q_ml_auc, q_grouped_auc (Spark NULLS
+FIRST vs DuckDB NULLS LAST defaults / null-score policy),
+q_rolling_median (empty-frame index-0 ANSI crash), q_asof_join/
+forward/tolerance (one operator fix: a null by-key never matches),
+q_resample_ohlc (min_by vs arg_min null args), q_variant_json
+(concat-null payload collapse), q_multimodal_cols (to_json
+ignoreNullFields), q_bitmap_setops (self-inconsistent oracle) — and
+q_group_entropy traded its bounded log2 lookup for the UNBOUNDED
+engine-pinned det_log2_sql closed form (functions/exact.py; the
+30k-row null group tripped the 1024 bound, as any 100-TB hot entity
+would). All 16+1 carry older official stamps so they sit legally
+outside the frozen window; every one is proven in-session (sf0.01 +
+/tmp/skew4 subset sims MATCH, full driver sim) and they HEAD the
+round-13 rotation below.
+
 Round-13 window plan (for the next session): (a) anything round 13
-changes; (b) the 3 standing canaries; (c) the pass(r4) leftovers —
+changes — starting with the 17 late-round-12 null-policy plans above;
+(b) the 3 standing canaries; (c) the pass(r4) leftovers —
 the 13 displaced by group 1b (q_asof_forward, q_asof_tolerance,
 q_embedding_quantize, q_event_transitions, q_gap_fill,
 q_graph_triangles, q_group_entropy, q_group_mode, and the rest of the

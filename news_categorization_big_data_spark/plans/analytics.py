@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
+    det_log2_sql,
     o_dec_to_double,
 )
 from news_categorization_big_data_spark.functions.ordered import (
@@ -115,8 +116,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_funnel",
     oracle=f"""
+    -- user_id IS NOT NULL: unauthenticated rows are excluded from
+    -- user-level funnels EXPLICITLY. The stage joins already drop
+    -- null keys (three-valued logic), but stage 1's bare GROUP BY
+    -- kept a phantom null-user — and the Spark window form counted
+    -- it through every stage. The /tmp/skew4 null-key fixture caught
+    -- the divergence; both sides now state the policy.
     WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+                WHERE event_type = '{FUNNEL_STAGES[0]}'
+                  AND user_id IS NOT NULL GROUP BY user_id),
     s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
            FROM events e JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= s1.t1
@@ -151,7 +159,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unordered windows and mins only.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Explicit null-user policy (the /tmp/skew4 find): the round-7
+    # join-chain → stacked-window rewrite silently CHANGED null-key
+    # semantics — a window partitions BY null (one phantom user that
+    # can complete the funnel) where the old equi-joins dropped it.
+    # User-level funnels exclude unauthenticated rows; the filter also
+    # pushes to the scan, dropping the null share before the exchange.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
     w = Window.partitionBy("user_id")
     d = ev.withColumn(
         "_t1",
@@ -205,8 +223,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_retention_cohort",
     oracle="""
+    -- user_id IS NOT NULL: same explicit policy as q_funnel (the
+    -- /tmp/skew4 find — COUNT(DISTINCT user_id) and the join dropped
+    -- null users while the Spark single-scan window form counted one
+    -- phantom null-user per offset group).
     WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-                   FROM events GROUP BY user_id)
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY user_id)
     SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
            date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
            COUNT(DISTINCT e.user_id) AS n_users
@@ -229,8 +252,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string so both engines hash the identical value.",
 )
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit null-user policy — see q_funnel's note (/tmp/skew4).
     act = (
         load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
@@ -640,45 +665,32 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: log2 lookup domain: covers any per-user event count the table can
-#: see at the registered scale factors with ~10x headroom (observed max
-#: 99 at sf0.1); at larger corpora the table is regenerated with a
-#: larger bound — it is driver-generated, not hand-written.
-LOG2_TABLE_MAX = 1024
-
-#: (n, log2 n) rows shared by both engines. repr() emits the shortest
-#: round-tripping decimal; the `e0` suffix forces DuckDB to TYPE the
-#: literal as DOUBLE (parsed correctly-rounded → the exact same IEEE
-#: double Spark receives directly as a Python float). Without it the
-#: literal is typed DECIMAL(17,16), whose decimal arithmetic truncates
-#: on rescale and whose →DOUBLE conversion is off by 1 ulp for ~17% of
-#: the table (both measured here).
-_LOG2_ROWS = [(n, math.log2(n)) for n in range(1, LOG2_TABLE_MAX + 1)]
-_LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
+#: Engine-pinned log2 (functions/exact.py det_log2_sql): bit-identical
+#: IEEE doubles on both engines at ANY count. Round 12 replaced the
+#: 1024-row (n, log2 n) lookup dimension — its fail-fast bound was the
+#: honest design at bounded per-entity counts, but /tmp/skew4's 30k-row
+#: null group tripped it, and ANY 100-TB hot entity would; the closed
+#: arithmetic form removes the bound entirely (same correctness
+#: argument: every op correctly rounded, literals in {x!r}e0 form).
 
 
 @register(
     "q_group_entropy",
     oracle=f"""
-    WITH lut(n, l2) AS (VALUES {_LOG2_VALUES_SQL}),
-    c AS (SELECT user_id, event_type, COUNT(*) AS n
-          FROM events GROUP BY 1, 2),
-    j AS (SELECT c.user_id, c.n,
-                 COALESCE(lut.l2,
-                          error('q_group_entropy: count exceeds log2 '
-                                'lookup bound {LOG2_TABLE_MAX}')) AS l2
-          FROM c LEFT JOIN lut ON c.n = lut.n),
+    -- user_id IS NOT NULL: behavioral entropy of the anonymous
+    -- aggregate is meaningless (the q_funnel null policy).
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    j AS (SELECT user_id, n, {det_log2_sql("n", "duckdb")} AS l2 FROM c),
     s AS (SELECT user_id,
                  CAST(SUM(n) AS BIGINT) AS n_events,
                  {o_dec_to_double("SUM(CAST(n * l2 AS DECIMAL(30,9)))", 9)}
                    AS s_nlogn
           FROM j GROUP BY 1)
-    SELECT s.user_id, s.n_events,
-           COALESCE(lut.l2,
-                    error('q_group_entropy: total exceeds log2 '
-                          'lookup bound {LOG2_TABLE_MAX}'))
-             - s_nlogn / s.n_events AS entropy_bits
-    FROM s LEFT JOIN lut ON s.n_events = lut.n
+    SELECT user_id, n_events,
+           {det_log2_sql("n_events", "duckdb")} - s_nlogn / n_events
+             AS entropy_bits
+    FROM s
     """,
     tier="C",
     doc="Per-user Shannon entropy of the event-type distribution (in "
@@ -686,55 +698,45 @@ _LOG2_VALUES_SQL = ", ".join(f"({n}, {l2!r}e0)" for n, l2 in _LOG2_ROWS)
     "computes per source/domain to downweight single-note spam "
     "(entropy 0 = every event identical; log2(5) ≈ 2.32 = uniform "
     "over the 5 types). Algebraic form: H = log2(N) − Σ nᵢ·log2(nᵢ)/N "
-    "over the (user, type) counts. Determinism: native log2 is NOT "
-    "hash-stable across engines (measured on this platform: 7634 of "
-    "20000 integer inputs differ in the last ulp between Spark's JVM "
-    "log and DuckDB's libm — transcendentals are not correctly "
-    "rounded, unlike +,−,×,÷,√), so BOTH sides join a driver-"
-    "generated (n, log2 n) lookup dimension: Python floats feed Spark "
-    "directly and reach DuckDB as shortest-round-trip repr() literals "
-    "— the identical double by construction. The lookup is "
-    f"{LOG2_TABLE_MAX} rows — a broadcast dimension at any corpus "
-    "scale; counts beyond the bound FAIL FAST on both engines (LEFT "
-    "join + lazily-raised error) rather than silently dropping terms. "
+    "over the (user, type) counts, null users excluded (the q_funnel "
+    "policy — /tmp/skew4). Determinism: native log2 is NOT hash-stable "
+    "across engines (measured on this platform: 7634 of 20000 integer "
+    "inputs differ in the last ulp between Spark's JVM log and "
+    "DuckDB's libm — transcendentals are not correctly rounded, "
+    "unlike +,−,×,÷,√), so BOTH sides evaluate the engine-pinned "
+    "closed form det_log2_sql (functions/exact.py): exact integer "
+    "exponent via bin-length, exact mantissa via shift-division, and "
+    "a 17-term atanh/Horner series whose every operation IS correctly "
+    "rounded with {x!r}e0 literals — bit-identical doubles at ANY "
+    "count (pinned over 1..200000 cross-engine in tests), ~1e-15 from "
+    "true log2. Round 12 swap: the previous 1024-row (n, log2 n) "
+    "lookup failed fast past its bound — the right behavior at "
+    "bounded per-entity counts, but /tmp/skew4's 30k-row anonymous "
+    "group tripped it and any 100-TB hot entity would; the closed "
+    "form removes the bound and the two broadcast joins outright. "
     "nᵢ·log2(nᵢ) terms quantize to a 10⁻⁹ grid for the exact decimal "
     "sum — reduction-order-free, grid point identical on both engines "
-    "(an exact half-way would require a non-dyadic double). Two "
-    "dimension-keyed shuffles; the raw event table is touched once.",
+    "(an exact half-way would require a non-dyadic double). One "
+    "map-side-combined shuffle; the raw event table is touched once.",
 )
 def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    lut = spark.createDataFrame(_LOG2_ROWS, "n bigint, l2 double")
-    # LEFT join + lazily-raised error (COALESCE/raise_error short-circuit
-    # in both engines): a count beyond the lookup bound FAILS LOUDLY
-    # instead of silently dropping the (user, type) term — or the whole
-    # user — from the entropy sum. Both engines raise the same way, so
-    # the green hash keeps meaning "identical results", never "identical
-    # silent truncation".
-    oob = F.raise_error(
-        F.lit(f"q_group_entropy: count exceeds log2 lookup bound {LOG2_TABLE_MAX}")
-    ).cast("double")
+    from news_categorization_big_data_spark.functions.exact import det_log2_sql
+
+    # Null policy + unbounded engine-pinned log2 — see the doc above.
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    j = c.join(F.broadcast(lut), "n", "left").withColumn(
-        "l2", F.coalesce(F.col("l2"), oob)
-    )
+    j = c.withColumn("l2", F.expr(det_log2_sql("n", "spark")))
     s = j.groupBy("user_id").agg(
         F.sum("n").alias("n_events"),
         dec_to_double(
             F.sum((F.col("n") * F.col("l2")).cast("decimal(30,9)")), 9
         ).alias("s_nlogn"),
     )
-    lut_n = F.broadcast(
-        lut.select(F.col("n").alias("n_events"), F.col("l2").alias("_l2n"))
-    )
-    oob_total = F.raise_error(
-        F.lit(f"q_group_entropy: total exceeds log2 lookup bound {LOG2_TABLE_MAX}")
-    ).cast("double")
-    return s.join(lut_n, "n_events", "left").select(
+    return s.select(
         "user_id",
         "n_events",
         (
-            F.coalesce(F.col("_l2n"), oob_total)
+            F.expr(det_log2_sql("n_events", "spark"))
             - F.col("s_nlogn") / F.col("n_events")
         ).alias("entropy_bits"),
     )

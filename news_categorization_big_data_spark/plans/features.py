@@ -812,8 +812,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_normalize",
     oracle="""
     WITH dv AS (
+      -- value IS NOT NULL: a NULL feature has no rank — it stays NULL
+      -- downstream instead of occupying a CDF position (and the
+      -- cumulative window would otherwise inherit each engine's
+      -- different default null placement — /tmp/skew4).
       SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL
       GROUP BY 1, 2),
     rk AS (
       SELECT event_type, value, cnt,
@@ -843,8 +848,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kept separate here so the oracle pins the rank table itself.",
 )
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value IS NOT NULL — see the oracle note (/tmp/skew4 null policy).
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     )
     dv = ev.groupBy("event_type", "value").agg(
         F.count("*").cast("long").alias("cnt")

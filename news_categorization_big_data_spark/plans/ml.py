@@ -332,10 +332,14 @@ AUC_POSITIVE_TYPE = "purchase"
 @register(
     "q_ml_auc",
     oracle=f"""
+    -- value IS NOT NULL: an unscored row cannot be ranked — AUC is
+    -- defined over scored examples only (and a NULL in the rank's
+    -- ORDER BY would inherit each engine's different default null
+    -- placement — /tmp/skew4).
     WITH s AS (SELECT value AS score,
                       CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
                            THEN 1 ELSE 0 END AS label
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     r AS (SELECT label,
                  RANK() OVER (ORDER BY score) AS r_lo,
                  CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS ties
@@ -375,7 +379,8 @@ AUC_POSITIVE_TYPE = "purchase"
 def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.ordered import running_sum
 
-    ev = load_table(spark, sf_dir, "events")
+    # value IS NOT NULL — see the oracle note (/tmp/skew4 null policy).
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     s = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0).alias(
@@ -608,11 +613,15 @@ AUC_SEGMENTS = 4
 @register(
     "q_grouped_auc",
     oracle=f"""
+    -- Explicit null policy (/tmp/skew4): unscored rows cannot be
+    -- ranked, and an anonymous (null-user) row has no segment — both
+    -- excluded, same as q_ml_auc/q_funnel.
     WITH s AS (SELECT CAST(user_id % {AUC_SEGMENTS} AS BIGINT) AS segment,
                       value AS score,
                       CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
                            THEN 1 ELSE 0 END AS label
-               FROM events),
+               FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL),
     r AS (SELECT segment, label,
                  RANK() OVER (PARTITION BY segment ORDER BY score) AS r_lo,
                  CAST(COUNT(*) OVER (PARTITION BY segment, score) AS BIGINT)
@@ -646,7 +655,10 @@ AUC_SEGMENTS = 4
 def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Null policy — see the oracle note (/tmp/skew4).
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     s = ev.select(
         (F.col("user_id") % AUC_SEGMENTS).cast("long").alias("segment"),
         F.col("value").alias("score"),

@@ -179,13 +179,20 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    # open/close = first/last RECORDED value: nulling the ordering key
+    # on null-value rows makes min_by/max_by skip them (null keys are
+    # ignored), matching DuckDB's arg_min/arg_max which skip null args
+    # — Spark's min_by would otherwise return a NULL open when the
+    # bucket's earliest event carries no value (/tmp/skew4 find);
+    # high/low/volume already skip nulls (MIN/MAX/SUM semantics).
+    vkey = F.when(F.col("value").isNotNull(), key)
     return ev.groupBy(
         "event_type", F.date_trunc(OHLC_BUCKET, F.col("ts")).alias("bucket")
     ).agg(
-        F.min_by("value", key).alias("open"),
+        F.min_by("value", vkey).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", key).alias("close"),
+        F.max_by("value", vkey).alias("close"),
         dsum("value").alias("volume"),
         F.count("*").alias("n_events"),
     )
@@ -839,7 +846,12 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT DISTINCT event_type FROM events),
     p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
           FROM t a JOIN t b ON a.event_type < b.event_type),
-    u AS (SELECT DISTINCT event_type, user_id FROM events),
+    -- user_id IS NOT NULL: an audience has no anonymous member — and
+    -- without the filter the oracle disagreed with ITSELF (COUNT(*)
+    -- counted the (type, NULL) row, COUNT(DISTINCT user_id) skipped
+    -- it), while the bitmap side dropped null positions (/tmp/skew4).
+    u AS (SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL),
     cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
     uni AS (SELECT p.type_a, p.type_b,
                    CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_union
@@ -871,7 +883,8 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "green hash proves all three set cardinalities exact.",
 )
 def q_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # user_id IS NOT NULL — see the oracle note (/tmp/skew4 policy).
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     tb = ev.groupBy(
         "event_type", F.bitmap_bucket_number("user_id").alias("_bucket")
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bmp"))

@@ -280,11 +280,17 @@ EQUIDEPTH_BUCKETS = 8
 @register(
     "q_equidepth_histogram",
     oracle=f"""
+    -- value IS NOT NULL: a histogram profiles the non-null values
+    -- (null_count is a separate statistic). Also load-bearing for
+    -- cross-engine exactness: with NULLs in the order column Spark's
+    -- default is ASC NULLS FIRST and DuckDB's is ASC NULLS LAST, so
+    -- ntile bucketing diverges silently — /tmp/skew4 caught it; the
+    -- explicit filter makes the default orderings coincide.
     WITH t AS (SELECT event_type, value,
                       ntile({EQUIDEPTH_BUCKETS}) OVER
                         (PARTITION BY event_type
                          ORDER BY value, event_id) AS bucket
-               FROM events)
+               FROM events WHERE value IS NOT NULL)
     SELECT event_type, CAST(bucket AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(value) AS lo, MAX(value) AS hi
@@ -309,7 +315,10 @@ EQUIDEPTH_BUCKETS = 8
     "for zero sort.",
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # value IS NOT NULL — see the oracle note: profiles the non-null
+    # values AND pins cross-engine ntile order (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST would silently diverge; /tmp/skew4).
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         ev.select("event_type", "value", "event_id")

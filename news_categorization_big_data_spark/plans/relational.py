@@ -837,7 +837,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    -- NULLS FIRST, explicitly: Spark's ASC default is NULLS FIRST,
+    -- DuckDB's is NULLS LAST — with nullable `value` the rank
+    -- functions silently diverge (/tmp/skew4). Null purchases rank
+    -- lowest ("no value" < every value); the Spark side states the
+    -- same ordering explicitly.
+    WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
     """,
     tier="B",
     doc="Distribution window functions — ntile/percent_rank/cume_dist per "
@@ -849,7 +854,12 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # asc_nulls_first == Spark's ASC default, stated explicitly so the
+    # cross-engine null placement is a contract, not a coincidence
+    # (DuckDB defaults NULLS LAST — the oracle pins NULLS FIRST).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",

@@ -95,17 +95,25 @@ ROLLING_MEDIAN_FRAME = 7
 @register(
     "q_rolling_median",
     oracle=f"""
+    -- FILTER (value IS NOT NULL): DuckDB's list() KEEPS nulls where
+    -- Spark's collect_list skips them — on null-free data the two
+    -- agree silently; /tmp/skew4 exposed the divergence. The explicit
+    -- semantic on both sides: median of the frame's NON-NULL values,
+    -- NULL when the frame has none (len(NULL list) is NULL → the
+    -- n = 0/NULL guard).
     WITH w AS (SELECT event_id, event_type,
-                      list(value) OVER (PARTITION BY event_type
-                                        ORDER BY ts, event_id
-                                        ROWS BETWEEN {ROLLING_MEDIAN_FRAME - 1}
-                                        PRECEDING AND CURRENT ROW) AS vals
+                      list(value) FILTER (value IS NOT NULL)
+                        OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN {ROLLING_MEDIAN_FRAME - 1}
+                              PRECEDING AND CURRENT ROW) AS vals
                FROM events),
     s AS (SELECT event_id, event_type, list_sort(vals) AS sv,
-                 CAST(len(vals) AS INT) AS n
+                 CAST(COALESCE(len(vals), 0) AS INT) AS n
           FROM w)
     SELECT event_id, event_type,
-           CASE WHEN n % 2 = 1 THEN sv[CAST((n + 1) / 2 AS INT)]
+           CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+                WHEN n % 2 = 1 THEN sv[CAST((n + 1) / 2 AS INT)]
                 ELSE (sv[CAST(n / 2 AS INT)] + sv[CAST(n / 2 AS INT) + 1]) / 2.0
            END AS roll_med
     FROM s
@@ -148,8 +156,14 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id",
         "event_type",
+        # n = 0 → NULL (an all-null frame has no median): without the
+        # guard the even branch indexes element_at(sv, 0) — an ANSI
+        # hard error the /tmp/skew4 null fixture hit on real data
+        # (p(all-7-null frame) ~ 0.2^7 still fires in 100k rows).
+        # CASE branches evaluate lazily, so the guard is sufficient.
         F.expr(
-            "CASE WHEN n % 2 = 1 THEN element_at(sv, CAST((n + 1) / 2 AS INT)) "
+            "CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) "
+            "WHEN n % 2 = 1 THEN element_at(sv, CAST((n + 1) / 2 AS INT)) "
             "ELSE (element_at(sv, CAST(n / 2 AS INT)) "
             "      + element_at(sv, CAST(n / 2 AS INT) + 1)) / 2.0 END"
         ).alias("roll_med"),

@@ -336,15 +336,23 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # Null-safe JSON rendering: a null k renders as the JSON literal
+    # `null`, not as a SQL NULL that nulls the whole concat — with
+    # null `props` rows (/tmp/skew4) the un-coalesced form collapsed
+    # the entire document, nulling even vtype (the oracle keeps
+    # event_type). variant_get of a JSON null returns NULL, so the
+    # typed paths agree with the oracle's NULL k arithmetic.
+    ks = F.coalesce(k.cast("string"), F.lit("null"))
+    k2s = F.coalesce((k * 2).cast("string"), F.lit("null"))
     payload = F.concat(
         F.lit('{"meta":{"type":"'),
         F.col("event_type"),
         F.lit('"},"k":'),
-        k.cast("string"),
+        ks,
         F.lit(',"ks":['),
-        k.cast("string"),
+        ks,
         F.lit(","),
-        (k * 2).cast("string"),
+        k2s,
         F.lit("]}"),
     )
     v = F.parse_json(payload)

@@ -403,11 +403,17 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
+        # ignoreNullFields=false: Spark's to_json DROPS null fields by
+        # default while DuckDB's to_json(struct_pack(..)) keeps them as
+        # JSON nulls — divergent documents for null-props rows
+        # (/tmp/skew4). Typed metadata keeps its schema: "k":null IS
+        # the contract for a missing property.
         F.to_json(
             F.struct(
                 F.col("event_type").alias("type"),
                 F.get_json_object("props", "$.k").cast("int").alias("k"),
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("meta_json"),
     )
 

@@ -220,10 +220,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ks_drift",
     oracle=f"""
+    -- value IS NOT NULL: a CDF is defined over values (null_rate is a
+    -- separate monitor), and a NULL in the cumulative window's ORDER
+    -- BY would inherit each engine's different default null placement
+    -- (/tmp/skew4).
     WITH g AS (SELECT event_type, value,
                       CAST(count_if(ts <  TIMESTAMP '{KS_CUT}') AS BIGINT) AS c1,
                       CAST(count_if(ts >= TIMESTAMP '{KS_CUT}') AS BIGINT) AS c2
-               FROM events GROUP BY 1, 2),
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     t AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
                  CAST(SUM(c2) AS BIGINT) AS n2
           FROM g GROUP BY 1),
@@ -255,7 +259,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Window state is one row per distinct value per type, bounded.",
 )
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # value IS NOT NULL — see the oracle note (/tmp/skew4 null policy).
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cut = F.lit(KS_CUT).cast("timestamp")
     g = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("c1"),

@@ -258,23 +258,42 @@ def test_merge_upsert_actions_partition_the_keyspace(spark, sf_dir):
     assert len(keys) == len(set(keys))
 
 
-def test_group_entropy_fails_loudly_beyond_lut_bound(spark, tmp_path):
-    """A (user, type) count beyond the log2 lookup bound must RAISE, not
-    silently drop the term (the lookup is left-joined with a lazily
-    raised error on both engines). Build an events table where one user
-    has LOG2_TABLE_MAX+1 identical events and assert the loud failure."""
-    import pytest
+def test_group_entropy_unbounded_counts_exact(spark, tmp_path):
+    """Round 12 replaced the 1024-row log2 lookup (whose fail-fast
+    bound /tmp/skew4's 30k-row null group tripped — as any 100-TB hot
+    entity would) with the unbounded engine-pinned det_log2_sql
+    closed form. A count far past the old bound must now SUCCEED with
+    the exact entropy: one user with 5000 events of one type has
+    H = 0 (to the 1e-9 quantization grid); a 3000/1000 two-type user
+    has the textbook H."""
+    import math
+
     from pyspark.sql import functions as F
 
     from news_categorization_big_data_spark.plans import REGISTRY
-    from news_categorization_big_data_spark.plans.analytics import LOG2_TABLE_MAX
     from news_categorization_big_data_spark.sources.tables import load_table
 
     one = load_table(spark, "/root/testdata/sf0.001", "events").limit(1)
     big = one.select(
-        F.explode(F.sequence(F.lit(1), F.lit(LOG2_TABLE_MAX + 1))).alias("_i"),
+        F.explode(F.sequence(F.lit(1), F.lit(9000))).alias("_i"),
         *[c for c in one.columns],
-    ).drop("_i")
+    ).select(
+        F.col("_i").cast("long").alias("event_id"),
+        "ts",
+        F.when(F.col("_i") <= 5000, F.lit(7)).otherwise(F.lit(8)).cast("long").alias("user_id"),
+        F.when(
+            (F.col("_i") > 5000) & (F.col("_i") <= 8000), F.lit("click")
+        ).otherwise(F.lit("view")).alias("event_type"),
+        "value",
+        "props",
+    )
     big.write.parquet(str(tmp_path / "events.parquet"))
-    with pytest.raises(Exception, match="log2 lookup bound"):
-        REGISTRY["q_group_entropy"].builder(spark, str(tmp_path)).collect()
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["q_group_entropy"].builder(spark, str(tmp_path)).collect()
+    }
+    assert rows[7]["n_events"] == 5000
+    assert abs(rows[7]["entropy_bits"]) < 1e-8  # single-type: H = 0
+    expected = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert rows[8]["n_events"] == 4000
+    assert abs(rows[8]["entropy_bits"] - expected) < 1e-8

@@ -212,3 +212,40 @@ def test_dsum_sweep_bit_identical_under_mode_toggle(spark, name):
     assert len(limb) == len(dec)
     for a, b in zip(limb, dec):
         assert a == b
+
+
+def test_det_log2_bit_identical_across_engines_and_accurate(spark, duck):
+    """det_log2_sql (functions/exact.py): the engine-pinned log2 that
+    round 12 swapped in for q_group_entropy's bounded lookup. Pins
+    (a) BIT-identity between Spark and DuckDB over a wide count
+    domain — the property the whole construction exists for — and
+    (b) ~1e-14 accuracy vs true log2."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from news_categorization_big_data_spark.functions.exact import det_log2_sql
+
+    hi = 50_000
+    sdf = (
+        spark.range(1, hi + 1)
+        .select(F.col("id").alias("n"))
+        .selectExpr("n", det_log2_sql("n", "spark") + " AS l2")
+    )
+    srows = {r["n"]: r["l2"] for r in sdf.collect()}
+    drows = dict(
+        duck.execute(
+            f"SELECT n, {det_log2_sql('n', 'duckdb')} "
+            f"FROM (SELECT unnest(range(1, {hi + 1})) + 0 AS n)"
+        ).fetchall()
+    )
+    assert len(srows) == len(drows) == hi
+    for n in (1, 2, 3, 7, 1024, 1025, 31337, hi):
+        assert abs(srows[n] - math.log2(n)) < 1e-13, (n, srows[n])
+    diff = [
+        n
+        for n in srows
+        if struct.pack("<d", srows[n]) != struct.pack("<d", drows[n])
+    ]
+    assert not diff, f"{len(diff)} bit-differing log2 values, e.g. {diff[:5]}"
