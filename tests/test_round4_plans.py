@@ -53,10 +53,15 @@ def test_grouped_regression_is_one_aggregate(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_group_entropy_lookup_is_broadcast(spark, sf_dir):
+def test_group_entropy_is_join_free_closed_form(spark, sf_dir):
+    """Since the round-12 null-fix (e43f0a3) the log2 comes from the
+    UNBOUNDED det_log2_sql closed form (functions/exact.py) — a pure
+    column expression built on length(bin(n)) — so the plan must have
+    ZERO joins: no broadcast LUT, no sort-merge, nothing that caps the
+    count domain the way the old 1024-row lookup did."""
     plan = _plan(REGISTRY["q_group_entropy"].builder(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") == 2, plan  # term + total lut
-    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "bin(" in plan, plan  # the det_log2_sql exponent chain
 
 
 def test_hhi_totals_broadcast_back(spark, sf_dir):
