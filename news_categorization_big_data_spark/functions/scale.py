@@ -29,9 +29,53 @@ from __future__ import annotations
 
 import functools
 import operator
+import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Default gate for ``broadcast_if_small``: comfortably inside the JVM
+#: driver/executor budget yet far under Spark's 8 GB broadcast hard
+#: limit. On-disk parquet is compressed, so the in-memory relation is
+#: larger — the margin below 8 GB absorbs that.
+BROADCAST_GATE_BYTES = 256 << 20
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+    """Size-GATED broadcast hint: ``F.broadcast(df)`` only when the
+    frame's measured on-disk footprint is under ``max_bytes``.
+
+    An explicit ``F.broadcast`` hint is honored UNCONDITIONALLY — the
+    planner never second-guesses it against measured sizes, so a hint
+    pinned on a frame that scales with the corpus (customer / supplier /
+    part grow linearly with SF) turns into a driver OOM or the 8 GB
+    broadcast hard-limit failure the moment the data outgrows the dev
+    fixture. Round 12 measured exactly that class on the skew fixture
+    (q_dedup_containment). This helper keeps the intent auditable while
+    making the decision a measurement:
+
+    - the gate sums ``os.path.getsize`` over ``df.inputFiles()`` — a
+      conservative UPPER bound on the broadcast payload (column pruning
+      and pushed filters only shrink it);
+    - frames whose inputs can't be stat'd locally (remote FS, non-file
+      sources, empty lineage) are returned UN-hinted — Catalyst
+      statistics + AQE then pick broadcast iff the measured size allows,
+      which is the engine's default posture everywhere else.
+    """
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df
+        size = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                return df
+            size += os.path.getsize(unquote(parsed.path))
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= max_bytes else df
 
 
 def write_bucketed(

@@ -30,6 +30,7 @@ from news_categorization_big_data_spark.functions.exact import (
     o_dec_to_double,
     scaled_to_double,
 )
+from news_categorization_big_data_spark.functions.scale import broadcast_if_small
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -287,14 +288,17 @@ def q_field_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="B",
     doc="Equi inner join + agg. customer is small relative to orders at any "
-    "SF → broadcast hint; at 100 TB AQE would pick broadcast from runtime "
-    "stats anyway. No shuffle of the orders side.",
+    "SF but still scales linearly with SF (a ~2 TB frame at the 100-TB "
+    "design point — far past the 8 GB broadcast hard limit), so NO pinned "
+    "broadcast hint: Catalyst statistics/AQE broadcast it while it fits "
+    "and flip to a shuffle join when it doesn't. No shuffle of the orders "
+    "side at any SF where customer is broadcastable.",
 )
 def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice").alias("total_price"))
     )
@@ -309,15 +313,21 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand
     """,
     tier="B",
-    doc="Broadcast hash join: part is a dimension → broadcast() ships it to "
-    "every executor; the 100 TB lineitem side is never shuffled. The p_size "
-    "filter applies before the broadcast (prune then ship).",
+    doc="Broadcast hash join — demonstrated via the SIZE-GATED hint "
+    "(functions/scale.py broadcast_if_small): the hint ships the "
+    "p_size-filtered part dimension to every executor so the lineitem "
+    "side is never shuffled, but only after measuring the frame's "
+    "on-disk footprint, because an unconditional F.broadcast() is "
+    "honored regardless of size and part scales with SF (a pinned hint "
+    "dies on the 8 GB broadcast limit at 100 TB). Over the gate, the "
+    "frame is returned un-hinted and AQE decides from runtime stats. "
+    "The p_size filter applies before the broadcast (prune then ship).",
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 15)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.count("*").alias("li_cnt"), dsum("l_quantity").alias("sum_qty"))
     )
@@ -389,16 +399,40 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_suppkey
     """,
     tier="B",
-    doc="Non-equi theta/range join → broadcast-nested-loop with the small "
-    "side broadcast. At scale a range join should be bucketed into bands "
-    "first (see operators/asof.py for the banded pattern).",
+    doc="Non-equi theta/range join, executed as a BANDED EQUI-JOIN: each "
+    "part carries its price band floor(p_retailprice/100), each supplier "
+    "explodes to the six bands its [s_acctbal, s_acctbal+500) window can "
+    "touch, and the engines hash-join on band equality before applying "
+    "the exact range residual. Every matching pair shares exactly one "
+    "band (the part's), so no dedup is needed. This replaces the naive "
+    "broadcast-nested-loop plan — O(|part|·|supp|) comparisons with a "
+    "pinned broadcast of the SF-scaling supplier side — with a shuffle "
+    "hash/sort-merge join whose work is proportional to the true match "
+    "volume: the 100-TB shape (same banding as operators/asof.py).",
 )
 def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = load_table(spark, sf_dir, "supplier")
-    part = load_table(spark, sf_dir, "part")
-    cond = (part.p_retailprice >= supp.s_acctbal) & (part.p_retailprice < supp.s_acctbal + 500.0)
+    # Band width 100 ⇒ a 500-wide window spans at most 6 bands; the
+    # residual predicate restores exact semantics after the equi-join.
+    band_w = F.lit(100.0)
+    supp = load_table(spark, sf_dir, "supplier").withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_acctbal") / band_w),
+                F.floor((F.col("s_acctbal") + 500.0) / band_w),
+            )
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "_band", F.floor(F.col("p_retailprice") / band_w)
+    )
+    cond = (
+        (part["_band"] == supp["_band"])
+        & (part.p_retailprice >= supp.s_acctbal)
+        & (part.p_retailprice < supp.s_acctbal + 500.0)
+    )
     return (
-        part.join(F.broadcast(supp), cond)
+        part.join(supp, cond)
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("parts_in_band"))
     )

@@ -1347,22 +1347,29 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0
-                  THEN 'HTTPS://WWW.Ex' || CAST(doc_id % 21 AS VARCHAR)
+             CASE doc_id % 4
+                  WHEN 0 THEN 'HTTPS://WWW.Ex' || CAST(doc_id % 21 AS VARCHAR)
                        || '.COM/Items/' || CAST(doc_id % 21 AS VARCHAR) || '/'
-                  ELSE 'http://ex' || CAST(doc_id % 21 AS VARCHAR)
+                  WHEN 1 THEN 'http://ex' || CAST(doc_id % 21 AS VARCHAR)
                        || '.com/Items/' || CAST(doc_id % 21 AS VARCHAR)
-                       || '?utm_source=feed'
+                       || '?utm_source=feed&ref=' || CAST(doc_id % 21 AS VARCHAR)
+                  WHEN 2 THEN 'http://www.ex' || CAST(doc_id % 21 AS VARCHAR)
+                       || '.com/Items/' || CAST(doc_id % 21 AS VARCHAR) || '#frag'
+                  ELSE 'https://ex' || CAST(doc_id % 21 AS VARCHAR)
+                       || '.com/Items/' || CAST(doc_id % 21 AS VARCHAR)
+                       || '/?utm_source=feed&utm_medium=rss'
              END AS url
       FROM documents),
     canon AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(lower(url),
+                 regexp_replace(regexp_replace(regexp_replace(lower(url),
                  '^https?://', ''),
                  '^www\\.', ''),
-                 '#.*$', ''),
-                 '[?&]utm_[^&]*', ''),
+                 '#.*$', '', 'g'),
+                 '[?&]utm_[^&]*', '', 'g'),
+                 '^([^?&]*)&', '\\1?'),
+                 '[?&]$', ''),
                  '/$', '') AS url_canonical
       FROM raw)
     SELECT url_canonical,
@@ -1377,16 +1384,21 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawl pipeline runs BEFORE fetching or content dedup (the same "
     "page arrives as http/https, with/without www, with tracking "
     "params, trailing slashes, fragments): lowercase → strip scheme → "
-    "strip www. → drop fragment → drop utm_* tracking params → strip "
-    "trailing slash, then group by the canonical form reporting "
-    "duplicate count, distinct raw spellings merged, and the "
-    "keep-lowest-id survivor (q_dedup_keep_best's policy at URL "
-    "granularity). The raw URL column is synthesized in-plan as a "
-    "deterministic function of doc_id (the codec-fixture pattern: "
-    "generate → process → verify; doc_id mod 21 buckets — an ODD "
-    "modulus, so each bucket collects BOTH parities — plant real "
-    "duplicate groups spanning BOTH raw spellings, so the oracle "
-    "hash proves the canonicalizer actually merges distinct forms) — "
+    "strip www. → drop fragment → drop ALL utm_* tracking params "
+    "(global regex on both engines) → promote a dangling leading '&' "
+    "to '?' when the stripped utm was the first param → drop a bare "
+    "trailing separator → strip trailing slash, then group by the "
+    "canonical form reporting duplicate count, distinct raw spellings "
+    "merged, and the keep-lowest-id survivor (q_dedup_keep_best's "
+    "policy at URL granularity). The raw URL column is synthesized "
+    "in-plan as a deterministic function of doc_id (the codec-fixture "
+    "pattern: generate → process → verify; doc_id mod 21 buckets with "
+    "four mod-4 raw variants per bucket — trailing-slash uppercase, "
+    "utm-first-then-real-param, www+fragment, and consecutive-utm — "
+    "21 and 4 coprime, so every bucket collects all four shapes and "
+    "the oracle hash proves the canonicalizer merges the three "
+    "param-free variants while the surviving ref= param keeps its own "
+    "group and exercises the '&'→'?' promotion) — "
     "in production the column comes from the crawl index and the "
     "normalize→groupBy plan is unchanged. Scale: map-only regex "
     "chain in whole-stage codegen, one partial-aggregating shuffle "
@@ -1396,17 +1408,38 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = F.pmod(F.col("doc_id"), F.lit(21)).cast("string")
-    raw = F.when(
-        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
-        F.concat(F.lit("HTTPS://WWW.Ex"), b, F.lit(".COM/Items/"), b, F.lit("/")),
-    ).otherwise(
-        F.concat(F.lit("http://ex"), b, F.lit(".com/Items/"), b, F.lit("?utm_source=feed"))
+    m4 = F.pmod(F.col("doc_id"), F.lit(4))
+    raw = (
+        F.when(m4 == 0, F.concat(F.lit("HTTPS://WWW.Ex"), b, F.lit(".COM/Items/"), b, F.lit("/")))
+        .when(
+            m4 == 1,
+            F.concat(F.lit("http://ex"), b, F.lit(".com/Items/"), b, F.lit("?utm_source=feed&ref="), b),
+        )
+        .when(m4 == 2, F.concat(F.lit("http://www.ex"), b, F.lit(".com/Items/"), b, F.lit("#frag")))
+        .otherwise(
+            F.concat(
+                F.lit("https://ex"), b, F.lit(".com/Items/"), b,
+                F.lit("/?utm_source=feed&utm_medium=rss"),
+            )
+        )
     )
     out = docs.select("doc_id", raw.alias("url"))
-    # lower first, then the replace chain — same order as the oracle
+    # lower first, then the replace chain — same order as the oracle.
+    # Spark's regexp_replace is global; the DuckDB oracle passes 'g'
+    # on the two content patterns (fragment, utm) so both engines
+    # strip EVERY occurrence — consecutive utm params each carry their
+    # own [?&] prefix, so one global pass removes them all. When the
+    # FIRST param was a utm, the survivor is left '&'-prefixed with no
+    # '?': the promotion step rewrites that first dangling '&' to '?'
+    # (anchored ^([^?&]*)& — at most one match, so global vs first-
+    # match semantics agree), and a bare trailing separator is dropped
+    # before the trailing-slash strip.
     c = F.lower(F.col("url"))
-    for pat in ["^https?://", "^www\\.", "#.*$", "[?&]utm_[^&]*", "/$"]:
+    for pat in ["^https?://", "^www\\.", "#.*$", "[?&]utm_[^&]*"]:
         c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, "^([^?&]*)&", "$1?")
+    c = F.regexp_replace(c, "[?&]$", "")
+    c = F.regexp_replace(c, "/$", "")
     return (
         out.select("doc_id", "url", c.alias("url_canonical"))
         .groupBy("url_canonical")

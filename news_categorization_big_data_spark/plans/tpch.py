@@ -127,7 +127,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
     doc="TPC-H Q3 (shipping priority): segment-filtered customers joined "
     "through orders into lineitem, revenue per unshipped order, top 10. "
-    "The filtered customer side collapses to a broadcast under AQE; the "
+    "The filtered customer side collapses to a broadcast from measured "
+    "statistics while it fits (no pinned hint — customer scales with SF, "
+    "so at 100 TB the planner flips to a shuffle join instead of dying "
+    "on the 8 GB broadcast limit); the "
     "only fact-table shuffle is the aggregation on l_orderkey. "
     "l_orderkey added to the ORDER BY as a determinism tie-break "
     "(standard Q3 ties revenue+date only).",
@@ -151,7 +154,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            # customer scales linearly with SF (billions of rows at the
+            # 100-TB design point) — no static broadcast hint: Catalyst
+            # statistics pick BHJ while the segment-filtered side fits
+            # (it does at every bench SF) and AQE flips to a shuffle
+            # join when it doesn't. A pinned hint would be honored past
+            # the 8 GB broadcast hard limit and fail the job.
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -181,10 +190,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
     doc="TPC-H Q5 (local supplier volume): six-table join — region-"
     "filtered nations, customers and suppliers constrained to the SAME "
-    "nation, one order year — then revenue per nation. region/nation/"
-    "supplier are broadcast; Catalyst+AQE order the join tree so the "
-    "lineitem fact streams through map-side joins and shuffles only for "
-    "the final nation aggregate.",
+    "nation, one order year — then revenue per nation. Only SF-constant "
+    "region/nation carry broadcast hints; customer/supplier scale with "
+    "SF and are left to Catalyst statistics + AQE (broadcast at bench "
+    "scale, shuffle join at 100 TB), so the lineitem fact streams "
+    "through map-side joins and shuffles only for the final nation "
+    "aggregate while every join strategy stays size-safe.",
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.lit(f"{Q5_YEAR_LO} 00:00:00").cast("timestamp")
@@ -207,7 +218,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            # supplier scales with SF — estimate-driven join strategy
+            # (broadcast at bench scale, shuffle at 100 TB), never a
+            # pinned hint. Only SF-constant nation/region keep hints.
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )

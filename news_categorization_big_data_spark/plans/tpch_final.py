@@ -140,7 +140,10 @@ _O_Q9_PROFIT = (
     "engines, and MIN is reduction-order-free. The correlated scalar "
     "subquery becomes a window MIN over the SAME per-part shuffle the "
     "offer aggregate already produced (no second shuffle, no re-join); "
-    "supplier/nation/region/part are all dimension-sized → broadcast. "
+    "SF-constant nation/region are hint-broadcast, while SF-scaling "
+    "supplier/part join strategies are estimate-driven (broadcast at "
+    "bench scale, shuffle join at 100 TB — a pinned hint would be "
+    "honored past the 8 GB broadcast limit). "
     "LIMIT 100 under a total order (acctbal DESC, n_name, s_name, "
     "p_partkey — unique per surviving row). At 100 TB only lineitem is "
     "large; it shuffles exactly once, on (l_partkey, l_suppkey).",
@@ -160,7 +163,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
-        li.join(F.broadcast(eligible_supp), li.l_suppkey == F.col("s_suppkey"))
+        # eligible_supp is supplier-cardinality — scales with SF, so no
+        # pinned broadcast: estimate-driven BHJ at bench scale, shuffle
+        # join once the dim outgrows the threshold.
+        li.join(eligible_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -169,7 +175,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        best.join(part, best.l_partkey == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -195,8 +201,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ps_supplycost is proxied as 10% of p_retailprice per unit, keeping "
     "the amount expression's exact decimal shape (every factor quantized "
     "≤ (9,2), products exact in both engines' widened decimals, sums "
-    "reduce in decimal → order-independent). Plan: part (name-filtered), "
-    "supplier, nation broadcast into lineitem; the only big-big join is "
+    "reduce in decimal → order-independent). Plan: SF-constant nation "
+    "is hint-broadcast; the name-filtered part and supplier sides scale "
+    "with SF, so their strategy is estimate-driven (broadcast into "
+    "lineitem at bench scale, shuffle join at 100 TB); the only big-big join is "
     "lineitem⋈orders on the order key — the same join the original Q9 "
     "carries — and AQE handles it as a shuffle join co-partitioned on "
     "o_orderkey. One final hash agg on (nation, year).",
@@ -210,8 +218,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cost = _d9("l_quantity") * _d9("p_retailprice") * F.lit(0.1).cast("decimal(2,1)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier scale with SF — estimate-driven strategy only;
+        # nation (25 rows, SF-constant) keeps its hint.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -262,7 +272,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     per_part = (
-        li.join(F.broadcast(eligible), li.l_suppkey == F.col("s_suppkey"))
+        # eligible is supplier-cardinality (SF-scaling): no pinned hint.
+        li.join(eligible, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("value_dec"))
     )
@@ -340,9 +351,11 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observed shipping each (brand, type, size) group, excluding one "
     "brand/type, a size list, and suppliers from a NOT-IN exclusion "
     "subquery (the '%Complaints%' stand-in: negative account balance). "
-    "Spark compiles the NOT IN into a null-aware broadcast anti join "
+    "Spark compiles the NOT IN into a null-aware anti join "
     "(s_suppkey is non-null here, so it degenerates to a plain anti "
-    "join); the part predicates prune before the broadcast join; the "
+    "join, broadcast while the exclusion set fits per measured stats — "
+    "both part and the supplier exclusion scale with SF, so neither is "
+    "hint-pinned); the part predicates prune before the join; the "
     "single shuffle is the distinct-count aggregate, which Spark "
     "executes as two-phase partial distinct on (group, suppkey). Fully "
     "ordered output (group key is unique), no LIMIT.",
@@ -356,8 +369,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        # part and bad_supp both scale with SF — estimate-driven
+        # strategies only (broadcast at bench scale, shuffle at 100 TB).
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -394,12 +409,14 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "who DOMINATE the supply of some name-filtered part — shipped more "
     "than half of its total quantity in the window (the scale-free "
     "recast of availqty > ½·Σqty; partsupp-less). Nested semi-join "
-    "chain exactly as the original: part name filter (broadcast semi "
+    "chain exactly as the original: part name filter (semi join "
     "into the lineitem scan) → per-(part,supplier) decimal quantity "
     "sums → per-part window total (reuses the same shuffle's "
     "partitioning, multiply-compare, no division) → DISTINCT supplier "
-    "keys (dimension-sized) → broadcast semi join into the "
-    "region-filtered supplier dimension. The fact shuffles once, on "
+    "keys → semi join into the region-filtered supplier dimension. "
+    "Both semi-join build sides are part/supplier-cardinality "
+    "(SF-scaling), so neither is hint-pinned — measured stats broadcast "
+    "them at bench scale. The fact shuffles once, on "
     "(l_partkey, l_suppkey).",
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,7 +430,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     shipped = (
-        li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
+        # part_keys is part-cardinality (SF-scaling): no pinned hint.
+        li.join(part_keys, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_d2("l_quantity")).alias("supp_qty"))
     )
@@ -430,7 +448,9 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        # dominant is a distinct supplier-key set (SF-scaling, and an
+        # aggregate AQE measures at runtime): no pinned hint.
+        .join(dominant, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -507,7 +527,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        per_order.join(F.broadcast(eligible), per_order.late_supp == F.col("s_suppkey"))
+        # eligible is supplier-cardinality (SF-scaling): no pinned hint.
+        per_order.join(eligible, per_order.late_supp == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -49,7 +49,24 @@ _MEASURED = (
     "SortAggregate",
 )
 
-FACT_TABLES = ("documents", "events", "lineitem", "orders", "embeddings")
+#: Everything the testdata generator scales linearly with SF — the
+#: classic facts AND the "dimension-sized" tables (customer/supplier/
+#: part) that round 13 purged from the pinned-hint tier: a broadcast
+#: whose build side scans any of these must be estimate-driven (self-
+#: correcting), never a static hint. tests/test_no_pinned_sf_broadcasts
+#: pins the hint-free property mechanically with
+#: autoBroadcastJoinThreshold=-1; this audit's job is the estimate-
+#: blindness triage on realistic fixtures.
+FACT_TABLES = (
+    "documents",
+    "events",
+    "lineitem",
+    "orders",
+    "embeddings",
+    "customer",
+    "supplier",
+    "part.parquet",  # suffix-match: bare "part" hits "partitioning"
+)
 
 
 def audit_plan(plan: str, lookahead: int = 14) -> list[str]:
@@ -80,12 +97,30 @@ def main() -> None:
 
     from news_categorization_big_data_spark.plans import REGISTRY
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or list(REGISTRY)
+    args = [a for a in sys.argv[1:] if a != "--hints"]
+    # --hints: build every plan with autoBroadcastJoinThreshold=-1 so
+    # estimate-driven broadcasts vanish — any BroadcastExchange left is
+    # HINT-driven, the class that never self-corrects at scale. This
+    # automates the hint-vs-estimate half of the triage; the remaining
+    # human read is only the estimate-blindness sub-class (widened /
+    # pinned frames). Expected output on a healthy registry: exactly
+    # ONE flag — q_join_broadcast, whose hint is the size-GATED
+    # broadcast_if_small (it measured the frame's on-disk bytes before
+    # pinning, so it is scale-safe by construction and disappears when
+    # run against a fixture past the gate). Anything else is a real
+    # pinned-hint defect (the same property
+    # tests/test_no_pinned_sf_broadcasts.py pins for the TPC-H/join
+    # tier).
+    hints_only = "--hints" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = args[1:] or list(REGISTRY)
     spark = (
         SparkSession.builder.master("local[8]").appName("broadcast-audit").getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if hints_only:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     flagged = 0
     for q in names:
         try:
