@@ -48,7 +48,10 @@ items):
    q_dedup_incremental, q_dedup_cluster, q_dedup_minhash,
    q_collocations, q_bigram_lm, q_doc_fluency, q_decontaminate.
    All proven in-session: sf0.01 subset sims MATCH, full driver sim
-   282/282, and 65 queries oracle-MATCH at fixture scale.
+   282/282 (run BEFORE the same round registered q_quality_buckets and
+   q_url_normalize — the closing in-session sim on the final registry
+   was 284/284, per commit 4b683ff), and 65 queries oracle-MATCH at
+   fixture scale.
 2. The 4 plans changed late in round 11 AFTER its window froze
    (VERDICT item 2): q_multimodal_decode, q_audio_decode,
    q_video_frames (numpy-vectorized fixture synthesis) and
@@ -81,18 +84,21 @@ outside the frozen window; every one is proven in-session (sf0.01 +
 /tmp/skew4 subset sims MATCH, full driver sim) and they HEAD the
 round-13 rotation below.
 
-Round-13 window plan (for the next session): (a) anything round 13
-changes — starting with the 17 late-round-12 null-policy plans above;
-(b) the 3 standing canaries; (c) the pass(r4) leftovers —
-the 13 displaced by group 1b (q_asof_forward, q_asof_tolerance,
-q_embedding_quantize, q_event_transitions, q_gap_fill,
-q_graph_triangles, q_group_entropy, q_group_mode, and the rest of the
-old alphabetical backfill) plus q_percent_change, q_resample_ohlc,
-q_rollup, q_sample_weighted, q_scan_partitioned, q_stream_session,
-q_time_rollup_multi, q_tpch_q11, q_tpch_q12, q_tpch_q15, q_tpch_q16,
-q_tpch_q2, q_tpch_q20, q_tpch_q21, q_tpch_q4, q_window_nth,
-q_window_time_range; (d) back-fill with pass(r5), oldest first. Keep
-ROTATION_PENDING for anything newly registered.
+The ROUND-13 window (shipped below as groups A-D of _DRIVER_ORDER)
+executes that plan: (A) the 18 plans round 13 changed — the
+static-broadcast purge across the TPC-H/join tier (round-12 VERDICT
+item 1: pinned F.broadcast() hints dropped from every SF-scaling
+customer/supplier/part frame; q_join_broadcast re-expressed through
+the size-gated broadcast_if_small; q_join_theta_range rebuilt as a
+banded equi-join) plus q_url_normalize (ADVICE regex/oracle fixes +
+first official stamp); (B) the 17 late-round-12 null-policy plans
+above, whose green stamps legally predate their changes; (C) the 3
+standing canaries; (D) 12 of the 20 outstanding pass(r4) stamps,
+alphabetical — the remaining 8 (q_sample_weighted,
+q_scan_partitioned, q_stream_session, q_time_rollup_multi, q_tpch_q4,
+q_tpch_q12, q_window_nth, q_window_time_range) lead the tail and head
+the round-14 rotation, after which back-fill continues with pass(r5),
+oldest first. Keep ROTATION_PENDING for anything newly registered.
 
 """
 
@@ -132,15 +138,94 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-12 WINDOW (first 50 = the driver's correctness window) ----
+    # ---- ROUND-13 WINDOW (first 50 = the driver's correctness window) ----
     # Composition (priority order, the round-8 convention): changed
-    # plans first, then canaries, then stalest stamps.
-    # -- 1. plans CHANGED in round 12: q_join_salted's salt is now
-    #       hash(event_id) — row-deterministic under recompute (the
-    #       round-11 VERDICT's #1) — and the four ordered-window
-    #       callers moved to plain (name, asc) order specs when the
-    #       _jc.toString() parse was removed (default plans
-    #       expression-identical; re-stamped out of caution).
+    # plans first, then the late-round-12 null-policy plans whose
+    # stamps legally predate their changes, then canaries, then the
+    # stalest (pass-r4) stamps.
+    # -- A. plans CHANGED in round 13: the static-broadcast purge
+    #       (round-12 VERDICT item 1) — the 14 TPC-H queries plus
+    #       q_join_inner_equi that dropped pinned F.broadcast() hints
+    #       on SF-scaling customer/supplier/part frames (only
+    #       SF-constant nation/region and provably bounded one-row
+    #       aggregates keep hints; tests/test_no_pinned_sf_broadcasts
+    #       pins the property with autoBroadcastJoinThreshold=-1),
+    #       q_join_broadcast (now demonstrates the size-GATED hint,
+    #       functions/scale.py broadcast_if_small), q_join_theta_range
+    #       (banded equi-join replacing the broadcast-nested-loop),
+    #       and q_url_normalize (first official stamp + the ADVICE
+    #       fixes: global 'g' oracle regexes, the utm-first '&'→'?'
+    #       promotion, four-variant raw-URL synthesis). All 18 proven
+    #       by sf0.01 subset sims in-session before the window froze.
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_join_inner_equi",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_url_normalize",
+    # -- B. the 17 late-round-12 null-policy plans (see the LATE
+    #       round-12 note above): changed after the r12 window froze,
+    #       so their green stamps predate the null fixes — re-stamp.
+    "q_funnel",
+    "q_retention_cohort",
+    "q_equidepth_histogram",
+    "q_window_distribution",
+    "q_rank_normalize",
+    "q_ks_drift",
+    "q_ml_auc",
+    "q_grouped_auc",
+    "q_rolling_median",
+    "q_asof_join",
+    "q_asof_forward",
+    "q_asof_tolerance",
+    "q_resample_ohlc",
+    "q_variant_json",
+    "q_multimodal_cols",
+    "q_bitmap_setops",
+    "q_group_entropy",
+    # -- C. standing single-op regression canaries (every window).
+    "q_group_stats",
+    "q_scan_json",
+    "q_udf_scalar",
+    # -- D. re-proof rotation: the stalest (pass-r4) stamps,
+    #       alphabetical. 8 more r4 names did not fit and head the
+    #       round-14 rotation (they lead the tail below).
+    "q_argmax_join",
+    "q_embedding_quantize",
+    "q_event_transitions",
+    "q_gap_fill",
+    "q_graph_triangles",
+    "q_group_mode",
+    "q_grouped_regression",
+    "q_heavy_hitters",
+    "q_join_interval_overlap",
+    "q_merge_upsert",
+    "q_percent_change",
+    "q_rollup",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: the 8 r4-stamped leftovers first (next round's head),
+    #    then prior relative order preserved; all remain registered
+    #    and pytest/driver_sim-proven every round.
+    "q_sample_weighted",
+    "q_scan_partitioned",
+    "q_stream_session",
+    "q_time_rollup_multi",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_window_nth",
+    "q_window_time_range",
     "q_join_salted",
     "q_peak_concurrency",
     "q_lift_bands",
@@ -153,15 +238,6 @@ _DRIVER_ORDER = [
     "q_lsh_recall",
     "q_simhash_hamming",
     "q_sessionize",
-    # -- 1b. plans changed by the round-12 GIANT-DOC program (the
-    #       /tmp/skew3 fixture, SCALE.md): q_char_classes' 128-bit
-    #       simpson arithmetic, q_dedup_passage's hoisted chunk
-    #       tokenize (also moved up from the r4 backfill group),
-    #       q_summarize_extractive's split_units hoist, the _sz
-    #       long-cast through the jaccard/containment candidate
-    #       filters, and the dedup-family oracles' linear
-    #       list_zip/relational-verify rewrites (sf0.01 values
-    #       bit-identical, full driver sim 282/282 in-session).
     "q_char_classes",
     "q_repetition_stats",
     "q_dedup_passage",
@@ -175,20 +251,10 @@ _DRIVER_ORDER = [
     "q_bigram_lm",
     "q_doc_fluency",
     "q_decontaminate",
-    # -- 2. plans changed late in round 11, AFTER its window froze
-    #       (the window note + VERDICT item 2): vectorized fixture
-    #       synthesis (multimodal/audio/video) and the token_rarity
-    #       preagg valve (default plan bit-identical).
     "q_multimodal_decode",
     "q_audio_decode",
     "q_video_frames",
     "q_token_rarity",
-    # -- 3. standing single-op regression canaries (every window).
-    "q_group_stats",
-    "q_scan_json",
-    "q_udf_scalar",
-    # -- 4. re-proof rotation: ALL remaining pass(r3) stamps —
-    #       after this window no stamp predates r4.
     "q_bpe_pair_counts",
     "q_cube",
     "q_dedup_fuzzy",
@@ -204,58 +270,11 @@ _DRIVER_ORDER = [
     "q_udtf_chunks",
     "q_udtf_polymorphic",
     "q_value_histogram",
-    "q_variant_json",
     "q_vocab_coverage",
-    # -- 5. NEW in round 12, ROTATION_PENDING (registered past the
-    #       50-slot window — group 4's r3 re-proofs keep their slots;
-    #       official stamps land with the round-13 window head; both
-    #       proven in-session by subset sim at sf0.01 + skew3):
-    #       q_quality_buckets (CCNet-style per-lang quality terciles)
-    #       and q_url_normalize (URL canonicalization + dedup).
     "q_quality_buckets",
-    "q_url_normalize",
-    # -- 6. backfill: pass(r4) stamps, alphabetical. The giant-doc
-    #       group (1b) displaced most of these past the 50-slot
-    #       boundary — changed code outranks re-proof rotation (the
-    #       round-8 convention); the displaced r4 names head the
-    #       round-13 rotation together with q_percent_change,
-    #       q_resample_ohlc, q_rollup, q_sample_weighted,
-    #       q_scan_partitioned, q_stream_session, q_time_rollup_multi,
-    #       q_tpch_q11/q12/q15/q16/q2/q20/q21/q4, q_window_nth,
-    #       q_window_time_range. (q_dedup_passage moved into 1b.)
-    "q_argmax_join",
-    "q_asof_forward",
-    "q_asof_tolerance",
-    "q_embedding_quantize",
-    "q_event_transitions",
-    "q_gap_fill",
-    "q_graph_triangles",
-    "q_group_entropy",
-    "q_group_mode",
-    "q_grouped_regression",
-    "q_heavy_hitters",
-    "q_join_interval_overlap",
-    "q_merge_upsert",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: prior relative order preserved; all remain registered and
-    #    pytest/driver_sim-proven every round.
-    "q_percent_change",
-    "q_resample_ohlc",
-    "q_rollup",
-    "q_sample_weighted",
-    "q_scan_partitioned",
-    "q_stream_session",
-    "q_tpch_q3",
-    "q_tpch_q5",
     "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
     "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q17",
     "q_tpch_q18",
-    "q_tpch_q19",
     "q_tpch_q22",
     "q_decay_agg",
     "q_zscore_outliers",
@@ -287,7 +306,6 @@ _DRIVER_ORDER = [
     "q_scan_csv",
     "q_split_train_eval",
     "q_unpivot_long",
-    "q_window_distribution",
     "q_agg_filtered",
     "q_bootstrap_ci",
     "q_array_join",
@@ -319,7 +337,6 @@ _DRIVER_ORDER = [
     "q_window_rank",
     "q_lang_id",
     "q_multimodal_binary",
-    "q_multimodal_cols",
     "q_pii_scrub",
     "q_quality_filter",
     "q_quality_score",
@@ -333,17 +350,14 @@ _DRIVER_ORDER = [
     "q_ml_classify",
     "q_ml_kmeans",
     "q_sim_ann_lsh",
-    "q_ml_auc",
     "q_mad_outliers",
     "q_winsorize",
     "q_dq_checks",
-    "q_funnel",
     "q_gini_spend",
     "q_sequence_gaps",
     "q_skyline",
     "q_component_sizes",
     "q_graph_degree_dist",
-    "q_retention_cohort",
     "q_growth_accounting",
     "q_graph_pagerank",
     "q_semantic_dedup",
@@ -352,18 +366,14 @@ _DRIVER_ORDER = [
     "q_tfidf_pairs",
     "q_scan_parquet",
     "q_scan_range_pred",
-    "q_join_inner_equi",
-    "q_join_broadcast",
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
     "q_join_multiway",
-    "q_join_theta_range",
     "q_group_counts",
     "q_group_collect",
     "q_grouping_sets",
     "q_topk_per_group",
-    "q_asof_join",
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_watermark",
@@ -375,10 +385,8 @@ _DRIVER_ORDER = [
     "q_dedup_prefix",
     "q_label_centroids",
     "q_stream_trending",
-    "q_rank_normalize",
     "q_sink_pyds_roundtrip",
     "q_pq_search",
-    "q_grouped_auc",
     "q_skew_profile",
     "q_split_leakproof",
     "q_sample_per_group",
@@ -407,13 +415,11 @@ _DRIVER_ORDER = [
     "q_interval_coverage",
     "q_date_dim",
     "q_weighted_median",
-    "q_rolling_median",
     "q_snapshot_diff",
     "q_date_arith",
     "q_sql_udf",
     "q_geo_grid_join",
     "q_cms_counts",
-    "q_bitmap_setops",
     "q_graph_kcore",
     "q_scan_evolved",
     "q_udtf_table_arg",
@@ -435,7 +441,6 @@ _DRIVER_ORDER = [
     "q_udaf_grouped",
     "q_sliding_distinct",
     "q_scd2_intervals",
-    "q_ks_drift",
     "q_embedding_norms",
     "q_feature_hash",
     "q_itemset_pairs",
@@ -443,22 +448,10 @@ _DRIVER_ORDER = [
     "q_tokenizer_fertility",
     "q_conversion_latency",
     "q_orphan_refs",
-    "q_equidepth_histogram",
     "q_bm25_rank",
     "q_sim_search",
     "q_sim_ann_ivf",
     "q_dedup_simhash",
-    "q_tpch_q2",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_window_nth",
-    "q_time_rollup_multi",
-    "q_window_time_range",
-    "q_tpch_q4",
-    "q_tpch_q15",
 ]
 
 # Hard error, not assert: under `python -O` an assert would be stripped
@@ -487,10 +480,9 @@ REGISTRY.update(_reordered)
 #: Queries registered AFTER the current round's window froze (or past
 #: its 50-slot boundary): no official row yet; stamped by the next
 #: round's window head. tests/test_driver_contract.py allows exactly
-#: this set to sit outside the window row-less. Round 12 registered
-#: two new Tier-C operators; q_quality_buckets took the window's last
-#: slot, q_url_normalize rotates in round 13 (both proven in-session:
-#: sf0.01 subset sim MATCH + /tmp/skew3 fixture MATCH).
-ROTATION_PENDING: frozenset[str] = frozenset({"q_url_normalize"})
+#: this set to sit outside the window row-less. Empty for round 13:
+#: q_quality_buckets was stamped in the r12 window and q_url_normalize
+#: sits in the r13 window head (group A).
+ROTATION_PENDING: frozenset[str] = frozenset()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "ROTATION_PENDING"]

@@ -32,45 +32,41 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round12_priorities():
+def test_registry_window_contains_round13_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-12 window = the 12 plans round 12 changed (deterministic salt,
-    the (name, asc) order-spec migration, and the skew-fixture
-    shuffle_merge dedup fixes incl. the two plans embedding the shared
-    jaccard_pairs verify join; changed plans outrank stale re-proofs)
-    + the 4 plans changed after the r11 window froze + 3 standing
-    canaries + ALL 17 remaining pass(r3) stamps (q_join_salted counted
-    once, in the changed group) + 14 pass(r4) backfill."""
+    round-13 window = the 18 plans round 13 changed (the
+    static-broadcast purge across the TPC-H/join tier, the banded
+    q_join_theta_range, the size-gated q_join_broadcast, and the
+    ADVICE-fixed q_url_normalize taking its first stamp) + the 17
+    late-round-12 null-policy plans whose green stamps predate their
+    changes + 3 standing canaries + 12 pass(r4) backfill."""
     window = list(REGISTRY)[:50]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    changed_r12 = [
-        "q_join_salted", "q_peak_concurrency", "q_lift_bands",
-        "q_survival_hazard", "q_rrf_fusion", "q_dedup_containment",
-        "q_dedup_ngram_jaccard", "q_dedup_keep_best",
-        "q_dedup_mllib_lsh", "q_lsh_recall", "q_simhash_hamming",
-        "q_sessionize",
+    changed_r13 = [
+        "q_tpch_q2", "q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q11", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
+        "q_tpch_q21", "q_join_inner_equi", "q_join_broadcast",
+        "q_join_theta_range", "q_url_normalize",
     ]
-    changed_late_r11 = [
-        "q_multimodal_decode", "q_audio_decode", "q_video_frames",
-        "q_token_rarity",
+    null_policy_r12 = [
+        "q_funnel", "q_retention_cohort", "q_equidepth_histogram",
+        "q_window_distribution", "q_rank_normalize", "q_ks_drift",
+        "q_ml_auc", "q_grouped_auc", "q_rolling_median", "q_asof_join",
+        "q_asof_forward", "q_asof_tolerance", "q_resample_ohlc",
+        "q_variant_json", "q_multimodal_cols", "q_bitmap_setops",
+        "q_group_entropy",
     ]
-    r3_leftovers = [
-        "q_bpe_pair_counts", "q_cube", "q_dedup_fuzzy", "q_doc_commonness",
-        "q_join_full_outer", "q_pack_sequences", "q_pivot_wide",
-        "q_scan_orc", "q_scan_pyds", "q_sql_correlated", "q_sql_lateral",
-        "q_tpch_q13", "q_udtf_chunks", "q_udtf_polymorphic",
-        "q_value_histogram", "q_variant_json", "q_vocab_coverage",
-    ]
-    assert len(r3_leftovers) == 17
-    for name in canaries + changed_r12 + changed_late_r11 + r3_leftovers:
+    assert len(changed_r13) == 18 and len(null_policy_r12) == 17
+    for name in canaries + changed_r13 + null_policy_r12:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
 def test_registry_window_covers_all_unofficial_queries():
-    """Every query without an official CORRECTNESS row from rounds 1-7
-    (i.e. anything registered this round) must sit inside the 50-entry
-    window — or be explicitly declared ROTATION_PENDING (registered
-    after the window's 50 slots were already committed)."""
+    """Every query without an official CORRECTNESS row from ANY prior
+    round (i.e. anything registered recently) must sit inside the
+    50-entry window — or be explicitly declared ROTATION_PENDING
+    (registered after the window's 50 slots were already committed)."""
     import json
     from pathlib import Path
 
@@ -78,16 +74,8 @@ def test_registry_window_covers_all_unofficial_queries():
 
     repo = Path(__file__).resolve().parents[1]
     official = set()
-    for rnd in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-    ):
-        with open(repo / rnd) as f:
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        with open(path) as f:
             official |= set(json.load(f))
     window = set(list(REGISTRY)[:50])
     missing = [
