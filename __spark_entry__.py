@@ -9,6 +9,10 @@ driver hash-compares against at sf0.01.
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +20,40 @@ from pyspark.sql import DataFrame, SparkSession
 from news_categorization_big_data_spark.plans import REGISTRY
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_GIT_STAMP_PATH = os.path.join(_REPO_DIR, "CORRECTNESS_GIT.json")
+
+
+def _stamp_git_head() -> None:
+    """Record which commit the driver's correctness run actually
+    exercised. BENCH_rN.json carries a "git" field (bench.py); the
+    driver-owned CORRECTNESS_rN.json cannot, so this sidecar pairs it:
+    refreshed every time the driver pulls the contract functions, so
+    the stamp on disk when CORRECTNESS_rN.json lands names the HEAD
+    (and dirty state) of the code that produced those hashes.
+    Best-effort — a failed git probe must never break the driver."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=_REPO_DIR, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=_REPO_DIR, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+        if not head:
+            return
+        with open(_GIT_STAMP_PATH, "w") as f:
+            json.dump(
+                {"git": head, "dirty": dirty, "stamped_unix": int(time.time())},
+                f,
+            )
+            f.write("\n")
+    except Exception:
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    _stamp_git_head()
     return {name: spec.builder for name, spec in REGISTRY.items()}
 
 
