@@ -85,20 +85,31 @@ outside the frozen window; every one is proven in-session (sf0.01 +
 round-13 rotation below.
 
 The ROUND-13 window (shipped below as groups A-D of _DRIVER_ORDER)
-executes that plan: (A) the 18 plans round 13 changed — the
+executes that plan: (A) the 24 plans round 13 changed — the
 static-broadcast purge across the TPC-H/join tier (round-12 VERDICT
 item 1: pinned F.broadcast() hints dropped from every SF-scaling
 customer/supplier/part frame; q_join_broadcast re-expressed through
 the size-gated broadcast_if_small; q_join_theta_range rebuilt as a
-banded equi-join) plus q_url_normalize (ADVICE regex/oracle fixes +
-first official stamp); (B) the 17 late-round-12 null-policy plans
-above, whose green stamps legally predate their changes; (C) the 3
-standing canaries; (D) 12 of the 20 outstanding pass(r4) stamps,
-alphabetical — the remaining 8 (q_sample_weighted,
-q_scan_partitioned, q_stream_session, q_time_rollup_multi, q_tpch_q4,
-q_tpch_q12, q_window_nth, q_window_time_range) lead the tail and head
-the round-14 rotation, after which back-fill continues with pass(r5),
-oldest first. Keep ROTATION_PENDING for anything newly registered.
+banded equi-join), q_url_normalize (ADVICE regex/oracle fixes + first
+official stamp), and the SIX null-semantics fixes from round 13's OWN
+null-key fixture program: /tmp/skew5 (tools/make_skew5.py) extends the
+skew4 protocol to the TPC-H tier — deterministic NULLs in every join
+key, date, measure, and group key of the seven relational tables — and
+a full-registry sweep found 278/284 MATCH with exactly six divergences
+(q_percent_change and q_offset_skip: unpinned ORDER BY null placement;
+q_tpch_q12: NOT-IN low-count vs otherwise(); q_join_anti: NOT IN
+oracle vacuously empty under a NULL subquery key; q_benford_digits:
+Spark element_at under a NULL ordinal; q_alloc_budget: rank-key null
+placement), all fixed and re-proven MATCH on skew5 AND sf0.01;
+(B) the 17 late-round-12 null-policy plans above, whose green stamps
+legally predate their changes; (C) the 3 standing canaries; (D) 6 of
+the outstanding pass(r4) stamps, alphabetical — the remaining 12
+(q_grouped_regression, q_heavy_hitters, q_join_interval_overlap,
+q_merge_upsert, q_rollup, q_sample_weighted, q_scan_partitioned,
+q_stream_session, q_time_rollup_multi, q_tpch_q4, q_window_nth,
+q_window_time_range) lead the tail and head the round-14 rotation,
+after which back-fill continues with pass(r5), oldest first. Keep
+ROTATION_PENDING for anything newly registered.
 
 """
 
@@ -143,20 +154,25 @@ _DRIVER_ORDER = [
     # plans first, then the late-round-12 null-policy plans whose
     # stamps legally predate their changes, then canaries, then the
     # stalest (pass-r4) stamps.
-    # -- A. plans CHANGED in round 13: the static-broadcast purge
-    #       (round-12 VERDICT item 1) — the 14 TPC-H queries plus
-    #       q_join_inner_equi that dropped pinned F.broadcast() hints
-    #       on SF-scaling customer/supplier/part frames (only
-    #       SF-constant nation/region and provably bounded one-row
-    #       aggregates keep hints; tests/test_no_pinned_sf_broadcasts
-    #       pins the property with autoBroadcastJoinThreshold=-1),
-    #       q_join_broadcast (now demonstrates the size-GATED hint,
-    #       functions/scale.py broadcast_if_small), q_join_theta_range
-    #       (banded equi-join replacing the broadcast-nested-loop),
-    #       and q_url_normalize (first official stamp + the ADVICE
-    #       fixes: global 'g' oracle regexes, the utm-first '&'→'?'
-    #       promotion, four-variant raw-URL synthesis). All 18 proven
-    #       by sf0.01 subset sims in-session before the window froze.
+    # -- A. plans CHANGED in round 13 (24): the static-broadcast purge
+    #       (round-12 VERDICT item 1) — 14 TPC-H queries plus
+    #       q_join_inner_equi dropped pinned F.broadcast() hints on
+    #       SF-scaling customer/supplier/part frames (only SF-constant
+    #       nation/region and provably bounded one-row aggregates keep
+    #       hints; tests/test_no_pinned_sf_broadcasts pins the property
+    #       with autoBroadcastJoinThreshold=-1), q_join_broadcast (now
+    #       the size-GATED hint, functions/scale.py broadcast_if_small),
+    #       q_join_theta_range (banded equi-join replacing the
+    #       broadcast-nested-loop), q_url_normalize (first official
+    #       stamp + the ADVICE fixes) — and the SIX null-semantics
+    #       fixes the round-13 /tmp/skew5 fixture caught in the TPC-H
+    #       tier (tools/make_skew5.py; SCALE.md round-13 disposition):
+    #       q_percent_change + q_offset_skip (NULLS FIRST pins),
+    #       q_tpch_q12 (NOT-IN vs otherwise() low-count), q_join_anti
+    #       (NOT IN → NOT EXISTS oracle), q_benford_digits (NULL-index
+    #       element_at guard), q_alloc_budget (rank-key null
+    #       placement). All 24 proven by sf0.01 + /tmp/skew5 subset
+    #       sims before the window froze.
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -175,6 +191,12 @@ _DRIVER_ORDER = [
     "q_join_broadcast",
     "q_join_theta_range",
     "q_url_normalize",
+    "q_percent_change",
+    "q_tpch_q12",
+    "q_offset_skip",
+    "q_join_anti",
+    "q_benford_digits",
+    "q_alloc_budget",
     # -- B. the 17 late-round-12 null-policy plans (see the LATE
     #       round-12 note above): changed after the r12 window froze,
     #       so their green stamps predate the null fixes — re-stamp.
@@ -200,7 +222,7 @@ _DRIVER_ORDER = [
     "q_scan_json",
     "q_udf_scalar",
     # -- D. re-proof rotation: the stalest (pass-r4) stamps,
-    #       alphabetical. 8 more r4 names did not fit and head the
+    #       alphabetical. 12 more r4 names did not fit and head the
     #       round-14 rotation (they lead the tail below).
     "q_argmax_join",
     "q_embedding_quantize",
@@ -208,22 +230,20 @@ _DRIVER_ORDER = [
     "q_gap_fill",
     "q_graph_triangles",
     "q_group_mode",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: the 12 r4-stamped leftovers first (next round's head),
+    #    then prior relative order preserved; all remain registered
+    #    and pytest/driver_sim-proven every round.
     "q_grouped_regression",
     "q_heavy_hitters",
     "q_join_interval_overlap",
     "q_merge_upsert",
-    "q_percent_change",
     "q_rollup",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: the 8 r4-stamped leftovers first (next round's head),
-    #    then prior relative order preserved; all remain registered
-    #    and pytest/driver_sim-proven every round.
     "q_sample_weighted",
     "q_scan_partitioned",
     "q_stream_session",
     "q_time_rollup_multi",
     "q_tpch_q4",
-    "q_tpch_q12",
     "q_window_nth",
     "q_window_time_range",
     "q_join_salted",
@@ -318,7 +338,6 @@ _DRIVER_ORDER = [
     "q_map_lookup",
     "q_math_arith",
     "q_membership",
-    "q_offset_skip",
     "q_project_cast",
     "q_project_compute",
     "q_set_except",
@@ -368,7 +387,6 @@ _DRIVER_ORDER = [
     "q_scan_range_pred",
     "q_join_left_outer",
     "q_join_semi",
-    "q_join_anti",
     "q_join_multiway",
     "q_group_counts",
     "q_group_collect",
@@ -427,8 +445,6 @@ _DRIVER_ORDER = [
     "q_target_encode",
     "q_graph_bfs",
     "q_corr_matrix",
-    "q_benford_digits",
-    "q_alloc_budget",
     "q_table_checksum",
     "q_k_anonymity",
     "q_ann_recall",

@@ -660,8 +660,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = d.groupBy("digit").agg(F.count("*").alias("n"))
     w = Window.partitionBy()
     c = c.withColumn("n_g", F.sum("n").over(w))
-    exp_share = F.element_at(
-        F.array(*[F.lit(v) for v in BENFORD_EXPECTED]), F.col("digit")
+    # Explicit null guard on the lookup index: a NULL digit (null
+    # o_totalprice) must yield NULL exp_share on both engines — Spark's
+    # element_at is unreliable under a NULL ordinal (the /tmp/skew5
+    # fixture observed it returning the LAST element, not NULL), while
+    # the oracle's CASE yields NULL by falling through.
+    exp_share = F.when(
+        F.col("digit").isNotNull(),
+        F.element_at(F.array(*[F.lit(v) for v in BENFORD_EXPECTED]), F.col("digit")),
     )
     obs = F.col("n").cast("double") / F.col("n_g").cast("double")
     return c.select(
@@ -696,7 +702,13 @@ def alloc_largest_remainder(
         F.expr(f"({budget} * {n}) div n_g").alias("base"),
         (F.lit(budget) * F.col(n) % F.col("n_g")).alias("rem"),
     ).withColumn("extra", F.lit(budget) - F.sum("base").over(w_all))
-    w_rk = Window.orderBy(F.desc("rem"), F.asc(key))
+    # Null placement pinned on BOTH rank keys: a NULL stratum id (the
+    # /tmp/skew5 null-key fixture) must tie-break identically across
+    # engines — Spark's DESC default is NULLS LAST but DuckDB's is
+    # NULLS FIRST, and vice versa for ASC.
+    w_rk = Window.orderBy(
+        F.col("rem").desc_nulls_last(), F.col(key).asc_nulls_first()
+    )
     r = q.withColumn("rk", F.row_number().over(w_rk))
     return r.select(
         key,
@@ -721,7 +733,8 @@ def alloc_largest_remainder(
                  {ALLOC_BUDGET} - SUM(({ALLOC_BUDGET} * n_customers) // n_g)
                                     OVER () AS extra
           FROM c),
-    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC NULLS LAST,
+                                                c_nationkey NULLS FIRST) AS rk
           FROM q)
     SELECT c_nationkey, n_customers,
            CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)

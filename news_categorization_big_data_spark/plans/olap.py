@@ -506,8 +506,11 @@ def q_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS rev
                FROM orders GROUP BY 1, 2),
     w AS (SELECT o_orderpriority, month, rev,
+                 -- NULLS FIRST explicitly: a NULL month (null
+                 -- o_orderdate) sorts first under Spark's ASC default
+                 -- but last under DuckDB's
                  lag(rev) OVER (PARTITION BY o_orderpriority
-                                ORDER BY month) AS prev_rev
+                                ORDER BY month NULLS FIRST) AS prev_rev
           FROM m)
     SELECT o_orderpriority, month, rev, prev_rev,
            (rev - prev_rev) / prev_rev AS mom_change
@@ -531,7 +534,12 @@ def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month"
         ),
     ).agg(dsum("o_totalprice", 2).alias("rev"))
-    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    # asc_nulls_first == Spark's ASC default, stated explicitly; the
+    # oracle pins NULLS FIRST (DuckDB defaults NULLS LAST) so a NULL
+    # month group lags identically on both engines.
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("month").asc_nulls_first()
+    )
     return m.select(
         "o_orderpriority",
         "month",

@@ -241,16 +241,31 @@ def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_offset_skip",
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey OFFSET 10 LIMIT 20
+    -- NULLS FIRST pins cross-engine placement of null keys (Spark ASC
+    -- defaults NULLS FIRST, DuckDB NULLS LAST); o_totalprice breaks
+    -- ties among null keys — remaining ties agree on BOTH projected
+    -- columns, so any tie-straddling page cut yields the same multiset
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey NULLS FIRST, o_totalprice NULLS FIRST
+    OFFSET 10 LIMIT 20
     """,
     tier="A",
     doc="Offset skip ≙ the dataset reader's `if i < index: continue` "
     "(raw_news_to_telegram.py:55-57) — ordered offset+limit; deterministic "
-    "because the sort key is unique.",
+    "because the sort key is unique when non-null, and null keys are "
+    "pinned NULLS FIRST with a projected-column tiebreaker.",
 )
 def q_offset_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(10).limit(20)
+    return (
+        orders.orderBy(
+            F.col("o_orderkey").asc_nulls_first(),
+            F.col("o_totalprice").asc_nulls_first(),
+        )
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    )
 
 
 @register(
@@ -376,11 +391,20 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    -- NOT EXISTS, deliberately not NOT IN: DataFrame left_anti has
+    -- NOT-EXISTS semantics (a null key on either side simply never
+    -- matches, so null-key customers survive), whereas SQL NOT IN
+    -- returns ZERO rows the moment the subquery contains one NULL
+    -- o_custkey (three-valued logic) — the null-key fixture
+    -- (/tmp/skew5) caught exactly that divergence.
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tier="B",
-    doc="Left anti join (NOT EXISTS): customers with no orders at all.",
+    doc="Left anti join (NOT EXISTS): customers with no orders at all. "
+    "The oracle is expressed as NOT EXISTS, not NOT IN — left_anti "
+    "matches the former; NOT IN is vacuously empty once the subquery "
+    "holds a NULL key.",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

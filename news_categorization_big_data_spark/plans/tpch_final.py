@@ -293,8 +293,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'SLOW' ELSE 'FAST' END AS ship_class,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           -- low = NOT-high via the SAME predicate inverted (THEN 0
+           -- ELSE 1), not a NOT IN: under three-valued logic a NULL
+           -- priority fails BOTH `IN` and `NOT IN`, dropping the row
+           -- from both counts, while the engine's when/otherwise
+           -- counts every not-high row as low. Identical on null-free
+           -- data; identical on the null fixture too.
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '{Q12_SHIP_LO} 00:00:00'

@@ -34,12 +34,14 @@ def test_bad_sf_dir_raises_cleanly(spark):
 
 def test_registry_window_contains_round13_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-13 window = the 18 plans round 13 changed (the
+    round-13 window = the 24 plans round 13 changed (the
     static-broadcast purge across the TPC-H/join tier, the banded
-    q_join_theta_range, the size-gated q_join_broadcast, and the
-    ADVICE-fixed q_url_normalize taking its first stamp) + the 17
-    late-round-12 null-policy plans whose green stamps predate their
-    changes + 3 standing canaries + 12 pass(r4) backfill."""
+    q_join_theta_range, the size-gated q_join_broadcast, the
+    ADVICE-fixed q_url_normalize taking its first stamp, and the six
+    null-semantics fixes from the /tmp/skew5 TPC-H null-key fixture)
+    + the 17 late-round-12 null-policy plans whose green stamps
+    predate their changes + 3 standing canaries + 6 pass(r4)
+    backfill."""
     window = list(REGISTRY)[:50]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
     changed_r13 = [
@@ -48,6 +50,8 @@ def test_registry_window_contains_round13_priorities():
         "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
         "q_tpch_q21", "q_join_inner_equi", "q_join_broadcast",
         "q_join_theta_range", "q_url_normalize",
+        "q_percent_change", "q_tpch_q12", "q_offset_skip", "q_join_anti",
+        "q_benford_digits", "q_alloc_budget",
     ]
     null_policy_r12 = [
         "q_funnel", "q_retention_cohort", "q_equidepth_histogram",
@@ -57,7 +61,7 @@ def test_registry_window_contains_round13_priorities():
         "q_variant_json", "q_multimodal_cols", "q_bitmap_setops",
         "q_group_entropy",
     ]
-    assert len(changed_r13) == 18 and len(null_policy_r12) == 17
+    assert len(changed_r13) == 24 and len(null_policy_r12) == 17
     for name in canaries + changed_r13 + null_policy_r12:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
