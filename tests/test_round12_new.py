@@ -37,21 +37,29 @@ def test_quality_buckets_head_is_lowest_rarity(spark, sf_dir):
             assert max(buckets["head"]) <= min(buckets["tail"]), lang
 
 
-def test_url_normalize_merges_both_raw_spellings(spark, sf_dir):
-    """Each planted duplicate group spans the https://WWW+slash and the
-    http+utm spellings; the canonicalizer must merge them (n_raw_forms
-    == 2 whenever both parities hit a bucket) and never leave scheme,
-    www., utm params, or a trailing slash in the canonical form."""
+def test_url_normalize_merges_param_free_raw_spellings(spark, sf_dir):
+    """Since round 13 each bucket plants FOUR raw variants (mod-4:
+    uppercase https://WWW+slash, utm-first+surviving ref param,
+    www+fragment, consecutive-utm+slash); the three param-free
+    spellings must merge into one canonical group (n_raw_forms == 3
+    once a bucket collects them all) while the ref= variant keeps its
+    own group through the '&'→'?' promotion — and no canonical form
+    may retain scheme, www., utm params, fragments, a trailing slash,
+    or a dangling separator."""
     rows = REGISTRY["q_url_normalize"].builder(spark, sf_dir).collect()
     assert rows
     for r in rows:
         u = r["url_canonical"]
         assert u == u.lower()
         assert not u.startswith(("http", "www."))
-        assert "utm_" not in u and not u.endswith("/") and "#" not in u
+        assert "utm_" not in u and not u.endswith(("/", "?", "&")) and "#" not in u
         assert r["n_docs"] >= r["n_raw_forms"] >= 1
-    # sf0.001+ has enough docs that some bucket collects both parities
-    assert any(r["n_raw_forms"] == 2 for r in rows)
+        if "?" in u:  # the surviving-param group, promoted '&'→'?'
+            assert u.count("?") == 1 and "ref=" in u.split("?", 1)[1]
+    # sf0.001+ has enough docs that buckets collect all three
+    # param-free spellings
+    assert any(r["n_raw_forms"] == 3 for r in rows)
+    assert any("?ref=" in r["url_canonical"] for r in rows)
 
 
 def test_url_normalize_keeper_is_min_doc(spark, sf_dir):
