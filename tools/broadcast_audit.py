@@ -103,12 +103,17 @@ def main() -> None:
     # HINT-driven, the class that never self-corrects at scale. This
     # automates the hint-vs-estimate half of the triage; the remaining
     # human read is only the estimate-blindness sub-class (widened /
-    # pinned frames). Expected output on a healthy registry: exactly
-    # ONE flag — q_join_broadcast, whose hint is the size-GATED
-    # broadcast_if_small (it measured the frame's on-disk bytes before
-    # pinning, so it is scale-safe by construction and disappears when
-    # run against a fixture past the gate). Anything else is a real
-    # pinned-hint defect (the same property
+    # pinned frames). Expected output on a healthy registry (round-13
+    # full sweep: flagged 4/284, all justified):
+    #   - q_join_broadcast: the size-GATED broadcast_if_small hint (it
+    #     measured on-disk bytes before pinning; disappears against a
+    #     fixture past the gate);
+    #   - q_sim_search / q_knn_label / q_sim_ann_ivf: broadcasts of
+    #     CONSTANT-size query-vector sets (vec_id IN (0,1,2) pushed to
+    #     the embeddings scan — the same ≤3 rows at any SF, bounded
+    #     like nation/region), and each is crossJoin(broadcast(...))
+    #     where dropping the hint degrades to CartesianProduct.
+    # Anything else is a real pinned-hint defect (the same property
     # tests/test_no_pinned_sf_broadcasts.py pins for the TPC-H/join
     # tier).
     hints_only = "--hints" in sys.argv[1:]
