@@ -422,6 +422,12 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    -- pins the ENGINE's empty-input contract: Spark's Expand-based
+    -- rollup emits NO rows on empty input (the SQL standard, and
+    -- DuckDB, emit the lone () grand-total row); every real grouping
+    -- row has COUNT(*) >= 1, so this is a no-op on non-empty data and
+    -- drops only that standard-mandated empty-input total.
+    HAVING COUNT(*) > 0
     """,
     tier="B",
     doc="Hierarchical ROLLUP (region → nation → grand total) over the "
@@ -682,16 +688,21 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_table_profile",
     oracle="""
+    -- COUNT(CASE...), not count_if: DuckDB's count_if over ZERO rows
+    -- returns NULL while Spark's count_if returns 0 — COUNT never
+    -- returns NULL, so the empty-shard profile reads 0 nulls on both
+    -- engines (the /tmp/skew6 empty-input finding); identical values
+    -- on non-empty data.
     WITH s AS (SELECT COUNT(*) AS n,
-                      CAST(count_if(o_custkey IS NULL) AS BIGINT) AS nn_ck,
+                      COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn_ck,
                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
                       CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck,
                       CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
-                      CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS nn_tp,
+                      COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nn_tp,
                       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
                       MIN(o_totalprice) AS mn_tp,
                       MAX(o_totalprice) AS mx_tp,
-                      CAST(count_if(o_orderstatus IS NULL) AS BIGINT) AS nn_os,
+                      COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nn_os,
                       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_os
                FROM orders)
     SELECT 'o_custkey' AS col, n, nn_ck AS n_null, nd_ck AS n_distinct,

@@ -106,13 +106,17 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans orders twice + customer once at any scale).
     ar = a.crossJoin(F.broadcast(r))
     n = F.col("n").cast("double")
+    # try_divide, not `/`: on an EMPTY orders shard n = 0, and the
+    # ratio checks must degrade to NULL metrics exactly like the
+    # oracle's x/0 (DuckDB: NULL) instead of raising ANSI
+    # DIVIDE_BY_ZERO — the /tmp/skew6 empty-input finding.
     rows = [
         ("row_count", n, F.col("n") > 0),
-        ("completeness_custkey", F.col("n_ck").cast("double") / F.col("n"), F.col("n_ck") == F.col("n")),
-        ("uniqueness_orderkey", F.col("n_uk").cast("double") / F.col("n"), F.col("n_uk") == F.col("n")),
-        ("domain_orderstatus", F.col("n_dom").cast("double") / F.col("n"), F.col("n_dom") == F.col("n")),
+        ("completeness_custkey", F.try_divide(F.col("n_ck").cast("double"), F.col("n")), F.col("n_ck") == F.col("n")),
+        ("uniqueness_orderkey", F.try_divide(F.col("n_uk").cast("double"), F.col("n")), F.col("n_uk") == F.col("n")),
+        ("domain_orderstatus", F.try_divide(F.col("n_dom").cast("double"), F.col("n")), F.col("n_dom") == F.col("n")),
         ("min_totalprice_positive", F.col("min_price"), F.col("min_price") > 0),
-        ("referential_custkey", F.lit(1.0) - F.col("n_orph").cast("double") / F.col("n"), F.col("n_orph") == 0),
+        ("referential_custkey", F.lit(1.0) - F.try_divide(F.col("n_orph").cast("double"), F.col("n")), F.col("n_orph") == 0),
     ]
     checks = F.array(
         *[
@@ -825,10 +829,12 @@ SRM_WEIGHTS = {"A": 0.5, "B": 0.25, "C": 0.25}
                    ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                      % 4 AS b
             FROM u),
+    -- COUNT(CASE...), not count_if: DuckDB count_if over zero rows is
+    -- NULL, Spark's arm counts are 0 (empty-shard parity, /tmp/skew6)
     c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-                 CAST(count_if(b <= 1) AS BIGINT) AS n_a,
-                 CAST(count_if(b = 2) AS BIGINT) AS n_b,
-                 CAST(count_if(b = 3) AS BIGINT) AS n_c
+                 COUNT(CASE WHEN b <= 1 THEN 1 END) AS n_a,
+                 COUNT(CASE WHEN b = 2 THEN 1 END) AS n_b,
+                 COUNT(CASE WHEN b = 3 THEN 1 END) AS n_c
           FROM arm)
     SELECT n_users, n_a, n_b, n_c,
            (n_a - n_users * 0.5) * (n_a - n_users * 0.5) / (n_users * 0.5)
@@ -865,10 +871,13 @@ def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("b") == 3, 1)).cast("long").alias("n_c"),
     )
     n, a, b, cc = (F.col(x).cast("double") for x in ("n_users", "n_a", "n_b", "n_c"))
+    # try_divide: an empty events shard gives n = 0 and the chi2 must
+    # be NULL (the oracle's x/0 is NULL in DuckDB), not an ANSI
+    # DIVIDE_BY_ZERO crash (/tmp/skew6 empty-input finding).
     chi2 = (
-        (a - n * 0.5) * (a - n * 0.5) / (n * 0.5)
-        + (b - n * 0.25) * (b - n * 0.25) / (n * 0.25)
-        + (cc - n * 0.25) * (cc - n * 0.25) / (n * 0.25)
+        F.try_divide((a - n * 0.5) * (a - n * 0.5), n * 0.5)
+        + F.try_divide((b - n * 0.25) * (b - n * 0.25), n * 0.25)
+        + F.try_divide((cc - n * 0.25) * (cc - n * 0.25), n * 0.25)
     )
     return c.select("n_users", "n_a", "n_b", "n_c", chi2.alias("chi2_srm"))
 

@@ -632,6 +632,9 @@ def q_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    -- engine empty-input contract (see q_rollup): no () total row on
+    -- empty input; no-op on non-empty data
+    HAVING COUNT(*) > 0
     """,
     tier="B",
     doc="ROLLUP hierarchy (status, priority) → (status) → (); Spark expands "
@@ -971,6 +974,10 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- engine empty-input contract: Spark's cube emits no rows on
+    -- empty input (standard SQL emits the () total) — no-op filter on
+    -- non-empty data, see q_rollup
+    HAVING COUNT(*) > 0
     """,
     tier="B",
     doc="CUBE over (status, priority): all four grouping sets — the "

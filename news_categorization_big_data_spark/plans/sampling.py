@@ -521,9 +521,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_removed"),
-        (
-            F.col("n_docs").cast("double")
-            / F.first("n_docs").over(w).cast("double")
+        # try_divide: an all-empty corpus makes the raw stage count 0
+        # and kept_frac must be NULL like the oracle's x/0 (DuckDB:
+        # NULL), not an ANSI crash (/tmp/skew6 empty-input finding)
+        F.try_divide(
+            F.col("n_docs").cast("double"),
+            F.first("n_docs").over(w).cast("double"),
         ).alias("kept_frac"),
     )
 

@@ -34,6 +34,7 @@ from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.json_corpus import (
     normalize_authors,
     read_json_corpus,
+    with_expected_columns,
 )
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -136,7 +137,15 @@ def _write_fixtures(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsonl_dir, array_dir = _write_fixtures(spark, sf_dir)
     parts = [
-        normalize_authors(read_json_corpus(spark, d)).select("doc_id", "headline", "authors")
+        # with_expected_columns: a shard with zero parseable records
+        # infers no schema — degrade to typed NULL columns, don't fail
+        # analysis (the /tmp/skew6 empty-input finding)
+        normalize_authors(
+            with_expected_columns(
+                read_json_corpus(spark, d),
+                {"doc_id": "bigint", "headline": "string"},
+            )
+        ).select("doc_id", "headline", "authors")
         for d in (jsonl_dir, array_dir)
     ]
     merged = parts[0].unionByName(parts[1])
@@ -264,7 +273,10 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(part_dir)
     return (
-        spark.read.parquet(part_dir)
+        # the writer's schema rides the round-trip: an empty write
+        # leaves no part files to infer from (only _SUCCESS), and the
+        # read must still produce the typed empty frame
+        spark.read.schema(docs.schema).parquet(part_dir)
         .where(F.col("lang").isin("en", "de"))
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n_docs"))
@@ -346,8 +358,11 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", F.floor("value").cast("int").alias("vb")
     )
     zorder_write(ev, z_dir, "user_id", "vb", bits=10, files=8)
+    # writer schema + the _zseg partition column: empty input writes
+    # no data files, so the read-back cannot rely on inference
+    z_schema = ev.schema.add("_zseg", "long")
     return (
-        spark.read.parquet(z_dir)
+        spark.read.schema(z_schema).parquet(z_dir)
         .where(F.col("user_id").between(100, 160) & F.col("vb").between(100, 240))
         .groupBy("user_id")
         .agg(
@@ -389,7 +404,8 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.partitionBy("event_type").mode("overwrite").parquet(sink_dir)
     return (
-        spark.read.parquet(sink_dir)
+        # writer schema rides the round-trip (empty-write safe)
+        spark.read.schema(ev.schema).parquet(sink_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -483,7 +499,9 @@ def q_sink_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", sink_dir
     ).mode("append").save()
     return (
-        read_committed(spark, sink_dir)
+        # explicit schema: a zero-row commit (empty shard) must read
+        # back as an empty TYPED frame, not an inference failure
+        read_committed(spark, sink_dir, schema="doc_id bigint, lang string, n_chars bigint")
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -67,6 +67,23 @@ def read_json_corpus(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def with_expected_columns(df: DataFrame, expected: dict[str, str]) -> DataFrame:
+    """Schema-drift tolerance for INFERRED reads: ensure every expected
+    column exists, adding absent ones as typed NULLs.
+
+    Inference only sees the records that parsed — a shard whose JSON
+    records are all malformed (or simply absent) infers an empty/
+    partial schema, and the downstream projection would fail analysis
+    on the missing names. At 100 TB "this shard had nothing parseable"
+    is routine, so a permissive corpus reader must degrade to NULL
+    columns, exactly as it already does for the union-typed authors
+    field (the /tmp/skew6 empty-input sweep caught the crash)."""
+    for name, dtype in expected.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df
+
+
 def normalize_authors(df: DataFrame, col: str = "authors") -> DataFrame:
     """Normalize the union-typed authors field to array<string>.
 

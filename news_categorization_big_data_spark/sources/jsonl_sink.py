@@ -153,15 +153,34 @@ class JsonlSinkDataSource(DataSource):
         return JsonlSinkStreamWriter(self.options)
 
 
-def read_committed(spark, path: str):
+def read_committed(spark, path: str, schema=None):
     """Manifest-honoring reader: only files named by a `_SUCCESS*`
     manifest are visible — staged or orphaned part files are not.
-    (spark.read.json over the raw directory would read torn output.)"""
+    (spark.read.json over the raw directory would read torn output.)
+
+    ``schema`` (optional DDL string or StructType) makes the read-back
+    independent of inference — REQUIRED for the empty-commit case: a
+    job that legitimately wrote zero rows commits a manifest naming no
+    files, and schema inference over nothing has nothing to infer (the
+    /tmp/skew6 empty-input sweep hit exactly this). Without a schema
+    the empty commit still raises, as before."""
     names: list[str] = []
+    manifests = 0
     for entry in sorted(os.listdir(path)):
         if entry.startswith("_SUCCESS") and not entry.endswith(".tmp"):
+            manifests += 1
             with open(os.path.join(path, entry)) as f:
                 names.extend(x["name"] for x in json.load(f)["files"])
-    if not names:
+    if not manifests:
         raise FileNotFoundError(f"no committed manifest under {path}")
-    return spark.read.json([os.path.join(path, n) for n in names])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not names:
+        if schema is None:
+            raise FileNotFoundError(
+                f"empty commit under {path} and no schema given — "
+                "inference has nothing to infer; pass schema="
+            )
+        return spark.createDataFrame([], schema)
+    return reader.json([os.path.join(path, n) for n in names])
