@@ -102,14 +102,29 @@ oracle vacuously empty under a NULL subquery key; q_benford_digits:
 Spark element_at under a NULL ordinal; q_alloc_budget: rank-key null
 placement), all fixed and re-proven MATCH on skew5 AND sf0.01;
 (B) the 17 late-round-12 null-policy plans above, whose green stamps
-legally predate their changes; (C) the 3 standing canaries; (D) 6 of
-the outstanding pass(r4) stamps, alphabetical — the remaining 12
-(q_grouped_regression, q_heavy_hitters, q_join_interval_overlap,
-q_merge_upsert, q_rollup, q_sample_weighted, q_scan_partitioned,
-q_stream_session, q_time_rollup_multi, q_tpch_q4, q_window_nth,
-q_window_time_range) lead the tail and head the round-14 rotation,
-after which back-fill continues with pass(r5), oldest first. Keep
-ROTATION_PENDING for anything newly registered.
+legally predate their changes; (C) the 3 standing canaries — this
+round q_scan_json and q_udf_scalar are ALSO changed plans (empty-axis
+schema-drift guard; non-finite banding contract), so their canary
+slots double as change stamps; (D) the 6 stalest-stamped of the 17
+further plans round 13 changed in its EMPTY-INPUT and NON-FINITE
+fixture programs — /tmp/skew6 (tools/make_skew6.py: every table
+zero rows, production schema; sweep 269/284, 15 defects in four
+classes fixed: inference-dependent round-trips now carry the writer's
+schema, try_divide on empty-derived denominators, the rollup/cube/
+grouping-sets engine contract of no-()-row-on-empty pinned via HAVING
+COUNT(*)>0, estimator empty guards, count_if-vs-COUNT(CASE) oracle
+parity) and /tmp/skew7 (tools/make_skew7.py: NaN/±Inf in events.value
+and poisoned embedding components; sweep 245/284 — the four SILENT
+hash mismatches fixed by pinning finite-subset order statistics,
+NULL banding for non-finite, and IEEE NaN comparison semantics; the
+two Spark-side crashes fixed by a finite z-order coordinate guard and
+a drop-poisoned-vectors curation filter before KMeans; the ~29
+remaining oracle-side decimal/int-cast refusals are the ROUND-14
+DESIGN PROGRAM — a finite-guard contract in dsum/o_dsum, see
+SCALE.md). The 11 remaining changed plans lead the tail and head the
+round-14 window; the r4-stamp backfill moved behind them (changed
+code outranks re-proof rotation). Keep ROTATION_PENDING for anything
+newly registered.
 
 """
 
@@ -153,7 +168,7 @@ _DRIVER_ORDER = [
     # Composition (priority order, the round-8 convention): changed
     # plans first, then the late-round-12 null-policy plans whose
     # stamps legally predate their changes, then canaries, then the
-    # stalest (pass-r4) stamps.
+    # stalest stamps among the remaining round-13 changed plans.
     # -- A. plans CHANGED in round 13 (24): the static-broadcast purge
     #       (round-12 VERDICT item 1) — 14 TPC-H queries plus
     #       q_join_inner_equi dropped pinned F.broadcast() hints on
@@ -165,8 +180,8 @@ _DRIVER_ORDER = [
     #       q_join_theta_range (banded equi-join replacing the
     #       broadcast-nested-loop), q_url_normalize (first official
     #       stamp + the ADVICE fixes) — and the SIX null-semantics
-    #       fixes the round-13 /tmp/skew5 fixture caught in the TPC-H
-    #       tier (tools/make_skew5.py; SCALE.md round-13 disposition):
+    #       fixes from the round-13 /tmp/skew5 TPC-H null-key fixture
+    #       (tools/make_skew5.py; SCALE.md round-13 disposition):
     #       q_percent_change + q_offset_skip (NULLS FIRST pins),
     #       q_tpch_q12 (NOT-IN vs otherwise() low-count), q_join_anti
     #       (NOT IN → NOT EXISTS oracle), q_benford_digits (NULL-index
@@ -218,29 +233,51 @@ _DRIVER_ORDER = [
     "q_bitmap_setops",
     "q_group_entropy",
     # -- C. standing single-op regression canaries (every window).
+    #       q_scan_json and q_udf_scalar double as round-13 changed
+    #       plans this round (empty-axis schema-drift guard;
+    #       non-finite banding contract).
     "q_group_stats",
     "q_scan_json",
     "q_udf_scalar",
-    # -- D. re-proof rotation: the stalest (pass-r4) stamps,
-    #       alphabetical. 12 more r4 names did not fit and head the
-    #       round-14 rotation (they lead the tail below).
+    # -- D. the 6 stalest-stamped of the remaining round-13 changed
+    #       plans from the EMPTY-INPUT (/tmp/skew6) and NON-FINITE
+    #       (/tmp/skew7) fixture programs — changed code outranks the
+    #       r4 re-proof backfill, which moves to the tail. The other
+    #       11 changed plans lead the tail and head the round-14
+    #       window (all 19 sim-proven on their fixtures AND sf0.01).
+    "q_rollup",
+    "q_scan_partitioned",
+    "q_table_profile",
+    "q_udaf_grouped",
+    "q_udtf_table_arg",
+    "q_ab_srm",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: first the 11 remaining round-13 changed plans (round-14
+    #    window head), then the r4-stamp leftovers, then prior
+    #    relative order preserved; all remain registered and
+    #    pytest/driver_sim-proven every round.
+    "q_curation_funnel",
+    "q_sink_pyds_roundtrip",
+    "q_ml_classify",
+    "q_ml_kmeans",
+    "q_sim_ann_lsh",
+    "q_grouping_sets",
+    "q_dq_checks",
+    "q_cube",
+    "q_scan_zorder",
+    "q_sink_partitioned_roundtrip",
+    "q_group_quantiles",
     "q_argmax_join",
     "q_embedding_quantize",
     "q_event_transitions",
     "q_gap_fill",
     "q_graph_triangles",
     "q_group_mode",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: the 12 r4-stamped leftovers first (next round's head),
-    #    then prior relative order preserved; all remain registered
-    #    and pytest/driver_sim-proven every round.
     "q_grouped_regression",
     "q_heavy_hitters",
     "q_join_interval_overlap",
     "q_merge_upsert",
-    "q_rollup",
     "q_sample_weighted",
-    "q_scan_partitioned",
     "q_stream_session",
     "q_time_rollup_multi",
     "q_tpch_q4",
@@ -276,7 +313,6 @@ _DRIVER_ORDER = [
     "q_video_frames",
     "q_token_rarity",
     "q_bpe_pair_counts",
-    "q_cube",
     "q_dedup_fuzzy",
     "q_doc_commonness",
     "q_join_full_outer",
@@ -312,15 +348,12 @@ _DRIVER_ORDER = [
     "q_anova_f",
     "q_did_effect",
     "q_pq_assign",
-    "q_scan_zorder",
-    "q_sink_partitioned_roundtrip",
     "q_cusum_changepoint",
     "q_semi_additive",
     "q_ivm_join_agg",
     "q_attrib_channel",
     "q_rfm_segments",
     "q_array_hof",
-    "q_group_quantiles",
     "q_mix_sources",
     "q_sample_stratified",
     "q_scan_csv",
@@ -366,12 +399,8 @@ _DRIVER_ORDER = [
     "q_classify_keywords",
     "q_pipeline_digest",
     "q_knn_label",
-    "q_ml_classify",
-    "q_ml_kmeans",
-    "q_sim_ann_lsh",
     "q_mad_outliers",
     "q_winsorize",
-    "q_dq_checks",
     "q_gini_spend",
     "q_sequence_gaps",
     "q_skyline",
@@ -390,7 +419,6 @@ _DRIVER_ORDER = [
     "q_join_multiway",
     "q_group_counts",
     "q_group_collect",
-    "q_grouping_sets",
     "q_topk_per_group",
     "q_stream_tumbling",
     "q_stream_sliding",
@@ -403,7 +431,6 @@ _DRIVER_ORDER = [
     "q_dedup_prefix",
     "q_label_centroids",
     "q_stream_trending",
-    "q_sink_pyds_roundtrip",
     "q_pq_search",
     "q_skew_profile",
     "q_split_leakproof",
@@ -413,14 +440,12 @@ _DRIVER_ORDER = [
     "q_er_blocking",
     "q_twap",
     "q_inverted_index",
-    "q_ab_srm",
     "q_scan_xml",
     "q_cuped",
     "q_experiment_readout",
     "q_embedding_dim_stats",
     "q_rolling_corr",
     "q_pipeline_curate",
-    "q_curation_funnel",
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_tpch_q1",
@@ -440,7 +465,6 @@ _DRIVER_ORDER = [
     "q_cms_counts",
     "q_graph_kcore",
     "q_scan_evolved",
-    "q_udtf_table_arg",
     "q_ml_eval",
     "q_target_encode",
     "q_graph_bfs",
@@ -453,8 +477,6 @@ _DRIVER_ORDER = [
     "q_regex_extract",
     "q_rate_anomaly",
     "q_seasonality",
-    "q_table_profile",
-    "q_udaf_grouped",
     "q_sliding_distinct",
     "q_scd2_intervals",
     "q_embedding_norms",

@@ -99,9 +99,13 @@ def q_ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ml_kmeans",
     oracle="""
+    -- counts only FINITE vectors: the engine drops NaN/Inf-poisoned
+    -- embeddings before training (MLlib refuses them; see plan)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS k_ok,
            TRUE AS fitted_beats_fixed_init
     FROM embeddings
+    WHERE len(list_filter(embedding,
+                          x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
     """,
     tier="C",
     doc="MLlib KMeans over the embeddings table (k=8, fixed seed): the "
@@ -129,6 +133,19 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # Curation guard: MLlib refuses NaN/Inf vector components
+    # (fit raises), and a poisoned embedding is a data defect, not a
+    # cluster member — drop non-finite vectors BEFORE training, the
+    # same posture a production IVF build takes (the /tmp/skew7
+    # finding). Map-only filter, whole-stage codegen.
+    raw = raw.where(
+        F.size(
+            F.filter(
+                "e", lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+            )
+        )
+        == 0
     )
     # empty-shard guard — see q_ml_classify: no vectors, vacuous pass
     if raw.isEmpty():

@@ -769,11 +769,14 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_group_quantiles",
     oracle="""
+    WITH fin AS (SELECT event_type,
+                        CASE WHEN isfinite(value) THEN value END AS value
+                 FROM events)
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.9), 4) AS p90,
            round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
+    FROM fin GROUP BY event_type
     """,
     tier="B",
     doc="Exact grouped quantiles (p50/p90/p99, linear interpolation) — the "
@@ -781,14 +784,24 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "values (fine at per-group cardinality); at corpus scale switch the "
     "same query to approx_percentile (t-digest sketch, mergeable "
     "map-side, engine-specific values → semi-oracle bound check like "
-    "q_quantile_sketch). round(4) absorbs interpolation-order ulp.",
+    "q_quantile_sketch). round(4) absorbs interpolation-order ulp. "
+    "Non-finite inputs are EXCLUDED on both engines (the metric column "
+    "can carry NaN/±Inf in production — a sensor division, an "
+    "overflow — and the engines disagree on where NaN sorts: Spark "
+    "places it above +Inf, DuckDB interpolates it away; a percentile "
+    "over non-finite data is ill-defined, so the operator pins "
+    "quantiles-of-the-finite-subset — the /tmp/skew7 finding).",
 )
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    fin = F.when(
+        ~F.isnan(F.col("value")) & (F.abs(F.col("value")) != float("inf")),
+        F.col("value"),
+    )
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.percentile(fin, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(fin, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(fin, F.lit(0.99)), 4).alias("p99"),
     )
 
 

@@ -334,7 +334,12 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_value
     FROM events
     WHERE user_id BETWEEN 100 AND 160
-      AND CAST(floor(value) AS INT) BETWEEN 100 AND 240
+      -- CASE-wrapped isfinite mirror of the engine's NULL-bucket guard:
+      -- SQL does not guarantee conjunct short-circuit order, so the
+      -- int cast must be unreachable for non-finite rows
+      AND CASE WHEN isfinite(value)
+               THEN CAST(floor(value) AS INT) BETWEEN 100 AND 240
+               ELSE FALSE END
     GROUP BY 1
     """,
     tier="B",
@@ -354,8 +359,15 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.scale import zorder_write
 
     z_dir = _fixture_dir(spark, sf_dir, "zorder_events")
+    # finite guard on the curve coordinate: floor(NaN) is Long.MIN in
+    # Spark (an ANSI overflow on the int cast) and an error in DuckDB —
+    # a non-finite metric has no position on the curve, so it gets a
+    # NULL bucket (lands in the null partition, excluded by the box
+    # predicate on both engines; the /tmp/skew7 finding).
+    val = F.col("value")
+    finite = ~F.isnan(val) & (F.abs(val) != float("inf"))
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "value", F.floor("value").cast("int").alias("vb")
+        "user_id", "value", F.when(finite, F.floor(val)).cast("int").alias("vb")
     )
     zorder_write(ev, z_dir, "user_id", "vb", bits=10, files=8)
     # writer schema + the _zseg partition column: empty input writes

@@ -52,11 +52,19 @@ def _value_band(v: pd.Series) -> pd.Series:
 @register(
     "q_udf_scalar",
     oracle="""
-    SELECT event_id,
-           CAST(least(greatest(floor(value / 50), 0), 5) AS INT) AS value_band,
-           'b' || CAST(CAST(least(greatest(floor(value / 50), 0), 5) AS INT) AS VARCHAR)
-             AS band_label
-    FROM events
+    -- non-finite banding pinned to NULL: pandas' clip keeps NaN and
+    -- the nullable-Int32 cast maps NaN AND ±Inf to NA, while DuckDB's
+    -- NaN-sorts-greatest would band NaN as 5 — the CASE mirrors the
+    -- engine (an unmeasurable value has no band; the /tmp/skew7
+    -- finding).
+    WITH b AS (SELECT event_id,
+                      CASE WHEN isfinite(value)
+                           THEN CAST(least(greatest(floor(value / 50), 0), 5) AS INT)
+                      END AS value_band
+               FROM events)
+    SELECT event_id, value_band,
+           'b' || CAST(value_band AS VARCHAR) AS band_label
+    FROM b
     """,
     tier="B",
     doc="Scalar @pandas_udf (Series→Series over Arrow batches): clamp-band "
@@ -75,15 +83,24 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _group_profile(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-user profile: count, lower-median (order statistic — exact),
-    and value range (one subtraction of identical doubles — exact)."""
-    vals = pdf["value"].sort_values(kind="mergesort").to_numpy()
-    n = len(vals)
+    and value range (one subtraction of identical doubles — exact).
+
+    Order statistics run over the FINITE subset: NaN has no defined
+    sort position (pandas sorts it last, DuckDB's comparisons treat it
+    as greatest — cross-engine divergence, the /tmp/skew7 finding) and
+    a range against ±Inf is ±Inf/NaN. n_events still counts every row;
+    a group with no finite values profiles as NULL."""
+    import numpy as np
+
+    vals = pdf["value"].to_numpy(dtype="float64")
+    fin = np.sort(vals[np.isfinite(vals)], kind="mergesort")
+    m = len(fin)
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
-            "n_events": [n],
-            "median_low": [vals[(n - 1) // 2]],
-            "value_range": [vals[n - 1] - vals[0]],
+            "n_events": [len(vals)],
+            "median_low": [float(fin[(m - 1) // 2]) if m else None],
+            "value_range": [float(fin[m - 1] - fin[0]) if m else None],
         }
     )
 
@@ -91,11 +108,18 @@ def _group_profile(pdf: pd.DataFrame) -> pd.DataFrame:
 @register(
     "q_udaf_grouped",
     oracle="""
+    -- order statistics over the FINITE subset (fv): NaN/±Inf and NULL
+    -- are excluded on both engines — see _group_profile; n_events
+    -- still counts every row
+    WITH fin AS (SELECT user_id,
+                        CASE WHEN isfinite(value) THEN value END AS fv
+                 FROM events)
     SELECT user_id,
            COUNT(*) AS n_events,
-           list_sort(list(value))[(COUNT(*) - 1) // 2 + 1] AS median_low,
-           (max(value) - min(value)) AS value_range
-    FROM events GROUP BY user_id
+           list_sort(list(fv) FILTER (fv IS NOT NULL))
+               [(COUNT(fv) - 1) // 2 + 1] AS median_low,
+           (max(fv) - min(fv)) AS value_range
+    FROM fin GROUP BY user_id
     """,
     tier="B",
     doc="Grouped-map applyInPandas: one pandas frame per user_id group → "

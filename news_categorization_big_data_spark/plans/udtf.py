@@ -158,13 +158,19 @@ class RunStats:
     def eval(self, row) -> None:  # noqa: D102 - UDTF contract
         self._type = row["event_type"]
         self._n += 1
-        if self._prev is not None and row["value"] > self._prev:
+        # NULL value: not comparable — never an up-step, and it becomes
+        # prev (breaking the next comparison too), exactly like the
+        # oracle's lag(value) chain (a None > float is a TypeError, the
+        # /tmp/skew4 null-value crash). NaN needs no branch: IEEE
+        # comparisons are False, matching the oracle's isnan guards.
+        v = row["value"]
+        if self._prev is not None and v is not None and v > self._prev:
             self._up += 1
             self._run += 1
         else:
             self._run = 1
         self._best = max(self._best, self._run)
-        self._prev = row["value"]
+        self._prev = v
 
     def terminate(self):  # noqa: D102 - UDTF contract
         if self._n:
@@ -179,8 +185,14 @@ class RunStats:
                       ROW_NUMBER() OVER w AS rn
                FROM events
                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    -- isnan guards pin IEEE comparison semantics: the Python UDTF's
+    -- `value > prev` is False whenever either side is NaN, while SQL
+    -- NaN-sorts-greatest would count NaN as an up-step (the
+    -- /tmp/skew7 finding). ±Inf compares identically in both.
     f AS (SELECT event_type, rn,
-                 CASE WHEN pv IS NOT NULL AND value > pv THEN 1 ELSE 0 END AS up
+                 CASE WHEN pv IS NOT NULL
+                       AND NOT isnan(value) AND NOT isnan(pv)
+                       AND value > pv THEN 1 ELSE 0 END AS up
           FROM s),
     g AS (SELECT event_type, rn, up,
                  SUM(1 - up) OVER (PARTITION BY event_type ORDER BY rn) AS grp

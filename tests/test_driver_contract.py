@@ -40,10 +40,16 @@ def test_registry_window_contains_round13_priorities():
     ADVICE-fixed q_url_normalize taking its first stamp, and the six
     null-semantics fixes from the /tmp/skew5 TPC-H null-key fixture)
     + the 17 late-round-12 null-policy plans whose green stamps
-    predate their changes + 3 standing canaries + 6 pass(r4)
-    backfill."""
+    predate their changes + 3 standing canaries (two doubling as
+    changed plans this round) + the 6 stalest-stamped of the 17
+    further plans changed by the empty-input (/tmp/skew6) and
+    non-finite (/tmp/skew7) fixture programs."""
     window = list(REGISTRY)[:50]
     canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
+    changed_fixture_programs = [
+        "q_rollup", "q_scan_partitioned", "q_table_profile",
+        "q_udaf_grouped", "q_udtf_table_arg", "q_ab_srm",
+    ]
     changed_r13 = [
         "q_tpch_q2", "q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
         "q_tpch_q9", "q_tpch_q11", "q_tpch_q14", "q_tpch_q15",
@@ -62,7 +68,7 @@ def test_registry_window_contains_round13_priorities():
         "q_group_entropy",
     ]
     assert len(changed_r13) == 24 and len(null_policy_r12) == 17
-    for name in canaries + changed_r13 + null_policy_r12:
+    for name in canaries + changed_r13 + null_policy_r12 + changed_fixture_programs:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
