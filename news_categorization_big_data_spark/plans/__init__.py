@@ -114,14 +114,25 @@ schema, try_divide on empty-derived denominators, the rollup/cube/
 grouping-sets engine contract of no-()-row-on-empty pinned via HAVING
 COUNT(*)>0, estimator empty guards, count_if-vs-COUNT(CASE) oracle
 parity) and /tmp/skew7 (tools/make_skew7.py: NaN/±Inf in events.value
-and poisoned embedding components; sweep 245/284 — the four SILENT
-hash mismatches fixed by pinning finite-subset order statistics,
-NULL banding for non-finite, and IEEE NaN comparison semantics; the
-two Spark-side crashes fixed by a finite z-order coordinate guard and
-a drop-poisoned-vectors curation filter before KMeans; the ~29
-remaining oracle-side decimal/int-cast refusals are the ROUND-14
-DESIGN PROGRAM — a finite-guard contract in dsum/o_dsum, see
-SCALE.md). The 11 remaining changed plans lead the tail and head the
+and poisoned embedding components; first sweep 245/284 — the four
+SILENT hash mismatches fixed by pinning finite-subset order
+statistics, NULL banding for non-finite, and IEEE NaN comparison
+semantics; the two Spark-side crashes fixed by a finite z-order
+coordinate guard and a drop-poisoned-vectors curation filter before
+KMeans — and then, COMPLETED in the same round, the full non-finite
+cast program the first sweep exposed: the POISON → NULL contract
+(functions in plans/relational.py — nonfinite, dsum_fin/o_dsum_fin,
+poisoned_flag/o_poisoned, o_fin) applied to all ~31 exact-decimal/
+int-cast metric consumers, where Spark's double→decimal cast NULLs
+non-finite values SILENTLY (a short sum is a wrong answer) while
+DuckDB refuses the cast loudly; any non-finite input now makes the
+affected exact aggregate NULL on BOTH engines, cascading through
+derived stats (t/F/theta/CI/EWMA/TWAP/CUSUM/DiD chains), while pure
+row-count/duration facts stay. Money columns (o_totalprice,
+l_extendedprice) keep plain dsum — finite by schema contract, which
+is exactly why make_skew7 does not poison them. CLOSING SWEEPS:
+/tmp/skew7 full registry 284/284 MATCH, full driver sim at sf0.01
+284/284.) The changed plans lead the tail in two waves and head the
 round-14 window; the r4-stamp backfill moved behind them (changed
 code outranks re-proof rotation). Keep ROTATION_PENDING for anything
 newly registered.
@@ -252,10 +263,18 @@ _DRIVER_ORDER = [
     "q_udtf_table_arg",
     "q_ab_srm",
     # ---- driver's 50-entry window ends here ----
-    # -- tail: first the 11 remaining round-13 changed plans (round-14
-    #    window head), then the r4-stamp leftovers, then prior
-    #    relative order preserved; all remain registered and
-    #    pytest/driver_sim-proven every round.
+    # -- tail: the round-13 changed plans lead (round-14 window head):
+    #    the 11 empty/non-finite wave-1 names, the 31 wave-2 names
+    #    from the COMPLETED non-finite cast program (dsum_fin/
+    #    o_dsum_fin poison->NULL contract), then the 5 fixes from the
+    #    first FULL-registry skew4 sweep (q_json_to ignoreNullFields,
+    #    q_unpivot_long IS NOT DISTINCT FROM, q_scan_evolved layout-
+    #    tracked generations, q_scan_csv null-safe concat_ws,
+    #    q_dedup_mllib_lsh checkpoint barrier before the partial LSH
+    #    UDF) — every one sim-proven on its fixture AND sf0.01;
+    #    closing fixture matrix skew4/5/6/7 all 284/284. Then the
+    #    r4-stamp leftovers and prior relative order. All remain
+    #    registered and pytest/driver_sim-proven every round.
     "q_curation_funnel",
     "q_sink_pyds_roundtrip",
     "q_ml_classify",
@@ -267,22 +286,54 @@ _DRIVER_ORDER = [
     "q_scan_zorder",
     "q_sink_partitioned_roundtrip",
     "q_group_quantiles",
-    "q_argmax_join",
-    "q_embedding_quantize",
-    "q_event_transitions",
+    "q_agg_filtered",
+    "q_project_cast",
+    "q_decay_agg",
+    "q_value_histogram",
+    "q_zscore_outliers",
+    "q_grouped_moments",
+    "q_winsorize",
+    "q_ab_ttest",
+    "q_anova_f",
+    "q_ewma_smooth",
+    "q_bootstrap_ci",
+    "q_did_effect",
+    "q_cuped",
+    "q_experiment_readout",
+    "q_null_semantics",
+    "q_cusum_changepoint",
+    "q_semi_additive",
+    "q_attrib_channel",
+    "q_rolling_corr",
+    "q_incremental_agg",
+    "q_merge_upsert",
     "q_gap_fill",
+    "q_window_time_range",
+    "q_twap",
+    "q_salted_agg",
+    "q_embedding_norms",
+    "q_embedding_quantize",
+    "q_embedding_dim_stats",
+    "q_label_centroids",
+    "q_calibration_ece",
+    "q_pq_assign",
+    "q_json_to",
+    "q_unpivot_long",
+    "q_scan_evolved",
+    "q_scan_csv",
+    "q_dedup_mllib_lsh",
+    "q_argmax_join",
+    "q_event_transitions",
     "q_graph_triangles",
     "q_group_mode",
     "q_grouped_regression",
     "q_heavy_hitters",
     "q_join_interval_overlap",
-    "q_merge_upsert",
     "q_sample_weighted",
     "q_stream_session",
     "q_time_rollup_multi",
     "q_tpch_q4",
     "q_window_nth",
-    "q_window_time_range",
     "q_join_salted",
     "q_peak_concurrency",
     "q_lift_bands",
@@ -291,7 +342,6 @@ _DRIVER_ORDER = [
     "q_dedup_containment",
     "q_dedup_ngram_jaccard",
     "q_dedup_keep_best",
-    "q_dedup_mllib_lsh",
     "q_lsh_recall",
     "q_simhash_hamming",
     "q_sessionize",
@@ -325,53 +375,31 @@ _DRIVER_ORDER = [
     "q_tpch_q13",
     "q_udtf_chunks",
     "q_udtf_polymorphic",
-    "q_value_histogram",
     "q_vocab_coverage",
     "q_quality_buckets",
     "q_tpch_q6",
     "q_tpch_q10",
     "q_tpch_q18",
     "q_tpch_q22",
-    "q_decay_agg",
-    "q_zscore_outliers",
     "q_join_bucketed",
     "q_batch_assign",
     "q_hhi_concentration",
-    "q_grouped_moments",
-    "q_salted_agg",
     "q_bloom_join",
-    "q_calibration_ece",
-    "q_incremental_agg",
-    "q_ab_ttest",
-    "q_ewma_smooth",
-    "q_null_semantics",
-    "q_anova_f",
-    "q_did_effect",
-    "q_pq_assign",
-    "q_cusum_changepoint",
-    "q_semi_additive",
     "q_ivm_join_agg",
-    "q_attrib_channel",
     "q_rfm_segments",
     "q_array_hof",
     "q_mix_sources",
     "q_sample_stratified",
-    "q_scan_csv",
     "q_split_train_eval",
-    "q_unpivot_long",
-    "q_agg_filtered",
-    "q_bootstrap_ci",
     "q_array_join",
     "q_date_fmt",
     "q_field_defaults",
     "q_filter_neq",
     "q_filter_null_guard",
     "q_json_from",
-    "q_json_to",
     "q_map_lookup",
     "q_math_arith",
     "q_membership",
-    "q_project_cast",
     "q_project_compute",
     "q_set_except",
     "q_set_intersect",
@@ -400,7 +428,6 @@ _DRIVER_ORDER = [
     "q_pipeline_digest",
     "q_knn_label",
     "q_mad_outliers",
-    "q_winsorize",
     "q_gini_spend",
     "q_sequence_gaps",
     "q_skyline",
@@ -429,7 +456,6 @@ _DRIVER_ORDER = [
     "q_compaction_bins",
     "q_histogram2d",
     "q_dedup_prefix",
-    "q_label_centroids",
     "q_stream_trending",
     "q_pq_search",
     "q_skew_profile",
@@ -438,13 +464,8 @@ _DRIVER_ORDER = [
     "q_top_paths",
     "q_sample_wor",
     "q_er_blocking",
-    "q_twap",
     "q_inverted_index",
     "q_scan_xml",
-    "q_cuped",
-    "q_experiment_readout",
-    "q_embedding_dim_stats",
-    "q_rolling_corr",
     "q_pipeline_curate",
     "q_dedup_embedding",
     "q_dedup_exact",
@@ -464,7 +485,6 @@ _DRIVER_ORDER = [
     "q_geo_grid_join",
     "q_cms_counts",
     "q_graph_kcore",
-    "q_scan_evolved",
     "q_ml_eval",
     "q_target_encode",
     "q_graph_bfs",
@@ -479,7 +499,6 @@ _DRIVER_ORDER = [
     "q_seasonality",
     "q_sliding_distinct",
     "q_scd2_intervals",
-    "q_embedding_norms",
     "q_feature_hash",
     "q_itemset_pairs",
     "q_event_trigrams",

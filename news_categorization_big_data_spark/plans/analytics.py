@@ -32,7 +32,13 @@ from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
 )
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    nonfinite,
+    o_fin,
+    o_poisoned,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -51,7 +57,8 @@ _O_HHI_SHARES = (
     "SUM(CAST((r.rev / t.total) * (r.rev / t.total) AS DECIMAL(30,12)))"
 )
 _O_WINSOR_CLIP = (
-    "SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(18,2)))"
+    "SUM(CAST((CASE WHEN isfinite(LEAST(GREATEST(e.value, b.lo), b.hi))"
+    " THEN LEAST(GREATEST(e.value, b.lo), b.hi) END) AS DECIMAL(18,2)))"
 )
 
 
@@ -276,12 +283,18 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decay_agg",
     oracle=f"""
     SELECT event_type,
-           {o_dec_to_double(f'''SUM(CAST(value AS DECIMAL(18,2))
+           -- poison -> NULL (dsum_fin contract): a non-finite value
+           -- NULLs the type's exact sums on both engines; o_fin keeps
+           -- DuckDB's decimal cast reachable only for finite rows
+           CASE WHEN NOT {o_poisoned('value')} THEN
+           {o_dec_to_double(f'''SUM(CAST({o_fin('value')} AS DECIMAL(18,2))
                     * GREATEST(0, {DECAY_WINDOW}
                                - date_diff('day', CAST(ts AS DATE),
                                            DATE '{DECAY_ANCHOR}')))''', 2)}
-             AS decayed_value,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS raw_value,
+           END AS decayed_value,
+           CASE WHEN NOT {o_poisoned('value')} THEN
+           {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(18,2)))", 2)}
+           END AS raw_value,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -305,9 +318,11 @@ def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     age = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.to_date("ts"))
     weight = F.greatest(F.lit(0), F.lit(DECAY_WINDOW) - age)
     dval = F.col("value").cast("decimal(18,2)")
+    # poison -> NULL: one flag shared by both exact sums (/tmp/skew7)
+    ok = ~poisoned_flag("value")
     return ev.groupBy("event_type").agg(
-        dsum(dval * weight, 2).alias("decayed_value"),
-        dsum(dval, 2).alias("raw_value"),
+        F.when(ok, dsum(dval * weight, 2)).alias("decayed_value"),
+        F.when(ok, dsum(dval, 2)).alias("raw_value"),
         F.count("*").alias("n_events"),
     )
 
@@ -320,7 +335,10 @@ HIST_WIDTH = 50
     "q_value_histogram",
     oracle=f"""
     SELECT event_type,
-           CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+           -- non-finite -> NULL bucket (visible row, never Long.MIN):
+           -- Spark's floor(NaN) is Long.MIN and DuckDB refuses the
+           -- cast; an unmeasurable value has no bucket (/tmp/skew7)
+           CAST(floor({o_fin('value')} / {HIST_WIDTH}) AS BIGINT) AS bucket,
            COUNT(*) AS cnt
     FROM events GROUP BY event_type, bucket
     """,
@@ -334,7 +352,8 @@ HIST_WIDTH = 50
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / HIST_WIDTH).alias("bucket")
+    fin_val = F.when(~nonfinite("value"), F.col("value"))
+    bucket = F.floor(fin_val / HIST_WIDTH).alias("bucket")
     return ev.groupBy("event_type", bucket).agg(F.count("*").alias("cnt"))
 
 
@@ -343,9 +362,15 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (SELECT event_type,
                       COUNT(*) AS n,
-                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS s1,
-                      {o_dec_to_double('''SUM(CAST(value AS DECIMAL(18,2))
-                               * CAST(value AS DECIMAL(18,2)))''', 4)} AS s2
+                      -- poison -> NULL moments: o_fin keeps the decimal
+                      -- cast reachable only for finite rows (/tmp/skew7)
+                      CASE WHEN NOT {o_poisoned('value')} THEN
+                      {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(18,2)))", 2)}
+                      END AS s1,
+                      CASE WHEN NOT {o_poisoned('value')} THEN
+                      {o_dec_to_double(f'''SUM(CAST({o_fin('value')} AS DECIMAL(18,2))
+                               * CAST({o_fin('value')} AS DECIMAL(18,2)))''', 4)}
+                      END AS s2
                FROM events GROUP BY event_type),
     st AS (SELECT event_type, n, s1 / n AS mean,
                   sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
@@ -370,10 +395,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dval = F.col("value").cast("decimal(18,2)")
+    # poison -> NULL moments: a poisoned type yields NULL mean/std and
+    # zero outliers on both engines (NULL comparisons count nothing)
+    ok = ~poisoned_flag("value")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        dsum(dval, 2).alias("s1"),
-        dsum(dval * dval, 4).alias("s2"),
+        F.when(ok, dsum(dval, 2)).alias("s1"),
+        F.when(ok, dsum(dval * dval, 4)).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(
@@ -801,9 +829,14 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (SELECT event_type,
                       COUNT(*) AS n,
-                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS s1,
-                      {o_dec_to_double('''SUM(CAST(value AS DECIMAL(18,2))
-                               * CAST(value AS DECIMAL(18,2)))''', 4)} AS s2
+                      -- poison -> NULL moments (o_fin/o_poisoned; /tmp/skew7)
+                      CASE WHEN NOT {o_poisoned('value')} THEN
+                      {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(18,2)))", 2)}
+                      END AS s1,
+                      CASE WHEN NOT {o_poisoned('value')} THEN
+                      {o_dec_to_double(f'''SUM(CAST({o_fin('value')} AS DECIMAL(18,2))
+                               * CAST({o_fin('value')} AS DECIMAL(18,2)))''', 4)}
+                      END AS s2
                FROM events GROUP BY 1),
     st AS (SELECT event_type, n, s1 / n AS mean,
                   sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
@@ -842,10 +875,13 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dval = F.col("value").cast("decimal(18,2)")
+    # poison -> NULL moments: a poisoned type yields NULL mean/std and
+    # zero outliers on both engines (NULL comparisons count nothing)
+    ok = ~poisoned_flag("value")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        dsum(dval, 2).alias("s1"),
-        dsum(dval * dval, 4).alias("s2"),
+        F.when(ok, dsum(dval, 2)).alias("s1"),
+        F.when(ok, dsum(dval * dval, 4)).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     st = s.select(
@@ -980,17 +1016,27 @@ WINSOR_HI_PM = 950
 @register(
     "q_winsorize",
     oracle=f"""
-    WITH s AS (SELECT event_type, list_sort(list(value)) AS vs, COUNT(*) AS n
+    WITH s AS (SELECT event_type, list_sort(list(value)) AS vs, COUNT(*) AS n,
+                      {o_poisoned('value')} AS poisoned
                FROM events GROUP BY 1),
-    b AS (SELECT event_type, n,
+    b AS (SELECT event_type, n, poisoned,
                  vs[CAST((n - 1) * {WINSOR_LO_PM} // 1000 AS INT) + 1] AS lo,
                  vs[CAST((n - 1) * {WINSOR_HI_PM} // 1000 AS INT) + 1] AS hi
           FROM s)
-    SELECT e.event_type, MAX(b.lo) AS lo, MAX(b.hi) AS hi, COUNT(*) AS n,
-           {o_dec_to_double("SUM(CAST(e.value AS DECIMAL(18,2)))", 2)} / COUNT(*)
-             AS mean_raw,
+    -- poison -> NULL (dsum_fin contract): a non-finite value makes the
+    -- group's clip bounds and means NULL on both engines (its order-
+    -- statistic rank is engine-dependent and its decimal cast is
+    -- refused by DuckDB); n still counts every row (/tmp/skew7)
+    SELECT e.event_type,
+           MAX(CASE WHEN NOT b.poisoned THEN b.lo END) AS lo,
+           MAX(CASE WHEN NOT b.poisoned THEN b.hi END) AS hi,
+           COUNT(*) AS n,
+           CASE WHEN NOT MAX(b.poisoned) THEN
+           {o_dec_to_double(f"SUM(CAST({o_fin('e.value')} AS DECIMAL(18,2)))", 2)} / COUNT(*)
+           END AS mean_raw,
+           CASE WHEN NOT MAX(b.poisoned) THEN
            {o_dec_to_double(_O_WINSOR_CLIP, 2)} / COUNT(*)
-             AS mean_winsorized
+           END AS mean_winsorized
     FROM events e JOIN b ON e.event_type = b.event_type
     GROUP BY e.event_type
     """,
@@ -1030,24 +1076,29 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     clipped = F.least(F.greatest(F.col("_v"), F.col("lo")), F.col("hi"))
+    # poison -> NULL: bounds and means NULL for a poisoned group; the
+    # flag rides the same aggregate over the counts table (/tmp/skew7)
+    ok = ~poisoned_flag("_v")
     return (
         counts.join(F.broadcast(b), "event_type")
         .groupBy("event_type")
         .agg(
-            F.max("lo").alias("lo"),
-            F.max("hi").alias("hi"),
+            F.when(ok, F.max("lo")).alias("lo"),
+            F.when(ok, F.max("hi")).alias("hi"),
             F.sum("_vc").alias("n"),
-            (
+            F.when(
+                ok,
                 dec_to_double(
                     F.sum(F.col("_v").cast("decimal(18,2)") * F.col("_vc")), 2
                 )
-                / F.sum("_vc")
+                / F.sum("_vc"),
             ).alias("mean_raw"),
-            (
+            F.when(
+                ok,
                 dec_to_double(
                     F.sum(clipped.cast("decimal(18,2)") * F.col("_vc")), 2
                 )
-                / F.sum("_vc")
+                / F.sum("_vc"),
             ).alias("mean_winsorized"),
         )
     )

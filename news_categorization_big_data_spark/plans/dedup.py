@@ -313,6 +313,15 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_shingles = docs.select("doc_id", word_shingles("text").alias("shingles")).where(
         F.size("shingles") > 0
     )
+    # Lazy plan barrier: Catalyst merges the guards above with the
+    # LSH model's hash UDF into ONE predicate and may evaluate the
+    # (failing) UDF subexpression FIRST — a NULL-text row then reaches
+    # MinHashLSH's hashFunction as a zero-entry vector and kills the
+    # job ("Must have at least 1 non zero entry", measured on the
+    # skew4 null fixture). The checkpoint cuts the lineage so the
+    # filters materialize before any LSH evaluation; the shingle
+    # table is corpus-sized but column-pruned (id + shingles).
+    with_shingles = with_shingles.localCheckpoint(eager=False)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(with_shingles)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)

@@ -33,7 +33,12 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    nonfinite,
+    o_dsum_fin,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -776,7 +781,9 @@ SALT_BUCKETS = 16
     "q_salted_agg",
     oracle=f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_value
+           -- poison -> NULL exact sum; the flag is itself a mergeable
+           -- partial (bool OR across salts; /tmp/skew7)
+           {o_dsum_fin('value')} AS total_value
     FROM events GROUP BY event_type
     """,
     tier="C",
@@ -805,14 +812,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+            F.col("value").alias("raw"),
             F.col("value").cast("decimal(30,6)").alias("v"),
         )
         .groupBy("event_type", "salt")
-        .agg(F.count("*").alias("pn"), F.sum("v").alias("pv"))
+        .agg(
+            F.count("*").alias("pn"),
+            poisoned_flag("raw").alias("pp"),
+            F.sum("v").alias("pv"),
+        )
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        dsum("pv", 6).alias("total_value"),
+        # poison -> NULL merged total; the per-salt flags OR together —
+        # poison is itself exactly-mergeable partial state (/tmp/skew7)
+        F.when(~F.max("pp"), dsum("pv", 6)).alias("total_value"),
     )
 
 

@@ -19,6 +19,10 @@ from news_categorization_big_data_spark.functions.exact import (
 )
 from news_categorization_big_data_spark.plans.relational import dsum
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import (
+    nonfinite,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: Fixed digest date: the reference stamps the digest with the wall-clock
@@ -512,13 +516,19 @@ ECE_BINS = 10
 @register(
     "q_calibration_ece",
     oracle=f"""
-    WITH m AS (SELECT MAX(value) AS vmax FROM events),
-    s AS (SELECT value / m.vmax AS conf,
+    -- the normalizer ranges over FINITE scores only, and a
+    -- non-finite score lands in the NULL bin (visible row, not the
+    -- top bin: both engines' least() IGNORES a NULL floor, so the
+    -- bin is pinned NULL explicitly) — /tmp/skew7
+    WITH m AS (SELECT MAX(CASE WHEN isfinite(value) THEN value END) AS vmax
+               FROM events),
+    s AS (SELECT (CASE WHEN isfinite(value) THEN value END) / m.vmax AS conf,
                  CASE WHEN event_type = '{AUC_POSITIVE_TYPE}'
                       THEN 1 ELSE 0 END AS label
           FROM events, m),
-    b AS (SELECT least(CAST(floor(conf * {ECE_BINS}) AS BIGINT),
-                       {ECE_BINS - 1}) AS bin,
+    b AS (SELECT CASE WHEN conf IS NOT NULL THEN
+                 least(CAST(floor(conf * {ECE_BINS}) AS BIGINT),
+                       {ECE_BINS - 1}) END AS bin,
                  conf, label
           FROM s),
     g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
@@ -551,14 +561,21 @@ ECE_BINS = 10
 )
 def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    m = ev.agg(F.max("value").alias("vmax"))
+    fin_val = F.when(~nonfinite("value"), F.col("value"))
+    m = ev.agg(F.max(fin_val).alias("vmax"))
     s = ev.crossJoin(F.broadcast(m)).select(
-        (F.col("value") / F.col("vmax")).alias("conf"),
+        (fin_val / F.col("vmax")).alias("conf"),
         F.when(F.col("event_type") == AUC_POSITIVE_TYPE, 1).otherwise(0).alias("label"),
     )
     b = s.select(
-        F.least(
-            F.floor(F.col("conf") * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1)
+        # NULL bin pinned for a NULL conf: least() would IGNORE the
+        # NULL floor and clamp the row into the top bin (/tmp/skew7)
+        F.when(
+            F.col("conf").isNotNull(),
+            F.least(
+                F.floor(F.col("conf") * ECE_BINS).cast("long"),
+                F.lit(ECE_BINS - 1),
+            ),
         ).alias("bin"),
         "conf",
         "label",
@@ -597,11 +614,17 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(embedding) AS val,
              unnest(range(len(embedding))) AS pos
       FROM embeddings)
+    -- poison -> NULL centroid component for a (label, dim) cell with
+    -- any non-finite value (Spark's floor(NaN) is Long.MIN, silent;
+    -- DuckDB refuses the cast); n_vecs stays (/tmp/skew7)
     SELECT label,
            CAST(pos AS INT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
-                  // COUNT(*) AS BIGINT) AS mean_micro
+           CASE WHEN NOT BOOL_OR(NOT isfinite(CAST(val AS DOUBLE))) THEN
+           CAST(SUM(CAST(FLOOR(CAST((CASE WHEN isfinite(CAST(val AS DOUBLE))
+                                          THEN val END) AS DOUBLE) * 1000000)
+                         AS BIGINT))
+                  // COUNT(*) AS BIGINT) END AS mean_micro
     FROM px
     GROUP BY label, pos
     """,
@@ -628,11 +651,17 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("dim").cast("int").alias("dim"))
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
-            F.expr(
-                "sum(cast(floor(cast(val as double) * 1000000) as bigint)) div count(*)"
-            )
-            .cast("long")
-            .alias("mean_micro"),
+            # poison -> NULL centroid component (see the oracle note)
+            F.when(
+                ~poisoned_flag("val"),
+                F.expr(
+                    "sum(cast(floor(cast("
+                    "case when not (isnan(cast(val as double))"
+                    " or abs(cast(val as double)) = double('inf'))"
+                    " then val end as double) * 1000000) as bigint))"
+                    " div count(*)"
+                ).cast("long"),
+            ).alias("mean_micro"),
         )
     )
 
@@ -737,23 +766,33 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(len(embedding))) AS pos
       FROM embeddings),
     q AS (SELECT pos,
-                 CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS vm
+                 NOT isfinite(CAST(val AS DOUBLE)) AS rpois,
+                 CAST(FLOOR(CAST((CASE WHEN isfinite(CAST(val AS DOUBLE))
+                                       THEN val END) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS vm
           FROM px),
     s AS (SELECT pos,
                  CAST(COUNT(*) AS BIGINT) AS n,
+                 BOOL_OR(rpois) AS pois,
                  SUM(vm) AS sx,
                  SUM(CAST(vm AS HUGEINT) * vm) AS sxx,
                  CAST(MIN(vm) AS BIGINT) AS min_micro,
                  CAST(MAX(vm) AS BIGINT) AS max_micro
           FROM q GROUP BY pos)
+    -- poison -> NULL stats for a dimension holding any non-finite
+    -- component (Spark's floor(NaN) is Long.MIN — silent garbage —
+    -- and DuckDB refuses the cast); n stays (/tmp/skew7)
     SELECT CAST(pos AS INT) AS dim, n,
-           CAST(sx // n AS BIGINT) AS mean_micro,
+           CASE WHEN NOT pois THEN CAST(sx // n AS BIGINT) END AS mean_micro,
+           CASE WHEN NOT pois THEN
            CAST((n * sxx - CAST(sx AS HUGEINT) * sx) // (n * (n - 1))
-                AS BIGINT) AS var_micro2,
-           min_micro, max_micro,
+                AS BIGINT) END AS var_micro2,
+           CASE WHEN NOT pois THEN min_micro END AS min_micro,
+           CASE WHEN NOT pois THEN max_micro END AS max_micro,
+           CASE WHEN NOT pois THEN
            sqrt(CAST(CAST((n * sxx - CAST(sx AS HUGEINT) * sx)
                           // (n * (n - 1)) AS BIGINT) AS DOUBLE)) / 1000000
-             AS std
+           END AS std
     FROM s
     """,
     tier="C",
@@ -780,14 +819,18 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    val_d = F.col("val").cast("double")
+    fin = ~F.isnan(val_d) & (F.abs(val_d) != float("inf"))
     q = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
         "pos",
-        F.floor(F.col("val").cast("double") * 1_000_000)
-        .cast("long")
-        .alias("vm"),
+        (~fin).alias("rpois"),
+        # finite guard: floor(NaN) is Long.MIN under the long cast —
+        # silent garbage, not an error (/tmp/skew7)
+        F.floor(F.when(fin, val_d) * 1_000_000).cast("long").alias("vm"),
     )
     s = q.groupBy("pos").agg(
         F.count("*").cast("long").alias("n"),
+        F.max("rpois").alias("pois"),
         F.sum("vm").cast("long").alias("sx"),
         F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("sxx"),
         F.min("vm").cast("long").alias("min_micro"),
@@ -796,12 +839,13 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_micro2 = F.expr(
         "(n * sxx - cast(sx as decimal(38,0)) * sx) div (n * (n - 1))"
     ).cast("long")
+    ok = ~F.col("pois")
     return s.select(
         F.col("pos").cast("int").alias("dim"),
         "n",
-        F.expr("sx div n").cast("long").alias("mean_micro"),
-        var_micro2.alias("var_micro2"),
-        "min_micro",
-        "max_micro",
-        (F.sqrt(var_micro2.cast("double")) / F.lit(1_000_000)).alias("std"),
+        F.when(ok, F.expr("sx div n").cast("long")).alias("mean_micro"),
+        F.when(ok, var_micro2).alias("var_micro2"),
+        F.when(ok, F.col("min_micro")).alias("min_micro"),
+        F.when(ok, F.col("max_micro")).alias("max_micro"),
+        F.when(ok, F.sqrt(var_micro2.cast("double")) / F.lit(1_000_000)).alias("std"),
     )

@@ -27,6 +27,11 @@ from news_categorization_big_data_spark.functions.exact import (
     o_dec_to_double,
 )
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import (
+    o_fin,
+    o_poisoned,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: Merged per-user value (decimal add of the two snapshots' sums,
@@ -42,9 +47,11 @@ MERGE_CUTOFF = "2024-01-16 00:00:00"
 
 
 def _profile(events: DataFrame) -> DataFrame:
-    """Per-user profile: the merge unit on both sides."""
+    """Per-user profile: the merge unit on both sides. The poison flag
+    is mergeable state like the sums (bool OR across snapshots)."""
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
+        poisoned_flag("value").alias("p"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
         F.max("ts").alias("last_ts"),
     )
@@ -54,12 +61,12 @@ def _profile(events: DataFrame) -> DataFrame:
     "q_merge_upsert",
     oracle=f"""
     WITH t AS (
-      SELECT user_id, COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(18,2))) AS v, MAX(ts) AS last_ts
+      SELECT user_id, COUNT(*) AS n, {o_poisoned('value')} AS p,
+             SUM(CAST({o_fin('value')} AS DECIMAL(18,2))) AS v, MAX(ts) AS last_ts
       FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}' GROUP BY user_id
     ), s AS (
-      SELECT user_id, COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(18,2))) AS v, MAX(ts) AS last_ts
+      SELECT user_id, COUNT(*) AS n, {o_poisoned('value')} AS p,
+             SUM(CAST({o_fin('value')} AS DECIMAL(18,2))) AS v, MAX(ts) AS last_ts
       FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}' GROUP BY user_id
     )
     SELECT COALESCE(t.user_id, s.user_id) AS user_id,
@@ -67,7 +74,10 @@ def _profile(events: DataFrame) -> DataFrame:
                 WHEN s.user_id IS NULL THEN 'keep'
                 ELSE 'update' END AS merge_action,
            CAST(COALESCE(t.n, 0) + COALESCE(s.n, 0) AS BIGINT) AS n_events,
-           {o_dec_to_double(_O_MERGED_V, 2)} AS total_value,
+           -- poison -> NULL merged total when EITHER snapshot of the
+           -- user saw a non-finite value (/tmp/skew7)
+           CASE WHEN NOT COALESCE(t.p, FALSE) AND NOT COALESCE(s.p, FALSE)
+                THEN {o_dec_to_double(_O_MERGED_V, 2)} END AS total_value,
            GREATEST(COALESCE(t.last_ts, s.last_ts),
                     COALESCE(s.last_ts, t.last_ts)) AS last_ts
     FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
@@ -91,12 +101,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _profile(ev.where(F.col("ts") < cutoff)).select(
         F.col("user_id").alias("t_user"),
         F.col("n").alias("t_n"),
+        F.col("p").alias("t_p"),
         F.col("v").alias("t_v"),
         F.col("last_ts").alias("t_last"),
     )
     source = _profile(ev.where(F.col("ts") >= cutoff)).select(
         F.col("user_id").alias("s_user"),
         F.col("n").alias("s_n"),
+        F.col("p").alias("s_p"),
         F.col("v").alias("s_v"),
         F.col("last_ts").alias("s_last"),
     )
@@ -111,8 +123,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("t_n", F.lit(0)) + F.coalesce("s_n", F.lit(0)))
         .cast("long")
         .alias("n_events"),
-        dec_to_double(
-            F.coalesce("t_v", zero) + F.coalesce("s_v", zero), 2
+        F.when(
+            ~F.coalesce("t_p", F.lit(False)) & ~F.coalesce("s_p", F.lit(False)),
+            dec_to_double(F.coalesce("t_v", zero) + F.coalesce("s_v", zero), 2),
         ).alias("total_value"),
         F.greatest(
             F.coalesce("t_last", "s_last"), F.coalesce("s_last", "t_last")

@@ -25,7 +25,15 @@ from pyspark.sql.window import Window
 
 from news_categorization_big_data_spark.functions.exact import dec_to_double
 from news_categorization_big_data_spark.plans.registry import register
-from news_categorization_big_data_spark.plans.relational import dsum, o_dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    dsum_fin,
+    o_dsum,
+    o_dsum_fin,
+    o_fin,
+    o_poisoned,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: OHLC bucket width. Hourly over the testdata's one-month event span;
@@ -155,7 +163,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
-           {o_dsum('value')} AS volume,
+           -- poison -> NULL volume (o_dsum_fin; the OHLC picks stay —
+           -- a NaN open/high IS the recorded value, visible per row)
+           {o_dsum_fin('value')} AS volume,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type, bucket
@@ -193,7 +203,7 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max_by("value", vkey).alias("close"),
-        dsum("value").alias("volume"),
+        dsum_fin("value").alias("volume"),
         F.count("*").alias("n_events"),
     )
 
@@ -208,7 +218,8 @@ INCR_CUTOVER = "2024-01-15"
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           {o_dsum('value')} AS total_value,
+           -- poison -> NULL exact sum (o_dsum_fin; /tmp/skew7)
+           {o_dsum_fin('value')} AS total_value,
            MAX(ts) AS last_ts
     FROM events GROUP BY event_type
     """,
@@ -231,8 +242,10 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def partial(df: DataFrame) -> DataFrame:
+        # the poison flag is itself mergeable partial state (bool OR)
         return df.groupBy("event_type").agg(
             F.count("*").alias("_n"),
+            poisoned_flag("value").alias("_p"),
             F.sum(F.col("value").cast("decimal(30,6)")).alias("_sv"),
             F.max("ts").alias("_mx"),
         )
@@ -244,7 +257,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("_n").alias("n_events"),
-            dsum("_sv", 6).alias("total_value"),
+            # poison -> NULL merged total (dsum_fin contract, /tmp/skew7)
+            F.when(~F.max("_p"), dsum("_sv", 6)).alias("total_value"),
             F.max("_mx").alias("last_ts"),
         )
     )

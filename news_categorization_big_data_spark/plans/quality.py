@@ -25,7 +25,13 @@ from news_categorization_big_data_spark.functions.ordered import (
     running_sum,
 )
 from news_categorization_big_data_spark.plans.registry import register
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    nonfinite,
+    o_fin,
+    o_poisoned,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: Allowed order-status domain for the q_dq_checks domain expectation.
@@ -189,14 +195,22 @@ def q_orphan_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Per-arm conditional sums (hoisted for o_dec_to_double; {{arm}} is the
-#: user_id parity that defines the arm).
+#: user_id parity that defines the arm). The inner CASE is the o_fin
+#: finite guard and _O_ARM_POIS the per-arm poison flag — a non-finite
+#: value NULLs ITS arm's moment sums (dsum_fin contract, /tmp/skew7);
+#: the other arm and the counts are untouched.
+_O_ARM_VAL = "(CASE WHEN isfinite(value) THEN value END)"
 _O_ARM_SUM = (
     "SUM(CASE WHEN user_id % 2 = {arm}"
-    " THEN CAST(value AS DECIMAL(18,2)) END)"
+    f" THEN CAST({_O_ARM_VAL} AS DECIMAL(18,2)) END)"
 )
 _O_ARM_SUMSQ = (
     "SUM(CASE WHEN user_id % 2 = {arm}"
-    " THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END)"
+    f" THEN CAST({_O_ARM_VAL} AS DECIMAL(18,2)) * CAST({_O_ARM_VAL} AS DECIMAL(18,2)) END)"
+)
+_O_ARM_POIS = (
+    "(COUNT(CASE WHEN user_id % 2 = {arm}"
+    " AND NOT isfinite(value) THEN 1 END) > 0)"
 )
 
 
@@ -206,10 +220,14 @@ _O_ARM_SUMSQ = (
     WITH s AS (SELECT event_type,
                       CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
                       CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
-                      {o_dec_to_double(_O_ARM_SUM.format(arm=0), 2)} AS sa,
-                      {o_dec_to_double(_O_ARM_SUM.format(arm=1), 2)} AS sb,
-                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=0), 4)} AS qa,
-                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=1), 4)} AS qb
+                      CASE WHEN NOT {_O_ARM_POIS.format(arm=0)} THEN
+                      {o_dec_to_double(_O_ARM_SUM.format(arm=0), 2)} END AS sa,
+                      CASE WHEN NOT {_O_ARM_POIS.format(arm=1)} THEN
+                      {o_dec_to_double(_O_ARM_SUM.format(arm=1), 2)} END AS sb,
+                      CASE WHEN NOT {_O_ARM_POIS.format(arm=0)} THEN
+                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=0), 4)} END AS qa,
+                      CASE WHEN NOT {_O_ARM_POIS.format(arm=1)} THEN
+                      {o_dec_to_double(_O_ARM_SUMSQ.format(arm=1), 4)} END AS qb
                FROM events GROUP BY event_type),
     m AS (SELECT event_type, n_a, n_b,
                  sa / n_a AS mean_a, sb / n_b AS mean_b,
@@ -247,10 +265,13 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.count(F.when(arm_a, 1)).alias("n_a"),
         F.count(F.when(arm_b, 1)).alias("n_b"),
-        dsum(F.when(arm_a, dec), 2).alias("sa"),
-        dsum(F.when(arm_b, dec), 2).alias("sb"),
-        dsum(F.when(arm_a, dec * dec), 4).alias("qa"),
-        dsum(F.when(arm_b, dec * dec), 4).alias("qb"),
+        # per-arm poison -> NULL (dsum_fin contract, /tmp/skew7): the
+        # flag watches the RAW value through the same arm gate, since
+        # dec already nulled non-finite at the decimal cast
+        F.when(~poisoned_flag(F.when(arm_a, F.col("value"))), dsum(F.when(arm_a, dec), 2)).alias("sa"),
+        F.when(~poisoned_flag(F.when(arm_b, F.col("value"))), dsum(F.when(arm_b, dec), 2)).alias("sb"),
+        F.when(~poisoned_flag(F.when(arm_a, F.col("value"))), dsum(F.when(arm_a, dec * dec), 4)).alias("qa"),
+        F.when(~poisoned_flag(F.when(arm_b, F.col("value"))), dsum(F.when(arm_b, dec * dec), 4)).alias("qb"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     m = s.select(
@@ -355,15 +376,21 @@ EWMA_NORM = (1 << EWMA_HORIZON) - 1
     oracle=f"""
     WITH daily AS (SELECT event_type,
                           CAST(date_trunc('day', ts) AS DATE) AS d,
-                          CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS v
+                          -- o_fin + per-day poison flag: the poison
+                          -- CASCADES through the decay horizon below
+                          -- (dsum_fin contract, /tmp/skew7)
+                          {o_poisoned('value')} AS pois,
+                          CAST(SUM(CAST({o_fin('value')} AS DECIMAL(20,2)))
+                               AS DECIMAL(20,2)) AS v
                    FROM events GROUP BY 1, 2),
-    contrib AS (SELECT event_type,
+    contrib AS (SELECT event_type, pois,
                        d + k * INTERVAL '1 day' AS target,
                        CAST(v * (1::BIGINT << ({EWMA_HORIZON} - 1 - k))
                             AS DECIMAL(38,2)) AS wv
                 FROM daily, range({EWMA_HORIZON}) t(k)),
     s AS (SELECT c.event_type, c.target,
-                 {o_dec_to_double("SUM(c.wv)", 2)} AS num
+                 CASE WHEN NOT BOOL_OR(c.pois) THEN
+                 {o_dec_to_double("SUM(c.wv)", 2)} END AS num
           FROM contrib c
           JOIN daily o ON o.event_type = c.event_type AND o.d = c.target
           GROUP BY 1, 2)
@@ -398,6 +425,8 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).agg(
+        # per-day poison flag — cascades through the horizon below
+        poisoned_flag("value").alias("pois"),
         F.sum(F.col("value").cast("decimal(20,2)"))
         .cast("decimal(20,2)")
         .alias("v")
@@ -406,9 +435,11 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "d",
         "v",
+        "pois",
         F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON - 1))).alias("k"),
     ).select(
         "event_type",
+        "pois",
         F.date_add("d", F.col("k")).alias("target"),
         (F.col("v") * F.expr(f"shiftleft(1L, {EWMA_HORIZON - 1} - k)"))
         .cast("decimal(38,2)")
@@ -418,7 +449,9 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         contrib.join(spine, ["event_type", "target"])
         .groupBy("event_type", "target")
-        .agg(dsum("wv", 2).alias("num"))
+        # poison -> NULL: a target day's EWMA is NULL if ANY of its 24
+        # contributing days saw a non-finite value (/tmp/skew7)
+        .agg(F.when(~F.max("pois"), dsum("wv", 2)).alias("num"))
     )
     return s.select(
         "event_type",
@@ -449,7 +482,11 @@ NULL_SEMANTICS_CUTOFF = 5.0
            CAST(COUNT(v) AS BIGINT) AS n_nonnull,
            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
            CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           {o_dec_to_double("SUM(CAST(v AS DECIMAL(18,2)))", 2)} / COUNT(v) AS avg_nonnull,
+           -- poison -> NULL average (o_fin keeps DuckDB's decimal cast
+           -- reachable only for finite rows; /tmp/skew7)
+           CASE WHEN NOT {o_poisoned('v')} THEN
+           {o_dec_to_double(f"SUM(CAST({o_fin('v')} AS DECIMAL(18,2)))", 2)} / COUNT(v)
+           END AS avg_nonnull,
            MIN(v) AS min_v, MAX(v) AS max_v,
            MAX(CASE WHEN rn = 1 THEN event_id END) AS first_id_nulls_last
     FROM r GROUP BY event_type
@@ -485,8 +522,9 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").alias("n_nonnull"),
         F.countDistinct("v").alias("n_distinct"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        (
-            dsum(F.col("v").cast("decimal(18,2)"), 2) / F.count("v")
+        F.when(
+            ~poisoned_flag("v"),
+            dsum(F.col("v").cast("decimal(18,2)"), 2) / F.count("v"),
         ).alias("avg_nonnull"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
@@ -647,23 +685,33 @@ _O_ANOVA_SSW = "SUM(CAST(g.ss - g.s * g.s / g.n AS DECIMAL(30,9)))"
     oracle=f"""
     WITH g AS (SELECT event_type,
                       CAST(COUNT(*) AS BIGINT) AS n,
-                      {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS s,
-                      {o_dec_to_double("SUM(CAST(value * value AS DECIMAL(30,6)))", 6)}
+                      -- o_fin inside the casts (DuckDB refuses
+                      -- non-finite decimal casts); the poison flag
+                      -- cascades to NULL the whole readout below
+                      {o_poisoned('value')} AS pois,
+                      {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(30,6)))", 6)} AS s,
+                      {o_dec_to_double(f"SUM(CAST({o_fin('value * value')} AS DECIMAL(30,6)))", 6)}
                         AS ss
                FROM events GROUP BY event_type),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g,
                    {o_dec_to_double("SUM(CAST(s AS DECIMAL(30,6)))", 6)} AS s_g,
-                   CAST(COUNT(*) AS BIGINT) AS k
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   BOOL_OR(pois) AS pois_g
             FROM g),
-    parts AS (SELECT t.n_g, t.k,
+    parts AS (SELECT t.n_g, t.k, t.pois_g,
                      {o_dec_to_double(_O_ANOVA_SSB, 9)} AS ssb,
                      {o_dec_to_double(_O_ANOVA_SSW, 9)} AS ssw
-              FROM g, tot t GROUP BY t.n_g, t.k)
+              FROM g, tot t GROUP BY t.n_g, t.k, t.pois_g)
+    -- poison -> NULL readout: one non-finite value anywhere NULLs the
+    -- sum-of-squares and F (a silently-short SSW would be a wrong
+    -- answer, not a degraded one); the df counts stay (/tmp/skew7)
     SELECT CAST(k - 1 AS BIGINT) AS df_between,
            CAST(n_g - k AS BIGINT) AS df_within,
-           ssb, ssw,
+           CASE WHEN NOT pois_g THEN ssb END AS ssb,
+           CASE WHEN NOT pois_g THEN ssw END AS ssw,
+           CASE WHEN NOT pois_g THEN
            (ssb / CAST(k - 1 AS DOUBLE))
-             / nullif(ssw / CAST(n_g - k AS DOUBLE), 0.0) AS f_stat
+             / nullif(ssw / CAST(n_g - k AS DOUBLE), 0.0) END AS f_stat
     FROM parts
     """,
     tier="C",
@@ -683,6 +731,10 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
+        # the per-group sums run over the finite subset (the decimal
+        # cast nulls non-finite rows identically on both engines); the
+        # poison flag cascades below so no short sum ever SURFACES
+        poisoned_flag("value").alias("pois"),
         dsum(F.col("value").cast("decimal(30,6)"), 6).alias("s"),
         dec_to_double(
             F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)")), 6
@@ -692,10 +744,11 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_g"),
         dsum(F.col("s").cast("decimal(30,6)"), 6).alias("s_g"),
         F.count("*").alias("k"),
+        F.max("pois").alias("pois_g"),
     )
     j = g.crossJoin(F.broadcast(tot))
     mean_dev = F.col("s") / F.col("n") - F.col("s_g") / F.col("n_g")
-    parts = j.groupBy("n_g", "k").agg(
+    parts = j.groupBy("n_g", "k", "pois_g").agg(
         dec_to_double(
             F.sum((F.col("n") * mean_dev * mean_dev).cast("decimal(30,9)")), 9
         ).alias("ssb"),
@@ -708,12 +761,14 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ssw"),
     )
+    ok = ~F.col("pois_g")
     return parts.select(
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("n_g") - F.col("k")).cast("long").alias("df_within"),
-        "ssb",
-        "ssw",
-        (
+        F.when(ok, F.col("ssb")).alias("ssb"),
+        F.when(ok, F.col("ssw")).alias("ssw"),
+        F.when(
+            ok,
             (F.col("ssb") / (F.col("k") - 1).cast("double"))
             # nullif-guard: zero within-group variance (all values equal
             # in every group) would be inf in DuckDB vs NULL in Spark —
@@ -913,8 +968,10 @@ def _boot_w_sql(u: str) -> str:
 @register(
     "q_bootstrap_ci",
     oracle=f"""
-    WITH r AS (SELECT event_type, event_id,
-                      CAST(value AS DECIMAL(18,2)) AS v, b.b AS b
+    WITH pz AS (SELECT event_type, {o_poisoned('value')} AS pois
+                FROM events GROUP BY 1),
+    r AS (SELECT event_type, event_id,
+                      CAST({o_fin('value')} AS DECIMAL(18,2)) AS v, b.b AS b
                FROM events, unnest(range({BOOT_B})) AS b(b)
                WHERE value IS NOT NULL),
     u AS (SELECT event_type, v, b,
@@ -930,11 +987,15 @@ def _boot_w_sql(u: str) -> str:
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY sa / na, b) AS rn
           FROM res WHERE na > 0)
-    SELECT event_type,
+    -- poison -> NULL CI: a non-finite value anywhere in a type NULLs
+    -- its interval on both engines (a CI over a silently-shortened
+    -- sample would be a wrong answer; /tmp/skew7)
+    SELECT m.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_resamples,
-           MAX(CASE WHEN rn = {BOOT_K_LO} THEN mean_b END) AS boot_lo,
-           MAX(CASE WHEN rn = {BOOT_K_HI} THEN mean_b END) AS boot_hi
-    FROM m GROUP BY event_type
+           MAX(CASE WHEN rn = {BOOT_K_LO} AND NOT pz.pois THEN mean_b END) AS boot_lo,
+           MAX(CASE WHEN rn = {BOOT_K_HI} AND NOT pz.pois THEN mean_b END) AS boot_hi
+    FROM m JOIN pz ON m.event_type = pz.event_type
+    GROUP BY m.event_type
     """,
     tier="C",
     doc=f"95% bootstrap confidence interval for mean(value) per event "
@@ -1054,10 +1115,27 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sa") / F.col("na")).alias("mean_b"),
         F.row_number().over(wn).alias("rn"),
     )
-    return m.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_resamples"),
-        F.max(F.when(F.col("rn") == k_lo, F.col("mean_b"))).alias("boot_lo"),
-        F.max(F.when(F.col("rn") == k_hi, F.col("mean_b"))).alias("boot_hi"),
+    # poison -> NULL CI per type (one tiny broadcast flag join; see
+    # the oracle note)
+    pz = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(poisoned_flag("value").alias("pois"))
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_resamples"),
+            F.max(F.when(F.col("rn") == k_lo, F.col("mean_b"))).alias("_lo"),
+            F.max(F.when(F.col("rn") == k_hi, F.col("mean_b"))).alias("_hi"),
+        )
+        .join(F.broadcast(pz), "event_type")
+        .select(
+            "event_type",
+            "n_resamples",
+            F.when(~F.col("pois"), F.col("_lo")).alias("boot_lo"),
+            F.when(~F.col("pois"), F.col("_hi")).alias("boot_hi"),
+        )
     )
 
 
@@ -1077,17 +1155,21 @@ DID_CUT = "2024-01-16 00:00:00"
         ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
           % 2 AS arm,
         CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS post,
-        CAST(value AS DECIMAL(18,2)) AS v
+        CAST({o_fin('value')} AS DECIMAL(18,2)) AS v,
+        NOT isfinite(value) AS rpois
       FROM events WHERE value IS NOT NULL),
     cell AS (SELECT arm, post,
                     CAST(COUNT(*) AS BIGINT) AS n,
+                    BOOL_OR(rpois) AS pois,
                     {o_dec_to_double("SUM(v)", 2)} AS s
              FROM c GROUP BY arm, post),
+    -- poison -> NULL: a poisoned cell NULLs its mean and therefore the
+    -- whole DiD chain (NULL arithmetic) on both engines (/tmp/skew7)
     m AS (SELECT
-            MAX(CASE WHEN arm = 1 AND post = 1 THEN s / n END) AS t_post,
-            MAX(CASE WHEN arm = 1 AND post = 0 THEN s / n END) AS t_pre,
-            MAX(CASE WHEN arm = 0 AND post = 1 THEN s / n END) AS c_post,
-            MAX(CASE WHEN arm = 0 AND post = 0 THEN s / n END) AS c_pre,
+            MAX(CASE WHEN arm = 1 AND post = 1 AND NOT pois THEN s / n END) AS t_post,
+            MAX(CASE WHEN arm = 1 AND post = 0 AND NOT pois THEN s / n END) AS t_pre,
+            MAX(CASE WHEN arm = 0 AND post = 1 AND NOT pois THEN s / n END) AS c_post,
+            MAX(CASE WHEN arm = 0 AND post = 0 AND NOT pois THEN s / n END) AS c_pre,
             CAST(SUM(n) AS BIGINT) AS n_events
           FROM cell)
     SELECT n_events, t_pre, t_post, c_pre, c_post,
@@ -1117,12 +1199,15 @@ def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("post"),
         F.col("value").cast("decimal(18,2)").alias("v"),
+        F.coalesce(nonfinite("value"), F.lit(False)).alias("rpois"),
     )
     cell = c.groupBy("arm", "post").agg(
         F.count("*").cast("long").alias("n"),
+        F.max("rpois").alias("pois"),
         dsum("v", 2).alias("s"),
     )
-    mean = F.col("s") / F.col("n")
+    # poison -> NULL cell mean -> NULL DiD chain (/tmp/skew7)
+    mean = F.when(~F.col("pois"), F.col("s") / F.col("n"))
     m = cell.agg(
         F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
         F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
@@ -1151,9 +1236,11 @@ def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cuped",
     oracle=f"""
-    WITH e AS (SELECT user_id,
+    WITH pz AS (SELECT BOOL_OR(NOT isfinite(value)) AS pois
+                FROM events WHERE value IS NOT NULL),
+    e AS (SELECT user_id,
                       CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS per,
-                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                      CAST(CAST({o_fin('value')} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
                FROM events WHERE value IS NOT NULL),
     u0 AS (SELECT user_id,
                   CAST(COUNT(CASE WHEN per = 0 THEN 1 END) AS BIGINT) AS n_pre,
@@ -1185,15 +1272,22 @@ def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / NULLIF(n_g * sxx_g - sx_g * sx_g, 0e0) AS theta,
                  sx_g / n_g AS mu
           FROM g)
-    SELECT CAST(arm AS INT) AS arm, CAST(n AS BIGINT) AS n_users, theta,
-           sy / n AS mean_post,
-           sy / n - theta * (sx / n - mu) AS mean_adj,
-           (syy - sy * sy / n) / NULLIF(n - 1, 0e0) AS var_post,
+    -- poison -> NULL readout: one non-finite value anywhere NULLs the
+    -- pooled theta and every derived stat (a covariate silently built
+    -- on a zeroed NaN row is a wrong answer); arm/n_users stay
+    -- (/tmp/skew7)
+    SELECT CAST(arm AS INT) AS arm, CAST(n AS BIGINT) AS n_users,
+           CASE WHEN NOT pz.pois THEN theta END AS theta,
+           CASE WHEN NOT pz.pois THEN sy / n END AS mean_post,
+           CASE WHEN NOT pz.pois THEN sy / n - theta * (sx / n - mu) END AS mean_adj,
+           CASE WHEN NOT pz.pois THEN
+           (syy - sy * sy / n) / NULLIF(n - 1, 0e0) END AS var_post,
+           CASE WHEN NOT pz.pois THEN
            ((syy - 2 * theta * (sxy - mu * sy)
              + theta * theta * (sxx - 2 * mu * sx + n * mu * mu))
             - (sy - theta * (sx - n * mu)) * (sy - theta * (sx - n * mu)) / n)
-             / NULLIF(n - 1, 0e0) AS var_adj
-    FROM t
+             / NULLIF(n - 1, 0e0) END AS var_adj
+    FROM t, pz
     """,
     tier="C",
     doc="CUPED variance reduction (Deng et al., WSDM 2013 — the "
@@ -1277,16 +1371,24 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * th * (sxy - mu * sy)
         + th * th * (sxx - 2 * mu * sx + n * mu * mu)
     )
-    return t.select(
+    # poison -> NULL readout (global flag; see the oracle note)
+    pz = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .agg(poisoned_flag("value").alias("pois"))
+    )
+    ok = ~F.col("pois")
+    return t.crossJoin(F.broadcast(pz)).select(
         F.col("arm").cast("int").alias("arm"),
         n.cast("long").alias("n_users"),
-        "theta",
-        (sy / n).alias("mean_post"),
-        (sy / n - th * (sx / n - mu)).alias("mean_adj"),
-        ((syy - sy * sy / n) / F.nullif(n - 1, F.lit(0.0))).alias("var_post"),
-        (
+        F.when(ok, F.col("theta")).alias("theta"),
+        F.when(ok, sy / n).alias("mean_post"),
+        F.when(ok, sy / n - th * (sx / n - mu)).alias("mean_adj"),
+        F.when(ok, (syy - sy * sy / n) / F.nullif(n - 1, F.lit(0.0))).alias("var_post"),
+        F.when(
+            ok,
             (sum_adj2 - sum_adj * sum_adj / n)
-            / F.nullif(n - 1, F.lit(0.0))
+            / F.nullif(n - 1, F.lit(0.0)),
         ).alias("var_adj"),
     )
 
@@ -1295,31 +1397,36 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One-stop experiment readout
 # --------------------------------------------------------------------------
 
+#: The metric statistics carry the poison -> NULL contract (a `pois`
+#: boolean must be in scope on BOTH engines — /tmp/skew7): user counts
+#: and the SRM chi-square are row-count facts and stay.
 _EXP_CLOSED = """
     SELECT CAST(n0 + n1 AS BIGINT) AS n_users,
            CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
            (n0 - (n0 + n1) * 0.5) * (n0 - (n0 + n1) * 0.5) / ((n0 + n1) * 0.5)
              + (n1 - (n0 + n1) * 0.5) * (n1 - (n0 + n1) * 0.5) / ((n0 + n1) * 0.5)
              AS chi2_srm,
-           theta,
-           (sy0 / n0 - sy1 / n1)
+           (CASE WHEN NOT pois THEN theta END) AS theta,
+           (CASE WHEN NOT pois THEN (sy0 / n0 - sy1 / n1)
              / sqrt((syy0 - sy0 * sy0 / n0) / (n0 - 1) / n0
-                    + (syy1 - sy1 * sy1 / n1) / (n1 - 1) / n1) AS t_raw,
-           ((sy0 / n0 - theta * (sx0 / n0 - mu))
+                    + (syy1 - sy1 * sy1 / n1) / (n1 - 1) / n1) END) AS t_raw,
+           (CASE WHEN NOT pois THEN ((sy0 / n0 - theta * (sx0 / n0 - mu))
               - (sy1 / n1 - theta * (sx1 / n1 - mu)))
-             / sqrt(va0 / n0 + va1 / n1) AS t_cuped,
-           (va0 + va1)
+             / sqrt(va0 / n0 + va1 / n1) END) AS t_cuped,
+           (CASE WHEN NOT pois THEN (va0 + va1)
              / ((syy0 - sy0 * sy0 / n0) / (n0 - 1)
-                + (syy1 - sy1 * sy1 / n1) / (n1 - 1)) AS var_refund
+                + (syy1 - sy1 * sy1 / n1) / (n1 - 1)) END) AS var_refund
 """
 
 
 @register(
     "q_experiment_readout",
     oracle=f"""
-    WITH e AS (SELECT user_id,
+    WITH pz AS (SELECT BOOL_OR(NOT isfinite(value)) AS pois
+                FROM events WHERE value IS NOT NULL),
+    e AS (SELECT user_id,
                       CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS per,
-                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                      CAST(CAST({o_fin('value')} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
                FROM events WHERE value IS NOT NULL),
     u0 AS (SELECT user_id,
                   CAST(COUNT(CASE WHEN per = 0 THEN 1 END) AS BIGINT) AS n_pre,
@@ -1370,7 +1477,7 @@ _EXP_CLOSED = """
                       * (sy1 - theta * (sx1 - n1 * mu)) / n1) / (n1 - 1) AS va1
           FROM t)
     {_EXP_CLOSED}
-    FROM v
+    FROM v, pz
     """,
     tier="C",
     doc="ONE-stop experiment readout — the composed capstone of the "
@@ -1458,6 +1565,10 @@ def q_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (sy1 - theta * (sx1 - n1 * mu)) / n1) / (n1 - 1)"
         ),
     )
+    # poison -> NULL metric stats: the shared fragment's CASE guards
+    # need the pois column in scope on the Spark side too
+    pz = ev.agg(poisoned_flag("value").alias("pois"))
+    v = v.crossJoin(F.broadcast(pz))
     # the closed forms: ONE shared SQL fragment drives both engines
     return v.selectExpr(
         *[

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import hash60
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import nonfinite
 from news_categorization_big_data_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -281,20 +282,27 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_twap",
     oracle="""
     WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
-                      CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                      NOT isfinite(value) AS rpois,
+                      CAST(CAST((CASE WHEN isfinite(value) THEN value END)
+                                AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                         AS v_micro
                FROM events WHERE value IS NOT NULL),
-    d AS (SELECT event_type, v_micro,
+    d AS (SELECT event_type, v_micro, rpois,
                  LEAD(tus) OVER (PARTITION BY event_type
                                  ORDER BY tus, event_id) - tus AS dur_us
           FROM s)
+    -- poison -> NULL TWAP when any interval-opening value is
+    -- non-finite (a silently-short weighted sum is a wrong price);
+    -- the interval counts/durations are time facts and stay
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CASE WHEN NOT BOOL_OR(rpois) THEN
            CAST(SUM(CAST(v_micro AS HUGEINT) * dur_us) // SUM(dur_us)
-                AS BIGINT) AS twap_micro,
+                AS BIGINT) END AS twap_micro,
+           CASE WHEN NOT BOOL_OR(rpois) THEN
            CAST(CAST(SUM(CAST(v_micro AS HUGEINT) * dur_us) // SUM(dur_us)
-                     AS DOUBLE) / 1000000 AS DOUBLE) AS twap
+                     AS DOUBLE) / 1000000 AS DOUBLE) END AS twap
     FROM d WHERE dur_us IS NOT NULL
     GROUP BY event_type
     """,
@@ -329,6 +337,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "event_id",
             F.unix_micros(F.col("ts")).alias("tus"),
+            F.coalesce(nonfinite("value"), F.lit(False)).alias("rpois"),
             (F.col("value").cast("decimal(18,6)") * 1_000_000)
             .cast("long")
             .alias("v_micro"),
@@ -338,16 +347,19 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         "event_type",
         "v_micro",
+        "rpois",
         (F.lead("tus").over(w) - F.col("tus")).alias("dur_us"),
     ).where(F.col("dur_us").isNotNull())
     agg = d.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_intervals"),
         F.sum("dur_us").cast("long").alias("total_us"),
-        F.expr(
-            "sum(cast(v_micro as decimal(38,0)) * dur_us) div sum(dur_us)"
-        )
-        .cast("long")
-        .alias("twap_micro"),
+        # poison -> NULL TWAP (see the oracle note; /tmp/skew7)
+        F.when(
+            ~F.max("rpois"),
+            F.expr(
+                "sum(cast(v_micro as decimal(38,0)) * dur_us) div sum(dur_us)"
+            ).cast("long"),
+        ).alias("twap_micro"),
     )
     return agg.select(
         "event_type",

@@ -10,8 +10,11 @@ codegen apply with zero custom code.
 
 Scale notes inline per query; the global rules:
 
-- dimension tables (region/nation/part/supplier at TPC-H shape) are
-  explicitly ``broadcast()`` — no shuffle of the fact side;
+- only SF-CONSTANT dimension tables (region/nation) carry explicit
+  ``broadcast()`` hints; SF-scaling dims (customer/part/supplier) are
+  estimate-driven — broadcast while they fit, shuffle join past the
+  threshold (round 13 purged the pinned hints; a hint is honored past
+  the 8 GB broadcast limit and would fail the job at 100 TB);
 - fact-fact joins shuffle on the join key and rely on AQE skew-split;
 - aggregations are expressed so Catalyst plans partial (map-side)
   aggregation before the exchange;
@@ -108,11 +111,81 @@ def o_dsum(expr: str, scale: int = 6) -> str:
     return o_dec_to_double(f"SUM(CAST({expr} AS DECIMAL(30,{scale})))", scale)
 
 
+def nonfinite(col: Column | str) -> Column:
+    """Row predicate: the double view of ``col`` is NaN or ±Inf.
+
+    NULL inputs are NOT non-finite (they are absent, and both engines
+    skip them in aggregation) — callers fold the NULL case with
+    ``F.coalesce(nonfinite(c), F.lit(False))`` where needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    cd = c.cast("double")
+    return F.isnan(cd) | (F.abs(cd) == float("inf"))
+
+
+def dsum_fin(col: Column | str, scale: int = 6) -> Column:
+    """:func:`dsum` with the POISON → NULL non-finite contract.
+
+    ``dsum`` assumes finite input — money-style columns whose schema
+    contract forbids NaN/Inf. Metric columns (events.value, derived
+    features) carry no such contract at 100 TB: an upstream division
+    or overflow WILL plant non-finite doubles, and the engines then
+    disagree at the decimal quantization (Spark's double→decimal cast
+    NULLs non-finite SILENTLY — even under ANSI — while DuckDB refuses
+    the cast; the /tmp/skew7 finding). This variant makes the
+    disagreement impossible and the data defect VISIBLE: any
+    non-finite input makes the group's exact sum NULL on both engines
+    — loud, deterministic, never a silently-short total. Callers who
+    want exclusion instead filter ``~nonfinite(c)`` upstream, where
+    the choice is explicit. Cost: one extra boolean MAX riding the
+    same aggregate (map-side partials merge it for free)."""
+    c = F.col(col) if isinstance(col, str) else col
+    poisoned = F.max(F.coalesce(nonfinite(c), F.lit(False)))
+    return F.when(~poisoned, dsum(c, scale))
+
+
+def o_fin(expr: str) -> str:
+    """DuckDB fragment: ``expr`` where finite, else NULL — the cast
+    guard every oracle needs before a decimal/integer cast of a metric
+    column (DuckDB refuses non-finite casts outright, and SQL does not
+    guarantee conjunct order, so the guard must be a CASE the cast
+    sits inside)."""
+    return f"(CASE WHEN isfinite({expr}) THEN {expr} END)"
+
+
+def o_dsum_fin(expr: str, scale: int = 6) -> str:
+    """DuckDB-side mirror of :func:`dsum_fin` (poison → NULL)."""
+    return (
+        f"(CASE WHEN COUNT(CASE WHEN NOT isfinite({expr}) THEN 1 END) = 0 "
+        f"THEN {o_dsum(o_fin(expr), scale)} END)"
+    )
+
+
+def poisoned_flag(col: Column | str) -> Column:
+    """Aggregate boolean: the group saw a non-finite value of ``col``.
+    The building block for multi-output poison → NULL aggregates where
+    several sums share one flag (see :func:`dsum_fin` for the
+    contract); NULLs never poison."""
+    return F.max(F.coalesce(nonfinite(col), F.lit(False)))
+
+
+def o_poisoned(expr: str) -> str:
+    """DuckDB-side mirror of :func:`poisoned_flag`."""
+    return f"(COUNT(CASE WHEN NOT isfinite({expr}) THEN 1 END) > 0)"
+
+
 #: q_agg_filtered's cents-quantized purchase sum (scale 2 after the
-#: inner 6-dp accumulate), hoisted for o_dec_to_double.
+#: inner 6-dp accumulate), hoisted for o_dec_to_double. The per-row
+#: CASE is finite-guarded (o_fin shape) and the whole sum carries the
+#: poison -> NULL contract (see dsum_fin): a non-finite purchase value
+#: NULLs that user's total on BOTH engines instead of DuckDB refusing
+#: the decimal cast while Spark silently drops the row.
+_O_PURCHASE_ROW = "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"
 _O_PURCHASE_CENTS = (
-    "CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"
+    f"CAST(SUM(CAST((CASE WHEN isfinite({_O_PURCHASE_ROW}) THEN {_O_PURCHASE_ROW} END)"
     " AS DECIMAL(30,6))) AS DECIMAL(30,2))"
+)
+_O_PURCHASE_POISONED = (
+    f"COUNT(CASE WHEN NOT isfinite({_O_PURCHASE_ROW}) THEN 1 END) > 0"
 )
 
 
@@ -166,7 +239,11 @@ def q_scan_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_project_cast",
     oracle="""
     SELECT event_id,
-           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS message,
+           -- o_fin guard: Spark's double->decimal cast NULLs non-finite
+           -- values; DuckDB refuses the cast, so guard it (per-row
+           -- non-finite -> NULL message, visible in the row)
+           CAST(CAST((CASE WHEN isfinite(value) THEN value END)
+                     AS DECIMAL(18,2)) AS VARCHAR) AS message,
            CAST(event_id AS VARCHAR) AS id_str
     FROM events
     """,
@@ -653,7 +730,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
-           {o_dec_to_double(_O_PURCHASE_CENTS, 2)} AS purchase_value
+           CASE WHEN {_O_PURCHASE_POISONED} THEN NULL
+                ELSE {o_dec_to_double(_O_PURCHASE_CENTS, 2)} END AS purchase_value
     FROM events GROUP BY user_id
     """,
     tier="A",
@@ -671,8 +749,13 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
         F.count_if(F.col("value") > 100.0).alias("n_big"),
-        dec_to_double(
-            F.sum(purchase.cast("decimal(30,6)")).cast("decimal(30,2)"), 2
+        # poison -> NULL: a non-finite purchase value NULLs the user's
+        # exact total on both engines (dsum_fin contract; /tmp/skew7)
+        F.when(
+            ~F.max(F.coalesce(nonfinite(purchase), F.lit(False))),
+            dec_to_double(
+                F.sum(purchase.cast("decimal(30,6)")).cast("decimal(30,2)"), 2
+            ),
         ).alias("purchase_value"),
     )
 

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.plans.registry import register
-from news_categorization_big_data_spark.plans.relational import dsum, o_dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    dsum_fin,
+    o_dsum,
+    o_dsum_fin,
+)
 from news_categorization_big_data_spark.sources.tables import load_table
 
 #: The events table's closed event-type domain — pinned so the pivot is
@@ -69,7 +74,12 @@ def _unpivot_oracle() -> str:
           FROM events GROUP BY user_id, event_type)
     SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
     FROM u CROSS JOIN t
-    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    -- IS NOT DISTINCT FROM: the NULL user_id is a real pivot GROUP in
+    -- Spark (groupBy keeps the null key with its counts), so the
+    -- join-back must match it — a plain equality never matches NULL
+    -- and zeroed the whole null-user row (the skew4 full-sweep find)
+    LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM u.user_id
+               AND c.event_type = t.event_type
     """
 
 
@@ -106,7 +116,10 @@ GAP_BIN_SECONDS = 3600
                       CAST(to_timestamp(floor(epoch(ts) / {GAP_BIN_SECONDS}) * {GAP_BIN_SECONDS})
                            AS TIMESTAMP) AS bin,
                       COUNT(*) AS n_events,
-                      {o_dsum('value')} AS sum_value
+                      -- poison -> NULL bin sum; the LOCF carry then
+                      -- fills a poisoned bin from its predecessor,
+                      -- identically on both engines (/tmp/skew7)
+                      {o_dsum_fin('value')} AS sum_value
                FROM events GROUP BY 1, 2),
     bounds AS (SELECT event_type, MIN(bin) AS lo, MAX(bin) AS hi FROM b GROUP BY 1),
     spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL {GAP_BIN_SECONDS} SECONDS)) AS bin
@@ -139,7 +152,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = ev.groupBy(
         "event_type", bin_col.alias("bin")
-    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    ).agg(F.count("*").alias("n_events"), dsum_fin("value").alias("sum_value"))
     spine = (
         binned.groupBy("event_type")
         .agg(F.min("bin").alias("_lo"), F.max("bin").alias("_hi"))

@@ -23,7 +23,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import dsum, nonfinite
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -378,11 +378,23 @@ def _pq_book_and_best(
                SELECT vec_id, s, code, d2,
                       row_number() OVER (PARTITION BY vec_id, s
                                          ORDER BY d2, code) AS rn
-               FROM dist) WHERE rn = 1)
-    SELECT vec_id,
-           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
-           {o_dec_to_double("SUM(CAST(d2 AS DECIMAL(28,9)))", 9)} AS recon_err
-    FROM best GROUP BY vec_id
+               FROM dist) WHERE rn = 1),
+    pz AS (SELECT vec_id,
+                  len(list_filter(embedding,
+                      x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0 AS pois
+           FROM embeddings)
+    -- poison -> NULL codes/error for a vector with any non-finite
+    -- component (its subspace distances are NaN — garbage codes; the
+    -- o_fin guard keeps DuckDB's decimal cast reachable) — /tmp/skew7
+    SELECT b.vec_id,
+           CASE WHEN NOT pz.pois THEN
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) END AS codes,
+           CASE WHEN NOT pz.pois THEN
+           {o_dec_to_double(
+               "SUM(CAST((CASE WHEN isfinite(d2) THEN d2 END)"
+               " AS DECIMAL(28,9)))", 9)} END AS recon_err
+    FROM best b JOIN pz ON b.vec_id = pz.vec_id
+    GROUP BY b.vec_id, pz.pois
     """,
     tier="C",
     doc=f"Product-quantization code assignment (Jégou et al. 2011): "
@@ -405,15 +417,26 @@ def _pq_book_and_best(
 def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _book, best = _pq_book_and_best(spark, emb)
+    # poison -> NULL codes/error for a vector with any non-finite
+    # component: its subspace distances are NaN, so the "codes" would
+    # be tie-break artifacts, not nearest centroids (/tmp/skew7). The
+    # per-vector flag rides the same regroup (d2 is NaN exactly for
+    # the poisoned subspaces).
+    pois = F.max(F.coalesce(nonfinite("d2"), F.lit(False)))
     packed = best.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "code"))),
-                lambda x: x["code"].cast("string"),
+        F.when(
+            ~pois,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                ",",
             ),
-            ",",
         ).alias("codes"),
-        dsum(F.col("d2").cast("decimal(28,9)"), 9).alias("recon_err"),
+        F.when(~pois, dsum(F.col("d2").cast("decimal(28,9)"), 9)).alias(
+            "recon_err"
+        ),
     )
     return packed
 

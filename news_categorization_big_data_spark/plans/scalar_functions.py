@@ -152,7 +152,13 @@ def q_json_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.to_json(
-            F.struct(F.substring("text", 1, 30).alias("content"), F.col("lang").alias("category"))
+            F.struct(F.substring("text", 1, 30).alias("content"), F.col("lang").alias("category")),
+            # ignoreNullFields=false: Spark's to_json DROPS null fields
+            # by default while DuckDB's to_json keeps "category":null —
+            # a NULL lang (the skew4 null fixture) must serialize
+            # identically on both engines (the q_multimodal_cols r12
+            # fix, applied here by the first FULL skew4 sweep)
+            {"ignoreNullFields": "false"},
         ).alias("payload"),
     )
 

@@ -334,16 +334,26 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (SELECT vec_id,
                       embedding,
+                      -- poisoned vector -> NULL outputs: the engines
+                      -- disagree on NaN>0 (DuckDB NaN-sorts-greatest
+                      -- says TRUE, Spark says FALSE) so a NaN absmax
+                      -- yields structurally different quantizations;
+                      -- an unmeasurable vector has no scale
+                      -- (/tmp/skew7)
+                      len(list_filter(embedding,
+                          x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0 AS pois,
                       list_max(list_transform(embedding,
                                               x -> abs(CAST(x AS DOUBLE)))) AS mx
                FROM embeddings)
     SELECT vec_id,
-           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+           CASE WHEN pois THEN NULL
+                WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+           CASE WHEN pois THEN NULL ELSE
            array_to_string(list_transform(embedding,
                           x -> CAST(floor(CAST(x AS DOUBLE)
                                           * (CASE WHEN mx > 0 THEN 127.0 / mx
                                                   ELSE 0.0 END) + 0.5)
-                                    AS INT)), ',') AS qvec
+                                    AS INT)), ',') END AS qvec
     FROM m
     """,
     tier="C",
@@ -367,18 +377,27 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     absmax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
+    # poisoned vector -> NULL scale/codes (see the oracle note)
+    pois = F.exists(
+        "embedding",
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == float("inf")),
+    )
     scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
     return emb.select(
         "vec_id",
-        scale.alias("scale"),
-        F.array_join(
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
-                .cast("int")
-                .cast("string"),
+        F.when(~pois, scale).alias("scale"),
+        F.when(
+            ~pois,
+            F.array_join(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+                    .cast("int")
+                    .cast("string"),
+                ),
+                ",",
             ),
-            ",",
         ).alias("qvec"),
     )
 
@@ -392,10 +411,19 @@ NORM_TOP_K = 20
     "q_embedding_norms",
     oracle=f"""
     WITH s AS (SELECT vec_id,
-                      {o_dec_to_double(_O_NORM_SS, 12)} AS ss
+                      -- a NaN/Inf component NULLs the whole norm, the
+                      -- exact mirror of the engine's null-propagating
+                      -- decimal fold (DuckDB would otherwise refuse
+                      -- the cast); NULLS LAST pins the DESC ordering
+                      -- (DuckDB DESC defaults NULLS FIRST, Spark
+                      -- NULLS LAST) — /tmp/skew7
+                      CASE WHEN len(list_filter(embedding,
+                                x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0
+                           THEN NULL
+                           ELSE {o_dec_to_double(_O_NORM_SS, 12)} END AS ss
                FROM embeddings)
     SELECT vec_id, sqrt(ss) AS l2_norm
-    FROM s ORDER BY sqrt(ss) DESC, vec_id LIMIT {NORM_TOP_K}
+    FROM s ORDER BY sqrt(ss) DESC NULLS LAST, vec_id LIMIT {NORM_TOP_K}
     """,
     tier="C",
     doc=f"Embedding L2-norm profile (top-{NORM_TOP_K} by norm): the "

@@ -29,7 +29,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import dsum, dsum_fin, o_dsum_fin
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.json_corpus import (
     normalize_authors,
@@ -191,13 +191,18 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Word-soup text is comma/quote-free by construction, so the CSV
     # lines are plain joins; the READER (schema + DROPMALFORMED) is the
     # surface under test.
+    # Per-field coalesce to '': concat_ws silently SKIPS null fields,
+    # which collapses a 4-column row to 3 columns and gets it
+    # DROPMALFORMED'd at read — structure must survive nullable
+    # fields; the CSV reader maps the empty field back to NULL for
+    # strings and longs alike (the skew4 full-sweep find).
     lines = docs.select(
         F.concat_ws(
             ",",
-            F.col("doc_id").cast("string"),
-            "lang",
-            F.col("n_chars").cast("string"),
-            F.substring("text", 1, 40),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("")),
+            F.coalesce(F.substring("text", 1, 40), F.lit("")),
         ).alias("value")
     )
     corrupt = spark.createDataFrame([("oops,notanumber",)], "value string")
@@ -390,7 +395,8 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_partitioned_roundtrip",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_events,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_value
+           -- poison -> NULL exact sum (o_dsum_fin contract; /tmp/skew7)
+           {o_dsum_fin('value')} AS total_value
     FROM events GROUP BY event_type
     """,
     tier="B",
@@ -421,9 +427,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
-                "total_value"
-            ),
+            dsum_fin("value", 6).alias("total_value"),
         )
     )
 
@@ -464,13 +468,19 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.where(F.col("doc_id") >= 250).select(
         "doc_id", "lang", "n_chars"
     ).write.mode("overwrite").parquet(os.path.join(evo_dir, "g=2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(evo_dir, "g=1"), os.path.join(evo_dir, "g=2")
+    # basePath surfaces the g=1/g=2 GENERATION partition column: v1
+    # membership is a fact of the file layout, not of a value being
+    # NULL — a v2 row whose n_chars is genuinely NULL (the skew4
+    # fixture) must not be miscounted as v1 (first-full-sweep find).
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", evo_dir)
+        .parquet(os.path.join(evo_dir, "g=1"), os.path.join(evo_dir, "g=2"))
     )
     return merged.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_v2"),
-        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_v1"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("n_v1"),
     )
 
 

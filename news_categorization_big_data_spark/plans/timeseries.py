@@ -25,6 +25,7 @@ from news_categorization_big_data_spark.functions.exact import (
     o_dec_to_double,
 )
 from news_categorization_big_data_spark.plans.registry import register
+from news_categorization_big_data_spark.plans.relational import nonfinite
 from news_categorization_big_data_spark.sources.tables import load_table
 
 
@@ -197,7 +198,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS cnt_1h,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(18,2))) OVER w", 2)} AS val_1h
+           -- poison -> NULL trailing sum for frames touching a
+           -- non-finite value (o_fin keeps the decimal cast reachable
+           -- only for finite rows; /tmp/skew7)
+           CASE WHEN NOT BOOL_OR(NOT isfinite(value)) OVER w THEN
+           {o_dec_to_double(
+               "SUM(CAST((CASE WHEN isfinite(value) THEN value END)"
+               " AS DECIMAL(18,2))) OVER w", 2)}
+           END AS val_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -224,7 +232,15 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count("*").over(w).alias("cnt_1h"),
-        dec_to_double(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2).alias("val_1h"),
+        F.when(
+            F.max(
+                F.coalesce(nonfinite("value"), F.lit(False)).cast("int")
+            ).over(w)
+            == 0,
+            dec_to_double(
+                F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2
+            ),
+        ).alias("val_1h"),
     )
 
 

@@ -24,7 +24,12 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
-from news_categorization_big_data_spark.plans.relational import dsum
+from news_categorization_big_data_spark.plans.relational import (
+    dsum,
+    o_fin,
+    o_poisoned,
+    poisoned_flag,
+)
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -36,7 +41,8 @@ _O_CUSUM_RUN = (
 )
 _O_RC_SUM = (
     "SUM(CASE WHEN event_type = '{t}'"
-    " THEN CAST(value AS DECIMAL(30,6)) END)"
+    " THEN CAST((CASE WHEN isfinite(value) THEN value END)"
+    " AS DECIMAL(30,6)) END)"
 )
 
 #: Sliding-window width in days for the exact distinct-user count.
@@ -97,20 +103,27 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (SELECT event_type,
                           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                          {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS v
+                          {o_poisoned('value')} AS pois,
+                          {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(30,6)))", 6)} AS v
                    FROM events GROUP BY 1, 2),
     st AS (SELECT event_type,
                   {o_dec_to_double("SUM(CAST(v AS DECIMAL(30,6)))", 6)} AS tot,
-                  COUNT(*) AS n_days
+                  COUNT(*) AS n_days,
+                  BOOL_OR(pois) AS pois_t
            FROM daily GROUP BY 1),
-    c AS (SELECT d.event_type, d.day, st.n_days,
+    c AS (SELECT d.event_type, d.day, st.n_days, st.pois_t,
                  {o_dec_to_double(_O_CUSUM_RUN, 6)} AS cusum
           FROM daily d JOIN st ON d.event_type = st.event_type),
-    r AS (SELECT event_type, day, n_days, abs(cusum) AS a,
+    r AS (SELECT event_type, day, n_days, pois_t, abs(cusum) AS a,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY abs(cusum) DESC, day) AS rn
           FROM c)
-    SELECT event_type, day AS change_day, a AS max_abs_cusum,
+    -- poison -> NULL: a type with any non-finite value reports NULL
+    -- change point (a CUSUM over a silently-short daily sum would
+    -- locate a phantom shift); n_days stays (/tmp/skew7)
+    SELECT event_type,
+           CASE WHEN NOT pois_t THEN day END AS change_day,
+           CASE WHEN NOT pois_t THEN a END AS max_abs_cusum,
            CAST(n_days AS BIGINT) AS n_days
     FROM r WHERE rn = 1
     """,
@@ -134,7 +147,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(dsum(F.col("value").cast("decimal(30,6)"), 6).alias("v"))
+    ).agg(
+        poisoned_flag("value").alias("pois"),
+        dsum(F.col("value").cast("decimal(30,6)"), 6).alias("v"),
+    )
     # Per-type mean via FULL-PARTITION windows instead of a second
     # aggregate + broadcast join-back: the daily grain is tiny, all
     # three windows share one event_type exchange (Catalyst reuses it;
@@ -144,6 +160,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfull = Window.partitionBy("event_type")
     tot = dec_to_double(F.sum(F.col("v").cast("decimal(30,6)")).over(wfull), 6)
     n_days = F.count("*").over(wfull)
+    pois_t = F.max("pois").over(wfull)
     dev = (F.col("v") - tot / n_days).cast("decimal(30,6)")
     wrun = (
         Window.partitionBy("event_type")
@@ -152,17 +169,20 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         daily.withColumn("n_days", n_days)
+        .withColumn("pois_t", pois_t)
         .withColumn("cusum", dec_to_double(F.sum(dev).over(wrun), 6))
         .withColumn("a", F.abs("cusum"))
     )
     wpick = Window.partitionBy("event_type").orderBy(F.desc("a"), "day")
+    # poison -> NULL change point for a poisoned type (/tmp/skew7)
+    ok = ~F.col("pois_t")
     return (
         c.withColumn("rn", F.row_number().over(wpick))
         .where(F.col("rn") == 1)
         .select(
             "event_type",
-            F.col("day").alias("change_day"),
-            F.col("a").alias("max_abs_cusum"),
+            F.when(ok, F.col("day")).alias("change_day"),
+            F.when(ok, F.col("a")).alias("max_abs_cusum"),
             F.col("n_days").cast("bigint").alias("n_days"),
         )
     )
@@ -302,9 +322,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY ts DESC, event_id DESC) AS rn
                FROM events),
     last AS (SELECT user_id, month, value FROM r WHERE rn = 1)
+    -- poison -> NULL month total when any CLOSING balance is
+    -- non-finite (only last observations enter the sum; /tmp/skew7)
     SELECT month,
            COUNT(*) AS n_users,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)} AS total_balance
+           CASE WHEN NOT {o_poisoned('value')} THEN
+           {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(30,6)))", 6)}
+           END AS total_balance
     FROM last GROUP BY month
     """,
     tier="B",
@@ -333,9 +357,11 @@ def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return last.groupBy("month").agg(
         F.count("*").alias("n_users"),
-        dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
-            "total_balance"
-        ),
+        # poison -> NULL month total (closing balances only; /tmp/skew7)
+        F.when(
+            ~poisoned_flag("value"),
+            dsum(F.col("value").cast("decimal(30,6)"), 6),
+        ).alias("total_balance"),
     )
 
 
@@ -597,9 +623,12 @@ ATTRIB_LOOKBACK_S = 3600
                       ELSE src_type END AS channel,
                  value
           FROM o WHERE event_type = 'purchase')
+    -- poison -> NULL channel revenue when any attributed purchase
+    -- value is non-finite; n_purchases stays (/tmp/skew7)
     SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           {o_dec_to_double("SUM(CAST(value AS DECIMAL(30,6)))", 6)}
-             AS attributed_value
+           CASE WHEN NOT {o_poisoned('value')} THEN
+           {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(30,6)))", 6)}
+           END AS attributed_value
     FROM p GROUP BY channel
     """,
     tier="B",
@@ -651,9 +680,11 @@ def q_attrib_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("channel").agg(
         F.count("*").alias("n_purchases"),
-        dsum(F.col("value").cast("decimal(30,6)"), 6).alias(
-            "attributed_value"
-        ),
+        # poison -> NULL channel revenue (/tmp/skew7)
+        F.when(
+            ~poisoned_flag("value"),
+            dsum(F.col("value").cast("decimal(30,6)"), 6),
+        ).alias("attributed_value"),
     )
 
 
@@ -843,8 +874,15 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
        int128->double cast double-rounds ~1% of 64+-bit values, so
        big decimals must never reach a float cast.)
     """
+    # Optional poison propagation (the /tmp/skew7 contract): when the
+    # caller's daily frame carries a boolean `pois` column, any frame
+    # touching a poisoned day reports NULL instead of a correlation
+    # computed over a silently-shortened day sum. Callers without the
+    # column (the property tests' finite series) are unchanged.
+    has_pois = "pois" in daily.columns
     q = daily.select(
         "day",
+        *(["pois"] if has_pois else []),
         F.floor(F.col("x") * F.lit(RC_UNIT)).cast("long").alias("qx"),
         F.floor(F.col("y") * F.lit(RC_UNIT)).cast("long").alias("qy"),
     )
@@ -857,6 +895,11 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
         "qy",
         F.min("qx").over(wf).alias("minx"),
         F.min("qy").over(wf).alias("miny"),
+        *(
+            [(F.max(F.col("pois").cast("int")).over(wf) == 1).alias("poisw")]
+            if has_pois
+            else []
+        ),
     )
     # base feeds BOTH the target and member sides of the frame join; a
     # lazy localCheckpoint materializes the day-grain series once so
@@ -864,7 +907,11 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
     # q_rfm_segments multi-consumer rule; base is day-domain tiny)
     base = base.localCheckpoint(eager=False)
     targets = base.select(
-        F.col("idx").alias("t_idx"), "day", "minx", "miny"
+        F.col("idx").alias("t_idx"),
+        "day",
+        "minx",
+        "miny",
+        *(["poisw"] if has_pois else []),
     )
     members = base.select(
         F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("off"),
@@ -880,7 +927,7 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
     ay, by = F.shiftright(dy, _RC_SHIFT), dy.bitwiseAND(F.lit(_RC_MASK))
     g = (
         members.join(targets, "t_idx")
-        .groupBy("t_idx", "day")
+        .groupBy("t_idx", "day", *(["poisw"] if has_pois else []))
         .agg(
             F.count("*").alias("n"),
             F.sum(dx).alias("sx"),
@@ -921,6 +968,8 @@ def rolling_corr_frame(daily: DataFrame, days: int) -> DataFrame:
             F.greatest(F.lit(-1.0), cov / (F.sqrt(varx) * F.sqrt(vary))),
         ),
     )
+    if has_pois:
+        corr = F.when(~F.col("poisw"), corr)
     return g.select(
         "day",
         F.col("n").alias("n_days"),
@@ -988,11 +1037,12 @@ _RC_FLOOR = (
     oracle=f"""
     WITH daily AS (
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             {o_poisoned('value')} AS pois,
              COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_X), 6)}, 0.0) AS x,
              COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_Y), 6)}, 0.0) AS y
       FROM events WHERE event_type IN ('{ROLLCORR_X}', '{ROLLCORR_Y}')
       GROUP BY 1),
-    q AS (SELECT day,
+    q AS (SELECT day, pois,
                  CAST(floor(x * {RC_UNIT}) AS BIGINT) AS qx,
                  CAST(floor(y * {RC_UNIT}) AS BIGINT) AS qy
           FROM daily),
@@ -1000,22 +1050,25 @@ _RC_FLOOR = (
                     row_number() OVER (ORDER BY day) AS idx,
                     qx, qy,
                     min(qx) OVER w AS minx,
-                    min(qy) OVER w AS miny
+                    min(qy) OVER w AS miny,
+                    -- frame-level poison: any poisoned day in the
+                    -- trailing window NULLs that frame's corr below
+                    BOOL_OR(pois) OVER w AS poisw
              FROM q
              WINDOW w AS (ORDER BY day
                           ROWS BETWEEN {ROLLCORR_DAYS - 1} PRECEDING AND CURRENT ROW)),
-    pairs AS (SELECT t.idx AS t_idx, t.day,
+    pairs AS (SELECT t.idx AS t_idx, t.day, t.poisw,
                      m.qx - t.minx AS dx, m.qy - t.miny AS dy
               FROM base t JOIN base m
                 ON m.idx BETWEEN t.idx - {ROLLCORR_DAYS - 1} AND t.idx),
-    g AS (SELECT t_idx, day,
+    g AS (SELECT t_idx, day, poisw,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(dx) AS BIGINT) AS sx,
              CAST(SUM(dy) AS BIGINT) AS sy,
              {_rc_limb_sums("d")}
-          FROM pairs GROUP BY t_idx, day)
+          FROM pairs GROUP BY t_idx, day, poisw)
     SELECT day, n AS n_days,
-           CASE WHEN n >= 2
+           CASE WHEN NOT poisw AND n >= 2
                  AND {_rc_var("xx", "sx")} > {_RC_FLOOR}
                  AND {_rc_var("yy", "sy")} > {_RC_FLOOR}
            THEN least(1.0, greatest(-1.0,
@@ -1051,6 +1104,8 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(
+        # per-day poison flag, propagated frame-level by the helper
+        poisoned_flag("value").alias("pois"),
         # coalesce(·, 0): a day where only one of the two event types
         # occurred must contribute value-sum 0 for the missing series,
         # not NULL — otherwise the frame's COUNT(*) counts the day while
