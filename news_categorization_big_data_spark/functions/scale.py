@@ -37,12 +37,32 @@ from pyspark.sql import functions as F
 
 #: Default gate for ``broadcast_if_small``: comfortably inside the JVM
 #: driver/executor budget yet far under Spark's 8 GB broadcast hard
-#: limit. On-disk parquet is compressed, so the in-memory relation is
-#: larger — the margin below 8 GB absorbs that.
+#: limit. EXPANSION-RATIO ASSUMPTION (documented per round-13 review):
+#: on-disk parquet is compressed/encoded, so the in-memory broadcast
+#: relation is LARGER than the file bytes the gate measures. The
+#: 256 MB gate vs the 8 GB hard limit leaves a 32× margin; typical
+#: snappy+dictionary parquet decodes at 3-10×, but dictionary/RLE-heavy
+#: columns (low-cardinality strings, sorted keys) can exceed 32×. The
+#: gate is therefore a heuristic for the HINT only — past it the frame
+#: falls through to AQE's measured-size decision, and even under it the
+#: 8 GB wall is what actually fails the job. Callers broadcasting
+#: encode-heavy frames should pass a lower ``max_bytes``. Overridable
+#: at runtime via SPARK_GRAFT_BROADCAST_GATE_BYTES (tests use 0 to
+#: prove the refusing path on real plans).
 BROADCAST_GATE_BYTES = 256 << 20
 
 
-def broadcast_if_small(df: DataFrame, max_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+def _gate_bytes() -> int:
+    env = os.environ.get("SPARK_GRAFT_BROADCAST_GATE_BYTES")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    return BROADCAST_GATE_BYTES
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Size-GATED broadcast hint: ``F.broadcast(df)`` only when the
     frame's measured on-disk footprint is under ``max_bytes``.
 
@@ -61,8 +81,15 @@ def broadcast_if_small(df: DataFrame, max_bytes: int = BROADCAST_GATE_BYTES) -> 
     - frames whose inputs can't be stat'd locally (remote FS, non-file
       sources, empty lineage) are returned UN-hinted — Catalyst
       statistics + AQE then pick broadcast iff the measured size allows,
-      which is the engine's default posture everywhere else.
+      which is the engine's default posture everywhere else;
+    - for an AGGREGATE frame (e.g. q_tpch_q18's qualifying-orderkey
+      set) the file sum measures the aggregate's INPUT, not its output
+      — still the safe direction: the output is never larger than the
+      scan, so the gate only ever refuses broadcasts it could have
+      taken, falling through to AQE's exact runtime measurement.
     """
+    if max_bytes is None:
+        max_bytes = _gate_bytes()
     try:
         files = df.inputFiles()
         if not files:

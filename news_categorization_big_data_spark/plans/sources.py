@@ -437,7 +437,8 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN doc_id < 250 THEN 0 ELSE n_chars END) AS BIGINT)
+           CAST(SUM(CASE WHEN doc_id < 250 THEN 0
+                         ELSE COALESCE(n_chars, 0) END) AS BIGINT)
              AS sum_chars_v2,
            CAST(COUNT(CASE WHEN doc_id < 250 THEN 1 END) AS BIGINT) AS n_v1
     FROM documents WHERE doc_id < 500

@@ -348,18 +348,23 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
       AND p.p_type <> '{Q16_EXCL_TYPE}'
       AND p.p_size IN {Q16_SIZES}
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
     tier="B",
     doc="TPC-H Q16 (parts/supplier relationship): distinct suppliers "
     "observed shipping each (brand, type, size) group, excluding one "
-    "brand/type, a size list, and suppliers from a NOT-IN exclusion "
+    "brand/type, a size list, and suppliers from an exclusion "
     "subquery (the '%Complaints%' stand-in: negative account balance). "
-    "Spark compiles the NOT IN into a null-aware anti join "
-    "(s_suppkey is non-null here, so it degenerates to a plain anti "
-    "join, broadcast while the exclusion set fits per measured stats — "
+    "The oracle is written as NOT EXISTS, not NOT IN: NOT IN is "
+    "three-valued — ONE NULL s_suppkey in the exclusion set empties "
+    "the whole result, and a NULL l_suppkey row is dropped — while "
+    "Spark's left_anti (and NOT EXISTS) keeps non-matching rows, "
+    "NULL keys included (the q_join_anti r13 class, flagged here by "
+    "r13 ADVICE). The anti join is "
+    "broadcast while the exclusion set fits per measured stats — "
     "both part and the supplier exclusion scale with SF, so neither is "
     "hint-pinned); the part predicates prune before the join; the "
     "single shuffle is the distinct-count aggregate, which Spark "

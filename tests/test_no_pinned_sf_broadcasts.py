@@ -39,17 +39,33 @@ SF_SCALING = (
     "embeddings",
 )
 
-#: Subtree markers under which a BroadcastExchange payload is bounded
-#: or AQE-measured (one-row/limited aggregates re-measured at runtime).
+#: Subtree markers under which a BroadcastExchange payload is bounded.
+#: These plans are built with estimate broadcasts DISABLED, so every
+#: surviving hint is pinned and forced at any size — which means a
+#: KEYED aggregate bounds nothing when its key scales with the corpus
+#: (the round-13 q_tpch_q18 finding: qualifying orderkeys ~1.5% of all
+#: orders, linear in SF). Only keyless (one-row) aggregates and
+#: explicit limits exempt; keyed aggregates are walked through to the
+#: leaf by _bounds() below.
 _BOUNDED = (
-    "HashAggregate",
-    "ObjectHashAggregate",
-    "SortAggregate",
     "GlobalLimit",
     "TakeOrderedAndProject",
-    "Exchange hashpartitioning",
-    "Exchange range",
 )
+
+_AGGS = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+
+
+def _bounds(line: str) -> bool:
+    """Under a PINNED hint only an explicit limit or a keyless
+    (one-output-row) aggregate provably bounds the broadcast payload.
+    Keyed aggregates and shuffles (the old exemptions — sound for
+    AQE-measured selection, unsound for a forced hint) are walked
+    THROUGH to the leaf scan."""
+    if any(m in line for m in _BOUNDED):
+        return True
+    if any(m in line for m in _AGGS):
+        return "keys=[]" in line
+    return False
 
 #: The round-13 purge set: the 14 TPC-H queries plus the two join
 #: operators that previously pinned customer/supplier/part broadcasts
@@ -84,11 +100,13 @@ def _hinted_sf_broadcast_leaves(plan: str, lookahead: int = 14) -> list[str]:
         if "BroadcastExchange" not in ln:
             continue
         sub: list[str] = []
+        bounded = False
         for nxt in lines[i + 1 : i + 1 + lookahead]:
             sub.append(nxt)
-            if any(m in nxt for m in _BOUNDED):
+            if _bounds(nxt):
+                bounded = True
                 break
-        if any(m in "\n".join(sub) for m in _BOUNDED):
+        if bounded:
             continue
         for leaf in sub:
             if "FileScan" in leaf or "InMemoryTableScan" in leaf:
@@ -166,6 +184,39 @@ def test_broadcast_if_small_refuses_over_gate(spark, sf_dir):
     joined = li.join(gated, li.l_partkey == part.p_partkey)
     plan = _plan_without_estimate_broadcasts(spark, joined)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_q18_strict_walker_flags_ungated_agg_broadcast(spark, sf_dir):
+    """The round-13 audit blind spot, pinned: a PINNED broadcast above
+    a KEYED aggregate over a fact scan (q18's qualifying-orderkey set,
+    ~1.5% of orders, linear in SF) must be FLAGGED by the strict walk —
+    the old HashAggregate exemption waved it through. At test SF the
+    gate applies the hint, so the raw plan exhibits exactly that shape;
+    the walker must see it."""
+    plan = _plan_without_estimate_broadcasts(spark, "q_tpch_q18", sf_dir)
+    if "BroadcastExchange" not in plan:
+        pytest.skip("gate refused at this fixture size — shape absent")
+    flagged = _hinted_sf_broadcast_leaves(plan)
+    assert flagged, "strict walker failed to flag the q18 keyed-agg broadcast:\n" + plan
+
+
+def test_q18_broadcast_gated_not_pinned(spark, sf_dir, monkeypatch):
+    """q18's hint is broadcast_if_small, not F.broadcast: forcing the
+    gate to 0 bytes (the at-100-TB outcome, where lineitem dwarfs any
+    gate) must yield a plan with NO hint-driven broadcast at all — the
+    semi-join falls through to AQE's measured-size decision."""
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_GATE_BYTES", "0")
+    plan = _plan_without_estimate_broadcasts(spark, "q_tpch_q18", sf_dir)
+    flagged = _hinted_sf_broadcast_leaves(plan)
+    assert not flagged, "gate=0 still pins a broadcast:\n" + "\n".join(flagged)
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_q18_broadcast_applied_under_gate(spark, sf_dir):
+    """At bench scale the gate keeps the small-SF broadcast win: the
+    measured lineitem input is far under 256 MB, so the hint applies."""
+    plan = _plan_without_estimate_broadcasts(spark, "q_tpch_q18", sf_dir)
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_broadcast_if_small_unknown_lineage_unhinted(spark):
