@@ -66,6 +66,23 @@ def classify_keywords(
     the network. Confidence = score / token_count, an exact int64/int64
     IEEE division identical across engines (no rounding step needed).
     """
+    category, confidence = keyword_score_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        category.alias("category"),
+        confidence.alias("confidence"),
+    )
+
+
+def keyword_score_cols(text_col: str):
+    """The keyword scorer as a PAIR of pure column expressions
+    ``(category, confidence)`` — the composable core of
+    ``classify_keywords``, reused by the streaming topology's model
+    stage (streaming/topology.py classify_stream_model) where the
+    caller keeps its own payload columns (content, event_ts) alongside
+    the classification. Being expressions, they run identically in
+    batch plans and inside a micro-batch: map-only, no shuffle, no
+    state."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
 
     def _hits(kws: list[str]):
@@ -84,13 +101,12 @@ def classify_keywords(
         ]
     )
     best = F.array_max(entries)
-    return df.select(
-        F.col(id_col),
-        F.when(best["s"] > 0, best["c"]).otherwise(F.lit(UNKNOWN_CATEGORY)).alias("category"),
+    category = F.when(best["s"] > 0, best["c"]).otherwise(F.lit(UNKNOWN_CATEGORY))
+    confidence = (
         F.when(best["s"] > 0, best["s"].cast("double") / F.size(toks))
         .otherwise(F.lit(0.0))
-        .alias("confidence"),
     )
+    return category, confidence
 
 
 def build_pipeline(text_col: str = "text", label_col: str = "label", num_features: int = 1 << 14) -> Pipeline:

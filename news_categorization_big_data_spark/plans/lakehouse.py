@@ -178,8 +178,19 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_pos"
         )
     )
-    bloom = probes.groupBy((F.col("_pos") / 64).cast("long").alias("_w")).agg(
-        F.expr("bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))").alias("_bits")
+    # the word index is PROJECTED before the groupBy (not inlined as a
+    # grouping expression) so the plan's agg line reads keys=[_w#N] —
+    # self-describing to the broadcast audit's bounded-key rule
+    # (BLOOM_BITS/64 ≤ 1024 words at any SF) instead of an opaque
+    # Catalyst _groupingexpression alias.
+    bloom = (
+        probes.select(
+            (F.col("_pos") / 64).cast("long").alias("_w"), F.col("_pos")
+        )
+        .groupBy("_w")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))").alias("_bits")
+        )
     )
     # Probe: three map-only broadcast joins; a row survives only if all
     # three of its bits are set (a missing word ⇒ bloom miss ⇒ join drop).

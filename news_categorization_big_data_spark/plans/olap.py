@@ -620,6 +620,81 @@ def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Heavy-hitter threshold in parts-per-thousand of total event volume.
 HH_PER_MILLE = 3
 
+#: Valve: "true" flips q_heavy_hitters to the CMS-prefiltered plan
+#: below — output-identical (tests/test_robust_linkage.py). Width /
+#: depth tune the sketch (candidate-set tightness vs sketch size).
+HH_CMS_CONF = "spark.graft.hh.cms"
+HH_CMS_WIDTH_CONF = "spark.graft.hh.cms.width"
+HH_CMS_DEPTH_CONF = "spark.graft.hh.cms.depth"
+
+
+def heavy_hitters_cms(ev: DataFrame) -> DataFrame:
+    """The count-min-sketch first pass the q_heavy_hitters docstring
+    documents, built for real: bound WHICH keys can possibly exceed
+    the threshold with a d×w cell-count sketch, then run the exact
+    per-key count ONLY over rows whose key survives every row of the
+    sketch. Output-identical to the exact two-pass plan because a CMS
+    cell count is an OVERESTIMATE of every key hashed into it (cells
+    aggregate collisions), so the candidate set is a superset of the
+    true heavy hitters and the exact final filter trims it to the
+    same rows; a key's rows all share its buckets, so candidate rows
+    carry their FULL exact counts.
+
+    Scale: the default plan's per-key count shuffle carries one row
+    per DISTINCT KEY per mapper — at 100 TB with billions of user
+    ids, that IS the fact shuffle. Here the sketch aggregate is d×w
+    cells regardless of key cardinality (map-side combinable to
+    ≤ d×w rows per mapper), the hot-cell table broadcasts at ≤ d×w
+    rows, the candidate filter is map-only, and the exact shuffle
+    carries only keys colliding into hot cells — for a ‰-level
+    threshold, a vanishing fraction. NULL keys hash via a sentinel
+    string no numeric id can collide with, so an all-NULL heavy group
+    survives the prefilter (skew5 regime, pinned in tests).
+    """
+    spark = ev.sparkSession
+    w = int(spark.conf.get(HH_CMS_WIDTH_CONF, "8192"))
+    d = int(spark.conf.get(HH_CMS_DEPTH_CONF, "3"))
+    key = F.coalesce(F.col("user_id").cast("string"), F.lit(" null"))
+
+    def bucket(j: int):
+        return F.pmod(F.xxhash64(key, F.lit(j)), F.lit(w))
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("bkt"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.bkt")
+    cell_counts = cells.groupBy("j", "bkt").agg(F.count("*").alias("_ccnt"))
+    total = ev.groupBy().agg(F.count("*").alias("total"))
+    hot = (
+        cell_counts.crossJoin(F.broadcast(total))
+        .where(F.col("_ccnt") * 1000 >= F.col("total") * HH_PER_MILLE)
+        .select("j", "bkt")
+    )
+    cand = ev.select("user_id")
+    for j in range(d):
+        hj = hot.where(F.col("j") == j).select(F.col("bkt").alias(f"_b{j}"))
+        cand = cand.join(
+            F.broadcast(hj), bucket(j) == F.col(f"_b{j}"), "inner"
+        ).drop(f"_b{j}")
+    counts = cand.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 1000 >= F.col("total") * HH_PER_MILLE)
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
 
 @register(
     "q_heavy_hitters",
@@ -641,12 +716,15 @@ HH_PER_MILLE = 3
     "computed identically from the same two integers on both engines). "
     "At 100 TB this two-pass exact plan is the verifier behind a "
     "count-min-sketch first pass (CMS bounds which keys CAN exceed "
-    "the threshold; the exact pass runs only on those) — the sketch "
-    "path is q_hll_distinct's machinery pointed at frequency instead "
-    "of cardinality.",
+    "the threshold; the exact pass runs only on those) — built as the "
+    "conf-gated valve spark.graft.hh.cms (heavy_hitters_cms above, "
+    "round 14), output-identical by the CMS overestimate property and "
+    "pinned so in tests.",
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if spark.conf.get(HH_CMS_CONF, "false") == "true":
+        return heavy_hitters_cms(ev)
     counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     return (

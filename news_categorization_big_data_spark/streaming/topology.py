@@ -97,6 +97,32 @@ def classify_stream(parsed: DataFrame, categories: list[str]) -> DataFrame:
     )
 
 
+def classify_stream_model(parsed: DataFrame) -> DataFrame:
+    """The MODEL stage on the stream: the engine-native keyword scorer
+    (operators/classify.py keyword_score_cols — the bart-large-mnli
+    stand-in, README 'Model parity') applied to message CONTENT as a
+    map-only projection, keeping the payload columns the downstream
+    store needs. Where ``classify_stream`` VALIDATES the payload's
+    claimed category (the pre-filter contract), this stage COMPUTES
+    the category from the text — the reference's zero-shot inference
+    position (news_categorization_streaming.py:59-112). Blank/null
+    content falls back to ('unknown', 0.0) inside the scorer, the same
+    typed-fallback contract. Pure expressions → identical semantics in
+    batch and micro-batch, which is what makes the end-to-end
+    stream-vs-batch digest parity test possible."""
+    from news_categorization_big_data_spark.operators.classify import (
+        keyword_score_cols,
+    )
+
+    category, confidence = keyword_score_cols("content")
+    return parsed.select(
+        "content",
+        category.alias("category"),
+        confidence.alias("confidence"),
+        "event_ts",
+    )
+
+
 #: Output/state schemas of the stateful per-category tracker.
 CATEGORY_STATE_OUTPUT = "category string, n_total long, chars_total long"
 CATEGORY_STATE_SCHEMA = "n long, chars long"

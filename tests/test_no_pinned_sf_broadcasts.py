@@ -56,15 +56,19 @@ _AGGS = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
 
 
 def _bounds(line: str) -> bool:
-    """Under a PINNED hint only an explicit limit or a keyless
-    (one-output-row) aggregate provably bounds the broadcast payload.
-    Keyed aggregates and shuffles (the old exemptions — sound for
-    AQE-measured selection, unsound for a forced hint) are walked
+    """Under a PINNED hint only an explicit limit, a keyless
+    (one-output-row) aggregate, or an aggregate grouped solely on
+    schema-bounded attribute columns provably bounds the broadcast
+    payload (shared rule: tools/broadcast_audit.agg_keys_bounded).
+    Corpus-keyed aggregates and shuffles (the old exemptions — sound
+    for AQE-measured selection, unsound for a forced hint) are walked
     THROUGH to the leaf scan."""
+    from tools.broadcast_audit import agg_keys_bounded
+
     if any(m in line for m in _BOUNDED):
         return True
     if any(m in line for m in _AGGS):
-        return "keys=[]" in line
+        return agg_keys_bounded(line)
     return False
 
 #: The round-13 purge set: the 14 TPC-H queries plus the two join

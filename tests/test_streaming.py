@@ -1087,3 +1087,172 @@ def test_stream_topology_with_mllib_model_stage(spark, tmp_path):
     cats = {row[0] for row in stream_digest}
     assert "unknown" in cats  # both poison messages fell back
     assert len(cats) > 1  # the model actually assigned real categories
+
+
+def test_reference_topology_e2e_kill_replay_digest_parity(spark, tmp_path):
+    """The reference's FULL four-stage dataflow (SURVEY §0: ingest →
+    classify → digest → route) as one live stream with a kill/replay in
+    the middle (round-13 VERDICT item 6):
+
+    1. INGEST — sf0.001 documents become the message feed (content =
+       text; event_ts = base + doc_id seconds, the producer's monotone
+       send time — the engine's deterministic analog of the reference's
+       Mongo insertion-order ids, so arrival order ≙ doc_id order).
+    2. CLASSIFY — parse_messages → classify_stream_model: the keyword
+       scorer (the zero-shot stand-in) computes the category from the
+       CONTENT inside the micro-batch, typed fallback preserved.
+    3. The store is the idempotent foreachBatch parquet sink, and the
+       first run is KILLED after the sink write but before the
+       checkpoint commit (the reference's double-write window); the
+       restart must replay exactly-once. Late files arrive between the
+       runs, so the replay is followed by genuinely new batches.
+    4. DIGEST — the reference's batch summarizer stage over the store
+       (extractive_summarize + the q_pipeline_digest tail), asserted
+       EQUAL to the registered q_pipeline_digest run on the original
+       parquet — the cross-proof that streamed ingest+classify lost,
+       duplicated, and mislabeled nothing.
+    5. ROUTE — the digest fans out per category (partitionBy, the
+       per-category-channel analog); every category routes exactly its
+       digest row.
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import Window
+
+    from news_categorization_big_data_spark.operators.summarize import (
+        extractive_summarize,
+    )
+    from news_categorization_big_data_spark.plans import REGISTRY
+    from news_categorization_big_data_spark.plans.ml import (
+        DIGEST_DATE,
+        DIGEST_MAX_ITEMS,
+    )
+    from news_categorization_big_data_spark.sources.tables import load_table
+    from news_categorization_big_data_spark.streaming.topology import (
+        classify_stream_model,
+        idempotent_batch_writer,
+    )
+
+    smoke_sf = "/root/testdata/sf0.001"
+    base_ts = "2024-01-01 00:00:00"
+    docs = (
+        load_table(spark, smoke_sf, "documents")
+        .where(F.col("text") != "")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(docs) > 100
+
+    def payload(r):
+        import datetime as _dt
+
+        t = _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r["doc_id"]))
+        return _payload(r["text"], None, t.strftime("%Y-%m-%d %H:%M:%S"))
+
+    src = str(tmp_path / "e2e_src")
+    out = str(tmp_path / "e2e_out")
+    ckpt = str(tmp_path / "e2e_ckpt")
+    route_dir = str(tmp_path / "e2e_route")
+    os.makedirs(src, exist_ok=True)
+    half = len(docs) // 2
+    with open(os.path.join(src, "wave-0.json"), "w") as f:
+        for r in docs[:half]:
+            f.write(json.dumps(payload(r)) + "\n")
+
+    crash_marker = tmp_path / "e2e_crashed"
+    real_write = idempotent_batch_writer(out)
+
+    def crash_after_write(batch_df, batch_id):
+        real_write(batch_df, batch_id)
+        if not crash_marker.exists():
+            crash_marker.touch()
+            raise RuntimeError("injected: sink wrote, commit never happened")
+
+    def topology():
+        raw = read_message_stream(spark, source="json-files", path=src)
+        return classify_stream_model(parse_messages(raw))
+
+    q = (
+        topology()
+        .writeStream.foreachBatch(crash_after_write)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except StreamingQueryException:
+        pass  # injected mid-stream death, sink written, commit lost
+    finally:
+        q.stop()
+    assert crash_marker.exists(), "failure was never injected"
+
+    # late arrivals land between the runs: the restart must BOTH replay
+    # the uncommitted batch and pick up the new files
+    with open(os.path.join(src, "wave-1.json"), "w") as f:
+        for r in docs[half:]:
+            f.write(json.dumps(payload(r)) + "\n")
+
+    q2 = write_idempotent_parquet(topology(), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    store = spark.read.parquet(out)
+    # exactly-once across the kill: every document exactly once
+    assert store.count() == len(docs)
+    assert store.select("event_ts").distinct().count() == len(docs)
+
+    # DIGEST over the store — the reference's batch summarizer stage.
+    # doc_id is recovered from the producer's monotone send time.
+    docs2 = store.select(
+        (
+            F.unix_timestamp("event_ts")
+            - F.unix_timestamp(F.lit(base_ts).cast("timestamp"))
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("text"),
+        "category",
+    )
+    summaries = extractive_summarize(
+        docs2.select("doc_id", "text"), id_col="doc_id", text_col="text", top_k=2
+    )
+    items = summaries.join(docs2.select("doc_id", "category"), "doc_id").select(
+        "doc_id", "category", "summary"
+    )
+    w = Window.partitionBy("category").orderBy("doc_id")
+    top = items.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= DIGEST_MAX_ITEMS
+    )
+    digest = (
+        top.groupBy("category")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "summary"))),
+                    lambda x: x["summary"],
+                ),
+            ).alias("_body"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "category",
+            F.concat("_body", F.lit("\nDate: " + DIGEST_DATE)).alias("content"),
+            "n_items",
+        )
+    )
+    got = {tuple(r) for r in digest.collect()}
+    want = {
+        tuple(r) for r in REGISTRY["q_pipeline_digest"].builder(spark, smoke_sf).collect()
+    }
+    assert got == want, "streamed digest diverged from batch q_pipeline_digest"
+
+    # ROUTE: per-category fan-out of the digest (the per-channel analog)
+    digest.write.partitionBy("category").mode("overwrite").parquet(route_dir)
+    routed = spark.read.parquet(route_dir)
+    assert {r.category for r in routed.select("category").distinct().collect()} == {
+        r[0] for r in got
+    }
+    for cat, content, n_items in got:
+        rows = routed.where(F.col("category") == cat).collect()
+        assert len(rows) == 1 and rows[0].content == content

@@ -33,6 +33,7 @@ loops, IVF seeding — will execute those stages).
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -71,6 +72,50 @@ FACT_TABLES = (
 
 _AGG_MARKERS = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
 
+#: Attribute columns whose cardinality is bounded by the SCHEMA, not
+#: the corpus: an aggregate grouped ONLY on these produces a frame
+#: that stays broadcast-sized at any SF (|event_type|≈5 stats rows,
+#: |lang| term totals, |p_size| skyline frontier, the ≤1024-word bloom
+#: bitmap, |types|² pair tables). ID-like keys (l_orderkey, user_id,
+#: doc_id) and VALUE-domain keys (_v — fact-scale when every double is
+#: unique, the /tmp/skew8 axis) are deliberately absent: an aggregate
+#: keyed on any of those scales with the corpus, and a pinned hint
+#: above it is the q_tpch_q18 class.
+BOUNDED_KEY_COLS = frozenset(
+    {
+        # events / documents attributes
+        "event_type", "lang", "category",
+        # TPC-H attribute columns
+        "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+        "o_orderpriority", "o_orderstatus",
+        "p_brand", "p_type", "p_size", "p_container",
+        "c_mktsegment",
+        "n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name",
+        # engine-derived bounded buckets: pair-table keys (|types|²),
+        # CMS cells (d×w), bloom words (BLOOM_BITS/64), length buckets
+        "type_a", "type_b", "j", "bucket", "grain", "_w",
+    }
+)
+
+_KEY_NAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+_KEYS_RE = re.compile(r"keys=\[(.*?)\], functions=")
+
+
+def agg_keys_bounded(line: str) -> bool:
+    """True iff this aggregate plan line's grouping keys are provably
+    bounded: keyless (one output row) or every referenced column is a
+    schema-bounded attribute (BOUNDED_KEY_COLS). Expression keys are
+    handled conservatively — every column name inside the expression
+    must be bounded."""
+    m = _KEYS_RE.search(line)
+    if m is None:
+        return False
+    inner = m.group(1)
+    if not inner.strip():
+        return True
+    names = set(_KEY_NAME_RE.findall(inner))
+    return bool(names) and names <= BOUNDED_KEY_COLS
+
 
 def _bounds_subtree(line: str, hints_mode: bool) -> bool:
     """Does this plan line prove the broadcast payload above it is
@@ -84,17 +129,17 @@ def _bounds_subtree(line: str, hints_mode: bool) -> bool:
     a KEYED aggregate between hint and fact scan bounds nothing when
     the key scales with the corpus (q_tpch_q18's qualifying-orderkey
     set: ~1.5% of all orders, linear in SF, ~18 GB at 100 TB — the
-    round-13 judge finding). Only keyless aggregates (``keys=[]``, one
-    output row) and explicit limits stay exempt under a pin; keyed
-    aggregates are walked THROUGH to the leaf, and a fact-table leaf
-    flags for human triage (bounded-cardinality keys — |types|² pair
-    tables — are justified in the docstring list below)."""
+    round-13 judge finding). Under a pin, only explicit limits,
+    keyless aggregates (one output row) and aggregates grouped solely
+    on schema-bounded attribute columns (agg_keys_bounded /
+    BOUNDED_KEY_COLS) stay exempt; corpus-keyed aggregates are walked
+    THROUGH to the leaf, and a fact-table leaf flags for triage."""
     if not any(m in line for m in _MEASURED):
         return False
     if not hints_mode:
         return True
     if any(m in line for m in _AGG_MARKERS):
-        return "keys=[]" in line
+        return agg_keys_bounded(line)
     if line.lstrip(" :+-").startswith("Exchange "):
         # A shuffle below a PINNED broadcast caps nothing (the hint is
         # forced at any size; AQE's re-measurement never overrides it)
@@ -147,11 +192,20 @@ def main() -> None:
     #     SPARK_GRAFT_BROADCAST_GATE_BYTES=0). q18's keyed-aggregate
     #     build side is the round-13 finding: flagged by the strict
     #     hints-mode walk, justified ONLY because the hint is gated;
-    #   - q_sim_search / q_knn_label / q_sim_ann_ivf: broadcasts of
-    #     CONSTANT-size query-vector sets (vec_id IN (0,1,2) pushed to
-    #     the embeddings scan — the same ≤3 rows at any SF, bounded
-    #     like nation/region), and each is crossJoin(broadcast(...))
-    #     where dropping the hint degrades to CartesianProduct.
+    #   - q_sim_search / q_knn_label / q_sim_ann_ivf / q_ann_recall:
+    #     broadcasts of CONSTANT-size query-vector sets (vec_id IN
+    #     (0,1,2) pushed to the embeddings scan — the same ≤3 rows at
+    #     any SF, bounded like nation/region), and each is
+    #     crossJoin(broadcast(...)) where dropping the hint degrades
+    #     to CartesianProduct;
+    #   - q_decontaminate: broadcast of the EVAL-SET shingle hashes —
+    #     bounded by design (holdout eval sets are curated and small;
+    #     the operator's whole point is the train side streaming past
+    #     a broadcastable holdout);
+    #   - q_skyline: the frontier broadcast — a STRICTLY-INCREASING
+    #     running-max chain over p_size, so ≤ |p_size| = 50 rows at
+    #     any SF; the bound is semantic (monotone chain length), not
+    #     visible to the key-cardinality rule.
     # Anything else is a real pinned-hint defect (the same property
     # tests/test_no_pinned_sf_broadcasts.py pins for the TPC-H/join
     # tier).
