@@ -32,43 +32,30 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round13_priorities():
+def test_registry_window_contains_round14_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-13 window = the 24 plans round 13 changed (the
-    static-broadcast purge across the TPC-H/join tier, the banded
-    q_join_theta_range, the size-gated q_join_broadcast, the
-    ADVICE-fixed q_url_normalize taking its first stamp, and the six
-    null-semantics fixes from the /tmp/skew5 TPC-H null-key fixture)
-    + the 17 late-round-12 null-policy plans whose green stamps
-    predate their changes + 3 standing canaries (two doubling as
-    changed plans this round) + the 6 stalest-stamped of the 17
-    further plans changed by the empty-input (/tmp/skew6) and
-    non-finite (/tmp/skew7) fixture programs."""
+    round-14 window = the 9 plans round 14 changed (the q_tpch_q18
+    broadcast gate, the q_tpch_q16 / q_scan_evolved ADVICE oracle
+    fixes, the two conf-gated exact scale valves, the bloom word
+    projection, the keyword-scorer refactor pair, the gate-override
+    plumbing in q_join_broadcast) + the q_group_stats canary + the 40
+    stalest-stamped round-13-changed plans (official-ledger catch-up,
+    r13 VERDICT item 3)."""
     window = list(REGISTRY)[:50]
-    canaries = ["q_group_stats", "q_scan_json", "q_udf_scalar"]
-    changed_fixture_programs = [
-        "q_rollup", "q_scan_partitioned", "q_table_profile",
-        "q_udaf_grouped", "q_udtf_table_arg", "q_ab_srm",
+    changed_r14 = [
+        "q_tpch_q18", "q_tpch_q16", "q_scan_evolved", "q_heavy_hitters",
+        "q_equidepth_histogram", "q_bloom_join", "q_classify_keywords",
+        "q_pipeline_digest", "q_join_broadcast",
     ]
-    changed_r13 = [
-        "q_tpch_q2", "q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
-        "q_tpch_q9", "q_tpch_q11", "q_tpch_q14", "q_tpch_q15",
-        "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
-        "q_tpch_q21", "q_join_inner_equi", "q_join_broadcast",
-        "q_join_theta_range", "q_url_normalize",
-        "q_percent_change", "q_tpch_q12", "q_offset_skip", "q_join_anti",
-        "q_benford_digits", "q_alloc_budget",
+    canaries = ["q_group_stats"]
+    # spot-check the catch-up group's head and tail (the full 40 are
+    # pinned by position via CATALOG sync)
+    catchup_probes = [
+        "q_curation_funnel", "q_sink_pyds_roundtrip", "q_ml_classify",
+        "q_zscore_outliers", "q_winsorize", "q_label_centroids",
     ]
-    null_policy_r12 = [
-        "q_funnel", "q_retention_cohort", "q_equidepth_histogram",
-        "q_window_distribution", "q_rank_normalize", "q_ks_drift",
-        "q_ml_auc", "q_grouped_auc", "q_rolling_median", "q_asof_join",
-        "q_asof_forward", "q_asof_tolerance", "q_resample_ohlc",
-        "q_variant_json", "q_multimodal_cols", "q_bitmap_setops",
-        "q_group_entropy",
-    ]
-    assert len(changed_r13) == 24 and len(null_policy_r12) == 17
-    for name in canaries + changed_r13 + null_policy_r12 + changed_fixture_programs:
+    assert len(changed_r14) == 9
+    for name in changed_r14 + canaries + catchup_probes:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
