@@ -10,6 +10,14 @@ shuffle-co-partition on `by`, and skewed keys are handled by AQE.
 
 Tie semantics: a right row at exactly the left row's timestamp matches
 (`left.ts >= right.ts`), so rights sort before lefts at equal time.
+Among MULTIPLE right rows tied on (by, on) the winner is arbitrary
+unless ``tie_break`` names a right column — and "arbitrary" is not a
+theoretical concern: the sf1 replica fixture makes duplicate
+timestamps ubiquitous (10 rows share every ts) and both this plan's
+un-tie-broken ``last()`` and DuckDB's native ASOF JOIN then pick
+engine-dependent rows (found as a round-14 sf1-sweep hash mismatch on
+q_asof_join/q_asof_forward). Callers with possibly-duplicate right
+timestamps MUST pass ``tie_break``.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ def asof_join(
     by: str,
     direction: str = "backward",
     tolerance_seconds: int | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of join per ``by`` group; right value columns are null
     when no match exists.
@@ -42,6 +51,14 @@ def asof_join(
     equivalent to "no match within tolerance" because the candidate IS
     the nearest one. Requires ``on`` to be a timestamp column.
 
+    ``tie_break`` (a right value column, typically a unique id) makes
+    the match DETERMINISTIC when several right rows share the same
+    (by, on): backward picks the tied row with the GREATEST tie value
+    (the "latest by id" reading of "latest at-or-before"), forward the
+    SMALLEST. Without it, ties resolve to whatever row the sort
+    happened to place last — a silent cross-engine divergence on any
+    data with duplicate right timestamps.
+
     ``left`` and ``right`` must share exactly the ``on`` and ``by``
     columns; every other right column is carried forward as a value.
     """
@@ -56,10 +73,22 @@ def asof_join(
     tagged_right = right.withColumn("_side", F.lit(0))
     combined = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
 
-    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    order = [F.col(on).asc() if direction == "backward" else F.col(on).desc(), F.col("_side").asc()]
+    if tie_break is not None:
+        if tie_break not in value_cols:
+            raise ValueError(f"tie_break {tie_break!r} must be a right value column")
+        # rights tied on (by, on) sort by the tie column; last() then
+        # picks the greatest tie (backward) / smallest (forward). Left
+        # rows carry NULL here — they only order among themselves,
+        # where relative order cannot change any row's own frame.
+        order.append(
+            F.col(tie_break).asc()
+            if direction == "backward"
+            else F.col(tie_break).desc()
+        )
     w = (
         Window.partitionBy(by)
-        .orderBy(order, F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry ALL right value columns as ONE struct through a single
@@ -71,8 +100,16 @@ def asof_join(
     # non-null struct; left rows contribute null → skipped by the window.
     # The right's own `on` value rides along as `_match_on` for the
     # tolerance check.
+    # A NULL `on` time never matches in either direction (there is no
+    # "before/after an unknown time"): null-ts RIGHT rows are excluded
+    # from the carry, and null-ts LEFT rows are nulled below with the
+    # null-key guard. No fixture nulls events.ts today — this pins the
+    # semantics before one does.
     carried = F.last(
-        F.when(F.col("_side") == 0, F.struct(*value_cols, F.col(on).alias("_match_on"))),
+        F.when(
+            (F.col("_side") == 0) & F.col(on).isNotNull(),
+            F.struct(*value_cols, F.col(on).alias("_match_on")),
+        ),
         ignorenulls=True,
     ).over(w)
     # A NULL `by` key never matches: the window partitions BY null, so
@@ -82,7 +119,7 @@ def asof_join(
     # merge_asof both leave null-key lefts unmatched; the /tmp/skew4
     # null-key fixture caught the divergence. Null-key LEFT rows are
     # kept (left-join contract) with null right values.
-    carried = F.when(F.col(by).isNotNull(), carried)
+    carried = F.when(F.col(by).isNotNull() & F.col(on).isNotNull(), carried)
     out = combined.withColumn("_carried", carried).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
         gap_us = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_carried._match_on"))

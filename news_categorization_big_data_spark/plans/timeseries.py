@@ -79,15 +79,22 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
+      -- (ts, event_id) — the SAME total order as the lag window. A
+      -- ROWS frame ordered by ts alone is tie-nondeterministic: with
+      -- duplicate timestamps (the sf1 replica corpus has 10 rows per
+      -- ts) the running sum may cross a new_sess=1 row in different
+      -- positions run to run, shifting boundary rows between adjacent
+      -- sessions — observed as DuckDB itself returning 99233 vs 99235
+      -- rows on identical sf1 data (round-14 find).
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -166,18 +173,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_asof_join",
     oracle="""
-    SELECT e.event_id, e.user_id, e.ts,
-           p.event_id AS purchase_event_id, p.value AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, NULL, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(CASE WHEN side = 0 AND ts IS NOT NULL
+                             THEN struct_pack(pid := p_id, pval := p_val)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END
+                     ROWS UNBOUNDED PRECEDING) AS carried
+      FROM u)
+    SELECT event_id, user_id, ts,
+           CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                THEN (carried).pid END AS purchase_event_id,
+           CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                THEN (carried).pval END AS purchase_value
+    FROM c WHERE side = 1
     """,
     tier="C",
     doc="As-of join (no Spark built-in): each error event matched to the "
-    "latest purchase of the same user at-or-before it. Implemented as the "
-    "union + last_value(ignorenulls) window pattern in operators/asof.py — "
-    "one shuffle on the `by` key, no range cross-join. Oracle: DuckDB "
-    "native ASOF JOIN.",
+    "latest purchase of the same user at-or-before it; among purchases "
+    "TIED on ts, the greatest event_id wins (tie_break — mandatory once "
+    "duplicate timestamps exist: the sf1 replica corpus has 10 rows per "
+    "ts, and both an un-tie-broken last() and DuckDB's native ASOF JOIN "
+    "pick arbitrary tied rows, found as a round-14 sf1 hash mismatch). "
+    "Implemented as the union + last(ignorenulls) window pattern in "
+    "operators/asof.py — one shuffle on the `by` key, no range "
+    "cross-join. Oracle: the same union trick in DuckDB SQL with the "
+    "identical (ts, side, id) total order — native ASOF can't express "
+    "the tie-break.",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -190,6 +220,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         on="ts",
         by="user_id",
+        tie_break="purchase_event_id",
     ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
 
 
@@ -247,20 +278,41 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_asof_forward",
     oracle="""
-    SELECT e.event_id, e.user_id, e.ts,
-           p.event_id AS next_purchase_id, p.value AS next_purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts <= p.ts
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, NULL, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(CASE WHEN side = 0 AND ts IS NOT NULL
+                             THEN struct_pack(pid := p_id, pval := p_val)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, side,
+                              CASE WHEN side = 0 THEN p_id END DESC
+                     ROWS UNBOUNDED PRECEDING) AS carried
+      FROM u)
+    SELECT event_id, user_id, ts,
+           CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                THEN (carried).pid END AS next_purchase_id,
+           CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                THEN (carried).pval END AS next_purchase_value
+    FROM c WHERE side = 1
     """,
     tier="C",
     doc="FORWARD as-of join: each error event matched to the user's "
     "EARLIEST purchase at-or-after it (the 'what happened next' "
-    "direction — outcome attribution, next-action labeling). Same "
-    "union + last(ignorenulls) single-shuffle plan as q_asof_join with "
-    "the per-partition sort reversed (operators/asof.py direction="
-    "'forward'); oracle: DuckDB native ASOF with the inequality "
-    "flipped.",
+    "direction — outcome attribution, next-action labeling); among "
+    "purchases tied on ts the SMALLEST event_id wins (tie_break — see "
+    "q_asof_join: duplicate timestamps make un-tie-broken as-of "
+    "engine-dependent, the round-14 sf1 find). Same union + "
+    "last(ignorenulls) single-shuffle plan as q_asof_join with the "
+    "per-partition sort reversed (operators/asof.py direction="
+    "'forward'); oracle: the mirrored union-window SQL (native ASOF "
+    "can't express the tie-break).",
 )
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -277,6 +329,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="ts",
         by="user_id",
         direction="forward",
+        tie_break="next_purchase_id",
     ).select("event_id", "user_id", "ts", "next_purchase_id", "next_purchase_value")
 
 
@@ -287,24 +340,50 @@ ASOF_TOLERANCE_S = 1800
 @register(
     "q_asof_tolerance",
     oracle=f"""
-    SELECT e.event_id, e.user_id, e.ts,
-           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_S} * 1000000
-                THEN p.event_id END AS purchase_event_id,
-           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_S} * 1000000
-                THEN p.value END AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, NULL, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(CASE WHEN side = 0 AND ts IS NOT NULL
+                             THEN struct_pack(pid := p_id, pval := p_val,
+                                              pts := ts)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END
+                     ROWS UNBOUNDED PRECEDING) AS carried
+      FROM u),
+    m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                  THEN carried END AS carried
+      FROM c WHERE side = 1)
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us((carried).pts)
+                     <= {ASOF_TOLERANCE_S} * 1000000
+                THEN (carried).pid END AS purchase_event_id,
+           CASE WHEN epoch_us(ts) - epoch_us((carried).pts)
+                     <= {ASOF_TOLERANCE_S} * 1000000
+                THEN (carried).pval END AS purchase_value
+    FROM m
     """,
     tier="C",
     doc=f"As-of join with a staleness bound (pandas merge_asof "
     f"tolerance): the latest at-or-before purchase counts only within "
     f"{ASOF_TOLERANCE_S}s; older nearest-matches become NULL — "
     "nullifying the nearest candidate IS the no-match-within-tolerance "
-    "semantics, because any other candidate is further away. The "
-    "operator carries the matched row's own timestamp inside the "
-    "atomic struct for the integer-µs gap check; the oracle applies "
-    "the identical CASE to DuckDB's native ASOF result.",
+    "semantics, because any other candidate is further away. Among "
+    "equal-ts purchases the greatest event_id wins (tie_break, the "
+    "round-14 sf1 duplicate-timestamp find — note the tie does NOT "
+    "change the gap, so the tolerance verdict is tie-invariant; the "
+    "MATCHED ID is what needed pinning). The operator carries the "
+    "matched row's own timestamp inside the atomic struct for the "
+    "integer-µs gap check; the oracle is the mirrored union-window "
+    "SQL applying the identical CASE.",
 )
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -321,6 +400,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="ts",
         by="user_id",
         tolerance_seconds=ASOF_TOLERANCE_S,
+        tie_break="purchase_event_id",
     ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
 
 

@@ -278,3 +278,68 @@ def test_asof_join_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1, 1)], "user_id int, ts int")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="ts", by="user_id", direction="nearest")
+
+
+def test_asof_join_tie_break_duplicate_right_timestamps(spark):
+    """Round-14 sf1 find: several right rows on the SAME (by, ts) make
+    the un-tie-broken match engine-dependent (the sf1 replica corpus
+    has 10 rows per timestamp; DuckDB's native ASOF and an un-ordered
+    last() both pick arbitrary tied rows). With tie_break, backward
+    picks the GREATEST tied id, forward the SMALLEST — deterministic
+    under any partitioning or sort instability."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 150)], "event_id int, user_id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 3, 3.0), (10, 100, 7, 7.0), (10, 100, 5, 5.0),
+         (10, 200, 9, 9.0)],
+        "user_id int, ts int, rid int, price double",
+    )
+    back = {
+        r.event_id: (r.rid, r.price)
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tie_break="rid"
+        ).collect()
+    }
+    assert back[1] == (7, 7.0)  # greatest tied id at ts=100
+    assert back[2] == (7, 7.0)  # still the latest at-or-before
+    fwd = {
+        r.event_id: (r.rid, r.price)
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward",
+            tie_break="rid",
+        ).collect()
+    }
+    assert fwd[1] == (3, 3.0)  # earliest ts=100 group, SMALLEST tied id
+    assert fwd[2] == (9, 9.0)  # next at-or-after 150
+
+
+def test_asof_join_tie_break_must_be_right_value_column(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 100)], "event_id int, user_id int, ts int")
+    right = spark.createDataFrame([(10, 100, 1.0)], "user_id int, ts int, price double")
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(left, right, on="ts", by="user_id", tie_break="nope")
+
+
+def test_asof_join_null_timestamp_never_matches(spark):
+    """A NULL `on` time matches nothing in either role: null-ts RIGHT
+    rows are excluded from the carry; null-ts LEFT rows keep the
+    left-join row with null values (pinned before any fixture nulls
+    events.ts)."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, None)], "event_id int, user_id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(10, None, 1, 1.0), (10, 50, 2, 2.0)],
+        "user_id int, ts int, rid int, price double",
+    )
+    out = {
+        r.event_id: r.rid
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tie_break="rid"
+        ).collect()
+    }
+    assert out[1] == 2  # the real right row, not the null-ts one
+    assert out[2] is None  # null-ts left: kept, unmatched
