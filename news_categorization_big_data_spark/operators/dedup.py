@@ -546,7 +546,16 @@ def simhash_hamming_pairs(
     production parameterization grows the sketch so block width tracks
     log2(n) — Manku's crawl config is 64-bit sketches, 4×16-bit blocks
     at d≤3. The 16-bit default matches the engine's q_dedup_simhash
-    sketch for the testdata corpus.
+    sketch for the testdata corpus, and UNDERSIZING IS NOT GRACEFUL
+    (round-14 sf1 measurement): at 500k docs the 16-bit sketch's
+    4-bit blocks hold ~31k docs per bucket ⇒ ~550M candidate pairs,
+    and because each bucket explodes from ONE collect_list row, a hot
+    bucket's pair generation runs in ONE task — the job serializes
+    long before the verify join costs anything. The same corpus with a
+    60-bit/4-band sketch (block width ~log2(n), the documented rule)
+    completes in 285 s with 7.06M true pairs. Callers at corpus scale
+    must size ``bits`` from log2(n) (or cap degenerate buckets with
+    ``max_df`` where recall loss is acceptable).
     """
     if bands <= max_distance:
         raise ValueError(
@@ -568,9 +577,21 @@ def simhash_hamming_pairs(
     sa = sketches.select(F.col(id_col).alias("doc_a"), F.col(sketch_col).alias("_ska"))
     sb = sketches.select(F.col(id_col).alias("doc_b"), F.col(sketch_col).alias("_skb"))
     hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    # shuffle_hash on the SKETCH side: the candidate table is a
+    # structurally WIDENED frame (double explode of bucket id-lists)
+    # whose static estimate is garbage — at sf1 the planner estimated
+    # it below the sketches and BROADCAST the 550M-row pair table
+    # (round-14 find; Spark's 512M-row broadcast hard cap killed the
+    # job, and AQE never demotes a statically-chosen broadcast join).
+    # The declared hint makes the join a shuffled-hash with the
+    # one-row-per-doc sketch side as build — no sort of the pair
+    # table, no broadcast of anything corpus-sized, the same remedy
+    # the r12 skew program applied to the containment/jaccard verify
+    # joins. (sketches scale with the corpus, so a broadcast hint on
+    # THEM would be the q18 class — shuffle_hash shards both sides.)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
