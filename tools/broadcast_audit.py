@@ -184,8 +184,9 @@ def main() -> None:
     # HINT-driven, the class that never self-corrects at scale. This
     # automates the hint-vs-estimate half of the triage; the remaining
     # human read is only the estimate-blindness sub-class (widened /
-    # pinned frames). Expected output on a healthy registry (round-13
-    # full sweep: flagged 4/284, all justified):
+    # pinned frames). Expected output on a healthy registry (round-14
+    # full sweep under the strict bounded-key rule: flagged 8/284, all
+    # justified):
     #   - q_join_broadcast / q_tpch_q18: the size-GATED
     #     broadcast_if_small hint (it measured on-disk bytes before
     #     pinning; disappears against a fixture past the gate, or with
