@@ -250,14 +250,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
+    # merge (SMJ) hints: every side of both joins is the SAME
+    # corpus-dependent pair table behind a widening bucket explode —
+    # its static estimate is blind, and the round-14 sf1 probe caught
+    # the planner statically broadcasting an edge side (the
+    # q_simhash_hamming crash class; AQE never demotes a static
+    # broadcast join). SMJ keys on the equi conjuncts, evaluates the
+    # range conjunct as the join filter, and spills on both sides.
     return (
         e1.join(
-            e2,
+            e2.hint("merge"),
             (F.col("e2.doc_a") == F.col("e1.doc_a"))
             & (F.col("e2.doc_b") > F.col("e1.doc_b")),
         )
         .join(
-            e3,
+            e3.hint("merge"),
             (F.col("e3.doc_a") == F.col("e1.doc_b"))
             & (F.col("e3.doc_b") == F.col("e2.doc_b")),
         )

@@ -631,9 +631,15 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.alias("_a")
     sb = sig.alias("_b")
+    # shuffle_hash on the SIGNATURE side: the candidate pair table is a
+    # structurally widened frame (bucket-list explode) whose static
+    # estimate undercuts the per-doc signatures — the round-14 sf1
+    # probe caught the planner broadcasting the PAIR side here, the
+    # exact q_simhash_hamming crash class (AQE never demotes a
+    # statically-chosen broadcast join).
     return (
-        pairs.join(sa, pairs["doc_a"] == F.col("_a.doc_id"))
-        .join(sb, pairs["doc_b"] == F.col("_b.doc_id"))
+        pairs.join(sa.hint("shuffle_hash"), pairs["doc_a"] == F.col("_a.doc_id"))
+        .join(sb.hint("shuffle_hash"), pairs["doc_b"] == F.col("_b.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -987,7 +993,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     cand = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
-    hit = truth.join(cand, ["doc_a", "doc_b"])
+    # merge (SMJ) hint: BOTH sides are corpus-dependent pair tables
+    # behind widening explodes with blind static estimates — the
+    # round-14 sf1 probe caught the planner statically broadcasting
+    # the cand side (the q_simhash_hamming crash class). SMJ is fully
+    # spillable with no build-side memory on either side.
+    hit = truth.join(cand.hint("merge"), ["doc_a", "doc_b"])
     tot = (
         truth.agg(F.count("*").cast("long").alias("n_truth"))
         .crossJoin(F.broadcast(cand.agg(F.count("*").cast("long").alias("n_cand"))))

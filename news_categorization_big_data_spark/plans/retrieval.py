@@ -704,7 +704,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings")
     )
+    # merge (SMJ) hint: BOTH sides are vocabulary-scaling aggregates
+    # behind the token explode, whose static estimates are blind to
+    # the widening — the round-14 sf1 probe caught the planner
+    # statically broadcasting the postings side (the q_simhash_hamming
+    # crash class; AQE never demotes a static broadcast join). The
+    # join key is the shared term, so SMJ co-partitions both sides.
     return (
-        stats.join(post, "t", "left")
+        stats.join(post.hint("merge"), "t", "left")
         .select(F.col("t").alias("term"), "df", "tf_total", "postings")
     )
