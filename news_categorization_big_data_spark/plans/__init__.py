@@ -163,9 +163,19 @@ the r13 VERDICT asked for). Round 14 also adds the VALUE-DOMAIN
 fixture axis: /tmp/skew8 (tools/make_skew8.py — every events.value a
 unique continuous double, the regime where distinct-value tables are
 fact-scale) swept the full registry 284/284 MATCH on first run, and
-the full-registry sweep at /tmp/sf1 (tools/make_sf1.py) re-proves the
-overflow-sensitive exact-decimal and poison→NULL paths at 10× oracle
-scale.
+the full-registry sweep at /tmp/sf1 (tools/make_sf1.py) read 281/284
+— proving the overflow-sensitive exact-decimal and poison→NULL paths
+at 10× oracle scale AND surfacing the round's wave-2 window (group
+A'): the duplicate-timestamp tie-break fixes (q_asof_join/forward/
+tolerance via operators/asof.py tie_break; q_stream_session's oracle
+total order) and the statically-broadcast-widened-frame cures
+(q_simhash_hamming's shuffle_hash verify joins after the 550M-row
+pair-table broadcast crash, plus the same class fixed latent in
+q_graph_triangles, q_lsh_recall, q_minhash_jaccard_est,
+q_inverted_index — SCALE.md round-14 late section). The 3 sf1
+non-MATCHes are documented oracle-infrastructure exclusions
+(recursive-CTE disk spill ×2; the brute-force all-pairs simhash
+oracle, quadratic by design).
 
 """
 
@@ -208,26 +218,16 @@ _DRIVER_ORDER = [
     # ---- ROUND-14 WINDOW (first 50 = the driver's correctness window) ----
     # Composition (priority order, the round-8 convention): changed
     # plans first, then the stalest official stamps among the plans the
-    # round-13 program changed AFTER most stamps landed (the "freshness
-    # caveat" in the r13 VERDICT: 234/284 stamps predate that round's
-    # ~1,500-line sweep; my full sims prove HEAD green, the official
-    # ledger catches up window by window).
-    # -- A. plans CHANGED in round 14 (9): q_tpch_q18 (the pinned
-    #       qualifying-key broadcast is now size-GATED via
-    #       broadcast_if_small — the r13 judge's one scale-killer),
-    #       q_tpch_q16 (oracle NOT IN → NOT EXISTS, the three-valued
-    #       null divergence from r13 ADVICE), q_scan_evolved (oracle
-    #       COALESCE on all-NULL n_chars groups, r13 ADVICE),
-    #       q_heavy_hitters + q_equidepth_histogram (the round-14
-    #       conf-gated exact scale valves: CMS prefilter / sort-free
-    #       value-domain histogram — default paths re-stamped),
-    #       q_bloom_join (word index projected pre-groupBy for the
-    #       audit's bounded-key rule), q_classify_keywords +
-    #       q_pipeline_digest (keyword scorer refactored into
-    #       composable column exprs for the streaming model stage),
-    #       q_join_broadcast (broadcast_if_small gains the env-driven
-    #       gate override). All 9 sim-proven at sf0.01 AND /tmp/skew8
-    #       before this window froze.
+    # round-13 program changed AFTER most stamps landed.
+    # -- A. plans CHANGED in round 14, wave 1 (9): the q_tpch_q18
+    #       broadcast gate (the r13 judge's scale-killer), the
+    #       q_tpch_q16 / q_scan_evolved ADVICE oracle fixes, the two
+    #       conf-gated exact scale valves (q_heavy_hitters CMS
+    #       prefilter, q_equidepth_histogram value-domain histogram),
+    #       q_bloom_join's audit-self-describing word projection, the
+    #       keyword-scorer refactor pair behind the e2e streaming
+    #       topology test, and q_join_broadcast's gate-override
+    #       plumbing.
     "q_tpch_q18",
     "q_tpch_q16",
     "q_scan_evolved",
@@ -239,9 +239,25 @@ _DRIVER_ORDER = [
     "q_join_broadcast",
     # -- B. standing canary (every window).
     "q_group_stats",
-    # -- C. the 40 stalest-stamped round-13-changed plans (empty-input
-    #       /tmp/skew6 wave, non-finite /tmp/skew7 poison→NULL wave,
-    #       and the late-r13 null-policy set), prior backlog order.
+    # -- A'. plans CHANGED in round 14, wave 2 — the sf1-sweep finds
+    #       (SCALE.md round 14): the as-of tie-break trio + the
+    #       session oracle's total-order fix (duplicate-timestamp
+    #       divergences), and the five pair/posting-table plans cured
+    #       of the statically-broadcast-widened-frame class
+    #       (q_simhash_hamming's shuffle_hash verify joins, the merge
+    #       hints on triangles/lsh_recall/jaccard_est/inverted_index).
+    #       All nine sim-proven at sf0.01 AND sf1/skew fixtures.
+    "q_asof_join",
+    "q_asof_forward",
+    "q_asof_tolerance",
+    "q_stream_session",
+    "q_simhash_hamming",
+    "q_graph_triangles",
+    "q_lsh_recall",
+    "q_minhash_jaccard_est",
+    "q_inverted_index",
+    # -- C. the stalest-stamped round-13-changed plans (official-
+    #       ledger catch-up, r13 VERDICT item 3), prior backlog order.
     "q_curation_funnel",
     "q_sink_pyds_roundtrip",
     "q_ml_classify",
@@ -273,6 +289,12 @@ _DRIVER_ORDER = [
     "q_attrib_channel",
     "q_rolling_corr",
     "q_incremental_agg",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: the nine catch-up entries wave 2 displaced (next
+    #    window's head), then the remaining round-13 backlog, the
+    #    r4-r12 re-proof rotation, and the round-13 window alumni.
+    #    All remain registered and pytest/driver_sim-proven every
+    #    round.
     "q_merge_upsert",
     "q_gap_fill",
     "q_window_time_range",
@@ -282,12 +304,6 @@ _DRIVER_ORDER = [
     "q_embedding_quantize",
     "q_embedding_dim_stats",
     "q_label_centroids",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: first the REMAINING round-13-changed backlog (next
-    #    window's head), prior relative order; then the r4-r12-stamp
-    #    re-proof rotation; then the round-13 window alumni (the 46
-    #    freshest stamps in the ledger — least urgent by definition).
-    #    All remain registered and pytest/driver_sim-proven every round.
     "q_calibration_ece",
     "q_pq_assign",
     "q_json_to",
@@ -296,12 +312,10 @@ _DRIVER_ORDER = [
     "q_dedup_mllib_lsh",
     "q_argmax_join",
     "q_event_transitions",
-    "q_graph_triangles",
     "q_group_mode",
     "q_grouped_regression",
     "q_join_interval_overlap",
     "q_sample_weighted",
-    "q_stream_session",
     "q_time_rollup_multi",
     "q_tpch_q4",
     "q_window_nth",
@@ -313,14 +327,11 @@ _DRIVER_ORDER = [
     "q_dedup_containment",
     "q_dedup_ngram_jaccard",
     "q_dedup_keep_best",
-    "q_lsh_recall",
-    "q_simhash_hamming",
     "q_sessionize",
     "q_char_classes",
     "q_repetition_stats",
     "q_dedup_passage",
     "q_summarize_extractive",
-    "q_minhash_jaccard_est",
     "q_dedup_near",
     "q_dedup_incremental",
     "q_dedup_cluster",
@@ -431,7 +442,6 @@ _DRIVER_ORDER = [
     "q_top_paths",
     "q_sample_wor",
     "q_er_blocking",
-    "q_inverted_index",
     "q_scan_xml",
     "q_pipeline_curate",
     "q_dedup_embedding",
@@ -476,7 +486,6 @@ _DRIVER_ORDER = [
     "q_sim_search",
     "q_sim_ann_ivf",
     "q_dedup_simhash",
-    # -- round-13 window alumni (freshest official stamps).
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -507,9 +516,6 @@ _DRIVER_ORDER = [
     "q_ml_auc",
     "q_grouped_auc",
     "q_rolling_median",
-    "q_asof_join",
-    "q_asof_forward",
-    "q_asof_tolerance",
     "q_resample_ohlc",
     "q_variant_json",
     "q_multimodal_cols",

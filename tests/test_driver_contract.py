@@ -43,18 +43,24 @@ def test_registry_window_contains_round14_priorities():
     r13 VERDICT item 3)."""
     window = list(REGISTRY)[:50]
     changed_r14 = [
+        # wave 1
         "q_tpch_q18", "q_tpch_q16", "q_scan_evolved", "q_heavy_hitters",
         "q_equidepth_histogram", "q_bloom_join", "q_classify_keywords",
         "q_pipeline_digest", "q_join_broadcast",
+        # wave 2: the sf1-sweep finds (as-of tie-breaks, session oracle
+        # total order, the statically-broadcast-widened-frame cures)
+        "q_asof_join", "q_asof_forward", "q_asof_tolerance",
+        "q_stream_session", "q_simhash_hamming", "q_graph_triangles",
+        "q_lsh_recall", "q_minhash_jaccard_est", "q_inverted_index",
     ]
     canaries = ["q_group_stats"]
-    # spot-check the catch-up group's head and tail (the full 40 are
+    # spot-check the catch-up group's head and tail (the full set is
     # pinned by position via CATALOG sync)
     catchup_probes = [
         "q_curation_funnel", "q_sink_pyds_roundtrip", "q_ml_classify",
-        "q_zscore_outliers", "q_winsorize", "q_label_centroids",
+        "q_zscore_outliers", "q_winsorize", "q_incremental_agg",
     ]
-    assert len(changed_r14) == 9
+    assert len(changed_r14) == 18
     for name in changed_r14 + canaries + catchup_probes:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
