@@ -81,10 +81,19 @@ def asof_join(
         # picks the greatest tie (backward) / smallest (forward). Left
         # rows carry NULL here — they only order among themselves,
         # where relative order cannot change any row's own frame.
+        # NULL tie values sort LAST in both directions (r14 ADVICE):
+        # Spark's bare asc() is nulls-FIRST while DuckDB's default for
+        # ASC is nulls-LAST, so a tied right row with a NULL tie value
+        # would win in one engine and lose in the other — the exact
+        # divergence class tie_break exists to kill, reintroduced for
+        # null tie columns. Pinned rule: a NULL tie value outranks any
+        # real one (sorts last → picked by last()), matching DuckDB's
+        # nulls-last default under both ASC and DESC so the oracles
+        # need no non-default NULLS clause.
         order.append(
-            F.col(tie_break).asc()
+            F.col(tie_break).asc_nulls_last()
             if direction == "backward"
-            else F.col(tie_break).desc()
+            else F.col(tie_break).desc_nulls_last()
         )
     w = (
         Window.partitionBy(by)

@@ -111,18 +111,26 @@ def assign_batches(
     max — the quantity length bucketing exists to minimize.
     """
     tc = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    # The internal grouping key is `_len_bucket`, not the public
+    # `bucket` output name: the pinned broadcast of n_batches is
+    # justified because a LENGTH bucket's cardinality is bounded by the
+    # token-count bit width, and the audit exempts that by key NAME
+    # (tools/broadcast_audit.BOUNDED_KEY_COLS). A distinctive
+    # engine-derived name keeps a future corpus-scaling column that
+    # happens to be called "bucket" from inheriting the exemption
+    # (r14 ADVICE); the output schema still says `bucket`.
     docs = df.select(F.col(id_col), tc.alias("tok_count")).withColumn(
-        "bucket", length_bucket(F.col("tok_count"))
+        "_len_bucket", length_bucket(F.col("tok_count"))
     )
     n_batches = (
-        docs.groupBy("bucket")
+        docs.groupBy("_len_bucket")
         .agg(F.ceil(F.count("*") / batch_docs).cast("long").alias("_nb"))
     )
-    assigned = docs.join(F.broadcast(n_batches), "bucket").withColumn(
+    assigned = docs.join(F.broadcast(n_batches), "_len_bucket").withColumn(
         "batch_id", hash60(F.col(id_col).cast("string"), seed="batch") % F.col("_nb")
     )
     return (
-        assigned.groupBy("bucket", "batch_id")
+        assigned.groupBy("_len_bucket", "batch_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("tok_count").alias("sum_tokens"),
@@ -132,4 +140,5 @@ def assign_batches(
             "padding_waste",
             F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
         )
+        .withColumnRenamed("_len_bucket", "bucket")
     )

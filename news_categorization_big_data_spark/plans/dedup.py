@@ -740,6 +740,18 @@ SIMHASH_HAMMING_BITS = 32
 #: degenerate, not the banding.
 SIMHASH_MAXDF_CONF = "spark.graft.simhash.maxdf"
 
+#: Sketch-width valve for q_simhash_hamming. Default "" = the stamped
+#: 32-bit plan above (the oracle is brute-force at THIS width). "auto"
+#: derives the width from a corpus count via the r14-measured log2(n)
+#: sizing law (operators/dedup.py auto_simhash_bits) — the setting a
+#: corpus-scale deployment should run, because a fixed 32-bit sketch
+#: re-hits the single-task hot-bucket cliff around 2^8 docs per band
+#: value. UNLIKE the identity valves (CMS heavy hitters, arithmetic
+#: equi-depth), flipping this CHANGES THE ANSWER: the pair set is
+#: defined over the sketch, so a wider sketch is a different (finer)
+#: query and the stamped oracle no longer applies.
+SIMHASH_BITS_CONF = "spark.graft.simhash.bits"
+
 
 @register(
     "q_simhash_hamming",
@@ -783,8 +795,16 @@ SIMHASH_MAXDF_CONF = "spark.graft.simhash.maxdf"
     "vote sums' sign.",
 )
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.operators.dedup import (
+        simhash_hamming_auto,
+    )
+
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     cap = int(spark.conf.get(SIMHASH_MAXDF_CONF, "0")) or None
+    if spark.conf.get(SIMHASH_BITS_CONF, "") == "auto":
+        return simhash_hamming_auto(
+            docs, max_distance=SIMHASH_HAMMING_D, max_df=cap
+        )
     return simhash_hamming_pairs(
         simhash(docs, bits=SIMHASH_HAMMING_BITS),
         max_distance=SIMHASH_HAMMING_D,

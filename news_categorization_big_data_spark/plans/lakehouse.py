@@ -179,15 +179,18 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the word index is PROJECTED before the groupBy (not inlined as a
-    # grouping expression) so the plan's agg line reads keys=[_w#N] —
-    # self-describing to the broadcast audit's bounded-key rule
+    # grouping expression) so the plan's agg line reads keys=[_bloom_w#N]
+    # — self-describing to the broadcast audit's bounded-key rule
     # (BLOOM_BITS/64 ≤ 1024 words at any SF) instead of an opaque
-    # Catalyst _groupingexpression alias.
+    # Catalyst _groupingexpression alias. The name is the distinctive
+    # engine-derived form (r14 ADVICE): a generic "_w" in the bounded
+    # set would also exempt any future corpus-keyed aggregate that
+    # happened to reuse it.
     bloom = (
         probes.select(
-            (F.col("_pos") / 64).cast("long").alias("_w"), F.col("_pos")
+            (F.col("_pos") / 64).cast("long").alias("_bloom_w"), F.col("_pos")
         )
-        .groupBy("_w")
+        .groupBy("_bloom_w")
         .agg(
             F.expr("bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))").alias("_bits")
         )
@@ -197,7 +200,9 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = with_probes(li, F.col("l_orderkey"))
     for i in range(BLOOM_PROBES):
         b = F.broadcast(
-            bloom.select(F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}"))
+            bloom.select(
+                F.col("_bloom_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}")
+            )
         )
         pos = F.col(f"_pos{i}")
         mask = F.expr(f"shiftleft(1L, CAST(_pos{i} % 64 AS INT))")

@@ -659,26 +659,37 @@ def heavy_hitters_cms(ev: DataFrame) -> DataFrame:
     def bucket(j: int):
         return F.pmod(F.xxhash64(key, F.lit(j)), F.lit(w))
 
+    # CMS cell keys carry the distinctive engine-derived names
+    # (_cms_j, _cms_bucket) the broadcast audit exempts: their
+    # cardinality is bounded by the sketch geometry (d×w cells at any
+    # SF), and a distinctive name keeps the exemption from leaking to
+    # a future corpus-scaling column coincidentally named "j"/"bkt"
+    # (r14 ADVICE — 'bkt' was additionally absent from the bounded
+    # set, so the hot-cell broadcasts below would have false-flagged).
     cells = ev.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(j).alias("j"), bucket(j).alias("bkt"))
+                    F.struct(F.lit(j).alias("_cms_j"), bucket(j).alias("_cms_bucket"))
                     for j in range(d)
                 ]
             )
         ).alias("c")
-    ).select("c.j", "c.bkt")
-    cell_counts = cells.groupBy("j", "bkt").agg(F.count("*").alias("_ccnt"))
+    ).select("c._cms_j", "c._cms_bucket")
+    cell_counts = cells.groupBy("_cms_j", "_cms_bucket").agg(
+        F.count("*").alias("_ccnt")
+    )
     total = ev.groupBy().agg(F.count("*").alias("total"))
     hot = (
         cell_counts.crossJoin(F.broadcast(total))
         .where(F.col("_ccnt") * 1000 >= F.col("total") * HH_PER_MILLE)
-        .select("j", "bkt")
+        .select("_cms_j", "_cms_bucket")
     )
     cand = ev.select("user_id")
     for j in range(d):
-        hj = hot.where(F.col("j") == j).select(F.col("bkt").alias(f"_b{j}"))
+        hj = hot.where(F.col("_cms_j") == j).select(
+            F.col("_cms_bucket").alias(f"_b{j}")
+        )
         cand = cand.join(
             F.broadcast(hj), bucket(j) == F.col(f"_b{j}"), "inner"
         ).drop(f"_b{j}")
@@ -913,37 +924,43 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     occ = load_table(spark, sf_dir, "events").select("user_id")
 
+    # Distinctive engine-derived cell-key names (_cms_j, _cms_bucket):
+    # the pinned broadcast of `sketch` is bounded by the d×w cell
+    # geometry, and the audit exempts it by key name — see
+    # heavy_hitters_cms / tools/broadcast_audit.BOUNDED_KEY_COLS
+    # (r14 ADVICE: the old generic "j"/"bucket" names would wave
+    # through any future corpus-keyed aggregate that reused them).
     def bucket(j):
         return (
             hash60(F.col("user_id").cast("string"), seed=f"cms{j}") % CMS_WIDTH
-        ).alias("bucket")
+        ).alias("_cms_bucket")
 
     probes = occ.select(
         "user_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    F.struct(F.lit(j).alias("_cms_j"), bucket(j))
                     for j in range(CMS_DEPTH)
                 ]
             )
         ).alias("_p"),
-    ).select("user_id", "_p.j", "_p.bucket")
-    sketch = probes.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    ).select("user_id", "_p._cms_j", "_p._cms_bucket")
+    sketch = probes.groupBy("_cms_j", "_cms_bucket").agg(F.count("*").alias("c"))
     keys = occ.distinct()
     key_probes = keys.select(
         "user_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    F.struct(F.lit(j).alias("_cms_j"), bucket(j))
                     for j in range(CMS_DEPTH)
                 ]
             )
         ).alias("_p"),
-    ).select("user_id", "_p.j", "_p.bucket")
+    ).select("user_id", "_p._cms_j", "_p._cms_bucket")
     est = (
-        key_probes.join(F.broadcast(sketch), ["j", "bucket"])
+        key_probes.join(F.broadcast(sketch), ["_cms_j", "_cms_bucket"])
         .groupBy("user_id")
         .agg(F.min("c").alias("cms_est"))
     )

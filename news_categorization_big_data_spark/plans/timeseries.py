@@ -186,7 +186,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN struct_pack(pid := p_id, pval := p_val)
                         END IGNORE NULLS)
                OVER (PARTITION BY user_id
-                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END
+                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END NULLS LAST
                      ROWS UNBOUNDED PRECEDING) AS carried
       FROM u)
     SELECT event_id, user_id, ts,
@@ -292,7 +292,7 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                         END IGNORE NULLS)
                OVER (PARTITION BY user_id
                      ORDER BY ts DESC, side,
-                              CASE WHEN side = 0 THEN p_id END DESC
+                              CASE WHEN side = 0 THEN p_id END DESC NULLS LAST
                      ROWS UNBOUNDED PRECEDING) AS carried
       FROM u)
     SELECT event_id, user_id, ts,
@@ -354,7 +354,7 @@ ASOF_TOLERANCE_S = 1800
                                               pts := ts)
                         END IGNORE NULLS)
                OVER (PARTITION BY user_id
-                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END
+                     ORDER BY ts, side, CASE WHEN side = 0 THEN p_id END NULLS LAST
                      ROWS UNBOUNDED PRECEDING) AS carried
       FROM u),
     m AS (

@@ -314,6 +314,56 @@ def test_asof_join_tie_break_duplicate_right_timestamps(spark):
     assert fwd[2] == (9, 9.0)  # next at-or-after 150
 
 
+def test_asof_join_tie_break_null_tie_value_sorts_last_both_engines(spark):
+    """r14 ADVICE: Spark's bare asc() is nulls-FIRST while DuckDB's
+    default is nulls-LAST, so a tied right row with a NULL tie value
+    picked different rows per engine — the exact divergence class
+    tie_break exists to kill, reintroduced for null tie columns.
+    Pinned rule (operators/asof.py): a NULL tie value sorts LAST in
+    both directions, so it WINS the tie in either engine; the DuckDB
+    leg below proves the cross-engine agreement the fixtures (non-null
+    event_id everywhere) never exercise."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "event_id int, user_id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 3, 3.0), (10, 100, None, 99.0), (10, 100, 7, 7.0)],
+        "user_id int, ts int, rid int, price double",
+    )
+    for direction in ("backward", "forward"):
+        row = asof_join(
+            left, right, on="ts", by="user_id", direction=direction,
+            tie_break="rid",
+        ).collect()[0]
+        assert (row.rid, row.price) == (None, 99.0), direction
+
+    # The oracle shape (plans/timeseries.py q_asof_join) on the same
+    # rows: DuckDB's nulls-last default picks the same NULL-tie row.
+    con = duckdb.connect()
+    got = con.execute("""
+        WITH u AS (
+          SELECT 10 AS user_id, 100 AS ts, 1 AS side, 1 AS event_id,
+                 NULL::INT AS p_id, NULL::DOUBLE AS p_val
+          UNION ALL SELECT 10, 100, 0, NULL, 3, 3.0
+          UNION ALL SELECT 10, 100, 0, NULL, NULL, 99.0
+          UNION ALL SELECT 10, 100, 0, NULL, 7, 7.0
+        ), c AS (
+          SELECT side, event_id,
+                 last_value(CASE WHEN side = 0
+                                 THEN struct_pack(pid := p_id, pval := p_val)
+                            END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, side,
+                                  CASE WHEN side = 0 THEN p_id END NULLS LAST
+                         ROWS UNBOUNDED PRECEDING) AS carried
+          FROM u)
+        SELECT (carried).pid, (carried).pval FROM c WHERE side = 1
+    """).fetchone()
+    assert got == (None, 99.0)
+
+
 def test_asof_join_tie_break_must_be_right_value_column(spark):
     import pytest
 

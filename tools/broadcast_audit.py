@@ -91,9 +91,17 @@ BOUNDED_KEY_COLS = frozenset(
         "p_brand", "p_type", "p_size", "p_container",
         "c_mktsegment",
         "n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name",
-        # engine-derived bounded buckets: pair-table keys (|types|²),
-        # CMS cells (d×w), bloom words (BLOOM_BITS/64), length buckets
-        "type_a", "type_b", "j", "bucket", "grain", "_w",
+        # engine-derived bounded keys, DISTINCTIVELY prefixed (r14
+        # ADVICE: the old generic names — j, bucket, grain, _w,
+        # type_a/type_b — would silently wave through a future plan
+        # grouping a corpus-scaling domain by a column that happened
+        # to share the name; a round-15 strip-and-resweep showed only
+        # three plans actually relied on them, each renamed):
+        # CMS cells (d×w at any SF — plans/olap.py heavy_hitters_cms
+        # and q_cms_counts), bloom words (BLOOM_BITS/64 ≤ 1024 —
+        # plans/lakehouse.py q_bloom_join), length buckets (token-
+        # count bit width — operators/batching.py assign_batches).
+        "_cms_j", "_cms_bucket", "_bloom_w", "_len_bucket",
     }
 )
 
