@@ -334,7 +334,19 @@ def bfs_hops(
     """
     dist = seeds.select(id_col, F.lit(0).alias("hop"))
     for _ in range(hops):
-        nxt = dist.join(edges, dist[id_col] == edges[src]).select(
+        # Declared shuffle_hash with the DISTANCE table as build side
+        # (≤|V| rows vs the edge table's |E| — the smaller side at any
+        # scale). Without it the planner statically broadcast BOTH the
+        # checkpointed edge table (a Scan ExistingRDD whose size
+        # estimate is blind to the LSH pair explode beneath it) and
+        # the later rounds' min-hop aggregates — corpus-scaling frames
+        # under a static choice AQE never demotes, the r14
+        # widened-frame crash class (round-15 sweep find; BFS escaped
+        # the r14 sf1 program the same way pagerank did — its DuckDB
+        # oracle is infeasible there).
+        nxt = dist.hint("shuffle_hash").join(
+            edges, dist[id_col] == edges[src]
+        ).select(
             F.col(dst).alias(id_col), (F.col("hop") + 1).alias("hop")
         )
         dist = dist.unionAll(nxt).groupBy(id_col).agg(F.min("hop").alias("hop"))

@@ -177,6 +177,39 @@ non-MATCHes are documented oracle-infrastructure exclusions
 (recursive-CTE disk spill ×2; the brute-force all-pairs simhash
 oracle, quadratic by design).
 
+The ROUND-15 window executes the r14 VERDICT brief: (A) the 10 plans
+round 15 changed — q_graph_pagerank and q_graph_bfs cured of the
+statically-broadcast-widened-frame class by the NEW standing
+registry-wide sweep (tests/test_global_plan_sweep.py
+test_no_static_broadcast_of_widened_frame generalizes the r14 manual
+probe: any BroadcastExchange over a bare-attribute explode descending
+from a collect_list/collect_set, keyless-agg/limit subtrees exempt by
+rule — the two graph plans' iterative joins were this exact class,
+invisible to the r14 sf1 sweep because their DuckDB oracles are
+infeasible there; both now declare shuffle_hash builds on the
+rank/degree/frontier sides), the as-of trio's NULL-tie-value ordering
+fix (r14 ADVICE: asc_nulls_last/desc_nulls_last + explicit NULLS LAST
+in the oracles — a NULL tie now outranks any real one in BOTH
+engines), q_simhash_hamming's spark.graft.simhash.bits=auto valve
+(the measured log2(n) sizing law as code, operators/dedup.py
+auto_simhash_bits), and the distinctive audit-key renames
+(BOUNDED_KEY_COLS no longer carries generic names; _cms_j/_cms_bucket,
+_bloom_w, _len_bucket in the three plans a strip-and-resweep showed
+actually relied on them); (B) the q_group_stats canary; (C) the 39
+OLDEST official stamps (r4 complete, r5 complete, r6 partial — the
+r14 VERDICT item 2 catch-up; the remaining 56 pre-r10 stamps head
+round 16). Round 15 also closes the three sf1 oracle exclusions with
+engine-side structural invariants (tests/test_sf1_invariants.py:
+pagerank mass conservation + the exact damping recurrence, BFS seed/
+triangle-inequality/predecessor pinning, simhash banding losslessness
+vs in-Python popcount on sampled real sf1 sketches), adds the
+UNICODE/LOCALE fixture axis /tmp/skew9 (tools/make_skew9.py —
+mixed-script token renderings, df-structure-preserving), restructures
+bench.py output so the driver's 2000-char tail capture parses again
+(detail line first, compact final line pinned < 1800 chars, plus the
+sf1 decade as a second recorded block), and gates a live-Kafka
+integration test behind KAFKA_BOOTSTRAP (tests/test_kafka_live.py).
+
 """
 
 from news_categorization_big_data_spark.plans.registry import REGISTRY, QuerySpec, register
@@ -215,49 +248,93 @@ from news_categorization_big_data_spark.plans import (  # noqa: E402,F401
 #: from this list would be appended in module-import order; the list is
 #: asserted complete below so drift fails fast.
 _DRIVER_ORDER = [
-    # ---- ROUND-14 WINDOW (first 50 = the driver's correctness window) ----
+    # ---- ROUND-15 WINDOW (first 50 = the driver's correctness window) ----
     # Composition (priority order, the round-8 convention): changed
-    # plans first, then the stalest official stamps among the plans the
-    # round-13 program changed AFTER most stamps landed.
-    # -- A. plans CHANGED in round 14, wave 1 (9): the q_tpch_q18
-    #       broadcast gate (the r13 judge's scale-killer), the
-    #       q_tpch_q16 / q_scan_evolved ADVICE oracle fixes, the two
-    #       conf-gated exact scale valves (q_heavy_hitters CMS
-    #       prefilter, q_equidepth_histogram value-domain histogram),
-    #       q_bloom_join's audit-self-describing word projection, the
-    #       keyword-scorer refactor pair behind the e2e streaming
-    #       topology test, and q_join_broadcast's gate-override
-    #       plumbing.
-    "q_tpch_q18",
-    "q_tpch_q16",
-    "q_scan_evolved",
-    "q_heavy_hitters",
-    "q_equidepth_histogram",
-    "q_bloom_join",
-    "q_classify_keywords",
-    "q_pipeline_digest",
-    "q_join_broadcast",
-    # -- B. standing canary (every window).
-    "q_group_stats",
-    # -- A'. plans CHANGED in round 14, wave 2 — the sf1-sweep finds
-    #       (SCALE.md round 14): the as-of tie-break trio + the
-    #       session oracle's total-order fix (duplicate-timestamp
-    #       divergences), and the five pair/posting-table plans cured
-    #       of the statically-broadcast-widened-frame class
-    #       (q_simhash_hamming's shuffle_hash verify joins, the merge
-    #       hints on triangles/lsh_recall/jaccard_est/inverted_index).
-    #       All nine sim-proven at sf0.01 AND sf1/skew fixtures.
+    # plans first, then the canary, then the OLDEST official stamps
+    # (the r14 VERDICT item 2 catch-up: 98 stamps predated r10 at the
+    # r15 open; this window drains the r4-r6 tail oldest-first, round
+    # 16 takes the rest).
+    # -- A. plans CHANGED in round 15 (10): the two iterative graph
+    #       plans cured of statically-broadcast widened frames by the
+    #       new standing sweep (pagerank's edge/degree joins, bfs's
+    #       frontier joins — both were invisible to the r14 sf1 oracle
+    #       sweep, their DuckDB oracles being infeasible there); the
+    #       as-of trio's NULL-tie ordering fix (asc_nulls_last +
+    #       explicit NULLS LAST oracles); q_simhash_hamming's
+    #       bits=auto valve plumbing; and the audit-key renames
+    #       (_cms_j/_cms_bucket in q_cms_counts + the q_heavy_hitters
+    #       CMS valve, _bloom_w in q_bloom_join, _len_bucket in
+    #       q_batch_assign) — default outputs identical, builders
+    #       changed, re-stamped per the changed-code-first convention.
+    "q_graph_pagerank",
+    "q_graph_bfs",
     "q_asof_join",
     "q_asof_forward",
     "q_asof_tolerance",
-    "q_stream_session",
     "q_simhash_hamming",
+    "q_cms_counts",
+    "q_bloom_join",
+    "q_batch_assign",
+    "q_heavy_hitters",
+    # -- B. standing canary (every window).
+    "q_group_stats",
+    # -- C. the 39 oldest official stamps (r4 complete, r5 complete,
+    #       r6 partial; oldest-first, alphabetical within a round).
+    "q_argmax_join",
+    "q_embedding_quantize",
+    "q_event_transitions",
+    "q_gap_fill",
+    "q_group_mode",
+    "q_grouped_regression",
+    "q_join_interval_overlap",
+    "q_merge_upsert",
+    "q_sample_weighted",
+    "q_time_rollup_multi",
+    "q_tpch_q4",
+    "q_window_nth",
+    "q_window_time_range",
+    "q_bitmap_distinct",
+    "q_bm25_rank",
+    "q_conversion_latency",
+    "q_dedup_simhash",
+    "q_embedding_norms",
+    "q_event_trigrams",
+    "q_feature_hash",
+    "q_itemset_pairs",
+    "q_orphan_refs",
+    "q_rate_anomaly",
+    "q_regex_extract",
+    "q_scd2_intervals",
+    "q_seasonality",
+    "q_sim_ann_ivf",
+    "q_sim_search",
+    "q_sliding_distinct",
+    "q_tokenizer_fertility",
+    "q_ann_recall",
+    "q_cdc_apply",
+    "q_corr_matrix",
+    "q_date_arith",
+    "q_date_dim",
+    "q_geo_grid_join",
+    "q_graph_kcore",
+    "q_interval_coverage",
+    "q_k_anonymity",
+    # ---- driver's 50-entry window ends here ----
+    # -- tail: the remaining pre-r10 stamps head round 16's window
+    #    (56 left: r6/r7/r9), then the prior rotation order. All
+    #    remain registered and pytest/driver_sim-proven every round.
+    "q_tpch_q18",
+    "q_tpch_q16",
+    "q_scan_evolved",
+    "q_equidepth_histogram",
+    "q_classify_keywords",
+    "q_pipeline_digest",
+    "q_join_broadcast",
+    "q_stream_session",
     "q_graph_triangles",
     "q_lsh_recall",
     "q_minhash_jaccard_est",
     "q_inverted_index",
-    # -- C. the stalest-stamped round-13-changed plans (official-
-    #       ledger catch-up, r13 VERDICT item 3), prior backlog order.
     "q_curation_funnel",
     "q_sink_pyds_roundtrip",
     "q_ml_classify",
@@ -289,19 +366,8 @@ _DRIVER_ORDER = [
     "q_attrib_channel",
     "q_rolling_corr",
     "q_incremental_agg",
-    # ---- driver's 50-entry window ends here ----
-    # -- tail: the nine catch-up entries wave 2 displaced (next
-    #    window's head), then the remaining round-13 backlog, the
-    #    r4-r12 re-proof rotation, and the round-13 window alumni.
-    #    All remain registered and pytest/driver_sim-proven every
-    #    round.
-    "q_merge_upsert",
-    "q_gap_fill",
-    "q_window_time_range",
     "q_twap",
     "q_salted_agg",
-    "q_embedding_norms",
-    "q_embedding_quantize",
     "q_embedding_dim_stats",
     "q_label_centroids",
     "q_calibration_ece",
@@ -310,15 +376,6 @@ _DRIVER_ORDER = [
     "q_unpivot_long",
     "q_scan_csv",
     "q_dedup_mllib_lsh",
-    "q_argmax_join",
-    "q_event_transitions",
-    "q_group_mode",
-    "q_grouped_regression",
-    "q_join_interval_overlap",
-    "q_sample_weighted",
-    "q_time_rollup_multi",
-    "q_tpch_q4",
-    "q_window_nth",
     "q_join_salted",
     "q_peak_concurrency",
     "q_lift_bands",
@@ -363,7 +420,6 @@ _DRIVER_ORDER = [
     "q_tpch_q10",
     "q_tpch_q22",
     "q_join_bucketed",
-    "q_batch_assign",
     "q_hhi_concentration",
     "q_ivm_join_agg",
     "q_rfm_segments",
@@ -412,7 +468,6 @@ _DRIVER_ORDER = [
     "q_component_sizes",
     "q_graph_degree_dist",
     "q_growth_accounting",
-    "q_graph_pagerank",
     "q_semantic_dedup",
     "q_graph_jaccard_neighbors",
     "q_chi2_terms",
@@ -451,41 +506,14 @@ _DRIVER_ORDER = [
     "q_hll_distinct",
     "q_quantile_sketch",
     "q_sql_recursive",
-    "q_cdc_apply",
     "q_zone_map",
-    "q_interval_coverage",
-    "q_date_dim",
     "q_weighted_median",
     "q_snapshot_diff",
-    "q_date_arith",
     "q_sql_udf",
-    "q_geo_grid_join",
-    "q_cms_counts",
-    "q_graph_kcore",
     "q_ml_eval",
     "q_target_encode",
-    "q_graph_bfs",
-    "q_corr_matrix",
     "q_table_checksum",
-    "q_k_anonymity",
-    "q_ann_recall",
     "q_seq_cooccur",
-    "q_bitmap_distinct",
-    "q_regex_extract",
-    "q_rate_anomaly",
-    "q_seasonality",
-    "q_sliding_distinct",
-    "q_scd2_intervals",
-    "q_feature_hash",
-    "q_itemset_pairs",
-    "q_event_trigrams",
-    "q_tokenizer_fertility",
-    "q_conversion_latency",
-    "q_orphan_refs",
-    "q_bm25_rank",
-    "q_sim_search",
-    "q_sim_ann_ivf",
-    "q_dedup_simhash",
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -530,6 +558,7 @@ _DRIVER_ORDER = [
     "q_udtf_table_arg",
     "q_ab_srm",
 ]
+
 
 # Hard error, not assert: under `python -O` an assert would be stripped
 # and a query missing from the order list would silently vanish from

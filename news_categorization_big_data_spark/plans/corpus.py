@@ -453,9 +453,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_v", (F.lit(1.0) / F.col("n_v")).alias("rank")
     )
     for _ in range(PR_ITERS):
+        # Declared shuffle_hash on the rank/degree sides: without it
+        # the planner STATICALLY broadcast the pinned edge table and
+        # the src-keyed degree aggregate (round-15 widened-frame sweep
+        # find — the same class as q_simhash_hamming's r14 crash: the
+        # edge InMemoryRelation descends from the LSH pair explode,
+        # whose static size estimate is garbage, and AQE never demotes
+        # a statically-chosen broadcast; pagerank escaped the r14 sf1
+        # sweep only because its DuckDB oracle is infeasible there).
+        # Ranks/degrees are one row per VERTEX — the smaller side at
+        # any scale — so they are the declared hash-build sides; the
+        # edge table is never sorted, broadcast, or re-derived.
         contrib = (
-            ed.join(r, ed["src"] == r["doc_id"])
-            .join(dg, "src")
+            ed.join(r.hint("shuffle_hash"), ed["src"] == r["doc_id"])
+            .join(dg.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("doc_id"),
                 "n_v",

@@ -32,36 +32,32 @@ def test_bad_sf_dir_raises_cleanly(spark):
         REGISTRY["q_scan_parquet"].builder(spark, "/root/testdata/sf-nope").count()
 
 
-def test_registry_window_contains_round14_priorities():
+def test_registry_window_contains_round15_priorities():
     """The driver evaluates the first 50 insertion-order entries. The
-    round-14 window = the 9 plans round 14 changed (the q_tpch_q18
-    broadcast gate, the q_tpch_q16 / q_scan_evolved ADVICE oracle
-    fixes, the two conf-gated exact scale valves, the bloom word
-    projection, the keyword-scorer refactor pair, the gate-override
-    plumbing in q_join_broadcast) + the q_group_stats canary + the 40
-    stalest-stamped round-13-changed plans (official-ledger catch-up,
-    r13 VERDICT item 3)."""
+    round-15 window = the 10 plans round 15 changed (the pagerank/bfs
+    widened-frame-broadcast cures, the as-of trio's NULL-tie ordering,
+    the simhash bits=auto valve plumbing, the four audit-key-rename
+    plans) + the q_group_stats canary + the 39 OLDEST official stamps
+    (r4 complete, r5 complete, r6 partial — the r14 VERDICT item 2
+    stale-stamp catch-up)."""
     window = list(REGISTRY)[:50]
-    changed_r14 = [
-        # wave 1
-        "q_tpch_q18", "q_tpch_q16", "q_scan_evolved", "q_heavy_hitters",
-        "q_equidepth_histogram", "q_bloom_join", "q_classify_keywords",
-        "q_pipeline_digest", "q_join_broadcast",
-        # wave 2: the sf1-sweep finds (as-of tie-breaks, session oracle
-        # total order, the statically-broadcast-widened-frame cures)
+    changed_r15 = [
+        "q_graph_pagerank", "q_graph_bfs",
         "q_asof_join", "q_asof_forward", "q_asof_tolerance",
-        "q_stream_session", "q_simhash_hamming", "q_graph_triangles",
-        "q_lsh_recall", "q_minhash_jaccard_est", "q_inverted_index",
+        "q_simhash_hamming", "q_cms_counts", "q_bloom_join",
+        "q_batch_assign", "q_heavy_hitters",
     ]
     canaries = ["q_group_stats"]
     # spot-check the catch-up group's head and tail (the full set is
-    # pinned by position via CATALOG sync)
+    # pinned by position via CATALOG sync): the whole r4 cohort leads,
+    # r5 follows, r6 is partial up to the 50-slot boundary.
     catchup_probes = [
-        "q_curation_funnel", "q_sink_pyds_roundtrip", "q_ml_classify",
-        "q_zscore_outliers", "q_winsorize", "q_incremental_agg",
+        "q_argmax_join", "q_tpch_q4", "q_window_time_range",  # r4
+        "q_bitmap_distinct", "q_tokenizer_fertility",  # r5
+        "q_ann_recall", "q_k_anonymity",  # r6 (partial)
     ]
-    assert len(changed_r14) == 18
-    for name in changed_r14 + canaries + catchup_probes:
+    assert len(changed_r15) == 10
+    for name in changed_r15 + canaries + catchup_probes:
         assert name in window, f"{name} fell outside the driver's 50-entry window"
 
 
