@@ -84,6 +84,14 @@ def sessionize_ids(
     those executions row-identical (the same determinism rule as the
     ranged windows in functions/ordered.py).
     """
+    # Event-time assignment: a session IS a time interval, so a row
+    # with a NULL event time cannot belong to one — dropped, in BOTH
+    # modes, exactly as Spark's session_window does (skew10 axis; the
+    # registered oracle filters identically). Without this the two
+    # engines also disagree on where nulls SORT (Spark ASC default is
+    # nulls-first, DuckDB's nulls-last), so null rows would split
+    # sessions differently.
+    ev = ev.where(F.col(ts_col).isNotNull())
     us = F.unix_micros(F.col(ts_col))
     if not use_chunked(ev):
         w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)

@@ -70,6 +70,7 @@ _O_WINSOR_CLIP = (
                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                            THEN 1 ELSE 0 END AS new_sess
                FROM events
+               WHERE ts IS NOT NULL
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -544,7 +545,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), t AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
@@ -572,6 +573,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # a transition is a consecutive-IN-TIME pair: NULL event times have
+    # no timeline position, excluded on both engines (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("next_type"),
@@ -1232,6 +1236,7 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                            THEN 1 ELSE 0 END AS new_sess
                FROM events
+               WHERE ts IS NOT NULL
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1273,6 +1278,9 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # sessions are time intervals: NULL event times are unassignable,
+    # dropped on both engines (same policy as sessionize_ids; skew10)
+    ev = ev.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     prev = F.lag(us).over(w)

@@ -373,7 +373,7 @@ COVERAGE_WINDOW_US = 300_000_000  # 5 minutes
                        epoch_us(ts) AS s,
                        epoch_us(ts) + {COVERAGE_WINDOW_US} AS e,
                        event_id
-                FROM events),
+                FROM events WHERE ts IS NOT NULL),
     marked AS (SELECT user_id, s, e, event_id,
                       CASE WHEN s > COALESCE(MAX(e) OVER (
                              PARTITION BY user_id ORDER BY s, event_id
@@ -417,6 +417,8 @@ COVERAGE_WINDOW_US = 300_000_000  # 5 minutes
 )
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # a NULL event time opens no activity interval (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     iv = ev.select(
         "user_id",
         F.unix_micros("ts").alias("s"),

@@ -232,7 +232,9 @@ INCR_CUTOVER = "2024-01-15"
     "green hash is the machine-checked proof that the engine's partial "
     "states compose exactly (the property that makes daily 100-TB "
     "rollups incremental: yesterday's materialized state + today's "
-    "delta, never a full rescan). Exactness requires the sum to stay "
+    "delta, never a full rescan). NULL-ts rows route to the base half "
+    "explicitly — a nullable cutover column rejects nulls from BOTH "
+    "halves otherwise (skew10 find). Exactness requires the sum to stay "
     "in DECIMAL until after the merge — summing doubles would make "
     "merge order observable. Both scans prune to their half via "
     "pushed timestamp predicates.",
@@ -250,7 +252,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("_mx"),
         )
 
-    base = partial(ev.where(F.col("ts") < cut))
+    # Partition COMPLETENESS: ts < cut and ts >= cut both reject NULL
+    # ts (three-valued logic), so a nullable cutover column silently
+    # drops rows from an incremental load — the skew10 find. Nulls
+    # route to the base side; every row lands in exactly one half.
+    base = partial(ev.where((F.col("ts") < cut) | F.col("ts").isNull()))
     delta = partial(ev.where(F.col("ts") >= cut))
     return (
         base.unionByName(delta)

@@ -108,6 +108,22 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exercised by data, not just by plan shape.
 GAP_BIN_SECONDS = 3600
 
+#: Bins per generated sequence() array in the gap-fill spine. Bounds
+#: the per-row explode memory to a CONSTANT regardless of the corpus
+#: time span (min..max is data-controlled: one corrupt 1955 or 2250
+#: timestamp multiplies the span ~300x — skew10's OOM finding).
+GAP_SPINE_CHUNK_BINS = 1024
+
+#: Hard cap on spine length: at most this many MOST-RECENT bins per
+#: type. Gap fill's output is span/bin — data-controlled and unbounded
+#: (skew10: one 1955 + one 2250 record -> a 13M-row "report"). Real
+#: hypertable gapfill (TimescaleDB time_bucket_gapfill) refuses
+#: unbounded ranges for the same reason and demands finite bounds;
+#: this constant is that bound. 25k hourly bins ~ 2.85 years — an
+#: order of magnitude beyond every fixture's true span, so the clamp
+#: is invisible unless the span is corrupt.
+GAP_SPINE_MAX_BINS = 25_000
+
 
 @register(
     "q_gap_fill",
@@ -121,7 +137,12 @@ GAP_BIN_SECONDS = 3600
                       -- identically on both engines (/tmp/skew7)
                       {o_dsum_fin('value')} AS sum_value
                FROM events GROUP BY 1, 2),
-    bounds AS (SELECT event_type, MIN(bin) AS lo, MAX(bin) AS hi FROM b GROUP BY 1),
+    bounds AS (SELECT event_type,
+                      -- most-recent-N-bins clamp, same guard as the plan
+                      GREATEST(MIN(bin),
+                               MAX(bin) - INTERVAL {(GAP_SPINE_MAX_BINS - 1) * GAP_BIN_SECONDS} SECONDS) AS lo,
+                      MAX(bin) AS hi
+               FROM b GROUP BY 1),
     spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL {GAP_BIN_SECONDS} SECONDS)) AS bin
               FROM bounds),
     joined AS (SELECT s.event_type, s.bin,
@@ -139,11 +160,15 @@ GAP_BIN_SECONDS = 3600
     """,
     tier="C",
     doc="Time-series gap filling (the hypertable `time_bucket_gapfill` "
-    "analog): 1-hour bins per event type, a generated dense time spine "
-    "(`sequence()` per type — dimension-sized, never corpus-sized), "
+    "analog): 1-hour bins per event type, a generated dense time spine, "
     "empty bins restored with n_events = 0 and the decimal-exact bin "
     "sum carried forward (`last(ignorenulls)` window = LOCF "
-    "interpolation). One agg shuffle + one dimension-sized window.",
+    "interpolation). The spine is length-capped (GAP_SPINE_MAX_BINS "
+    "most-recent bins per type — real gapfill APIs demand finite "
+    "bounds; an uncapped min..max span is one corrupt timestamp away "
+    "from a 13M-row report, the skew10 finding) and generated in "
+    "GAP_SPINE_CHUNK_BINS-element chunks so per-row array memory is "
+    "constant in the span. One agg shuffle + one spine-sized window.",
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -153,16 +178,47 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.groupBy(
         "event_type", bin_col.alias("bin")
     ).agg(F.count("*").alias("n_events"), dsum_fin("value").alias("sum_value"))
-    spine = (
-        binned.groupBy("event_type")
-        .agg(F.min("bin").alias("_lo"), F.max("bin").alias("_hi"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {GAP_BIN_SECONDS} SECONDS"))
-            ).alias("bin"),
-        )
+    # Chunked spine: ONE sequence() per (type, min..max) span OOMs the
+    # moment a single corrupt far-past/future timestamp blows the span
+    # up (skew10: a 1955 + a 2250 record -> a 2.59M-element array per
+    # type -> driver heap death). Generate chunk indices first (outer
+    # explode, span/chunk rows), then at most GAP_SPINE_CHUNK_BINS bins
+    # inside each chunk -- per-row array memory is CONSTANT in the span.
+    chunk_w = GAP_BIN_SECONDS * GAP_SPINE_CHUNK_BINS
+    bounds = binned.groupBy("event_type").agg(
+        F.min("bin").alias("_lo"), F.max("bin").alias("_hi")
     )
+    hi_s = F.unix_timestamp("_hi")
+    # Most-recent-N-bins clamp (see GAP_SPINE_MAX_BINS).
+    lo_s = F.greatest(
+        F.unix_timestamp("_lo"),
+        hi_s - (GAP_SPINE_MAX_BINS - 1) * GAP_BIN_SECONDS,
+    )
+    chunks = bounds.select(
+        "event_type",
+        lo_s.alias("_lo_s"),
+        hi_s.alias("_hi_s"),
+        F.explode(
+            # floor (not truncate-to-zero) division: pre-1970 bins are
+            # negative epochs; double-div floor is exact below 2^52 s
+            F.sequence(
+                F.floor(lo_s / chunk_w).cast("long"),
+                F.floor(hi_s / chunk_w).cast("long"),
+            )
+        ).alias("_c"),
+    )
+    spine = chunks.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_c") * chunk_w, F.col("_lo_s")),
+                F.least(
+                    (F.col("_c") + 1) * chunk_w - GAP_BIN_SECONDS, F.col("_hi_s")
+                ),
+                F.lit(GAP_BIN_SECONDS).cast("long"),
+            )
+        ).alias("_s"),
+    ).select("event_type", F.timestamp_seconds("_s").alias("bin"))
     joined = spine.join(binned, ["event_type", "bin"], "left")
     w = (
         Window.partitionBy("event_type")

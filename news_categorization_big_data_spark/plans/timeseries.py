@@ -34,10 +34,11 @@ from news_categorization_big_data_spark.sources.tables import load_table
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
            event_type, COUNT(*) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     tier="B",
     doc="Tumbling 10-minute window count — groupBy(window(ts, '10 minutes')). "
+    "NULL event times are unassignable to a window: Spark's window()/session_window DROPS them (the TimeWindowing rule injects isnotnull) and the oracle filters explicitly (skew10 axis). "
     "Epoch-aligned on both engines. In streaming this is the canonical "
     "watermarked aggregation; partial aggregation happens map-side per "
     "micro-batch.",
@@ -55,14 +56,17 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     oracle="""
     WITH starts AS (
-      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type FROM events
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
-      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type FROM events
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type, COUNT(*) AS cnt FROM starts GROUP BY 1, 2
     """,
     tier="B",
     doc="Sliding window (10-minute width, 5-minute slide): every event lands "
+    "NULL event times are unassignable to a window: Spark's window()/session_window DROPS them (the TimeWindowing rule injects isnotnull) and the oracle filters explicitly (skew10 axis). "
     "in exactly width/slide = 2 windows; the oracle materializes both "
     "epoch-aligned starts explicitly.",
 )
@@ -84,6 +88,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       -- (ts, event_id) — the SAME total order as the lag window. A
@@ -103,6 +108,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="B",
     doc="Session window (5-minute gap) per user — session_window(ts, '5 "
+    "NULL event times are unassignable to a window: Spark's window()/session_window DROPS them (the TimeWindowing rule injects isnotnull) and the oracle filters explicitly (skew10 axis). "
     "minutes'). Spark sessions are [first_ts, last_ts + gap): an event at "
     "exactly prev_ts + gap starts a NEW session (end-exclusive), which the "
     "gaps-and-islands oracle mirrors with `ts >= lag(ts) + gap`.",
@@ -149,11 +155,12 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, COUNT(*) AS uniq_cnt FROM (
       SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              user_id, event_type
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     GROUP BY window_start
     """,
     tier="B",
     doc="Stream dedup analog — dropDuplicates on (window, user, type) ≙ "
+    "NULL event times are unassignable to a window: Spark's window()/session_window DROPS them (the TimeWindowing rule injects isnotnull) and the oracle filters explicitly (skew10 axis). "
     "dropDuplicatesWithinWatermark keyed per hour. State is bounded by the "
     "watermark horizon in the live variant.",
 )
@@ -416,7 +423,7 @@ RATE_MIN_EVENTS = 20
     WITH d AS (SELECT CAST(ts AS DATE) AS day,
                       COUNT(*) AS n,
                       CAST(count_if(event_type = 'error') AS BIGINT) AS n_err
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
     w AS (SELECT day, n, n_err,
                  CAST(SUM(n) OVER t AS BIGINT) AS n_prev,
                  CAST(SUM(n_err) OVER t AS BIGINT) AS err_prev
@@ -443,6 +450,9 @@ RATE_MIN_EVENTS = 20
 )
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # the trailing-7-day baseline is a day SERIES: a NULL event time is
+    # not a day and cannot sit in the series (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n"),
         F.count_if(F.col("event_type") == "error").cast("long").alias("n_err"),
@@ -509,7 +519,7 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wc AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              event_type, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     rk AS (
       SELECT window_start, event_type, cnt,
              CAST(ROW_NUMBER() OVER (PARTITION BY window_start
@@ -521,6 +531,7 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="B",
     doc="Trending items: top-3 event types per tumbling hour — the "
+    "NULL event times are unassignable to a window: Spark's window()/session_window DROPS them (the TimeWindowing rule injects isnotnull) and the oracle filters explicitly (skew10 axis). "
     "windowed-leaderboard streaming analytic ('what spiked this "
     "hour'). Batch analog of the live pattern (windowed count -> "
     "rank), with a total tiebreak (cnt DESC, type) so rank order can "

@@ -57,7 +57,7 @@ KS_CUT = "2024-01-16 00:00:00"
     oracle=f"""
     WITH ud AS (SELECT DISTINCT user_id,
                        CAST(date_trunc('day', ts) AS DATE) AS d
-                FROM events),
+                FROM events WHERE ts IS NOT NULL),
     w AS (SELECT user_id,
                  strftime(d - i * INTERVAL '1 day', '%Y-%m-%d') AS win_start
           FROM ud, range({SLIDE_DAYS}) t(i))
@@ -85,6 +85,9 @@ KS_CUT = "2024-01-16 00:00:00"
 )
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # rolling reach is a day series: NULL event times are not days,
+    # excluded on both engines (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     win = ud.select(
         "user_id",
@@ -105,7 +108,7 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                           {o_poisoned('value')} AS pois,
                           {o_dec_to_double(f"SUM(CAST({o_fin('value')} AS DECIMAL(30,6)))", 6)} AS v
-                   FROM events GROUP BY 1, 2),
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     st AS (SELECT event_type,
                   {o_dec_to_double("SUM(CAST(v AS DECIMAL(30,6)))", 6)} AS tot,
                   COUNT(*) AS n_days,
@@ -144,6 +147,9 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # CUSUM runs over the ORDERED day series: a NULL event time has no
+    # place in the series, excluded on both engines (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
@@ -194,7 +200,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT user_id, event_type, ts, event_id,
                       LAG(event_type) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS prev
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     chg AS (SELECT user_id, event_type AS state, ts AS valid_from
             FROM o WHERE prev IS NULL OR prev <> event_type),
     iv AS (SELECT user_id, state, valid_from,
@@ -221,6 +227,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # validity intervals are anchored AT event times: a NULL ts row
+    # cannot open or close one (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = (
         ev.withColumn("prev", F.lag("event_type").over(wlag))
@@ -464,7 +473,7 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                         AS src_us
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     lat AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    epoch_us(ts) - src_us AS lat_us
             FROM o WHERE event_type = 'purchase' AND src_us IS NOT NULL),
@@ -495,6 +504,9 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # attribution lookback is a position-in-time relation: NULL event
+    # times are excluded on both engines (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     wsrc = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1041,6 +1053,7 @@ _RC_FLOOR = (
              COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_X), 6)}, 0.0) AS x,
              COALESCE({o_dec_to_double(_O_RC_SUM.format(t=ROLLCORR_Y), 6)}, 0.0) AS y
       FROM events WHERE event_type IN ('{ROLLCORR_X}', '{ROLLCORR_Y}')
+        AND ts IS NOT NULL
       GROUP BY 1),
     q AS (SELECT day, pois,
                  CAST(floor(x * {RC_UNIT}) AS BIGINT) AS qx,
@@ -1099,7 +1112,10 @@ _RC_FLOOR = (
 )
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
+        # the trailing frame rides the ORDERED day series: NULL event
+        # times are not days, excluded on both engines (skew10 policy)
         F.col("event_type").isin(ROLLCORR_X, ROLLCORR_Y)
+        & F.col("ts").isNotNull()
     )
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
@@ -1155,7 +1171,7 @@ PATH_TOPK = 15
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     paths AS (
       SELECT user_id,
              string_agg(event_type, '>' ORDER BY rn) AS path
@@ -1180,6 +1196,9 @@ PATH_TOPK = 15
 )
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # a journey is an IN-TIME order: NULL event times have no position
+    # in it, excluded on both engines (skew10 policy)
+    ev = ev.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")

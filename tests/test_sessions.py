@@ -161,17 +161,21 @@ def test_chunked_identity_property(spark, rows):
     assert got == _ids(sessionize_ids(df, GAP))
 
 
-def test_chunked_handles_null_user_and_ts(spark, chunked):
+def test_chunked_handles_null_user_and_null_ts_policy(spark, chunked):
     """The null-ish bot user — the valve's own motivating hot key —
-    and NULL timestamps must survive the chunked plan: groupBy/Window
-    keep NULL groups, so the offsets join-back uses null-SAFE keys
-    (plain equi-keys would silently drop every NULL-user/NULL-ts row,
-    found in the round-12 self-review)."""
+    must survive the chunked plan: groupBy/Window keep NULL groups, so
+    the offsets join-back uses null-SAFE keys (plain equi-keys would
+    silently drop every NULL-user row, found in the round-12
+    self-review). NULL TIMESTAMPS, by contrast, are dropped BY POLICY
+    in both modes (round 15, skew10 axis): a session is a time
+    interval, Spark's own session_window drops unassignable rows, and
+    keeping them inherits each engine's different null sort order —
+    the exact cross-engine divergence the skew10 sweep caught."""
     rows = [
         (None, 1, BASE),
         (None, 2, BASE + HOUR_US),
         (None, 3, BASE + HOUR_US + GAP + 1),
-        (7, 4, None),  # NULL ts: one all-NULL-ts session per default plan
+        (7, 4, None),  # NULL ts: excluded from sessionization by policy
         (7, 5, None),
         (7, 6, BASE),
     ]
@@ -180,6 +184,7 @@ def test_chunked_handles_null_user_and_ts(spark, chunked):
         "ts", F.when(F.col("us").isNotNull(), F.timestamp_micros(F.col("us")))
     ).drop("us")
     got = _ids(sessionize_ids(df, GAP))
-    assert len(got) == len(rows)  # nothing dropped
+    assert len(got) == 4  # the two NULL-ts rows are dropped, nothing else
+    assert {eid for _, eid in got} == {1, 2, 3, 6}
     spark.conf.set(CHUNKED_CONF, "false")
     assert got == _ids(sessionize_ids(df, GAP))
