@@ -175,9 +175,26 @@ def _rdd_width(df: DataFrame) -> int | None:
 
 
 def fan_out(
-    df: DataFrame, partitions: int | None = None, force: bool = False
+    df: DataFrame,
+    partitions: int | None = None,
+    force: bool = False,
+    by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Widen a CPU-heavy subtree to full parallelism (see module doc).
+
+    ``by``: repartition by HASH of these columns instead of round-robin.
+    Round-robin repartition pays a local sort of its input inside the
+    (narrow, possibly single-task) upstream stage — Spark's
+    sortBeforeRepartition, required for deterministic retry — which is
+    exactly the serial work fan_out exists to remove. A keyed
+    repartition needs no input sort (row→partition is a pure hash), and
+    when ``by`` matches the downstream operator's required distribution
+    (a window's partitionBy, a groupBy key) the exchange is REUSED, so
+    the widened plan has no extra shuffle at all. Keys must be
+    high-cardinality (guide §2.5: 20-100x more distinct values than
+    partitions) — a low-cardinality key would fan out to #distinct
+    cores, not #cores. All width guards (never shrink, cluster no-op,
+    conf gates) apply unchanged.
 
     The explicit path sets the TARGET width, never the exact width —
     fan_out NEVER shrinks an already-wide input (collapsing a
@@ -197,22 +214,28 @@ def fan_out(
     pipeline at sf0.1: the minhash stage drops 3.0s → 1.7s.)
     """
     spark = df.sparkSession
+
+    def _repart(width: int) -> DataFrame:
+        if by:
+            return df.repartition(width, *by)
+        return df.repartition(width)
+
     if spark.conf.get("spark.graft.fanout.enabled", "true").lower() == "false":
         return df
     explicit = partitions or int(spark.conf.get("spark.graft.fanout.partitions", "0"))
     if force:
         width = explicit or _default_parallelism(spark)
-        return df.repartition(width) if width else df
+        return _repart(width) if width else df
     current = _scan_width_estimate(df)
     if current is None:
         current = _rdd_width(df)
     if explicit:
         if current is not None and current >= explicit:
             return df
-        return df.repartition(explicit)
+        return _repart(explicit)
     if current is None:
         return df  # Connect / unprobeable without explicit width: safe no-op
     target = _default_parallelism(spark)
     if target is None or current >= target:
         return df
-    return df.repartition(target)
+    return _repart(target)

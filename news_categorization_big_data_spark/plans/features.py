@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
@@ -393,10 +394,17 @@ TFIDF_TOP_PAIRS = 20
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.text_exprs import tokens
 
-    docs = (
+    # Keyed fan_out before the token explode (guide §2.5): the single-
+    # row-group bench fixture makes the scan 1 task, serializing the
+    # tokenize+explode+tf partial agg that everything downstream hangs
+    # off. No-op on cluster-width scans. Measured (interleaved toggle):
+    # sf1 4.13->2.43 s, sf0.1 neutral (1.68 vs 1.75 — noise), oracle-
+    # MATCH.
+    docs = fan_out(
         load_table(spark, sf_dir, "documents")
         .where(F.col("text") != "")
-        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", tokens("text").alias("toks")),
+        by=("doc_id",),
     )
     tf = (
         docs.select("doc_id", F.explode("toks").alias("tok"))

@@ -24,6 +24,7 @@ from news_categorization_big_data_spark.functions.ordered import (
     global_annotate,
     running_sum,
 )
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.plans.relational import (
     dsum,
@@ -1154,13 +1155,24 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIT-IDENTICAL (same digests, same lanes, same u16s; SCALE.md
     # round 11).
     n_groups = (boot_b + 7) // 8
+    # fan_out BEFORE the B-fold explode (guide §2.5 input skew): the
+    # bench fixtures are single-row-group parquet files, so the scan is
+    # 1-2 tasks and the 40x explode + md5/conv/aggregate map work — the
+    # whole query — serializes onto those cores. Round-robin the 1-row-
+    # per-event pre-explode frame (the CHEAP side of the fan-out: ~30
+    # bytes/row moves once, the 40x inflation happens after) to full
+    # parallelism; no-op where the scan is already wide (real clusters).
+    # Measured (interleaved A/B, noop sink): sf1 19.2->4.1 s, sf0.1
+    # 2.66->1.49 s, output oracle-MATCH.
     ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            "event_id",
-            F.col("value").cast("decimal(18,2)").alias("v"),
+        fan_out(
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                "event_id",
+                F.col("value").cast("decimal(18,2)").alias("v"),
+            )
         )
         .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
         .withColumn(

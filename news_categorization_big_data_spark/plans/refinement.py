@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.plans.relational import nonfinite
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -91,7 +92,19 @@ FLUENCY_MIN_HEAD = 10
     "overflow-safe (k*ppm <= n_bigrams*1e6 per doc).",
 )
 def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    # Keyed fan_out before the bigram explode (guide §2.5): the single-
+    # row-group bench fixture makes the scan 1 task, and `pairs` feeds
+    # TWO aggregates, so the split+zip+explode ran twice, single-core.
+    # The doc_id hash exchange (a) parallelizes the explode and (b) is
+    # deduplicated by ReuseExchange, so both consumers read ONE
+    # materialized shuffle instead of recomputing the explode lineage —
+    # the cheap-shared-subtree alternative to the persist the comment
+    # below rejects. No-op on cluster-width scans. Measured: sf1
+    # 6.09->1.63 s, sf0.1 0.85->0.75 s, oracle-MATCH.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").where(F.col("text") != ""),
+        by=("doc_id",),
+    )
     t = F.split(F.lower("text"), r"\s+")
     n = F.size(t)
     zipped = F.arrays_zip(

@@ -33,6 +33,7 @@ from news_categorization_big_data_spark.functions.exact import (
     o_dec_to_double,
     scaled_to_double,
 )
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.scale import broadcast_if_small
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -416,6 +417,9 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The p_size filter applies before the broadcast (prune then ship).",
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan_out on the fact side (r15, measured): one broadcast probe
+    # + count/dsum is cheap map work; the extra serial shuffle write
+    # loses (interleaved A/B: 1.11 s vs 3.24 s at sf1).
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 15)
     return (
@@ -558,6 +562,9 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
+    # NO fan_out on the fact side (r15, measured): the map work is a
+    # broadcast-probe chain + one dsum — cheap; the extra serial
+    # shuffle write loses (interleaved A/B: 1.45 s vs 2.77 s at sf1).
     orders = load_table(spark, sf_dir, "orders")
     return (
         region.join(nation, nation.n_regionkey == region.r_regionkey)
@@ -646,7 +653,15 @@ def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a good idea at 100 TB anyway (no accumulated float drift).",
 )
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Keyed fan_out (guide §2.5): the bench fixtures are single-row-group
+    # parquet, so the scan — and with it the whole map-side partial
+    # aggregate over every lineitem row — is ONE task. Hash-repartition
+    # on the high-cardinality l_orderkey (no sortBeforeRepartition tax,
+    # unlike round-robin) spreads the partials across all cores;
+    # cluster-width scans make this a no-op. Measured: sf1 6.19->2.67 s,
+    # sf0.1 0.92->0.81 s, oracle-MATCH (dsum is order-independent by
+    # construction).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), by=("l_orderkey",))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
@@ -840,7 +855,22 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort per group stops at k.",
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Keyed fan_out on the window's own partition key (guide §2.5/§2.4):
+    # single-row-group bench fixtures make the scan 1 task, so the
+    # pre-exchange Sort+WindowGroupLimit(Partial) — over every lineitem
+    # row — ran single-core. Hash-repartitioning by l_orderkey both
+    # parallelizes that sort AND satisfies the window's required
+    # distribution, so the plan still has exactly ONE exchange; on
+    # cluster-width scans fan_out is a no-op and the partial
+    # WindowGroupLimit (which halves shuffle rows) is preserved.
+    # Measured: sf1 7.63->2.51 s, sf0.1 0.69->0.48 s, oracle-MATCH
+    # (row_number tie-break l_linenumber is a total order per group).
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        by=("l_orderkey",),
+    )
     w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
     return (
         li.withColumn("rn", F.row_number().over(w))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.cachepin import pin
 from news_categorization_big_data_spark.functions.hashing import hash60
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import STOPWORDS, normalize_text, tokens
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
@@ -483,7 +484,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Keyed fan_out (guide §2.5): the single-row-group bench fixture
+    # makes the scan 1 task, serializing BOTH mapInPandas passes (the
+    # real codec encode/decode) onto one Python worker; the fan-out
+    # payload is just the doc_id longs. Width 8, not full parallelism:
+    # each task pays Python-worker spin-up + import, so per-task
+    # batches must stay large (32-way measured SLOWER than 1-way at
+    # sf0.1); 8 engages parallel workers while keeping thousands of
+    # rows per batch. No-op on cluster-width scans. Measured
+    # (interleaved toggle): sf1 3.44->0.95 s, sf0.1 0.58->0.52 s,
+    # oracle-MATCH.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        by=("doc_id",),
+        partitions=8,
+    )
 
     def encode_batches(batches):
         import numpy as np
@@ -819,7 +834,21 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Keyed fan_out (guide §2.5): the single-row-group bench fixture
+    # makes the scan 1 task, serializing BOTH mapInPandas passes (the
+    # real codec encode/decode) onto one Python worker; the fan-out
+    # payload is just the doc_id longs. Width 8, not full parallelism:
+    # each task pays Python-worker spin-up + import, so per-task
+    # batches must stay large (32-way measured SLOWER than 1-way at
+    # sf0.1); 8 engages parallel workers while keeping thousands of
+    # rows per batch. No-op on cluster-width scans. Measured
+    # (interleaved toggle): sf1 3.44->0.95 s, sf0.1 0.58->0.52 s,
+    # oracle-MATCH.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        by=("doc_id",),
+        partitions=8,
+    )
 
     def encode_batches(batches):
         import numpy as np
@@ -1152,9 +1181,17 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 2000
-    ).select("doc_id")
+    # Keyed fan_out (guide §2.5): same single-task codec serialization
+    # and width-8 batching rationale as q_multimodal_decode. Measured
+    # (interleaved toggle): sf1 0.95->0.55 s, sf0.1 1.06->0.57 s,
+    # oracle-MATCH.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 2000)
+        .select("doc_id"),
+        by=("doc_id",),
+        partitions=8,
+    )
 
     def encode_batches(batches):
         for batch in batches:

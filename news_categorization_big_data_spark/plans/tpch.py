@@ -26,6 +26,7 @@ from news_categorization_big_data_spark.functions.exact import (
     dec_to_double,
     o_dec_to_double,
 )
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.scale import broadcast_if_small
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.plans.relational import dsum
@@ -88,7 +89,14 @@ _O_REV_Q6 = (
     "numerators.",
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").where(
+    # Keyed fan_out (guide §2.5; same finding as q_group_stats): the
+    # single-row-group bench fixture makes the scan 1 task, serializing
+    # the eight limb-split partial sums over every row onto one core.
+    # Hash by high-cardinality l_orderkey (no round-robin sort tax);
+    # no-op on cluster-width scans; dsum is order-independent so the
+    # result is bit-identical. Measured: sf1 6.05->3.87 s, sf0.1
+    # 1.06->0.84 s, oracle-MATCH.
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), by=("l_orderkey",)).where(
         F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp")
     )
     one = F.lit(1).cast("decimal(18,2)")
@@ -148,8 +156,14 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderdate") < cutoff)
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
+    # Keyed fan_out (guide §2.5; the q_tpch_q1 finding): the single-row-
+    # group bench fixture makes the lineitem scan 1 task, serializing
+    # the BHJ probe + partial aggregate. The l_shipdate filter still
+    # pushes through the repartition to the scan, so the exchange only
+    # carries surviving rows. No-op on cluster-width scans. Measured:
+    # sf1 4.71->2.00 s, sf0.1 1.18->0.81 s, oracle-MATCH.
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        fan_out(load_table(spark, sf_dir, "lineitem"), by=("l_orderkey",))
         .where(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", _disc_price().alias("_dp"))
     )
@@ -212,6 +226,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
         .select("o_orderkey", "o_custkey")
     )
+    # NO fan_out here (r15, measured): unlike q1/q3 the per-row map work
+    # is one broadcast probe + one dsum — cheap; the extra serial
+    # shuffle write costs more than the parallelization saves
+    # (interleaved A/B: 1.58 s base vs 3.15 s fanned at sf1).
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", _disc_price().alias("_dp")
     )

@@ -32,6 +32,21 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE runtime SMJ -> shuffled-hash rewrite (guide §3.1): when every
+    # post-shuffle partition of a sort-merge join is measured (not
+    # estimated) below this bound, build a per-partition hash table
+    # instead of sorting both sides. Size-gated at RUNTIME, so it is
+    # scale-safe by construction: partitions above the bound keep the
+    # spill-safe SMJ, and the bound itself is a per-partition memory
+    # budget (~128m build table), not a cluster-size constant. Measured
+    # r15: the pair-table verify joins (3.3M-candidate sort eliminated)
+    # q_dedup_ngram_jaccard 10.1->6.9 s, q_dedup_containment 2.2x at
+    # sf1; no query slower (OPTIMIZATION_r15.md). Default 0 (off) only
+    # because Spark upstream has not flipped it; the static
+    # preferSortMergeJoin stays TRUE deliberately — the static SHJ
+    # chooser trusts size ESTIMATES, which this engine's widened frames
+    # make garbage (SCALE.md round 14).
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
     # The driver testdata writes events.ts as INT64 TIMESTAMP(NANOS);
     # Spark 4 refuses it unless read as long (we convert to µs in the
     # catalog loader, matching DuckDB's ns→µs truncation).

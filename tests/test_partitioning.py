@@ -66,6 +66,32 @@ def test_explicit_partitions_widen(spark, sf_dir):
     assert fan_out(docs, partitions=48).rdd.getNumPartitions() == 48
 
 
+def test_keyed_fan_out_hash_partitions_and_guards(spark, sf_dir):
+    """``by=`` (r15): hash-repartition on the named columns instead of
+    round-robin — the plan must carry hashpartitioning (no
+    sortBeforeRepartition input sort, and a downstream window/groupBy on
+    the same key reuses the exchange), and every existing guard (never
+    shrink, conf gate) must behave identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = fan_out(docs, by=("doc_id",))
+    assert keyed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan
+    # RoundRobin would show up instead if `by` were dropped
+    assert "roundrobin" not in plan.lower()
+    # never-shrink guard unchanged under `by`
+    wide = docs.repartition(64)
+    assert fan_out(wide, by=("doc_id",)) is wide
+    # conf gate unchanged under `by`
+    spark.conf.set("spark.graft.fanout.enabled", "false")
+    try:
+        assert fan_out(docs, by=("doc_id",)) is docs
+    finally:
+        spark.conf.set("spark.graft.fanout.enabled", "true")
+    # explicit width composes with `by`
+    assert fan_out(docs, partitions=8, by=("doc_id",)).rdd.getNumPartitions() == 8
+
+
 def test_conf_gate_disables(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spark.conf.set("spark.graft.fanout.enabled", "false")
