@@ -626,37 +626,103 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
     width = bits // bands
-    band_keys = [
-        F.shiftright(F.col(sketch_col), b * width).bitwiseAND(F.lit((1 << width) - 1))
-        for b in range(bands)
-    ]
+
+    def _band_keys(col: str) -> list:
+        return [
+            F.shiftright(F.col(col), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(bands)
+        ]
+
     # max_df stays None-by-default here: pigeonhole recall is this
     # operator's contract ("recall is total"), and block buckets are
     # n/2^width by DESIGN — the scale answer is a wider sketch (Manku's
     # 64-bit/4-block crawl config), not a cap. The cap is an emergency
     # valve for callers who accept recall loss on degenerate corpora.
-    cand = banded_pairs(sketches, band_keys, id_col, "doc_a", "doc_b", max_df=max_df)
-    sa = sketches.select(F.col(id_col).alias("doc_a"), F.col(sketch_col).alias("_ska"))
-    sb = sketches.select(F.col(id_col).alias("doc_b"), F.col(sketch_col).alias("_skb"))
-    hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
-    # shuffle_hash on the SKETCH side: the candidate table is a
-    # structurally WIDENED frame (double explode of bucket id-lists)
-    # whose static estimate is garbage — at sf1 the planner estimated
-    # it below the sketches and BROADCAST the 550M-row pair table
-    # (round-14 find; Spark's 512M-row broadcast hard cap killed the
-    # job, and AQE never demotes a statically-chosen broadcast join).
-    # The declared hint makes the join a shuffled-hash with the
-    # one-row-per-doc sketch side as build — no sort of the pair
-    # table, no broadcast of anything corpus-sized, the same remedy
-    # the r12 skew program applied to the containment/jaccard verify
-    # joins. (sketches scale with the corpus, so a broadcast hint on
-    # THEM would be the q18 class — shuffle_hash shards both sides.)
-    return (
-        cand.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_distance)
+    if max_df is not None:
+        # Capped path: the cap's drop unit is DOCS per band bucket, so
+        # banding must stay per-doc — the distinct-sketch rewrite below
+        # would change which buckets trip the cap.
+        cand = banded_pairs(
+            sketches, _band_keys(sketch_col), id_col, "doc_a", "doc_b", max_df=max_df
+        )
+        sa = sketches.select(
+            F.col(id_col).alias("doc_a"), F.col(sketch_col).alias("_ska")
+        )
+        sb = sketches.select(
+            F.col(id_col).alias("doc_b"), F.col(sketch_col).alias("_skb")
+        )
+        hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+        # shuffle_hash on the SKETCH side: the candidate table is a
+        # structurally WIDENED frame (double explode of bucket id-lists)
+        # whose static estimate is garbage — at sf1 the planner estimated
+        # it below the sketches and BROADCAST the 550M-row pair table
+        # (round-14 find; Spark's 512M-row broadcast hard cap killed the
+        # job, and AQE never demotes a statically-chosen broadcast join).
+        # The declared hint makes the join a shuffled-hash with the
+        # one-row-per-doc sketch side as build — no sort of the pair
+        # table, no broadcast of anything corpus-sized, the same remedy
+        # the r12 skew program applied to the containment/jaccard verify
+        # joins. (sketches scale with the corpus, so a broadcast hint on
+        # THEM would be the q18 class — shuffle_hash shards both sides.)
+        return (
+            cand.join(sa.hint("shuffle_hash"), "doc_a")
+            .join(sb.hint("shuffle_hash"), "doc_b")
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_distance)
+        )
+
+    # Default (uncapped) path — band over DISTINCT SKETCHES, not docs
+    # (r15, guide §8: decide on a lightweight proxy, multiply the heavy
+    # rows out once at the end). Exact-duplicate documents share a
+    # sketch, so every band bucket held every copy of every cluster and
+    # in-bucket pair generation was quadratic in the DUPLICATED count —
+    # and each hot bucket exploded from one collect_list row in ONE
+    # task (measured: the registered 32-bit plan took 1473 s at the sf1
+    # decade, whose corpus carries ~10x exact dups). Grouping docs by
+    # sketch first shrinks buckets by the duplication factor (pair work
+    # falls quadratically), the group id IS the sketch so candidate
+    # Hamming needs NO verify join at all, and the output pair set is
+    # IDENTICAL: intra-group pairs are exactly the distance-0 pairs,
+    # inter-group pairs expand the member lists of qualifying sketch
+    # pairs (disjoint groups ⇒ no duplicates; least/greatest keeps the
+    # doc_a < doc_b convention; null sketches, which the per-doc path
+    # drops via NULL hamming, are filtered up front). Verified MATCH
+    # against the unchanged DuckDB oracle and pair-for-pair against the
+    # old path at sf0.01/sf0.1.
+    groups = (
+        sketches.where(F.col(sketch_col).isNotNull())
+        .groupBy(sketch_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
     )
+    cand = banded_pairs(groups, _band_keys(sketch_col), sketch_col, "_ska", "_skb")
+    hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    qual = cand.where(hamming <= max_distance).select(
+        "_ska", "_skb", hamming.cast("int").alias("hamming")
+    )
+    ga = groups.select(F.col(sketch_col).alias("_ska"), F.col("_ids").alias("_idsa"))
+    gb = groups.select(F.col(sketch_col).alias("_skb"), F.col("_ids").alias("_idsb"))
+    # shuffle_hash on the group side: same widened-frame rationale as
+    # the capped path's verify joins (the member arrays are
+    # corpus-sized in total — never broadcastable).
+    inter = (
+        qual.join(ga.hint("shuffle_hash"), "_ska")
+        .join(gb.hint("shuffle_hash"), "_skb")
+        .select(F.explode("_idsa").alias("_a"), "_idsb", "hamming")
+        .select("_a", F.explode("_idsb").alias("_b"), "hamming")
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        groups.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("doc_a"), F.col("_ids"))
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return inter.unionByName(intra)
 
 
 def lsh_probe_pairs(

@@ -192,37 +192,139 @@ def embedding_near_dup_pairs(
     Candidates re-join the vector table on the id key; AQE broadcasts
     the (small) candidate side.
     """
-    cand = srp_candidate_pairs(
-        srp_signature(emb, id_col, vec_col, bits, dim), id_col, bits, bands
+    # r15 (guide §8: decide on a lightweight proxy, multiply heavy rows
+    # out once at the end): band over DISTINCT VECTORS, not vector rows.
+    # Exact-duplicate embeddings (exact-dup documents; the sf1 fixture
+    # carries ~10x of them) share every band key, so per-row banding
+    # made the quadratic in-bucket pair explode AND the verify join that
+    # ships two 64-double arrays per candidate scale with the DUPLICATED
+    # count (measured: 73 s at sf1). Grouping rows by vector first
+    # shrinks the quadratic by the duplication factor squared and runs
+    # the exact cosine once per DISTINCT pair. The output is IDENTICAL
+    # to the per-row path, including the LSH_MAX_DF cap the oracle
+    # mirrors:
+    # - bucket population = sum of group sizes, the same doc count the
+    #   per-row window counted, so cap decisions are unchanged;
+    # - intra-group pairs (identical vectors, candidates via every
+    #   shared bucket per-row) are gated on the group surviving in ≥1
+    #   uncapped bucket — exactly the per-row condition;
+    # - the verify expression is unchanged; intra pairs evaluate it on
+    #   (v, v) — same doubles as the per-row path, never a synthetic 1;
+    # - group id = min member id; groups are disjoint, so least/greatest
+    #   expansion emits each unordered pair exactly once.
+    # Proven pair-for-pair equal to the per-row path (exceptAll both
+    # ways = 0) at sf0.1 and sf1, and oracle-MATCH.
+    valid = emb.where(F.size(F.col(vec_col)) == dim)
+    groups = (
+        fan_out(valid)
+        .groupBy(vec_col)
+        .agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"),
+            F.count(F.lit(1)).alias("_gsz"),
+        )
+        .withColumn("_gid", F.col("_ids")[0])
     )
-    # Norms precompute once per vector ROW before the pair join, and the
-    # pair cosine assembles as dot/(na*nb) in ONE named column reused by
-    # the filter and the output — `norm` runs the identical fold on the
-    # identical array, so every double matches the inline cosine() form
-    # the oracle mirrors, while each candidate pair folds one array
-    # product instead of three (and not twice for filter + select).
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("emb_a"),
-        norm(vec_col).alias("_na"),
+    signs = srp_signs(bits, dim)
+    bitcols = [
+        (dot(vec_col, F.array(*[F.lit(s) for s in signs[j]])) > 0)
+        .cast("int")
+        .alias(f"bit{j}")
+        for j in range(bits)
+    ]
+    # force=True: groups sits on an AQE-coalescible groupBy exchange
+    # (coalesced to ~1 partition at runtime — the static probe can't see
+    # that), and the 24 interpreted dot-folds per row are the CPU-heavy
+    # stage; the forced user-numbered width sticks (the documented
+    # fan_out force case).
+    groups = fan_out(groups.withColumn("_na", norm(vec_col)), force=True)
+    sig = groups.select("_gid", "_gsz", vec_col, "_na", "_ids", *bitcols)
+    rows = bits // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.col(f"bit{j}").cast("string")
+                        for j in range(b * rows, (b + 1) * rows)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("emb_b"),
-        norm(vec_col).alias("_nb"),
+    member = F.struct(
+        F.col("_gid").alias("g"),
+        F.col(vec_col).alias("v"),
+        F.col("_na").alias("n"),
+        F.col("_ids").alias("i"),
     )
-    sim = dot("emb_a", "emb_b") / (F.col("_na") * F.col("_nb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+    banded = sig.select(
+        member.alias("_m"), F.col("_gsz"), F.explode(band_structs).alias("b")
+    ).select("_m", "_gsz", "b.band_idx", "b.band_key")
+    w_bucket = Window.partitionBy("band_idx", "band_key")
+    banded = (
+        banded.withColumn("_bn", F.sum("_gsz").over(w_bucket))
+        .where(F.col("_bn") <= F.lit(LSH_MAX_DF))
+        .drop("_bn", "_gsz")
+    )
+    # Verify INSIDE the buckets: members carry (vector, norm, ids), so
+    # the exact cosine runs at pair-generation time and nothing is ever
+    # joined back — the per-row path shipped two 64-double arrays per
+    # candidate through two shuffles (and the candidate table's widened
+    # static estimate made those joins a broadcast hazard, the r14
+    # class). The threshold filter runs BEFORE the cross-bucket
+    # distinct, so only qualifying (group, group, sim) triples shuffle.
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.collect_list("_m").alias("_ms")
+    )
+    sim = dot(F.col("_a.v"), F.col("_b.v")) / (F.col("_a.n") * F.col("_b.n"))
+    qual = (
+        buckets.where(F.size("_ms") > 1)
+        .select(F.explode("_ms").alias("_a"), F.col("_ms"))
+        .select("_a", F.explode("_ms").alias("_b"))
+        .where(F.col("_a.g") < F.col("_b.g"))
         .withColumn("_sim", sim)
         .where(F.col("_sim") >= threshold)
         .select(
-            F.col("id_a").alias("vec_a"),
-            F.col("id_b").alias("vec_b"),
+            F.col("_a.g").alias("gid_a"),
+            F.col("_b.g").alias("gid_b"),
             F.round(F.col("_sim"), 4).alias("cos_sim"),
+            F.col("_a.i").alias("_idsa"),
+            F.col("_b.i").alias("_idsb"),
+        )
+        .distinct()
+    )
+    inter = (
+        qual.select(F.explode("_idsa").alias("_a"), "_idsb", "cos_sim")
+        .select("_a", F.explode("_idsb").alias("_b"), "cos_sim")
+        .select(
+            F.least("_a", "_b").alias("vec_a"),
+            F.greatest("_a", "_b").alias("vec_b"),
+            "cos_sim",
         )
     )
+    alive = banded.select(F.col("_m.g").alias("_gid")).distinct()
+    sim_self = dot("emb_a", "emb_b") / (F.col("_na") * F.col("_nb"))
+    intra = (
+        groups.join(alive, "_gid")
+        .where(F.size("_ids") > 1)
+        .select(
+            F.col(vec_col).alias("emb_a"),
+            F.col(vec_col).alias("emb_b"),
+            F.col("_na"),
+            F.col("_na").alias("_nb"),
+            F.col("_ids"),
+        )
+        .withColumn("_sim", sim_self)
+        .where(F.col("_sim") >= threshold)
+        .select(F.explode("_ids").alias("_a"), "_ids", F.round(F.col("_sim"), 4).alias("cos_sim"))
+        .select("_a", F.explode("_ids").alias("_b"), "cos_sim")
+        .where(F.col("_a") < F.col("_b"))
+        .select(F.col("_a").alias("vec_a"), F.col("_b").alias("vec_b"), "cos_sim")
+    )
+    return inter.unionByName(intra)
 
 
 def assign_cells(

@@ -307,11 +307,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
+
     docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
     from news_categorization_big_data_spark.functions.text_exprs import word_shingles
 
-    with_shingles = docs.select("doc_id", word_shingles("text").alias("shingles")).where(
-        F.size("shingles") > 0
+    # r15 (guide §8): run MLlib's approxSimilarityJoin over DISTINCT
+    # TEXTS, not doc rows. The recall flag for a pair is a deterministic
+    # function of the two TEXTS alone — HashingTF features are a
+    # function of the shingles, MinHashLSH's hash coefficients come from
+    # the seed (fit never looks at the data values), bucket co-occurrence
+    # and the exact distance both depend only on the feature vectors —
+    # so every doc pair inherits its flag from its text pair.
+    # Exact-duplicate texts (10x in the sf1 fixture) previously made the
+    # MLlib self-join quadratic in the duplicated count (measured 164 s
+    # at sf1); identical texts share all hashes, so their rep self-pair
+    # (r, r) is in the join output (distance 0) and flags every
+    # intra-text pair True — exactly what the per-row join produced.
+    # Proven row-for-row equal to the per-row plan at sf0.1 and sf1, and
+    # oracle-MATCH.
+    reps = (
+        fan_out(docs, by=("doc_id",))
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", word_shingles("text").alias("shingles"))
+        .where(F.size("shingles") > 0)
     )
     # Lazy plan barrier: Catalyst merges the guards above with the
     # LSH model's hash UDF into ONE predicate and may evaluate the
@@ -319,28 +339,49 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHashLSH's hashFunction as a zero-entry vector and kills the
     # job ("Must have at least 1 non zero entry", measured on the
     # skew4 null fixture). The checkpoint cuts the lineage so the
-    # filters materialize before any LSH evaluation; the shingle
-    # table is corpus-sized but column-pruned (id + shingles).
-    with_shingles = with_shingles.localCheckpoint(eager=False)
+    # filters materialize before any LSH evaluation; the rep shingle
+    # table is distinct-text-sized and column-pruned (id + shingles).
+    reps = reps.localCheckpoint(eager=False)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(with_shingles)
+    feats = tf.transform(reps)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    # <= keeps the rep SELF-pair (intra-text flag); distinct guards the
+    # join-key contract (one flag row per rep pair).
     mll = (
-        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        joined.where(F.col("datasetA.doc_id") <= F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.doc_id").alias("_ra"),
+            F.col("datasetB.doc_id").alias("_rb"),
         )
+        .distinct()
         .withColumn("_found", F.lit(True))
     )
+    # Map every doc to its text's rep, translate truth pairs to rep
+    # pairs (unordered: reps are min-member ids but a truth pair's reps
+    # aren't necessarily ordered the same way), and look the flag up.
+    rep_map = (
+        fan_out(docs, by=("doc_id",))
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("_rep"), F.collect_list("doc_id").alias("_members"))
+        .select(F.col("_rep"), F.explode("_members").alias("doc_id"))
+    )
     truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF)
-    return truth.join(mll, ["doc_a", "doc_b"], "left_outer").select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        F.coalesce(F.col("_found"), F.lit(False)).alias("mllib_recalled"),
+    ma = rep_map.select(F.col("doc_id").alias("doc_a"), F.col("_rep").alias("_repa"))
+    mb = rep_map.select(F.col("doc_id").alias("doc_b"), F.col("_rep").alias("_repb"))
+    return (
+        truth.join(ma.hint("shuffle_hash"), "doc_a")
+        .join(mb.hint("shuffle_hash"), "doc_b")
+        .withColumn("_ra", F.least("_repa", "_repb"))
+        .withColumn("_rb", F.greatest("_repa", "_repb"))
+        .join(mll.hint("shuffle_hash"), ["_ra", "_rb"], "left_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce(F.col("_found"), F.lit(False)).alias("mllib_recalled"),
+        )
     )
 
 
@@ -458,42 +499,85 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold-bounded levenshtein(l, r, t) caps the DP early-exit.",
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
     from news_categorization_big_data_spark.functions.text_exprs import normalize_text
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", normalize_text("text").alias("norm")
+    # r15 (guide §8: decide on a lightweight proxy, multiply heavy rows
+    # out once): block-join DISTINCT normalized texts, not doc rows.
+    # Every predicate and the output edit distance are functions of
+    # `norm` alone, and exact-duplicate documents (10x of them in the
+    # sf1 fixture; boilerplate at corpus scale) share a norm — so the
+    # per-doc block join paid the duplication factor SQUARED in
+    # levenshtein calls (120x120 DP each; measured 80 s at sf1).
+    # Grouping by norm first runs the join + levenshtein once per
+    # distinct pair: intra-group pairs are edit_dist 0 BY IDENTITY
+    # (lev(x,x) = 0, |l-l| = 0 — always qualifying), inter-group pairs
+    # expand the member lists (disjoint groups + min-member group ids
+    # ordered like the per-doc doc_a < doc_b filter, so each unordered
+    # pair is emitted exactly once). Proven pair-for-pair equal to the
+    # per-doc join (exceptAll both ways = 0) at sf0.1 and sf1, and
+    # oracle-MATCH. fan_out: the normalize+group runs above a
+    # single-row-group bench scan.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", normalize_text("text").alias("norm")
+        ),
+        by=("doc_id",),
     )
-    b = docs.where(F.length("norm") >= 24).select(
-        "doc_id",
-        F.substring("norm", 1, 24).alias("blk"),
-        F.length("norm").alias("l"),
-        F.substring("norm", 1, 120).alias("pfx"),
+    g = (
+        docs.where(F.length("norm") >= 24)
+        .groupBy("norm")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
+        .select(
+            F.col("_ids"),
+            F.col("_ids")[0].alias("_gid"),
+            F.substring("norm", 1, 24).alias("blk"),
+            F.length("norm").alias("l"),
+            F.substring("norm", 1, 120).alias("pfx"),
+        )
     )
-    a = b.select(
-        F.col("doc_id").alias("doc_a"),
+    a = g.select(
+        F.col("_gid").alias("gid_a"),
+        F.col("_ids").alias("_idsa"),
         F.col("blk"),
         F.col("l").alias("l_a"),
         F.col("pfx").alias("pfx_a"),
     )
-    c = b.select(
-        F.col("doc_id").alias("doc_b"),
+    c = g.select(
+        F.col("_gid").alias("gid_b"),
+        F.col("_ids").alias("_idsb"),
         F.col("blk"),
         F.col("l").alias("l_b"),
         F.col("pfx").alias("pfx_b"),
     )
-    return (
+    inter = (
         a.join(c, ["blk"])
         .where(
-            (F.col("doc_a") < F.col("doc_b"))
+            (F.col("gid_a") < F.col("gid_b"))
             & (F.abs(F.col("l_a") - F.col("l_b")) <= 10)
             & (F.levenshtein("pfx_a", "pfx_b") <= 20)
         )
         .select(
-            "doc_a",
-            "doc_b",
+            "_idsa",
+            "_idsb",
             F.levenshtein("pfx_a", "pfx_b").cast("long").alias("edit_dist"),
         )
+        .select(F.explode("_idsa").alias("_a"), "_idsb", "edit_dist")
+        .select("_a", F.explode("_idsb").alias("_b"), "edit_dist")
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+            "edit_dist",
+        )
     )
+    intra = (
+        g.where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("edit_dist"))
+    )
+    return inter.unionByName(intra)
 
 
 #: Containment threshold (percent) and index-side df cap.

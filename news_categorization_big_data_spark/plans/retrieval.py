@@ -246,24 +246,46 @@ def _pivots(emb: DataFrame, k: int) -> DataFrame:
     "uses the same double literal on both engines.",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
     from news_categorization_big_data_spark.operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pivots = _pivots(emb, SEMDEDUP_K).withColumn("pn", norm("pemb"))
 
-    # Norms are precomputed ONCE per vector (and once per pivot) and the
-    # cosine assembles as dot/(vn*pn): `norm` runs the identical fold on
-    # the identical array, so every double is bit-identical to the
-    # inline cosine() form the oracle mirrors — but the K-pivot assign
-    # stage and the within-cluster pair stage each stop re-folding two
-    # 64-float arrays per comparison. Measured 11.2 s → ~5 s at sf0.1.
-    emb_n = emb.withColumn("vn", norm("embedding"))
+    # r15 (guide §8): the within-cluster pairwise stage runs on DISTINCT
+    # VECTORS, not vector rows. Exact-duplicate embeddings share the
+    # pivot assignment AND every pairwise cosine, so the per-row theta
+    # join paid the duplication factor squared in 64-double folds
+    # (measured 139 s at sf1, whose fixture carries ~10x exact dups).
+    # SemDeDup's is_dup flag is rank-ORDER dependent (krank = c_cos
+    # desc, vec_id asc within the cluster), so the group rewrite keeps
+    # it exact rather than approximating:
+    #   member i of group G is a dup  ⇔
+    #     (self-cos(G) ≥ τ AND i is not G's first member)       -- an
+    #       earlier COPY precedes it (same value, smaller vec_id)
+    #   OR (∃ group G' ≠ G in the cluster with cos(G,G') ≥ τ whose
+    #       first member precedes i in krank order, i.e. the
+    #       lexicographic key (−c_cos', min_id') < (−c_cos_G, i)).
+    # The second condition is an EXISTS over qualifying partners ⇔ the
+    # MINIMUM partner key < the member key, so one group-pair pass plus
+    # a per-group min suffices. Cosines use the identical fold
+    # expressions (self-cos is dot(v,v)/(vn·vn), never a synthetic 1).
+    # Proven row-for-row equal to the per-row plan (exceptAll both
+    # ways = 0) at sf0.1 and sf1, and oracle-MATCH.
+    groups = (
+        fan_out(emb, by=("vec_id",))
+        .groupBy("embedding")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("_ids"))
+        .withColumn("_gid", F.col("_ids")[0])
+        .withColumn("vn", norm("embedding"))
+    )
     c = dot("embedding", "pemb") / (F.col("vn") * F.col("pn"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
+    w_assign = Window.partitionBy("_gid").orderBy(F.desc("c_cos"), F.asc("cluster"))
     assign = (
-        emb_n.crossJoin(F.broadcast(pivots))
+        groups.crossJoin(F.broadcast(pivots))
         .select(
-            "vec_id",
+            "_gid",
+            "_ids",
             "embedding",
             "vn",
             F.col("prank").alias("cluster"),
@@ -273,38 +295,60 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    w_keep = Window.partitionBy("cluster").orderBy(F.desc("c_cos"), F.asc("vec_id"))
-    # ranked feeds three consumers (both pair sides + the final label
-    # join); un-pinned, each re-evaluated the K-pivot
-    # assign crossJoin — 6 parquet scans and 3 x K x n dot folds per
-    # query. Vector-domain table, cheap to pin (round-8 A/B, SCALE.md).
-    ranked = pin(assign.withColumn("krank", F.row_number().over(w_keep)))
+    # ranked feeds three consumers (both pair sides + the final member
+    # expansion); un-pinned, each re-evaluates the K-pivot crossJoin.
+    ranked = pin(assign)
 
     a = ranked.select(
         F.col("cluster").alias("a_cluster"),
-        F.col("krank").alias("a_krank"),
+        F.col("_gid").alias("a_gid"),
+        F.col("c_cos").alias("a_ccos"),
         F.col("embedding").alias("a_emb"),
         F.col("vn").alias("a_vn"),
     )
-    b = ranked.select("vec_id", "cluster", "krank", "embedding", "vn")
     pair_cos = dot("a_emb", "embedding") / (F.col("a_vn") * F.col("vn"))
-    dups = (
-        b.join(
+    best = (
+        ranked.join(
             a,
             (F.col("cluster") == F.col("a_cluster"))
-            & (F.col("a_krank") < F.col("krank")),
+            & (F.col("a_gid") != F.col("_gid")),
         )
         .where(pair_cos >= F.lit(SEMDEDUP_TAU))
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
+        .select(
+            "_gid",
+            F.struct(
+                (-F.col("a_ccos")).alias("nc"), F.col("a_gid").alias("pid")
+            ).alias("_pk"),
+        )
+        .groupBy("_gid")
+        .agg(F.min("_pk").alias("_best"))
+    )
+    self_cos = dot("embedding", "embedding") / (F.col("vn") * F.col("vn"))
+    lab = (
+        ranked.join(best, "_gid", "left")
+        .withColumn("_selfdup", self_cos >= F.lit(SEMDEDUP_TAU))
+    )
+    best_c = -F.col("_best.nc")
+    dup = (F.col("_selfdup") & (F.col("vec_id") > F.col("_ids")[0])) | (
+        F.col("_best").isNotNull()
+        & (
+            (best_c > F.col("c_cos"))
+            | ((best_c == F.col("c_cos")) & (F.col("_best.pid") < F.col("vec_id")))
+        )
     )
     return (
-        ranked.join(dups, "vec_id", "left")
+        lab.select(
+            F.explode("_ids").alias("vec_id"),
+            "cluster",
+            "c_cos",
+            "_ids",
+            "_best",
+            "_selfdup",
+        )
         .select(
             "vec_id",
             F.col("cluster").cast("int").alias("cluster"),
-            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            F.coalesce(dup, F.lit(False)).alias("is_dup"),
         )
     )
 
