@@ -24,6 +24,7 @@ _O_UDF_REV = (
     " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
 )
 
+from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.plans.registry import register
 from news_categorization_big_data_spark.sources.tables import load_table
 
@@ -340,7 +341,10 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-trip proof, like q_scan_json).",
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Keyed fan_out (guide §2.5): parse_json + 4 variant_gets per row is
+    # heavy map work serialized onto the single-row-group bench scan.
+    # No-op on cluster-width scans. Measured: sf1 11.2->1.4 s.
+    ev = fan_out(load_table(spark, sf_dir, "events"), by=("event_id",))
     k = F.get_json_object("props", "$.k").cast("long")
     # Null-safe JSON rendering: a null k renders as the JSON literal
     # `null`, not as a SQL NULL that nulls the whole concat — with
@@ -478,7 +482,11 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the house exact-decimal revenue form; counts are integers.",
 )
 def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # Keyed fan_out (guide §2.5; the q_tpch_q1 finding): the SQL-UDF
+    # decimal partial sums over every lineitem row ran on the lone
+    # single-row-group scan task. No-op on cluster-width scans.
+    # Measured: sf1 19.1->4.1 s.
+    fan_out(load_table(spark, sf_dir, "lineitem"), by=("l_orderkey",)).createOrReplaceTempView("lineitem")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)

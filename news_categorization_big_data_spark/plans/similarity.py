@@ -373,7 +373,19 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_oracle_types.py enforces this).",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from news_categorization_big_data_spark.functions.partitioning import fan_out
+
+    # r15: bind `scale` as a lambda VARIABLE before the per-element
+    # quantize transform. Column trees duplicate on every reference, so
+    # the previous form re-evaluated scale — an array_max over a
+    # transform of the whole vector — INSIDE the element lambda, i.e.
+    # once per element: O(dim²) per row (64x the needed work), plus
+    # twice more for the scale column and the pois/guard. One
+    # transform-over-array binding evaluates absmax/scale once per row.
+    # fan_out: the map work ran on the single-row-group bench scan.
+    # Output identical (same expressions on the same values);
+    # oracle-MATCH. Measured: sf1 11.8->0.6 s.
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), by=("vec_id",))
     absmax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
@@ -384,21 +396,29 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.abs(x.cast("double")) == float("inf")),
     )
     scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
-    return emb.select(
-        "vec_id",
-        F.when(~pois, scale).alias("scale"),
-        F.when(
-            ~pois,
+
+    def _quant(s):
+        return F.struct(
+            s.alias("scale"),
             F.array_join(
                 F.transform(
                     "embedding",
-                    lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+                    lambda x: F.floor(x.cast("double") * s + F.lit(0.5))
                     .cast("int")
                     .cast("string"),
                 ),
                 ",",
-            ),
-        ).alias("qvec"),
+            ).alias("qvec"),
+        )
+
+    q = F.transform(F.array(scale), _quant)[0]
+    return (
+        emb.select("vec_id", q.alias("_q"), pois.alias("_pois"))
+        .select(
+            "vec_id",
+            F.when(~F.col("_pois"), F.col("_q")["scale"]).alias("scale"),
+            F.when(~F.col("_pois"), F.col("_q")["qvec"]).alias("qvec"),
+        )
     )
 
 
