@@ -316,8 +316,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair_cos >= F.lit(SEMDEDUP_TAU))
         .select(
             "_gid",
+            # NaN-faithful krank key: both engines sort c_cos DESC with
+            # NaN GREATEST (Spark and DuckDB alike), so a NaN-cosine
+            # partner (zero-norm / poisoned embedding) precedes every
+            # finite member. Negating c_cos alone would invert that
+            # (NaN is also the LARGEST ascending), so a leading
+            # finiteness rank pins NaN partners to the minimum instead:
+            # fin=0 (NaN) < fin=1 (finite), then -c_cos asc = c_cos
+            # desc, then the partner group's first-member id.
             F.struct(
-                (-F.col("a_ccos")).alias("nc"), F.col("a_gid").alias("pid")
+                (~F.isnan("a_ccos")).cast("int").alias("fin"),
+                (-F.col("a_ccos")).alias("nc"),
+                F.col("a_gid").alias("pid"),
             ).alias("_pk"),
         )
         .groupBy("_gid")
@@ -328,13 +338,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(best, "_gid", "left")
         .withColumn("_selfdup", self_cos >= F.lit(SEMDEDUP_TAU))
     )
-    best_c = -F.col("_best.nc")
+    # Member's own krank key, same shape/field names as _pk; "the best
+    # qualifying partner's first member precedes this member in krank
+    # order" is then a single struct comparison (field-wise, NaN=NaN and
+    # NaN-greatest inside each double field — the same total order both
+    # windows used).
+    member_key = F.struct(
+        (~F.isnan("c_cos")).cast("int").alias("fin"),
+        (-F.col("c_cos")).alias("nc"),
+        F.col("vec_id").alias("pid"),
+    )
     dup = (F.col("_selfdup") & (F.col("vec_id") > F.col("_ids")[0])) | (
-        F.col("_best").isNotNull()
-        & (
-            (best_c > F.col("c_cos"))
-            | ((best_c == F.col("c_cos")) & (F.col("_best.pid") < F.col("vec_id")))
-        )
+        F.col("_best").isNotNull() & (F.col("_best") < member_key)
     )
     return (
         lab.select(

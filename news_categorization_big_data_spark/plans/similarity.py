@@ -395,7 +395,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) == float("inf")),
     )
-    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    # The pois gate lives INSIDE the binding: poisoned rows bind s=NULL,
+    # which null-propagates through every floor(x*s+0.5) product instead
+    # of relying on NaN-product arithmetic. Without it an Inf component
+    # whose product escaped the NaN path would reach the long->int cast
+    # and throw under ANSI (Spark 4 default); the outer ~pois mask alone
+    # cannot prevent that because both when-branches are evaluated.
+    scale = F.when(
+        ~pois, F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    )
 
     def _quant(s):
         return F.struct(

@@ -139,9 +139,21 @@ def test_bpe_pairs_single_shuffle_topk(spark, sf_dir):
 
 
 def test_embedding_quantize_map_only(spark, sf_dir):
+    """Map-only modulo fan_out: the only Exchange allowed is fan_out's
+    single keyed REPARTITION_BY_NUM (round-15 single-row-group widening);
+    with fan_out disabled — the 100 TB contract, where scan width is
+    file-driven — the plan must have no Exchange at all."""
     plan = _plan(REGISTRY["q_embedding_quantize"].builder(spark, sf_dir))
-    assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM"), plan
+    assert plan.count("REPARTITION_BY_NUM") <= 1, plan
+    spark.conf.set("spark.graft.fanout.enabled", "false")
+    try:
+        plan_off = _plan(REGISTRY["q_embedding_quantize"].builder(spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.graft.fanout.enabled")
+    assert "Exchange" not in plan_off, plan_off
+    assert "Join" not in plan_off, plan_off
 
 
 def test_keep_best_single_component_window(spark, sf_dir):
