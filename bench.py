@@ -236,6 +236,29 @@ def final_line(
     return json.dumps(obj)
 
 
+def sf1_queries_line(sf1_timings: dict[str, float], reps: int) -> str:
+    """Machine-readable PER-QUERY sf1 timings, printed SECOND-TO-LAST
+    (right before the final line).
+
+    Round-15 PERF gap: per-query sf1 numbers lived only on the
+    truncation-prone detail line, so the driver's CPU-scaling probe
+    could only ratio the sf0.1 headline — where every query is
+    sub-second and job-dispatch-latency-bound — and false-alarmed
+    `suspect_cpus_ignored` (r15 VERDICT item 7). This line rides inside
+    the driver's ~2000-char tail capture together with the final line
+    (realistic combined length ~1.9k, pinned by
+    tests/test_bench_output.py), giving the probe the scale where
+    parallelism is actually visible. Values are 2-decimal (10 ms
+    resolution is far below this host's ambient noise)."""
+    return json.dumps(
+        {
+            "sf1_queries": {n: round(t, 2) for n, t in sf1_timings.items()},
+            "sf": 1.0,
+            "reps": reps,
+        }
+    )
+
+
 def detail_line(
     per_pass: dict[str, list[float]],
     reps: int,
@@ -328,9 +351,13 @@ def main() -> None:
 
     release_pins()
 
-    # Detail FIRST (long line, truncation-tolerant), compact summary
-    # LAST (the line the driver parses — see final_line docstring).
+    # Detail FIRST (long line, truncation-tolerant), per-query sf1
+    # SECOND-TO-LAST (compact, inside the tail capture — see
+    # sf1_queries_line docstring), compact summary LAST (the line the
+    # driver parses — see final_line docstring).
     print(detail_line(per_pass, reps, sf, sf1_detail))
+    if sf1_detail:
+        print(sf1_queries_line(sf1_detail["queries"], sf1_detail["reps"]))
     print(final_line(total, timings, sf, reps, per_pass, _git_head(),
                      profile, sf1_summary))
     spark.stop()

@@ -34,6 +34,7 @@ from news_categorization_big_data_spark.functions.hashing import (
     hash60_pair,
     hash_bits,
 )
+from news_categorization_big_data_spark.functions.groupcollapse import grouped_ids
 from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.functions.text_exprs import word_shingles
 
@@ -170,24 +171,60 @@ def jaccard_pairs(
     one shuffle buckets the exploded prefixes (8-byte hash keys); pairs
     emit inside buckets only; the verify join touches candidates — a
     vanishing fraction of the corpus — and AQE picks its strategy.
+
+    r16 (guide §8 — the r15 distinct-value collapse applied to the LAST
+    per-doc member of the dedup family): the whole machinery runs over
+    DISTINCT TEXTS, not doc rows. Every stage is a function of the text
+    alone — the shingle hashes, prefix, both PPJoin filters (s, p), the
+    bucket df (counted in DOCS via sum(m), identical to the per-doc
+    count since exact-dup docs contribute identical prefix rows), and
+    the verified jaccard — so exact-duplicate documents (boilerplate at
+    corpus scale; ~10x planted in the sf1 fixture) previously paid the
+    duplication factor in md5 shingle hashing and its SQUARE in bucket
+    pair generation + set-intersection verifies. Intra-group pairs are
+    the group's SELF-pair routed through the same buckets/filters/cap
+    (identical texts share every prefix hash at the same position, so
+    self-pair survival mirrors per-doc survival exactly — including a
+    super-cap dup cluster losing all its buckets) and verify to
+    jaccard 1.0 by identity. Proven pair-for-pair equal to the per-doc
+    implementation (exceptAll both ways = 0) and oracle-MATCH — see
+    tests/test_group_collapse_equivalence.py.
     """
     hs = F.array_sort(
         F.array_distinct(
             F.transform(word_shingles(text_col, k), lambda s: hash60(s))
         )
     )
+    # Collapse exact-duplicate texts first: one row per distinct text
+    # carrying the sorted member-id list (group id = min member). The
+    # groupBy's partial aggregation collapses duplicate keys map-side,
+    # so the exchange carries ~distinct texts, and the md5 shingle
+    # hashing below runs once per distinct text. fan_out keyed by the
+    # text column: the repartition IS the groupBy distribution (one
+    # exchange), and the keyed mode skips round-robin's local input
+    # sort (guide §2.5). grouped_ids carries the
+    # spark.graft.groupcollapse.cap valve (off by default): over-cap
+    # duplicate clusters spill to singleton group rows so no single row
+    # ever holds an unbounded member array (functions/groupcollapse.py).
+    groups = grouped_ids(fan_out(docs, by=(text_col,)), (text_col,), id_col)
     # long, not int: the candidate length filters multiply _sz by 1e6
     # (ppm arithmetic) — int32 overflows for any doc with >= 2148
     # distinct shingles (~10 KB of text; ANSI hard error, found by the
     # /tmp/skew3 giant-doc fixture). One cast here keeps every
     # downstream product in int64.
-    sized = fan_out(docs).select(
-        F.col(id_col), F.size(hs).cast("long").alias("_sz"), hs.alias("_hs")
+    sized = groups.select(
+        F.col("_ids")[0].alias("_gid"),
+        F.size("_ids").cast("long").alias("_m"),
+        F.col("_ids"),
+        F.size(hs).cast("long").alias("_sz"),
+        hs.alias("_hs"),
     )
     # `sized` feeds three consumers (prefix explode + both verify sides);
-    # without persistence the narrow shingle+hash projection recomputes
-    # per consumer. Measured (SCALE.md): materializing it once is 1.4x
-    # at sf0.1 and 2.2x at the sf1 decade, output-identical — the
+    # without persistence the groupBy's final aggregation + the
+    # shingle+hash projection recompute per consumer (ReuseExchange
+    # shares only the shuffle files, not the post-shuffle agg/hash
+    # work). Measured (SCALE.md): materializing it once is 1.4x at
+    # sf0.1 and 2.2x at the sf1 decade, output-identical — the
     # registered plan passes True. MEMORY_AND_DISK spills, never OOMs.
     # The operator default stays False so callers composing their own
     # pipelines opt in deliberately. pin() scopes the cache entry to
@@ -205,19 +242,30 @@ def jaccard_pairs(
         sized = pin(sized)
     prefix_len = (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
     pref = sized.select(
-        id_col,
+        "_gid",
+        "_m",
         "_sz",
         F.posexplode(F.slice("_hs", 1, prefix_len)).alias("_p", "_h"),
     )
+    # _df = bucket document frequency in DOCS (sum of member counts) —
+    # the exact quantity the per-doc path's size(_ids) measured, so the
+    # max_df cap semantics (and the oracles' HAVING COUNT(*) mirrors)
+    # are unchanged. _df > 1 is the pair-existence guard: a lone
+    # singleton group can't pair, but a lone m>1 group self-pairs.
     buckets = pref.groupBy("_h").agg(
         F.collect_list(
             F.struct(
-                F.col(id_col).alias("i"), F.col("_sz").alias("s"), F.col("_p").alias("p")
+                F.col("_gid").alias("i"),
+                F.col("_sz").alias("s"),
+                F.col("_p").alias("p"),
+                F.col("_m").alias("m"),
             )
-        ).alias("_ids")
+        ).alias("_ids"),
+        F.sum("_m").alias("_df"),
     )
+    buckets = buckets.where(F.col("_df") > 1)
     if max_df is not None:
-        buckets = buckets.where(F.size("_ids") <= max_df)
+        buckets = buckets.where(F.col("_df") <= max_df)
     # LENGTH FILTER (PPJoin): J = |∩|/|∪| ≤ min(sz)/max(sz), so J ≥ t
     # forces min ≥ t·max — prune inside the buckets, before the pair
     # ever reaches the (expensive) set-intersection verify join. Sound:
@@ -243,11 +291,21 @@ def jaccard_pairs(
     ub = F.lit(1) + F.least(
         F.col("_a.s") - F.col("_a.p") - 1, F.col("_b.s") - F.col("_b.p") - 1
     )
+    # Pair condition: distinct groups (i < i'), OR the group's SELF-pair
+    # (the same exploded element paired with itself — one occurrence per
+    # bucket the group's prefix reaches) when it has 2+ members. The
+    # self-pair rides the identical length/positional filters (both are
+    # functions of (s, p), equal on both sides), so a dup cluster's
+    # intra pairs survive exactly where the per-doc path's did — e.g. a
+    # cluster bigger than every one of its prefix buckets' cap emits
+    # nothing, same as before.
     cand = (
-        buckets.where(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("_a"), F.col("_ids"))
+        buckets.select(F.explode("_ids").alias("_a"), F.col("_ids"))
         .select("_a", F.explode("_ids").alias("_b"))
-        .where(F.col("_a.i") < F.col("_b.i"))
+        .where(
+            (F.col("_a.i") < F.col("_b.i"))
+            | ((F.col("_a.i") == F.col("_b.i")) & (F.col("_a.m") > 1))
+        )
         .where(
             F.least("_a.s", "_b.s") * F.lit(1_000_000)
             >= F.lit(t_ppm) * F.greatest("_a.s", "_b.s")
@@ -256,14 +314,20 @@ def jaccard_pairs(
             ub * F.lit(1_000_000 + t_ppm)
             >= F.lit(t_ppm) * (F.col("_a.s") + F.col("_b.s"))
         )
-        .select(F.col("_a.i").alias("doc_a"), F.col("_b.i").alias("doc_b"))
+        .select(F.col("_a.i").alias("_ga"), F.col("_b.i").alias("_gb"))
         .distinct()
     )
     sa = sized.select(
-        F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza"), F.col("_hs").alias("_hsa")
+        F.col("_gid").alias("_ga"),
+        F.col("_sz").alias("_sza"),
+        F.col("_hs").alias("_hsa"),
+        F.col("_ids").alias("_idsa"),
     )
     sb = sized.select(
-        F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb"), F.col("_hs").alias("_hsb")
+        F.col("_gid").alias("_gb"),
+        F.col("_sz").alias("_szb"),
+        F.col("_hs").alias("_hsb"),
+        F.col("_ids").alias("_idsb"),
     )
     inter = F.size(F.array_intersect("_hsa", "_hsb"))
     jac = inter.cast("double") / (F.col("_sza") + F.col("_szb") - inter)
@@ -274,12 +338,29 @@ def jaccard_pairs(
     # build side (seen on the round-11 skew fixture; the containment
     # twin of this join was a measured broadcast-OOM there). The sets
     # table is O(corpus) — at 100 TB it is never broadcastable; SMJ is
-    # spill-safe and AQE still skew-splits it.
-    return (
-        cand.join(sa.hint("shuffle_merge"), "doc_a")
-        .join(sb.hint("shuffle_merge"), "doc_b")
+    # spill-safe and AQE still skew-splits it. A self-pair verifies to
+    # jaccard exactly 1.0 (|x∩x| = sz on both sides), so no special
+    # case: identical-text pairs report 1.0 just as the per-doc
+    # intersection did.
+    ver = (
+        cand.join(sa.hint("shuffle_merge"), "_ga")
+        .join(sb.hint("shuffle_merge"), "_gb")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("_ga", "_gb", F.round(jac, 4).alias("jaccard"), "_idsa", "_idsb")
+    )
+    # Expand verified GROUP pairs to doc pairs in one pass: cross-group
+    # pairs take every (x in A, y in B) once (disjoint groups, ordered
+    # by least/greatest); the self-pair takes within-group combinations
+    # (x < y over one array — _idsb IS _idsa after the self-join).
+    return (
+        ver.select("_ga", "_gb", F.explode("_idsa").alias("_x"), "_idsb", "jaccard")
+        .select("_ga", "_gb", "_x", F.explode("_idsb").alias("_y"), "jaccard")
+        .where((F.col("_ga") != F.col("_gb")) | (F.col("_x") < F.col("_y")))
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_categorization_big_data_spark.functions.groupcollapse import grouped_ids
 from news_categorization_big_data_spark.functions.partitioning import fan_out
 from news_categorization_big_data_spark.operators.dedup import LSH_MAX_DF, banded_pairs
 
@@ -48,6 +49,37 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def measurable(a: Column | str) -> Column:
+    """True iff the vector has cosine geometry at all: every component
+    finite AND at least one non-zero. A zero-norm vector's cosine is
+    0/0 — a hard DIVIDE_BY_ZERO under ANSI (Spark 4 default) where
+    DuckDB quietly yields NULL, and a NaN/Inf component makes every
+    downstream comparison engine-divergent (Spark NaN>x is false,
+    DuckDB NaN sorts greatest). Both classes are UNMEASURABLE — they
+    can never be a near-duplicate of anything — so the cosine operators
+    drop them up front and their oracles mirror the same filter
+    (O_MEASURABLE below); the r13 KMeans drop-poisoned-vectors guard
+    and the q_embedding_quantize pois→NULL contract are the precedent.
+    Found by the r16 group-collapse fixture (a DUPLICATED zero vector
+    crashed q_dedup_embedding/q_semantic_dedup — any 100 TB corpus
+    carries both classes)."""
+    v = F.col(a) if isinstance(a, str) else a
+    finite = ~F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == float("inf")),
+    )
+    nonzero = F.exists(v, lambda x: x.cast("double") != 0.0)
+    return finite & nonzero
+
+
+#: DuckDB mirror of ``measurable`` — format with the vector expression.
+O_MEASURABLE = (
+    "(len(list_filter({v}, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
+    " AND len(list_filter({v}, x -> CAST(x AS DOUBLE) <> 0)) > 0)"
+)
 
 
 def l2_sq(a: Column | str, b: Column | str) -> Column:
@@ -214,14 +246,23 @@ def embedding_near_dup_pairs(
     #   expansion emits each unordered pair exactly once.
     # Proven pair-for-pair equal to the per-row path (exceptAll both
     # ways = 0) at sf0.1 and sf1, and oracle-MATCH.
-    valid = emb.where(F.size(F.col(vec_col)) == dim)
+    # Domain guard (see measurable): SRP bit signs and the cosine verify
+    # are only defined over finite, non-zero vectors — a zero-norm dup
+    # pair was a measured ANSI DIVIDE_BY_ZERO crash here, and poisoned
+    # vectors' sign bits diverge cross-engine. Oracle mirrors the filter.
+    valid = emb.where(
+        (F.size(F.col(vec_col)) == dim) & measurable(vec_col)
+    )
+    # grouped_ids carries the spark.graft.groupcollapse.cap valve
+    # (default off — plan unchanged): an over-cap exact-dup vector
+    # cluster spills to singleton group rows, which flow through the
+    # SAME inter-pair machinery below (identical vectors share every
+    # band key; _a.g < _b.g orders them; the cap window sums _gsz just
+    # as before) while the intra path's size(_ids) > 1 guard skips
+    # them — no row ever holds an unbounded member array.
     groups = (
-        fan_out(valid)
-        .groupBy(vec_col)
-        .agg(
-            F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"),
-            F.count(F.lit(1)).alias("_gsz"),
-        )
+        grouped_ids(fan_out(valid), (vec_col,), id_col)
+        .withColumn("_gsz", F.size("_ids").cast("long"))
         .withColumn("_gid", F.col("_ids")[0])
     )
     signs = srp_signs(bits, dim)

@@ -9,9 +9,11 @@ bit-width) constants as the Spark operators, so the two can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_categorization_big_data_spark.functions.cachepin import pin
+from news_categorization_big_data_spark.functions.groupcollapse import grouped_ids
 from news_categorization_big_data_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_K,
@@ -326,10 +328,23 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intra-text pair True — exactly what the per-row join produced.
     # Proven row-for-row equal to the per-row plan at sf0.1 and sf1, and
     # oracle-MATCH.
+    # r16 (r15 ADVICE): reps and the doc→rep map both derive from ONE
+    # text-partitioned pass. The previous two groupBy("text") aggregates
+    # (min for reps; min + collect_list for rep_map) had different
+    # partial aggregates, so ReuseExchange could not dedupe them — a
+    # second full scan+shuffle of documents. A window min over the same
+    # partitioning computes _rep per doc directly: rep_map needs no
+    # member ARRAY at all (the collect_list+explode round-trip — and its
+    # unbounded-cluster row — is gone), reps filter to doc_id == _rep,
+    # and pin() materializes the pass once for its three consumers.
+    w_text = Window.partitionBy("text")
+    base = pin(
+        fan_out(docs, by=("text",))
+        .select("doc_id", "text")
+        .withColumn("_rep", F.min("doc_id").over(w_text))
+    )
     reps = (
-        fan_out(docs, by=("doc_id",))
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
+        base.where(F.col("doc_id") == F.col("_rep"))
         .select("doc_id", word_shingles("text").alias("shingles"))
         .where(F.size("shingles") > 0)
     )
@@ -361,12 +376,7 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Map every doc to its text's rep, translate truth pairs to rep
     # pairs (unordered: reps are min-member ids but a truth pair's reps
     # aren't necessarily ordered the same way), and look the flag up.
-    rep_map = (
-        fan_out(docs, by=("doc_id",))
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("_rep"), F.collect_list("doc_id").alias("_members"))
-        .select(F.col("_rep"), F.explode("_members").alias("doc_id"))
-    )
+    rep_map = base.select(F.col("_rep"), "doc_id")
     truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF)
     ma = rep_map.select(F.col("doc_id").alias("doc_a"), F.col("_rep").alias("_repa"))
     mb = rep_map.select(F.col("doc_id").alias("doc_b"), F.col("_rep").alias("_repb"))
@@ -524,17 +534,19 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         by=("doc_id",),
     )
-    g = (
-        docs.where(F.length("norm") >= 24)
-        .groupBy("norm")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
-        .select(
-            F.col("_ids"),
-            F.col("_ids")[0].alias("_gid"),
-            F.substring("norm", 1, 24).alias("blk"),
-            F.length("norm").alias("l"),
-            F.substring("norm", 1, 120).alias("pfx"),
-        )
+    # grouped_ids = the r15 collect_list with the
+    # spark.graft.groupcollapse.cap valve (default off, plan unchanged):
+    # an over-cap exact-dup cluster spills to singleton group rows that
+    # pair through the normal blk join (same norm ⇒ same blk, Δl = 0,
+    # lev = 0 ≤ 20) instead of holding one unbounded array.
+    g = grouped_ids(
+        docs.where(F.length("norm") >= 24), ("norm",), "doc_id"
+    ).select(
+        F.col("_ids"),
+        F.col("_ids")[0].alias("_gid"),
+        F.substring("norm", 1, 24).alias("blk"),
+        F.length("norm").alias("l"),
+        F.substring("norm", 1, 120).alias("pfx"),
     )
     a = g.select(
         F.col("_gid").alias("gid_a"),
@@ -550,18 +562,25 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l").alias("l_b"),
         F.col("pfx").alias("pfx_b"),
     )
+    # r16 (guide §1.2 per-task work): THRESHOLD-BOUNDED levenshtein,
+    # computed ONCE. The unbounded form ran the full 120x120 DP per
+    # candidate pair — twice (filter + output; Catalyst does not CSE
+    # across a Filter/Project boundary). levenshtein(l, r, 20) runs the
+    # banded O(threshold·len) DP (~6x fewer cells) and returns -1 above
+    # the bound, so `_d >= 0` IS the old `lev <= 20` and the returned
+    # value is the exact distance for every emitted pair.
     inter = (
         a.join(c, ["blk"])
         .where(
             (F.col("gid_a") < F.col("gid_b"))
             & (F.abs(F.col("l_a") - F.col("l_b")) <= 10)
-            & (F.levenshtein("pfx_a", "pfx_b") <= 20)
         )
         .select(
             "_idsa",
             "_idsb",
-            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("edit_dist"),
+            F.levenshtein("pfx_a", "pfx_b", 20).cast("long").alias("edit_dist"),
         )
+        .where(F.col("edit_dist") >= 0)
         .select(F.explode("_idsa").alias("_a"), "_idsb", "edit_dist")
         .select("_a", F.explode("_idsb").alias("_b"), "edit_dist")
         .select(

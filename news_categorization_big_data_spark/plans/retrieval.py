@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_categorization_big_data_spark.functions.cachepin import pin
+from news_categorization_big_data_spark.functions.groupcollapse import grouped_ids
 from news_categorization_big_data_spark.functions.ordered import running_sum
 from news_categorization_big_data_spark.functions.text_exprs import tokens
 from news_categorization_big_data_spark.functions.exact import (
@@ -155,6 +156,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.35
 
+from news_categorization_big_data_spark.operators.similarity import (  # noqa: E402
+    O_MEASURABLE,
+)
+
+_O_MEAS = O_MEASURABLE.format(v="embedding")
+
 
 def _o_dot(a: str, b: str) -> str:
     """DuckDB sequential-fold dot product (mirrors operators/similarity
@@ -169,14 +176,17 @@ def _o_cos(a: str, b: str) -> str:
     return f"({_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
 
 
-def _pivot_sql(k: int) -> str:
+def _pivot_sql(k: int, where: str = "") -> str:
     """The k md5-smallest vectors, ranked — the deterministic
-    'random sample' both engines can reproduce."""
+    'random sample' both engines can reproduce. ``where`` prepends a
+    domain filter (q_semantic_dedup's measurable-vector guard); the
+    default keeps every other caller's SQL byte-identical."""
+    w = f"WHERE {where} " if where else ""
     return f"""(SELECT vec_id AS pid, embedding AS pemb,
                        CAST(row_number() OVER (
                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                             AS INT) AS prank
-                FROM (SELECT vec_id, embedding FROM embeddings
+                FROM (SELECT vec_id, embedding FROM embeddings {w}
                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                       LIMIT {k}))"""
 
@@ -203,7 +213,12 @@ def _pivots(emb: DataFrame, k: int) -> DataFrame:
 @register(
     "q_semantic_dedup",
     oracle=f"""
-    WITH pivots AS {_pivot_sql(SEMDEDUP_K)},
+    -- measurable-vector guard (operators/similarity.py:measurable):
+    -- zero-norm or non-finite embeddings have no cosine geometry; both
+    -- engines drop them up front (a zero-norm DUPLICATE was a hard
+    -- ANSI DIVIDE_BY_ZERO on the Spark side, NULL-cosine on this side
+    -- — silently divergent either way).
+    WITH pivots AS {_pivot_sql(SEMDEDUP_K, where=_O_MEAS)},
     assign AS (
       SELECT vec_id, cluster, c_cos FROM (
         SELECT e.vec_id, p.prank AS cluster,
@@ -211,7 +226,8 @@ def _pivots(emb: DataFrame, k: int) -> DataFrame:
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_o_cos('e.embedding', 'p.pemb')} DESC,
                                            p.prank) AS rn
-        FROM embeddings e, pivots p) WHERE rn = 1),
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE {_O_MEAS}) e,
+             pivots p) WHERE rn = 1),
     ranked AS (SELECT a.*, e.embedding,
                       row_number() OVER (PARTITION BY cluster
                                          ORDER BY c_cos DESC, vec_id) AS krank
@@ -247,9 +263,20 @@ def _pivots(emb: DataFrame, k: int) -> DataFrame:
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_categorization_big_data_spark.functions.partitioning import fan_out
-    from news_categorization_big_data_spark.operators.similarity import dot, norm
+    from news_categorization_big_data_spark.operators.similarity import (
+        dot,
+        measurable,
+        norm,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # measurable-vector guard: see the oracle header note. Applied
+    # BEFORE pivot selection so both engines pick pivots from the same
+    # filtered corpus.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(measurable("embedding"))
+    )
     pivots = _pivots(emb, SEMDEDUP_K).withColumn("pn", norm("pemb"))
 
     # r15 (guide §8): the within-cluster pairwise stage runs on DISTINCT
@@ -272,10 +299,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions (self-cos is dot(v,v)/(vn·vn), never a synthetic 1).
     # Proven row-for-row equal to the per-row plan (exceptAll both
     # ways = 0) at sf0.1 and sf1, and oracle-MATCH.
+    # grouped_ids carries the spark.graft.groupcollapse.cap valve
+    # (default off — plan unchanged): an over-cap exact-dup embedding
+    # cluster spills to singleton group rows. Those reproduce the
+    # per-row semantics through the EXISTING paths: identical-vector
+    # partners qualify via pair_cos = self-cos, and the struct-key
+    # comparison ties on (equal fin, equal nc) → pid < vec_id — exactly
+    # krank's vec_id tie-break — while _selfdup never fires on a
+    # singleton (_ids[0] = self).
     groups = (
-        fan_out(emb, by=("vec_id",))
-        .groupBy("embedding")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("_ids"))
+        grouped_ids(fan_out(emb, by=("vec_id",)), ("embedding",), "vec_id")
         .withColumn("_gid", F.col("_ids")[0])
         .withColumn("vn", norm("embedding"))
     )

@@ -202,10 +202,14 @@ def _srp_oracle(threshold: float = 0.35) -> str:
         f"SELECT vec_id, {b} AS band_idx, {k} AS band_key FROM sig"
         for b, k in enumerate(band_keys)
     )
+    from news_categorization_big_data_spark.operators.similarity import O_MEASURABLE
+
+    measurable = O_MEASURABLE.format(v="embedding")
     return f"""
     WITH sig AS (SELECT vec_id, embedding,
            {bit_exprs}
-           FROM embeddings),
+           FROM embeddings
+           WHERE {measurable}),
     bexp AS ({bexp}),
     bok AS (SELECT band_idx, band_key FROM bexp
             GROUP BY band_idx, band_key

@@ -61,6 +61,22 @@ def test_final_line_is_json_with_driver_contract_fields():
     assert "queries" not in obj["sf1"]
 
 
+def test_sf1_queries_line_fits_tail_capture_with_final_line():
+    """The second-to-last sf1_queries line plus the final line must
+    TOGETHER ride inside the driver's ~2000-char tail capture. Worst
+    realistic values: every sf1 query at 99.99 s (a 3000-second sf1
+    block would mean a broken round long before an output-size
+    problem) and the final line at its r15 observed size + slack."""
+    sf1_line = bench.sf1_queries_line({n: 99.99 for n in bench.HEADLINE}, 2)
+    obj = json.loads(sf1_line)
+    assert set(obj["sf1_queries"]) == set(bench.HEADLINE)
+    assert obj["sf"] == 1.0
+    assert len(sf1_line) < 900, len(sf1_line)
+    # realistic final line: r15 official record measured 1058 chars;
+    # allow 1100 and require the pair to leave >= 50 chars of slack.
+    assert len(sf1_line) + 1100 + 2 < 2000, len(sf1_line)
+
+
 def test_detail_line_carries_the_verbose_fields():
     obj = json.loads(
         bench.detail_line(_WORST_PER_PASS, 2, 0.1,
