@@ -528,13 +528,32 @@ def containment_pairs(
             F.transform(word_shingles(text_col, k), lambda s: hash60(s))
         )
     )
+    # r16: DISTINCT-TEXT collapse, the jaccard_pairs rewrite adapted to
+    # containment's asymmetric probe/index shape. Every filter and the
+    # reported containment are functions of the two TEXTS (prefix,
+    # index membership, |A∩B|, |A|), so the machinery runs once per
+    # distinct text pair and verified GROUP pairs expand to ORDERED doc
+    # pairs at the end (no least/greatest — C(A→B) and C(B→A) are
+    # separate candidates, as per-doc). The group SELF-pair carries the
+    # identical-text pairs (containment exactly 1.0 = sza/sza; both
+    # orderings emitted by the x ≠ y expansion), gated on the group
+    # reaching ≥1 uncapped index hash through the same join — per-doc
+    # survival semantics unchanged. Index df counts DOCS (sum of member
+    # counts), so the max_df cap and its oracle mirrors are unchanged.
+    # grouped_ids carries the spark.graft.groupcollapse.cap valve
+    # (functions/groupcollapse.py).
+    groups = grouped_ids(fan_out(docs, by=(text_col,)), (text_col,), id_col)
     # long, not int: the candidate length filters multiply _sz by 1e6
     # (ppm arithmetic) — int32 overflows for any doc with >= 2148
     # distinct shingles (~10 KB of text; ANSI hard error, found by the
     # /tmp/skew3 giant-doc fixture). One cast here keeps every
     # downstream product in int64.
-    sized = fan_out(docs).select(
-        F.col(id_col), F.size(hs).cast("long").alias("_sz"), hs.alias("_hs")
+    sized = groups.select(
+        F.col("_ids")[0].alias("_gid"),
+        F.size("_ids").cast("long").alias("_m"),
+        F.col("_ids"),
+        F.size(hs).cast("long").alias("_sz"),
+        hs.alias("_hs"),
     )
     if persist_sets:
         from news_categorization_big_data_spark.functions.cachepin import pin
@@ -544,11 +563,17 @@ def containment_pairs(
     ceil_t_sz = F.floor((F.col("_sz") * threshold_pct + 99) / 100).cast("int")
     prefix_len = (F.col("_sz") - ceil_t_sz + 1).cast("int")
     probe = sized.select(
-        F.col(id_col).alias("doc_a"),
-        F.explode(F.slice("_hs", 1, prefix_len)).alias("_h"),
+        F.col("_gid").alias("_ga"),
+        F.col("_m").alias("_ma"),
+        F.col("_sz").alias("_szap"),
+        ceil_t_sz.cast("long").alias("_cta"),
+        F.posexplode(F.slice("_hs", 1, prefix_len)).alias("_pa", "_h"),
     )
     index = sized.select(
-        F.col(id_col).alias("doc_b"), F.explode("_hs").alias("_h")
+        F.col("_gid").alias("_gb"),
+        F.col("_m").alias("_mb"),
+        F.col("_sz").alias("_szbp"),
+        F.posexplode("_hs").alias("_pb", "_h"),
     )
     # EVERY join below carries an explicit shuffle_merge hint: Catalyst's
     # static size estimate for these frames is garbage — the pinned
@@ -567,37 +592,72 @@ def containment_pairs(
     # (plans/text.py) — declared strategy where the estimate is
     # known-garbage.
     if max_df is not None:
+        # df in DOCS: sum of group member counts per hash — identical
+        # to the per-doc COUNT(*) the oracles mirror.
         df_ok = (
             index.groupBy("_h")
-            .agg(F.count("*").alias("_df"))
+            .agg(F.sum("_mb").alias("_df"))
             .where(F.col("_df") <= max_df)
             .select("_h")
         )
         index = index.join(df_ok.hint("shuffle_merge"), "_h")
+    # r16 candidate pruning (the PPJoin filters' asymmetric forms; both
+    # SOUND — a pruned occurrence can never verify, so the oracle needs
+    # no mirror, and a qualifying pair's FIRST common element always
+    # survives both):
+    # - length: |A∩B| ≤ |B| and C(A→B) ≥ t force |B| ≥ ⌈t·|A|⌉;
+    # - positional: a shared hash at sorted positions (p_a, p_b) bounds
+    #   the overlap by 1 + min(|A|−p_a−1, |B|−p_b−1) ≥ ⌈t·|A|⌉ — on a
+    #   low-diversity corpus this kills the deep-index-position matches
+    #   that made the candidate set quadratic (measured at sf1:
+    #   27.9M → see OPTIMIZATION_r16.md).
+    ub = F.lit(1) + F.least(
+        F.col("_szap") - F.col("_pa") - 1, F.col("_szbp") - F.col("_pb") - 1
+    )
     cand = (
         probe.join(index.hint("shuffle_merge"), "_h")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .where(
+            (F.col("_ga") != F.col("_gb"))
+            | ((F.col("_ga") == F.col("_gb")) & (F.col("_ma") > 1))
+        )
+        .where(F.col("_szbp") >= F.col("_cta"))
+        .where(ub >= F.col("_cta"))
+        .select("_ga", "_gb")
         .distinct()
     )
     sa = sized.select(
-        F.col(id_col).alias("doc_a"),
+        F.col("_gid").alias("_ga"),
         F.col("_sz").alias("_sza"),
         F.col("_hs").alias("_hsa"),
+        F.col("_ids").alias("_idsa"),
     )
     sb = sized.select(
-        F.col(id_col).alias("doc_b"), F.col("_hs").alias("_hsb")
+        F.col("_gid").alias("_gb"),
+        F.col("_hs").alias("_hsb"),
+        F.col("_ids").alias("_idsb"),
     )
     inter = F.size(F.array_intersect("_hsa", "_hsb"))
-    return (
-        cand.join(sa.hint("shuffle_merge"), "doc_a")
-        .join(sb.hint("shuffle_merge"), "doc_b")
+    ver = (
+        cand.join(sa.hint("shuffle_merge"), "_ga")
+        .join(sb.hint("shuffle_merge"), "_gb")
         .where(inter * 100 >= F.col("_sza") * threshold_pct)
         .select(
-            "doc_a",
-            "doc_b",
+            "_ga",
+            "_gb",
             F.round(inter.cast("double") / F.col("_sza"), 4).alias("containment"),
+            "_idsa",
+            "_idsb",
         )
+    )
+    # ORDERED expansion: every (x ∈ A, y ∈ B) for direction A→B; the
+    # self-pair (A = B) expands to both orderings of distinct members
+    # (x ≠ y), each reporting containment 1.0 — per-doc identical.
+    return (
+        ver.select(
+            F.explode("_idsa").alias("doc_a"), "_idsb", "containment"
+        )
+        .select("doc_a", F.explode("_idsb").alias("doc_b"), "containment")
+        .where(F.col("doc_a") != F.col("doc_b"))
     )
 
 

@@ -361,16 +361,64 @@ def q_dedup_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(reps)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
-    # <= keeps the rep SELF-pair (intra-text flag); distinct guards the
-    # join-key contract (one flag row per rep pair).
-    mll = (
-        joined.where(F.col("datasetA.doc_id") <= F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("_ra"),
-            F.col("datasetB.doc_id").alias("_rb"),
-        )
+    # r16 (guide §8 + r15 VERDICT item 5): the MLlib estimator surface
+    # is kept — HashingTF features, the seed-42 fit, and
+    # model.transform's hash evaluation define the recalled set — but
+    # approxSimilarityJoin itself is replaced by the engine's own
+    # banded join over the model's OUTPUTS, read natively via
+    # unwrap_udt (no Python boundary, no vector-UDT shuffle):
+    # - candidates: posexplode the 8 per-table minhash values and
+    #   equi-join on (table_idx, value) — exactly the bucket
+    #   co-occurrence approxSimilarityJoin's double explode computed,
+    #   minus shipping (features, hashes) vector payloads through the
+    #   shuffle and the per-candidate-row UDF. Ordered pairs, distinct
+    #   BEFORE the verify (one distance per distinct rep pair; the
+    #   MLlib path verified per bucket-occurrence).
+    # - verify: MinHashLSHModel.keyDistance is 1 − |A∩B|/|A∪B| over
+    #   the sparse-feature index sets in double arithmetic with a
+    #   STRICT < threshold filter — reproduced expression-for-
+    #   expression on unwrap_udt(features).indices (same ints, same
+    #   single double division ⇒ identical booleans).
+    # - the rep SELF-pair (r, r): every rep shares all its buckets
+    #   with itself at distance 0, so approxSimilarityJoin emitted one
+    #   per rep unconditionally — appended directly.
+    # Proven SET-EQUAL to approxSimilarityJoin's <=-filtered distinct
+    # output (exceptAll both ways = 0) at sf0.01 AND sf0.1, and
+    # oracle-MATCH; pinned by tests/test_mllib_native_join.py.
+    # Measured at sf1: the join stage 14.0 s → see OPTIMIZATION_r16.md.
+    u = model.transform(feats).select(
+        "doc_id",
+        F.unwrap_udt("features").getField("indices").alias("_idx"),
+        F.transform(
+            F.col("hashes"), lambda v: F.unwrap_udt(v).getField("values").getItem(0)
+        ).alias("_h8"),
+    )
+    # Checkpoint: u feeds the two band-join sides, both verify sides
+    # and the self-pair list; sizes become REAL statistics, so AQE
+    # picks join strategies from facts instead of widened-frame
+    # garbage estimates.
+    u = u.localCheckpoint(eager=False)
+    bands = u.select("doc_id", F.posexplode("_h8").alias("_j", "_h"))
+    ba = bands.select(F.col("doc_id").alias("_ra"), "_j", "_h")
+    bb = bands.select(F.col("doc_id").alias("_rb"), "_j", "_h")
+    cand = (
+        ba.join(bb, ["_j", "_h"])
+        .where(F.col("_ra") < F.col("_rb"))
+        .select("_ra", "_rb")
         .distinct()
+    )
+    sa = u.select(F.col("doc_id").alias("_ra"), F.col("_idx").alias("_ia"))
+    sb = u.select(F.col("doc_id").alias("_rb"), F.col("_idx").alias("_ib"))
+    inter = F.size(F.array_intersect("_ia", "_ib")).cast("double")
+    union = (F.size("_ia") + F.size("_ib")).cast("double") - inter
+    mll = (
+        cand.join(sa, "_ra")
+        .join(sb, "_rb")
+        .where(F.lit(1.0) - inter / union < F.lit(0.3))
+        .select("_ra", "_rb")
+        .unionByName(
+            u.select(F.col("doc_id").alias("_ra"), F.col("doc_id").alias("_rb"))
+        )
         .withColumn("_found", F.lit(True))
     )
     # Map every doc to its text's rep, translate truth pairs to rep
@@ -539,14 +587,28 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an over-cap exact-dup cluster spills to singleton group rows that
     # pair through the normal blk join (same norm ⇒ same blk, Δl = 0,
     # lev = 0 ≤ 20) instead of holding one unbounded array.
-    g = grouped_ids(
-        docs.where(F.length("norm") >= 24), ("norm",), "doc_id"
-    ).select(
-        F.col("_ids"),
-        F.col("_ids")[0].alias("_gid"),
-        F.substring("norm", 1, 24).alias("blk"),
-        F.length("norm").alias("l"),
-        F.substring("norm", 1, 120).alias("pfx"),
+    # Length filter AFTER the groupBy: as a pre-group row filter it was
+    # pushed into the SCAN as a DataFilter, re-running the two-regexp
+    # normalize chain once in the filter and again in the projection
+    # (plans/r16/q_dedup_fuzzy_before.txt); on the group output the
+    # regex runs once per doc (map side) and the length check once per
+    # DISTINCT norm. Equivalent: norm is the group key, so filtering
+    # groups == filtering rows (null norms drop either way). pin(): g
+    # feeds THREE consumers (both block-join sides + the intra
+    # expansion), and ReuseExchange shares only shuffle files, not the
+    # per-consumer re-run of the final collect_list + substring
+    # projections — measured 3 FileScans / 3 normalize+group subtrees
+    # in the un-pinned plan.
+    g = pin(
+        grouped_ids(docs, ("norm",), "doc_id")
+        .where(F.length("norm") >= 24)
+        .select(
+            F.col("_ids"),
+            F.col("_ids")[0].alias("_gid"),
+            F.substring("norm", 1, 24).alias("blk"),
+            F.length("norm").alias("l"),
+            F.substring("norm", 1, 120).alias("pfx"),
+        )
     )
     a = g.select(
         F.col("_gid").alias("gid_a"),
@@ -562,6 +624,13 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l").alias("l_b"),
         F.col("pfx").alias("pfx_b"),
     )
+    # NOTE — bag-distance prefilter: a measured NEGATIVE result, kept
+    # out deliberately. A per-group 37-char histogram + per-pair
+    # multiset lower bound (bag ≤ levenshtein) filtered 0 of 248,640
+    # sf1 candidates — same-block, length-banded survivors share
+    # near-identical character bags on this (and any templated) corpus
+    # — while its fold inlined into the join condition. The bounded DP
+    # below is the effective per-pair filter.
     # r16 (guide §1.2 per-task work): THRESHOLD-BOUNDED levenshtein,
     # computed ONCE. The unbounded form ran the full 120x120 DP per
     # candidate pair — twice (filter + output; Catalyst does not CSE
@@ -569,8 +638,14 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded O(threshold·len) DP (~6x fewer cells) and returns -1 above
     # the bound, so `_d >= 0` IS the old `lev <= 20` and the returned
     # value is the exact distance for every emitted pair.
+    # shuffle_merge: the distinct-norm frame scales with the corpus and
+    # descends from a groupBy whose static size estimate is garbage —
+    # the planner was BROADCASTING the whole (norm, ids, pfx) side
+    # (plans/r16/q_dedup_fuzzy_before.txt), the q18/widened-frame class.
+    # SMJ is spill-safe; AQE may still demote to shuffled-hash at
+    # runtime via the r15 maxShuffledHashJoinLocalMapThreshold conf.
     inter = (
-        a.join(c, ["blk"])
+        a.join(c.hint("shuffle_merge"), ["blk"])
         .where(
             (F.col("gid_a") < F.col("gid_b"))
             & (F.abs(F.col("l_a") - F.col("l_b")) <= 10)
@@ -1113,19 +1188,32 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saved recompute, exactly the consumer-coefficient rule's
     # prediction. Left unpersisted deliberately.
     truth = jaccard_pairs(docs, threshold=0.8, max_df=JACCARD_MAX_DF).select(
-        "doc_a", "doc_b"
+        "doc_a", "doc_b", F.lit(1).alias("_t")
     )
-    cand = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        "doc_a", "doc_b", F.lit(1).alias("_c")
+    )
+    # r16: ONE full-outer join + ONE aggregate replaces the hit join +
+    # three per-side count aggregates — the old shape evaluated the
+    # whole truth chain twice and the whole cand chain twice (the r8
+    # "persist measured worse" note predates the r16 collapsed truth
+    # pass, which is far heavier per evaluation; re-measured at sf1:
+    # both sides now run once, ~2x). Both pair lists are DISTINCT by
+    # construction, so the outer join's row set is the pair-set union
+    # and the three counts are conditional sums of the marker columns
+    # — output identical.
     # merge (SMJ) hint: BOTH sides are corpus-dependent pair tables
     # behind widening explodes with blind static estimates — the
     # round-14 sf1 probe caught the planner statically broadcasting
     # the cand side (the q_simhash_hamming crash class). SMJ is fully
     # spillable with no build-side memory on either side.
-    hit = truth.join(cand.hint("merge"), ["doc_a", "doc_b"])
-    tot = (
-        truth.agg(F.count("*").cast("long").alias("n_truth"))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").cast("long").alias("n_cand"))))
-        .crossJoin(F.broadcast(hit.agg(F.count("*").cast("long").alias("n_hit"))))
+    joined = truth.join(cand.hint("merge"), ["doc_a", "doc_b"], "full_outer")
+    tot = joined.agg(
+        F.count("_t").cast("long").alias("n_truth"),
+        F.count("_c").cast("long").alias("n_cand"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
     )
     return tot.select(
         "n_truth",
